@@ -3,14 +3,14 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+CDC queries run over a change-event stream derived DETERMINISTICALLY from
+the ``documents`` table (kettleray.gen.derive) so the DuckDB oracle can
+reproduce the exact same events with a CTE — making the whole CDC core
+(replay/LWW, diff, SCD2, dedup, schema evolution) value-hash-checkable.
+
+Never calls ray.init()/ray.shutdown() (driver owns the session).
 """
 
 from __future__ import annotations
@@ -18,27 +18,162 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from kettleray import configure_ray_data
+from kettleray.gen.derive import DERIVED_EVENTS_SQL, derive_events
+from kettleray.ops import cdc
+
+_NUM_PARTITIONS = 16  # sf0.01-scale shuffles; production uses 2-4x cores
+
+# SQL fragment: LWW-ranked events (the replay oracle core).
+_RANKED = (
+    'ranked AS (SELECT *, row_number() OVER '
+    '(PARTITION BY repo, path ORDER BY commit_seq DESC, "commit" DESC) AS rn '
+    'FROM ev)'
+)
+_FINAL_STATE_SELECT = (
+    'SELECT repo, path, "commit", lang, content, '
+    'sha256(content) AS content_sha256, commit_seq AS last_commit_seq '
+    'FROM ranked WHERE rn = 1 AND op <> \'delete\''
+)
+
+
+def _events(sf_dir: str):
+    configure_ray_data()
+    return derive_events(sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# CDC query implementations (Ray side)
+# ---------------------------------------------------------------------------
+
+def q_cdc_events(sf_dir: str):
+    return _events(sf_dir)
+
+
+def q_cdc_replay_final_state(sf_dir: str):
+    return cdc.replay_lww(_events(sf_dir), num_partitions=_NUM_PARTITIONS)
+
+
+def q_cdc_insert_update(sf_dir: str):
+    """Kettle Insert/Update: upsert stream, deletes NOT applied."""
+    import pyarrow.compute as pc
+    ev = _events(sf_dir).map_batches(
+        lambda b: b.filter(pc.not_equal(b["op"], "delete")),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return cdc.replay_lww(ev, num_partitions=_NUM_PARTITIONS)
+
+
+def q_cdc_scd2_history(sf_dir: str):
+    return cdc.scd2_history(_events(sf_dir), num_partitions=_NUM_PARTITIONS)
+
+
+def q_cdc_diff_snapshots(sf_dir: str):
+    import pyarrow.compute as pc
+    from kettleray.gen.derive import SEQ_STRIDE
+    ev = _events(sf_dir)
+    old = cdc.replay_lww(
+        ev.map_batches(lambda b: b.filter(
+            pc.less(b["commit_seq"], SEQ_STRIDE)),
+            batch_format="pyarrow", zero_copy_batch=True),
+        num_partitions=_NUM_PARTITIONS)
+    new = cdc.replay_lww(ev, num_partitions=_NUM_PARTITIONS)
+    d = cdc.diff_snapshots(old, new, num_partitions=_NUM_PARTITIONS)
+    return d.select_columns(["repo", "path", "content_sha256", "change_type"])
+
+
+def q_cdc_dedup_redelivery(sf_dir: str):
+    """Exactly-once: replay of log ∪ redelivered-subset == replay of log."""
+    import pyarrow.compute as pc
+    ev = _events(sf_dir)
+    dup = ev.map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(b["commit_seq"], 3), 0)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return cdc.replay_lww(ev.union(dup), num_partitions=_NUM_PARTITIONS)
+
+
+def q_cdc_schema_evolution(sf_dir: str):
+    import pyarrow as pa
+    target = pa.schema([
+        ("repo", pa.string()), ("path", pa.string()),
+        ("commit", pa.string()), ("lang", pa.string()),
+        ("content", pa.string()), ("op", pa.string()),
+        ("commit_seq", pa.float64()),          # int64 -> double widening
+        ("author", pa.string()),               # additive, backfilled null
+    ])
+    return cdc.evolve_to_schema(_events(sf_dir), target)
+
+
+# ---------------------------------------------------------------------------
+# contract functions
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: CDC replay (events -> final table state) on sf0.001."""
+    configure_ray_data()
+    ev = cdc.parse_validate(derive_events("/root/testdata/sf0.001"))
+    return cdc.replay_lww(ev, num_partitions=8)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_events": q_cdc_events,
+        "cdc_replay_final_state": q_cdc_replay_final_state,
+        "cdc_insert_update": q_cdc_insert_update,
+        "cdc_scd2_history": q_cdc_scd2_history,
+        "cdc_diff_snapshots": q_cdc_diff_snapshots,
+        "cdc_dedup_redelivery": q_cdc_dedup_redelivery,
+        "cdc_schema_evolution": q_cdc_schema_evolution,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ev = DERIVED_EVENTS_SQL
+    return {
+        "cdc_events": f"WITH {ev} SELECT * FROM ev",
+        "cdc_replay_final_state":
+            f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
+        "cdc_insert_update": (
+            f"WITH {ev}, ev2 AS (SELECT * FROM ev WHERE op <> 'delete'), "
+            'ranked AS (SELECT *, row_number() OVER (PARTITION BY repo, path '
+            'ORDER BY commit_seq DESC, "commit" DESC) AS rn FROM ev2) '
+            'SELECT repo, path, "commit", lang, content, '
+            'sha256(content) AS content_sha256, commit_seq AS last_commit_seq '
+            'FROM ranked WHERE rn = 1'),
+        "cdc_scd2_history": (
+            f"WITH {ev}, "
+            "w AS (SELECT *, lead(commit_seq) OVER (PARTITION BY repo, path "
+            "ORDER BY commit_seq) AS valid_to_seq FROM ev), "
+            "h AS (SELECT *, CAST(row_number() OVER (PARTITION BY repo, path "
+            "ORDER BY commit_seq) AS BIGINT) AS version FROM w "
+            "WHERE op <> 'delete') "
+            "SELECT repo, path, version, commit_seq AS valid_from_seq, "
+            "valid_to_seq, (valid_to_seq IS NULL) AS is_current, \"commit\", "
+            "lang, sha256(content) AS content_sha256 FROM h"),
+        "cdc_diff_snapshots": (
+            f"WITH {ev}, "
+            "r1 AS (SELECT *, row_number() OVER (PARTITION BY repo, path "
+            'ORDER BY commit_seq DESC, "commit" DESC) AS rn FROM ev '
+            "WHERE commit_seq < 1000000), "
+            "s1 AS (SELECT repo, path, sha256(content) AS content_sha256 "
+            "FROM r1 WHERE rn = 1 AND op <> 'delete'), "
+            "r2 AS (SELECT *, row_number() OVER (PARTITION BY repo, path "
+            'ORDER BY commit_seq DESC, "commit" DESC) AS rn FROM ev), '
+            "s2 AS (SELECT repo, path, sha256(content) AS content_sha256 "
+            "FROM r2 WHERE rn = 1 AND op <> 'delete') "
+            "SELECT repo, path, "
+            "COALESCE(s2.content_sha256, s1.content_sha256) AS content_sha256, "
+            "CASE WHEN s1.content_sha256 IS NULL THEN 'new' "
+            "WHEN s2.content_sha256 IS NULL THEN 'deleted' "
+            "WHEN s1.content_sha256 = s2.content_sha256 THEN 'identical' "
+            "ELSE 'changed' END AS change_type "
+            "FROM s1 FULL OUTER JOIN s2 USING (repo, path)"),
+        "cdc_dedup_redelivery": (
+            f"WITH {ev}, ranked AS (SELECT *, row_number() OVER "
+            '(PARTITION BY repo, path ORDER BY commit_seq DESC, "commit" '
+            "DESC) AS rn FROM ev) "
+            + _FINAL_STATE_SELECT),
+        "cdc_schema_evolution": (
+            f"WITH {ev} SELECT repo, path, \"commit\", lang, content, op, "
+            "CAST(commit_seq AS DOUBLE) AS commit_seq, "
+            "CAST(NULL AS VARCHAR) AS author FROM ev"),
+    }

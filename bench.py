@@ -1,0 +1,151 @@
+"""Benchmark harness: headline CDC pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "events_per_sec": ...}
+
+`--scaling`: runs the headline synthetic-replay job in two fresh
+processes (num_cpus=8 and 32) on the same input and reports both
+throughputs + scaling efficiency (sandbox stand-in for the N vs 4N node
+criterion in BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_SYNTH = int(os.environ.get("KETTLERAY_BENCH_EVENTS", "2000000"))
+
+
+def _init_ray():
+    import ray
+    from kettleray import configure_ray_data
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, logging_level="ERROR")
+    configure_ray_data()
+
+
+def _num_partitions() -> int:
+    return max(8, NUM_CPUS * 2)
+
+
+def run_synthetic_replay() -> tuple[float, int]:
+    """Headline: generate + parse + LWW-replay a synthetic CDC stream,
+    write final state to partitioned Parquet. Returns (sec, n_events)."""
+    import shutil
+    from kettleray.gen.synthetic import EventGenConfig, generate_events
+    from kettleray.ops import cdc
+    cfg = EventGenConfig(n_events=N_SYNTH, n_repos=500,
+                         n_paths_per_repo=2000, p_delete=0.05,
+                         p_redeliver=0.01, seed=42)
+    out = "/tmp/kettleray_bench/final_state"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    ev = generate_events(cfg, override_num_blocks=max(16, NUM_CPUS * 4))
+    final = cdc.replay_lww(cdc.parse_validate(ev),
+                           num_partitions=_num_partitions())
+    final.write_parquet(out)
+    return time.time() - t0, cfg.n_events
+
+
+def run_derived_replay() -> float:
+    from kettleray.gen.derive import derive_events
+    from kettleray.ops import cdc
+    t0 = time.time()
+    cdc.replay_lww(cdc.parse_validate(derive_events(SF_DIR)),
+                   num_partitions=_num_partitions()).count()
+    return time.time() - t0
+
+
+def run_scd2() -> float:
+    from kettleray.gen.derive import derive_events
+    from kettleray.ops import cdc
+    t0 = time.time()
+    cdc.scd2_history(derive_events(SF_DIR),
+                     num_partitions=_num_partitions()).count()
+    return time.time() - t0
+
+
+def run_incremental() -> float:
+    """Two-batch incremental apply through the exactly-once sink."""
+    import shutil
+    import pyarrow.compute as pc
+    import ray.data
+    from kettleray.gen.synthetic import EventGenConfig, generate_events
+    from kettleray.io import sink
+    root = "/tmp/kettleray_bench/state"
+    shutil.rmtree(root, ignore_errors=True)
+    n = max(200_000, N_SYNTH // 10)
+    cfg = EventGenConfig(n_events=n, n_repos=200, n_paths_per_repo=1000,
+                         p_delete=0.05, seed=43)
+    t0 = time.time()
+    ev = generate_events(cfg, override_num_blocks=max(16, NUM_CPUS * 2))
+    half = n // 2
+    b1 = ev.map_batches(lambda b: b.filter(pc.less(b["commit_seq"], half)),
+                        batch_format="pyarrow")
+    b2 = ev.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["commit_seq"], half)),
+        batch_format="pyarrow")
+    sink.apply_incremental(root, b1, num_partitions=_num_partitions())
+    sink.apply_incremental(root, b2, num_partitions=_num_partitions())
+    return time.time() - t0
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        results = {}
+        for ncpu in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            out = subprocess.run(
+                [sys.executable, __file__, "--headline-only"], env=env,
+                capture_output=True, text=True, check=True).stdout
+            results[ncpu] = json.loads(out.strip().splitlines()[-1])
+        thr8 = results[8]["events_per_sec"]
+        thr32 = results[32]["events_per_sec"]
+        print(json.dumps({
+            "sec_8": results[8]["value"], "sec_32": results[32]["value"],
+            "events_per_sec_8": thr8, "events_per_sec_32": thr32,
+            "scaling_efficiency": round((thr32 / thr8) / 4, 3),
+            "n_events": N_SYNTH,
+        }))
+        return
+
+    import ray
+    _init_ray()
+    if "--headline-only" in sys.argv:
+        # warm page cache / workers with a small untimed run
+        sec, n = run_synthetic_replay()
+        print(json.dumps({"metric": "synthetic_cdc_replay", "value": round(sec, 2),
+                          "unit": "sec", "events_per_sec": round(n / sec),
+                          "num_cpus": NUM_CPUS, "n_events": n}))
+        ray.shutdown()
+        return
+
+    queries = {}
+    t_all = time.time()
+    sec, n = run_synthetic_replay()
+    queries["synthetic_replay"] = round(sec, 2)
+    eps = round(n / sec)
+    queries["derived_replay"] = round(run_derived_replay(), 2)
+    queries["scd2_history"] = round(run_scd2(), 2)
+    queries["incremental_apply"] = round(run_incremental(), 2)
+    total = round(time.time() - t_all, 2)
+    print(json.dumps({
+        "metric": "cdc_pipeline_suite_sec",
+        "value": total, "unit": "sec", "queries": queries,
+        "sf": SF_DIR, "num_cpus": NUM_CPUS,
+        "events_per_sec": eps, "n_synthetic_events": n,
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

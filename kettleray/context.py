@@ -1,0 +1,41 @@
+"""Ray Data execution-context tuning for the CDC engine.
+
+Centralizes the DataContext knobs so every entry point (tests, bench,
+__ray_entry__) runs with the same execution profile. Never calls
+``ray.init`` — sessions are owned by the driver / test fixture / bench.
+"""
+
+from __future__ import annotations
+
+from ray.data.context import DataContext, ShuffleStrategy
+
+# Default number of hash partitions for key-based shuffles. On a real
+# cluster this should be ~2-4x total cores so each partition block stays
+# well under target_max_block_size even at 10^10 events; single-node tests
+# override it downward.
+DEFAULT_NUM_PARTITIONS = 64
+
+
+def configure_ray_data(
+    *,
+    target_max_block_size: int = 128 * 1024 * 1024,
+    quiet: bool = True,
+) -> DataContext:
+    """Apply the engine's DataContext profile and return the context.
+
+    - HASH_SHUFFLE strategy: required for ``Dataset.repartition(keys=...)``
+      (key-based hash partitioning), and is the scalable shuffle for the
+      groupby-heavy CDC pipelines (one aggregator per partition; no global
+      sort barrier).
+    - preserve_order=False: commit ordering is explicit data (commit_seq),
+      never an executor property (SURVEY.md §2.10), so the executor is free
+      to reorder blocks for throughput.
+    """
+    ctx = DataContext.get_current()
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ctx.target_max_block_size = target_max_block_size
+    ctx.execution_options.preserve_order = False
+    if quiet:
+        ctx.enable_progress_bars = False
+        ctx.execution_options.verbose_progress = False
+    return ctx

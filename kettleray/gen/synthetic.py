@@ -1,0 +1,134 @@
+"""Deterministic synthetic CDC change-event stream generator.
+
+Every field of event ``i`` is a pure function of the global index ``i``
+(splitmix64-style integer hashing), so generation is:
+
+- deterministic regardless of batching / parallelism,
+- embarrassingly parallel (``ray.data.range(n).map_batches(...)``),
+- scalable to 10^10 events without a driver-side loop.
+
+The index IS the total commit order (``commit_seq = i``): commit shas are
+unordered strings, so replay order is explicit data (SURVEY.md §2.10).
+
+Skew: repo choice follows a power-law over ``n_repos`` (exponent
+``skew``), giving hot repos for the skew-handling tests/bench.
+Redelivery: a ``p_redeliver`` fraction of indices additionally re-emit an
+earlier event verbatim (same key + commit_seq) — exactly-once fodder.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+_LANGS = np.array(["py", "java", "ts", "go", "rs"])
+
+_C1 = np.uint64(0x9E3779B97F4A7C15)
+_C2 = np.uint64(0xBF58476D1CE4E5B9)
+_C3 = np.uint64(0x94D049BB133111EB)
+
+
+def _mix64(x: np.ndarray, salt: int) -> np.ndarray:
+    """splitmix64 finalizer — vectorized uint64 hash of (x, salt)."""
+    with np.errstate(over="ignore"):
+        z = (x.astype(np.uint64) + np.uint64(salt) * _C1)
+        z = (z ^ (z >> np.uint64(30))) * _C2
+        z = (z ^ (z >> np.uint64(27))) * _C3
+        return z ^ (z >> np.uint64(31))
+
+
+def _unit(x: np.ndarray, salt: int) -> np.ndarray:
+    """uniform [0,1) floats from indices."""
+    return _mix64(x, salt).astype(np.float64) / 2.0**64
+
+
+@dataclass(frozen=True)
+class EventGenConfig:
+    n_events: int
+    n_repos: int = 100
+    n_paths_per_repo: int = 1000
+    skew: float = 2.0           # power-law exponent for repo popularity
+    p_delete: float = 0.05
+    p_insert: float = 0.30
+    p_redeliver: float = 0.0    # fraction of indices that re-emit an old event
+    redeliver_window: int = 10_000
+    content_repeat: int = 8     # ~32 bytes per repeat unit
+    seed: int = 42
+
+
+def events_for_indices(idx: np.ndarray, cfg: EventGenConfig) -> pa.Table:
+    """Materialize the event rows for a batch of global indices."""
+    s = cfg.seed
+    u_repo = _unit(idx, s + 1)
+    repo_id = np.minimum(
+        (cfg.n_repos * np.power(u_repo, cfg.skew)).astype(np.int64),
+        cfg.n_repos - 1)
+    path_id = _mix64(idx, s + 2) % np.uint64(cfg.n_paths_per_repo)
+    u_op = _unit(idx, s + 3)
+    lang_id = (_mix64(repo_id.astype(np.uint64), s + 4)
+               % np.uint64(len(_LANGS))).astype(np.int64)
+    h1 = _mix64(idx, s + 5)
+    h2 = _mix64(idx, s + 6)
+
+    op = np.where(u_op < cfg.p_delete, "delete",
+                  np.where(u_op < cfg.p_delete + cfg.p_insert,
+                           "insert", "update"))
+    repo = np.char.add("repo_", repo_id.astype("U8"))
+    path = np.char.add(np.char.add("src/f_", path_id.astype("U8")), ".txt")
+    lang = _LANGS[lang_id]
+    commit = [f"{a:016x}{b:016x}{a ^ b:08x}"[:40] for a, b in zip(h1, h2)]
+    unit = np.char.add(
+        np.char.add(np.char.add(lang, " code unit "), repo),
+        np.char.add("/", path))
+    body = np.char.add(np.char.add(unit, " #"), (h1 % np.uint64(1_000_000)).astype("U8"))
+    content = np.char.multiply(np.char.add(body, "\n"), cfg.content_repeat)
+    content = np.where(op == "delete", "", content)
+
+    return pa.table({
+        "repo": pa.array(repo.tolist(), type=pa.string()),
+        "path": pa.array(path.tolist(), type=pa.string()),
+        "commit": pa.array(commit, type=pa.string()),
+        "lang": pa.array(lang.tolist(), type=pa.string()),
+        "content": pa.array(content.tolist(), type=pa.string()),
+        "op": pa.array(op.tolist(), type=pa.string()),
+        "commit_seq": pa.array(idx, type=pa.int64()),
+        "ts": pa.array(
+            (np.int64(1_700_000_000_000_000) + idx * np.int64(1_000)),
+            type=pa.timestamp("us")),
+    })
+
+
+def _gen_batch(batch: dict, cfg: EventGenConfig) -> pa.Table:
+    idx = batch["id"].astype(np.int64)
+    t = events_for_indices(idx, cfg)
+    if cfg.p_redeliver > 0:
+        u = _unit(idx, cfg.seed + 7)
+        dup_src = idx[u < cfg.p_redeliver]
+        if len(dup_src):
+            back = (_mix64(dup_src, cfg.seed + 8)
+                    % np.uint64(cfg.redeliver_window)).astype(np.int64)
+            j = np.maximum(dup_src - back, 0)
+            t = pa.concat_tables([t, events_for_indices(j, cfg)])
+    return t
+
+
+def generate_events(cfg: EventGenConfig, *,
+                    override_num_blocks: int | None = None,
+                    ) -> "ray.data.Dataset":
+    """Distributed deterministic event stream as a Ray Dataset."""
+    ds = ray.data.range(cfg.n_events,
+                        override_num_blocks=override_num_blocks)
+    return ds.map_batches(_gen_batch, batch_format="numpy",
+                          fn_kwargs={"cfg": cfg})
+
+
+def generate_events_local(cfg: EventGenConfig) -> pa.Table:
+    """Driver-side small-scale generation (tests / oracle input)."""
+    idx = np.arange(cfg.n_events, dtype=np.int64)
+    if cfg.p_redeliver > 0:
+        return _gen_batch({"id": idx}, cfg)
+    return events_for_indices(idx, cfg)

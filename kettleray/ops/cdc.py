@@ -1,0 +1,413 @@
+"""CDC core operators: parse/validate, LWW replay, diff, SCD2.
+
+Reimagines the four Kettle CDC steps (SURVEY.md §2.1) Ray-Data-first:
+
+- Merge Rows (diff)          -> :func:`diff_snapshots`
+  (ref: engine/.../steps/mergerows/MergeRows.java — flag field semantics)
+- Insert/Update + Synchronize After Merge -> :func:`replay_lww`
+  (ref: engine/.../steps/insertupdate/InsertUpdate.java,
+   engine/.../steps/synchronizeaftermerge/SynchronizeAfterMerge.java —
+   keyed upsert + delete routing; here: commit-ordered last-writer-wins
+   replay with tombstones)
+- Dimension Lookup/Update (SCD2) -> :func:`scd2_history`
+  (ref: engine/.../steps/dimensionlookup/DimensionLookup.java — type-2
+   version chains with validity intervals)
+
+Execution shape (scale-first):
+
+1. ``map_batches`` combiner: per-batch, per-key argmax(commit_seq) —
+   shrinks the shuffle volume before any exchange (like a map-side combine).
+2. ``repartition(P, keys=(repo, path))`` — ONE hash shuffle co-locating
+   each key's surviving events (requires HASH_SHUFFLE strategy; Ray's hash
+   shuffle finalizes each partition as a single block).
+3. per-block vectorized reduce (Arrow + numpy, no per-group Python calls,
+   no pandas conversion of wide ``content`` strings).
+
+Commit order is explicit data (``commit_seq``); nothing relies on arrival
+order (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+KEY_COLS = ("repo", "path")
+SEQ_COL = "commit_seq"
+
+# Merge Rows flag values (MergeRowsMeta.VALUE_IDENTICAL/CHANGED/NEW/DELETED).
+FLAG_IDENTICAL = "identical"
+FLAG_CHANGED = "changed"
+FLAG_NEW = "new"
+FLAG_DELETED = "deleted"
+
+OP_INSERT = "insert"
+OP_UPDATE = "update"
+OP_DELETE = "delete"
+
+
+# ---------------------------------------------------------------------------
+# parse / validate (≙ Select values + Checksum: the per-row invariant column)
+# ---------------------------------------------------------------------------
+
+def sha256_hex_array(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vectorized-ish sha256 hex of a string column (hashlib releases the
+    GIL per call; C speed per row). Null -> null."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    out = [None if v is None else hashlib.sha256(v.encode("utf-8")).hexdigest()
+           for v in arr.to_pylist()]
+    return pa.array(out, type=pa.string())
+
+
+def add_content_sha256(batch: pa.Table, content_col: str = "content",
+                       out_col: str = "content_sha256") -> pa.Table:
+    """≙ Checksum step (checksum/CheckSum.java): per-row SHA-256 over the
+    content field — the invariant column required by BASELINE input_hint."""
+    return batch.append_column(out_col, sha256_hex_array(batch[content_col]))
+
+
+REQUIRED_EVENT_COLS = ("repo", "path", "commit", "lang", "content", "op",
+                       SEQ_COL)
+
+
+def parse_validate(ds: "ray.data.Dataset", *, batch_size: int | None = None,
+                   ) -> "ray.data.Dataset":
+    """Validate schema + derive ``content_sha256``. Zero-copy Arrow in/out."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        missing = [c for c in REQUIRED_EVENT_COLS if c not in batch.column_names]
+        if missing:
+            raise ValueError(f"change-event batch missing columns: {missing}")
+        if "content_sha256" not in batch.column_names:
+            batch = add_content_sha256(batch)
+        return batch
+
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=batch_size,
+                          zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# vectorized per-block kernels
+# ---------------------------------------------------------------------------
+
+def _composite_key_codes(t: pa.Table, keys: Sequence[str]) -> np.ndarray:
+    """int64 group codes for the composite key, via Arrow dictionary
+    encoding (no Python-object comparisons)."""
+    if len(keys) == 1:
+        key = t[keys[0]]
+    else:
+        cols = [t[k].combine_chunks() if isinstance(t[k], pa.ChunkedArray)
+                else t[k] for k in keys]
+        key = pc.binary_join_element_wise(*cols, "\x00")
+    if isinstance(key, pa.ChunkedArray):
+        key = key.combine_chunks()
+    codes = pc.dictionary_encode(key)
+    if isinstance(codes, pa.ChunkedArray):
+        codes = codes.combine_chunks()
+    return codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def lww_reduce_table(t: pa.Table, keys: Sequence[str] = KEY_COLS,
+                     seq_col: str = SEQ_COL,
+                     tiebreak: str = "commit") -> pa.Table:
+    """Keep, per key, the single row with max (seq, tiebreak).
+
+    Associative + commutative, so it serves both as the map-side combiner
+    and (after key-hash repartition) the final reduce. Redelivered events
+    (same key+seq) collapse deterministically via the tiebreak column.
+    """
+    if t.num_rows <= 1:
+        return t
+    codes = _composite_key_codes(t, keys)
+    order = pc.sort_indices(
+        pa.table({"k": pa.array(codes), "s": t[seq_col], "c": t[tiebreak]}),
+        sort_keys=[("k", "ascending"), ("s", "ascending"), ("c", "ascending")],
+    ).to_numpy(zero_copy_only=False)
+    sk = codes[order]
+    last = np.empty(len(sk), dtype=bool)
+    last[:-1] = sk[1:] != sk[:-1]
+    last[-1] = True
+    return t.take(pa.array(order[last], type=pa.int64()))
+
+
+def dedup_events_table(t: pa.Table, keys: Sequence[str] = KEY_COLS,
+                       seq_col: str = SEQ_COL) -> pa.Table:
+    """Exactly-once guard: drop redelivered events (same key + commit_seq),
+    keeping one deterministic representative."""
+    if t.num_rows <= 1:
+        return t
+    codes = _composite_key_codes(t, keys)
+    order = pc.sort_indices(
+        pa.table({"k": pa.array(codes), "s": t[seq_col]}),
+        sort_keys=[("k", "ascending"), ("s", "ascending")],
+    ).to_numpy(zero_copy_only=False)
+    sk = codes[order]
+    ss = t[seq_col].combine_chunks().to_numpy(zero_copy_only=False)[order] \
+        if isinstance(t[seq_col], pa.ChunkedArray) else \
+        t[seq_col].to_numpy(zero_copy_only=False)[order]
+    first = np.empty(len(sk), dtype=bool)
+    first[0] = True
+    first[1:] = (sk[1:] != sk[:-1]) | (ss[1:] != ss[:-1])
+    return t.take(pa.array(order[first], type=pa.int64()))
+
+
+# ---------------------------------------------------------------------------
+# replay (Insert/Update + Synchronize After Merge): events -> final state
+# ---------------------------------------------------------------------------
+
+FINAL_STATE_COLS = ["repo", "path", "commit", "lang", "content",
+                    "content_sha256", "last_commit_seq"]
+
+
+def replay_lww(events: "ray.data.Dataset", *,
+               num_partitions: int = 64,
+               keep_tombstones: bool = False,
+               combine_batch_size: int | None = None,
+               with_sha: bool = True) -> "ray.data.Dataset":
+    """Replay a change-event log into final table state (LWW by commit_seq).
+
+    events columns: repo, path, commit, lang, content, op, commit_seq
+    result columns: FINAL_STATE_COLS (tombstoned keys absent unless
+    ``keep_tombstones``).
+    """
+
+    def _combine(batch: pa.Table) -> pa.Table:
+        return lww_reduce_table(batch)
+
+    def _finalize(batch: pa.Table) -> pa.Table:
+        t = lww_reduce_table(batch)  # one row per key now (key-partitioned)
+        if not keep_tombstones:
+            t = t.filter(pc.not_equal(t["op"], OP_DELETE))
+        if with_sha and "content_sha256" not in t.column_names:
+            t = add_content_sha256(t)
+        t = t.append_column("last_commit_seq", t[SEQ_COL])
+        cols = list(FINAL_STATE_COLS)
+        if keep_tombstones:
+            cols.append("op")
+        return t.select([c for c in cols if c in t.column_names])
+
+    combined = events.map_batches(_combine, batch_format="pyarrow",
+                                  batch_size=combine_batch_size,
+                                  zero_copy_batch=True)
+    shuffled = combined.repartition(num_partitions, keys=list(KEY_COLS))
+    return shuffled.map_batches(_finalize, batch_format="pyarrow",
+                                batch_size=None, zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Merge Rows (diff): two snapshots -> flagged stream
+# ---------------------------------------------------------------------------
+
+def diff_snapshots(reference: "ray.data.Dataset", compare: "ray.data.Dataset",
+                   *, keys: Sequence[str] = KEY_COLS,
+                   value_col: str = "content_sha256",
+                   num_partitions: int = 64,
+                   flag_col: str = "change_type") -> "ray.data.Dataset":
+    """≙ Merge Rows (diff): compare 'reference' (old) vs 'compare' (new)
+    keyed snapshots; emit one row per key with flag ∈ {identical, changed,
+    new, deleted}. For deleted keys the reference row is emitted (Kettle
+    semantics); otherwise the compare row.
+
+    Implementation: tag each side, union, ONE hash repartition on the key,
+    then a vectorized per-block classifier (each key's ≤2 rows co-located).
+    """
+
+    def _tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "__side", pa.array(np.full(batch.num_rows, side, np.int8)))
+        return fn
+
+    ref = reference.map_batches(_tag(0), batch_format="pyarrow",
+                                zero_copy_batch=True)
+    cmp_ = compare.map_batches(_tag(1), batch_format="pyarrow",
+                               zero_copy_batch=True)
+    unioned = ref.union(cmp_).repartition(num_partitions, keys=list(keys))
+
+    def _classify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return (t.drop_columns(["__side"])
+                     .append_column(flag_col, pa.array([], type=pa.string())))
+        codes = _composite_key_codes(t, keys)
+        side = t["__side"].combine_chunks().to_numpy(zero_copy_only=False) \
+            if isinstance(t["__side"], pa.ChunkedArray) else \
+            t["__side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, codes))
+        sk = codes[order]
+        n = len(sk)
+        run_start = np.empty(n, dtype=bool)
+        run_start[0] = True
+        run_start[1:] = sk[1:] != sk[:-1]
+        run_id = np.cumsum(run_start) - 1
+        run_len = np.bincount(run_id)
+        sha = t[value_col].combine_chunks() if isinstance(
+            t[value_col], pa.ChunkedArray) else t[value_col]
+        sha_np = sha.to_numpy(zero_copy_only=False)[order]
+        side_sorted = side[order]
+
+        flags = np.empty(n, dtype=object)
+        keep = np.zeros(n, dtype=bool)
+        lens = run_len[run_id]
+        # singletons: side 0 -> deleted (emit ref row); side 1 -> new.
+        single = lens == 1
+        keep |= single
+        flags[single & (side_sorted == 0)] = FLAG_DELETED
+        flags[single & (side_sorted == 1)] = FLAG_NEW
+        # pairs: compare value col; emit the compare-side (2nd) row.
+        pair_second = (lens == 2) & ~run_start  # second member of each pair
+        pair_first_idx = np.nonzero((lens == 2) & run_start)[0]
+        if len(pair_first_idx):
+            same = sha_np[pair_first_idx] == sha_np[pair_first_idx + 1]
+            keep[pair_first_idx + 1] = True
+            flags[pair_first_idx + 1] = np.where(same, FLAG_IDENTICAL,
+                                                 FLAG_CHANGED)
+        sel = order[keep]
+        out = t.take(pa.array(sel, type=pa.int64()))
+        out = out.append_column(flag_col,
+                                pa.array(flags[keep], type=pa.string()))
+        return out.drop_columns(["__side"])
+
+    return unioned.map_batches(_classify, batch_format="pyarrow",
+                               batch_size=None, zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Dimension Lookup/Update (SCD2): events -> version-history table
+# ---------------------------------------------------------------------------
+
+SCD2_COLS = ["repo", "path", "version", "valid_from_seq", "valid_to_seq",
+             "is_current", "commit", "lang", "content_sha256"]
+
+
+def scd2_history(events: "ray.data.Dataset", *,
+                 num_partitions: int = 64) -> "ray.data.Dataset":
+    """Build the type-2 history: one row per non-delete event, with
+    validity interval [valid_from_seq, valid_to_seq) closed by the NEXT
+    event on the key (update or delete); is_current = open interval.
+    version = 1-based index among the key's non-delete events in commit
+    order. Surrogate-key-free: (repo, path, version) is the natural PK;
+    a deterministic hash surrogate can be added by the caller.
+
+    Needs every event of a key (not just the last), so there is no
+    combiner; the hash repartition co-locates full per-key logs, then a
+    vectorized per-block pass computes intervals.
+    """
+    shuffled = events.repartition(num_partitions, keys=list(KEY_COLS))
+
+    def _history(t: pa.Table) -> pa.Table:
+        t = dedup_events_table(t)  # exactly-once: drop redeliveries
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], type=_scd2_type(c))
+                             for c in SCD2_COLS})
+        codes = _composite_key_codes(t, KEY_COLS)
+        seq = t[SEQ_COL].combine_chunks().to_numpy(zero_copy_only=False) \
+            if isinstance(t[SEQ_COL], pa.ChunkedArray) else \
+            t[SEQ_COL].to_numpy(zero_copy_only=False)
+        order = np.lexsort((seq, codes))
+        sk, ss = codes[order], seq[order]
+        n = len(sk)
+        same_next = np.empty(n, dtype=bool)          # next row is same key
+        same_next[:-1] = sk[1:] == sk[:-1]
+        same_next[-1] = False
+        next_seq = np.empty(n, dtype=np.float64)
+        next_seq[:-1] = ss[1:]
+        next_seq[-1] = np.nan
+        next_seq[~same_next] = np.nan
+
+        if "content_sha256" in t.column_names:
+            tt = t
+        else:
+            tt = add_content_sha256(t)
+        op = tt["op"].combine_chunks().to_numpy(zero_copy_only=False) \
+            if isinstance(tt["op"], pa.ChunkedArray) else \
+            tt["op"].to_numpy(zero_copy_only=False)
+        op_sorted = op[order]
+        live = op_sorted != OP_DELETE
+
+        # version numbering among live events per key (vectorized cumcount)
+        run_start = np.empty(n, dtype=bool)
+        run_start[0] = True
+        run_start[1:] = sk[1:] != sk[:-1]
+        live_cum = np.cumsum(live)
+        base = np.zeros(n, dtype=np.int64)
+        starts = np.nonzero(run_start)[0]
+        base[starts] = live_cum[starts] - live[starts]
+        np.maximum.accumulate(base, out=base)  # broadcast run base forward
+        version = live_cum - base
+
+        keep_idx = np.nonzero(live)[0]
+        sel = order[keep_idx]
+        out = tt.take(pa.array(sel, type=pa.int64()))
+        vt = next_seq[keep_idx]
+        valid_to = pa.array([None if np.isnan(v) else int(v) for v in vt],
+                            type=pa.int64())
+        out = out.append_column("version",
+                                pa.array(version[keep_idx], type=pa.int64()))
+        out = out.append_column("valid_from_seq", out[SEQ_COL])
+        out = out.append_column("valid_to_seq", valid_to)
+        out = out.append_column("is_current",
+                                pa.array(np.isnan(vt), type=pa.bool_()))
+        return out.select(SCD2_COLS)
+
+    return shuffled.map_batches(_history, batch_format="pyarrow",
+                                batch_size=None, zero_copy_batch=True)
+
+
+def _scd2_type(col: str) -> pa.DataType:
+    if col in ("version", "valid_from_seq", "valid_to_seq"):
+        return pa.int64()
+    if col == "is_current":
+        return pa.bool_()
+    return pa.string()
+
+
+# ---------------------------------------------------------------------------
+# schema evolution (additive columns + type widening)
+# ---------------------------------------------------------------------------
+
+_WIDENINGS = {
+    (pa.int32(), pa.int64()), (pa.int32(), pa.float64()),
+    (pa.int64(), pa.float64()), (pa.float32(), pa.float64()),
+    (pa.string(), pa.large_string()),
+}
+
+
+def evolve_to_schema(ds: "ray.data.Dataset", target: pa.Schema,
+                     ) -> "ray.data.Dataset":
+    """≙ SelectValues metadata casts + getFields() recomputation: conform
+    batches to ``target`` — missing columns backfilled null (additive
+    evolution), widening casts applied (int→float, string→large_string…).
+    Narrowing or incompatible casts raise."""
+
+    def _conform(batch: pa.Table) -> pa.Table:
+        arrays = []
+        for field in target:
+            if field.name in batch.column_names:
+                col = batch[field.name]
+                if col.type != field.type:
+                    if (col.type, field.type) not in _WIDENINGS and not (
+                            pa.types.is_integer(col.type)
+                            and pa.types.is_floating(field.type)):
+                        raise pa.ArrowInvalid(
+                            f"non-widening cast {col.type} -> {field.type} "
+                            f"for column {field.name}")
+                    col = pc.cast(col, field.type)
+                arrays.append(col)
+            else:
+                arrays.append(pa.nulls(batch.num_rows, type=field.type))
+        return pa.Table.from_arrays(arrays, schema=target)
+
+    return ds.map_batches(_conform, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def unify_event_schemas(schemas: Iterable[pa.Schema]) -> pa.Schema:
+    """Compute the widened union schema across event-log generations."""
+    return pa.unify_schemas(list(schemas), promote_options="permissive")

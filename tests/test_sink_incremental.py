@@ -1,0 +1,75 @@
+"""Exactly-once sink: staged commits, manifests, incremental apply, resume."""
+
+import os
+
+import pyarrow as pa
+import ray.data
+
+from kettleray.gen.oracle import replay_oracle
+from kettleray.gen.synthetic import EventGenConfig, generate_events_local
+from kettleray.io import sink
+from kettleray.ops import cdc
+
+CFG = EventGenConfig(n_events=3000, n_repos=8, n_paths_per_repo=40,
+                     p_delete=0.1, seed=11)
+
+
+def _state_dict(ds):
+    return {(r["repo"], r["path"]): r["content_sha256"]
+            for r in ds.take_all()}
+
+
+def test_incremental_apply_equals_full_replay(tmp_path):
+    root = str(tmp_path / "state")
+    events = generate_events_local(CFG)
+    half = CFG.n_events // 2
+    b1 = events.filter(pa.compute.less(events["commit_seq"], half))
+    b2 = events.filter(pa.compute.greater_equal(events["commit_seq"], half))
+
+    m1 = sink.apply_incremental(root, ray.data.from_arrow(b1),
+                                num_partitions=4)
+    assert m1.version == 1 and m1.watermark == half - 1
+    m2 = sink.apply_incremental(root, ray.data.from_arrow(b2),
+                                num_partitions=4)
+    assert m2.version == 2 and m2.watermark == CFG.n_events - 1
+
+    got = _state_dict(sink.read_state(root))
+    want = {k: v["content_sha256"] for k, v in replay_oracle(events).items()}
+    assert got == want
+
+
+def test_reapply_below_watermark_is_noop(tmp_path):
+    root = str(tmp_path / "state")
+    events = generate_events_local(CFG)
+    sink.apply_incremental(root, ray.data.from_arrow(events),
+                           num_partitions=4)
+    before = _state_dict(sink.read_state(root))
+    # redeliver the whole log — watermark filter must make it a no-op
+    m = sink.apply_incremental(root, ray.data.from_arrow(events),
+                               num_partitions=4)
+    assert m.version == 1                    # no new version committed
+    assert _state_dict(sink.read_state(root)) == before
+
+
+def test_crashed_stage_dir_is_cleaned_and_resumed(tmp_path):
+    root = str(tmp_path / "state")
+    os.makedirs(os.path.join(root, "_stage_v0001"))
+    with open(os.path.join(root, "_stage_v0001", "junk.parquet"), "w") as f:
+        f.write("partial garbage")
+    events = generate_events_local(CFG)
+    m = sink.apply_incremental(root, ray.data.from_arrow(events),
+                               num_partitions=4)
+    assert m.version == 1
+    assert not os.path.exists(os.path.join(root, "_stage_v0001"))
+    want = {k: v["content_sha256"] for k, v in replay_oracle(events).items()}
+    assert _state_dict(sink.read_state(root)) == want
+
+
+def test_manifest_lineage_totals(tmp_path):
+    root = str(tmp_path / "state")
+    events = generate_events_local(CFG)
+    m = sink.apply_incremental(root, ray.data.from_arrow(events),
+                               num_partitions=4)
+    assert m.metrics["total_rows"] == sum(f["rows"] for f in m.files)
+    assert m.metrics["total_rows"] == sink.read_state(root).count()
+    assert "schema" in m.__dict__ and "content_sha256" in m.schema
