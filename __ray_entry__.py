@@ -115,7 +115,9 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    return {
+    from kettleray.pipelines.parity import QUERIES as PARITY_QUERIES
+    from kettleray.pipelines.training import QUERIES as TRAINING_QUERIES
+    out = {
         "cdc_events": q_cdc_events,
         "cdc_replay_final_state": q_cdc_replay_final_state,
         "cdc_insert_update": q_cdc_insert_update,
@@ -124,11 +126,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dedup_redelivery": q_cdc_dedup_redelivery,
         "cdc_schema_evolution": q_cdc_schema_evolution,
     }
+    out.update(PARITY_QUERIES)
+    out.update(TRAINING_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
+    from kettleray.pipelines.parity import ORACLES as PARITY_ORACLES
+    from kettleray.pipelines.training import ORACLES as TRAINING_ORACLES
     ev = DERIVED_EVENTS_SQL
-    return {
+    out = {
         "cdc_events": f"WITH {ev} SELECT * FROM ev",
         "cdc_replay_final_state":
             f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
@@ -177,3 +184,6 @@ def oracle_sql() -> dict[str, str]:
             "CAST(commit_seq AS DOUBLE) AS commit_seq, "
             "CAST(NULL AS VARCHAR) AS author FROM ev"),
     }
+    out.update(PARITY_ORACLES)
+    out.update(TRAINING_ORACLES)
+    return out

@@ -60,40 +60,63 @@ class EventGenConfig:
     seed: int = 42
 
 
+def _hex40(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """Vectorized 40-hex-char commit shas from two uint64 hash columns."""
+    import binascii
+    n = len(h1)
+    raw = np.empty((n, 20), dtype=np.uint8)
+    raw[:, 0:8] = h1.astype(">u8").view(np.uint8).reshape(n, 8)
+    raw[:, 8:16] = h2.astype(">u8").view(np.uint8).reshape(n, 8)
+    raw[:, 16:20] = (h1 ^ h2).astype(">u8").view(np.uint8).reshape(n, 8)[:, :4]
+    hexed = binascii.hexlify(raw.tobytes())
+    return np.frombuffer(hexed, dtype="S40").astype("U40")
+
+
 def events_for_indices(idx: np.ndarray, cfg: EventGenConfig) -> pa.Table:
-    """Materialize the event rows for a batch of global indices."""
+    """Materialize the event rows for a batch of global indices.
+
+    Hot path for the bench: string building uses Arrow C++ kernels
+    (binary_join_element_wise) and vectorized hex, no np.char / Python
+    loops."""
+    import pyarrow.compute as pc
     s = cfg.seed
     u_repo = _unit(idx, s + 1)
     repo_id = np.minimum(
         (cfg.n_repos * np.power(u_repo, cfg.skew)).astype(np.int64),
         cfg.n_repos - 1)
-    path_id = _mix64(idx, s + 2) % np.uint64(cfg.n_paths_per_repo)
+    path_id = (_mix64(idx, s + 2)
+               % np.uint64(cfg.n_paths_per_repo)).astype(np.int64)
     u_op = _unit(idx, s + 3)
     lang_id = (_mix64(repo_id.astype(np.uint64), s + 4)
                % np.uint64(len(_LANGS))).astype(np.int64)
     h1 = _mix64(idx, s + 5)
     h2 = _mix64(idx, s + 6)
 
-    op = np.where(u_op < cfg.p_delete, "delete",
+    is_delete = u_op < cfg.p_delete
+    op = np.where(is_delete, "delete",
                   np.where(u_op < cfg.p_delete + cfg.p_insert,
                            "insert", "update"))
-    repo = np.char.add("repo_", repo_id.astype("U8"))
-    path = np.char.add(np.char.add("src/f_", path_id.astype("U8")), ".txt")
-    lang = _LANGS[lang_id]
-    commit = [f"{a:016x}{b:016x}{a ^ b:08x}"[:40] for a, b in zip(h1, h2)]
-    unit = np.char.add(
-        np.char.add(np.char.add(lang, " code unit "), repo),
-        np.char.add("/", path))
-    body = np.char.add(np.char.add(unit, " #"), (h1 % np.uint64(1_000_000)).astype("U8"))
-    content = np.char.multiply(np.char.add(body, "\n"), cfg.content_repeat)
-    content = np.where(op == "delete", "", content)
+    repo = pc.binary_join_element_wise(
+        "repo_", pc.cast(pa.array(repo_id), pa.string()), "")
+    path = pc.binary_join_element_wise(
+        "src/f_", pc.cast(pa.array(path_id), pa.string()), ".txt", "")
+    lang = pa.array(_LANGS[lang_id], type=pa.string())
+    commit = pa.array(_hex40(h1, h2), type=pa.string())
+    body = pc.binary_join_element_wise(
+        lang, " code unit ", repo, "/", path, " #",
+        pc.cast(pa.array((h1 % np.uint64(1_000_000)).astype(np.int64)),
+                pa.string()),
+        "\n", "")
+    content = pc.binary_join_element_wise(
+        *([body] * cfg.content_repeat), "")
+    content = pc.if_else(pa.array(is_delete), "", content)
 
     return pa.table({
-        "repo": pa.array(repo.tolist(), type=pa.string()),
-        "path": pa.array(path.tolist(), type=pa.string()),
-        "commit": pa.array(commit, type=pa.string()),
-        "lang": pa.array(lang.tolist(), type=pa.string()),
-        "content": pa.array(content.tolist(), type=pa.string()),
+        "repo": repo,
+        "path": path,
+        "commit": commit,
+        "lang": lang,
+        "content": content,
         "op": pa.array(op.tolist(), type=pa.string()),
         "commit_seq": pa.array(idx, type=pa.int64()),
         "ts": pa.array(

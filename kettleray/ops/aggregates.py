@@ -1,0 +1,243 @@
+"""Aggregation / sort / dedup / set / window operators (SURVEY.md §2.6).
+
+≙ Kettle steps: Group by (groupby/GroupBy.java), Memory group by
+(memgroupby/MemoryGroupBy.java), Unique rows (uniquerows/UniqueRows.java,
+uniquerowsbyhashset/UniqueRowsByHashSet.java), Sort rows
+(sort/SortRows.java), Analytic query (analyticquery/AnalyticQuery.java),
+Univariate statistics (univariatestats/UnivariateStats.java), Append
+streams (append/Append.java).
+
+Two group-by paths, chosen like Kettle's two steps but for scale reasons:
+
+- algebraic aggregates (sum/min/max/count/avg/std): Ray-native
+  ``groupby().aggregate`` — internally partial+merge, one shuffle of
+  partial states only.
+- holistic aggregates (first/last-by-order, count_distinct, median,
+  percentile, string concat): hash ``repartition(keys)`` then ONE
+  vectorized pandas groupby per block (each group fully co-located) —
+  no per-group Python calls.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import Count, Max, Mean, Min, Quantile, Std, Sum
+
+
+@dataclass
+class Agg:
+    col: str | None        # source column (None for count rows)
+    fn: str                # sum avg min max count count_distinct first last
+    #                        median percentile std concat_comma concat_string
+    alias: str
+    order_col: str | None = None      # for first/last
+    q: float | None = None            # for percentile
+    sep: str = ","                    # for concat
+
+
+_NATIVE = {"sum", "avg", "min", "max", "count", "std", "median",
+           "percentile"}
+
+
+def _native_agg(a: Agg):
+    if a.fn == "sum":
+        return Sum(a.col, alias_name=a.alias)
+    if a.fn == "avg":
+        return Mean(a.col, alias_name=a.alias)
+    if a.fn == "min":
+        return Min(a.col, alias_name=a.alias)
+    if a.fn == "max":
+        return Max(a.col, alias_name=a.alias)
+    if a.fn == "count":
+        return Count(a.col, alias_name=a.alias) if a.col \
+            else Count(alias_name=a.alias)
+    if a.fn == "std":
+        return Std(a.col, alias_name=a.alias, ddof=1)
+    if a.fn == "median":
+        return Quantile(a.col, q=0.5, alias_name=a.alias)
+    if a.fn == "percentile":
+        return Quantile(a.col, q=a.q, alias_name=a.alias)
+    raise ValueError(a.fn)
+
+
+def group_by(ds, keys: Sequence[str], aggs: Sequence[Agg], *,
+             num_partitions: int | None = None):
+    """Grouped aggregate; picks the scalable path per agg mix."""
+    if all(a.fn in _NATIVE for a in aggs):
+        gb = ds.groupby(list(keys), num_partitions=num_partitions)
+        return gb.aggregate(*[_native_agg(a) for a in aggs])
+    return _holistic_group_by(ds, keys, aggs,
+                              num_partitions=num_partitions or 32)
+
+
+def _holistic_group_by(ds, keys, aggs, *, num_partitions: int):
+    keys = list(keys)
+    shuffled = ds.repartition(num_partitions, keys=keys)
+
+    def _per_block(df: pd.DataFrame) -> pd.DataFrame:
+        order_cols = {a.order_col for a in aggs if a.order_col}
+        for oc in order_cols:
+            df = df.sort_values(oc, kind="mergesort")
+        g = df.groupby(keys, sort=False)
+        out = {}
+        for a in aggs:
+            if a.fn in ("sum", "avg", "min", "max", "std", "median"):
+                fn = {"sum": "sum", "avg": "mean", "min": "min",
+                      "max": "max", "std": "std", "median": "median"}[a.fn]
+                out[a.alias] = g[a.col].agg(fn)
+            elif a.fn == "count":
+                out[a.alias] = g[a.col].count() if a.col else g.size()
+            elif a.fn == "count_distinct":
+                out[a.alias] = g[a.col].nunique()
+            elif a.fn == "percentile":
+                out[a.alias] = g[a.col].quantile(a.q)
+            elif a.fn == "first":
+                out[a.alias] = g[a.col].first()
+            elif a.fn == "last":
+                out[a.alias] = g[a.col].last()
+            elif a.fn in ("concat_comma", "concat_string"):
+                out[a.alias] = g[a.col].agg(
+                    lambda s, sep=a.sep: sep.join(s.astype(str)))
+            else:
+                raise ValueError(a.fn)
+        return pd.DataFrame(out).reset_index()
+
+    return shuffled.map_batches(_per_block, batch_format="pandas",
+                                batch_size=None)
+
+
+def unique_rows(ds, cols: Sequence[str], *, count_col: str | None = None,
+                num_partitions: int = 32):
+    """Exact dedup on ``cols`` = hash-partition + per-block first
+    (UniqueRowsByHashSet semantics — input order irrelevant), optional
+    duplicate count column (UniqueRows' count field)."""
+    cols = list(cols)
+    shuffled = ds.repartition(num_partitions, keys=cols)
+
+    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        if count_col:
+            out = df.groupby(cols, sort=False).size().rename(count_col)
+            return out.reset_index()
+        return df.drop_duplicates(subset=cols)
+
+    return shuffled.map_batches(_fn, batch_format="pandas", batch_size=None)
+
+
+def sort_rows(ds, keys: Sequence[str], *, descending=False):
+    """≙ Sort rows — Ray Data shuffle sort (spill handled by object
+    store instead of SortRows.java's gzip temp files)."""
+    return ds.sort(list(keys), descending=descending)
+
+
+def top_k(ds, key: str, k: int, *, descending: bool = True):
+    return ds.sort(key, descending=descending).limit(k)
+
+
+def append_streams(*datasets):
+    """≙ Append streams / Prioritize streams: ordered concatenation.
+    Row order beyond stream order is not guaranteed (document ordering
+    explicitly with a column if it matters — SURVEY.md §2.10)."""
+    out = datasets[0]
+    for d in datasets[1:]:
+        out = out.union(d)
+    return out
+
+
+def analytic_query(ds, group: Sequence[str], order: str,
+                   specs: Sequence[tuple[str, str, int, str]], *,
+                   num_partitions: int = 32):
+    """≙ Analytic query: LAG/LEAD N within sorted groups.
+
+    specs: (src_col, 'lag'|'lead', n, out_col). Vectorized per block
+    after key-hash repartition: sort by (group, order), shift with numpy,
+    null out cross-group leakage via boundary masks.
+    """
+    group = list(group)
+    shuffled = ds.repartition(num_partitions, keys=group)
+
+    def _fn(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        from kettleray.ops.cdc import _composite_key_codes
+        if t.num_rows == 0:
+            for _, _, _, out in specs:
+                t = t.append_column(out, pa.array([], type=pa.null()))
+            return t
+        codes = _composite_key_codes(t, group)
+        ocol = t[order].combine_chunks().to_numpy(zero_copy_only=False) \
+            if isinstance(t[order], pa.ChunkedArray) else \
+            t[order].to_numpy(zero_copy_only=False)
+        perm = np.lexsort((ocol, codes))
+        t = t.take(pa.array(perm, type=pa.int64()))
+        sk = codes[perm]
+        n = len(sk)
+        for src, kind, N, out in specs:
+            col = t[src].combine_chunks() if isinstance(
+                t[src], pa.ChunkedArray) else t[src]
+            if kind == "lag":
+                idx = np.arange(n) - N
+                valid = idx >= 0
+            else:
+                idx = np.arange(n) + N
+                valid = idx < n
+            same = np.zeros(n, dtype=bool)
+            same[valid] = sk[idx[valid]] == sk[valid.nonzero()[0]]
+            take_idx = np.where(same, np.clip(idx, 0, n - 1), 0)
+            shifted = col.take(pa.array(take_idx, type=pa.int64()))
+            shifted = pc.if_else(pa.array(same), shifted,
+                                 pa.nulls(n, type=col.type))
+            t = t.append_column(out, shifted)
+        return t
+
+    return shuffled.map_batches(_fn, batch_format="pyarrow",
+                                batch_size=None, zero_copy_batch=True)
+
+
+def fields_change_sequence(ds, watch: Sequence[str], order: str, *,
+                           out_col: str = "seq", num_partitions: int = 32):
+    """≙ Add value fields changing sequence: counter restarting at 1 each
+    time the watched fields change, under ``order`` within each watch
+    group (the distributed reading of 'requires sorted input')."""
+    watch = list(watch)
+    shuffled = ds.repartition(num_partitions, keys=watch)
+
+    def _fn(t: pa.Table) -> pa.Table:
+        from kettleray.ops.cdc import _composite_key_codes
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], type=pa.int64()))
+        codes = _composite_key_codes(t, watch)
+        ocol = t[order].combine_chunks().to_numpy(zero_copy_only=False) \
+            if isinstance(t[order], pa.ChunkedArray) else \
+            t[order].to_numpy(zero_copy_only=False)
+        perm = np.lexsort((ocol, codes))
+        t = t.take(pa.array(perm, type=pa.int64()))
+        sk = codes[perm]
+        n = len(sk)
+        start = np.empty(n, dtype=bool)
+        start[0] = True
+        start[1:] = sk[1:] != sk[:-1]
+        pos = np.arange(n, dtype=np.int64)
+        base = np.where(start, pos, 0)
+        np.maximum.accumulate(base, out=base)
+        return t.append_column(out_col,
+                               pa.array(pos - base + 1, type=pa.int64()))
+
+    return shuffled.map_batches(_fn, batch_format="pyarrow",
+                                batch_size=None, zero_copy_batch=True)
+
+
+def univariate_stats(ds, col: str) -> pa.Table:
+    """One-row global stats (UnivariateStats). Ray's Dataset.aggregate
+    returns a plain dict row; wrap it as a one-row Arrow table."""
+    row = ds.aggregate(Count(col, alias_name=f"{col}_n"),
+                       Mean(col, alias_name=f"{col}_mean"),
+                       Std(col, alias_name=f"{col}_std", ddof=1),
+                       Min(col, alias_name=f"{col}_min"),
+                       Max(col, alias_name=f"{col}_max"),
+                       Quantile(col, q=0.5, alias_name=f"{col}_median"))
+    return pa.Table.from_pylist([row])

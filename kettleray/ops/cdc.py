@@ -57,13 +57,34 @@ OP_DELETE = "delete"
 # ---------------------------------------------------------------------------
 
 def sha256_hex_array(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """Vectorized-ish sha256 hex of a string column (hashlib releases the
-    GIL per call; C speed per row). Null -> null."""
+    """sha256 hex of a string column, hashing straight from the Arrow data
+    buffer (no per-row Python string materialization — that allocation
+    churn anti-scales across a full node of workers). Null -> null."""
+    import binascii
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    out = [None if v is None else hashlib.sha256(v.encode("utf-8")).hexdigest()
-           for v in arr.to_pylist()]
-    return pa.array(out, type=pa.string())
+    n = len(arr)
+    if n == 0:
+        return pa.array([], type=pa.string())
+    if arr.null_count > 0:
+        out = [None if v is None else
+               hashlib.sha256(v.encode("utf-8")).hexdigest()
+               for v in arr.to_pylist()]
+        return pa.array(out, type=pa.string())
+    bufs = arr.buffers()
+    width = np.int64(4) if pa.types.is_string(arr.type) else np.int64(8)
+    dt = np.int32 if width == 4 else np.int64
+    off = np.frombuffer(bufs[1], dtype=dt)[arr.offset:arr.offset + n + 1]
+    data = memoryview(bufs[2])
+    out = bytearray(n * 64)
+    mv = memoryview(out)
+    sha, hexl = hashlib.sha256, binascii.hexlify
+    for i in range(n):
+        mv[i * 64:(i + 1) * 64] = hexl(sha(data[off[i]:off[i + 1]]).digest())
+    out_offsets = np.arange(0, (n + 1) * 64, 64, dtype=np.int32)
+    return pa.Array.from_buffers(
+        pa.utf8(), n,
+        [None, pa.py_buffer(out_offsets.tobytes()), pa.py_buffer(bytes(out))])
 
 
 def add_content_sha256(batch: pa.Table, content_col: str = "content",
@@ -78,14 +99,17 @@ REQUIRED_EVENT_COLS = ("repo", "path", "commit", "lang", "content", "op",
 
 
 def parse_validate(ds: "ray.data.Dataset", *, batch_size: int | None = None,
-                   ) -> "ray.data.Dataset":
-    """Validate schema + derive ``content_sha256``. Zero-copy Arrow in/out."""
+                   with_sha: bool = True) -> "ray.data.Dataset":
+    """Validate schema (+ optionally derive ``content_sha256``). Zero-copy
+    Arrow in/out. For replay pipelines pass ``with_sha=False``: the LWW
+    finalize stage hashes only the surviving rows (≈the live-key count
+    instead of every event) — same final-state invariant, far less work."""
 
     def _fn(batch: pa.Table) -> pa.Table:
         missing = [c for c in REQUIRED_EVENT_COLS if c not in batch.column_names]
         if missing:
             raise ValueError(f"change-event batch missing columns: {missing}")
-        if "content_sha256" not in batch.column_names:
+        if with_sha and "content_sha256" not in batch.column_names:
             batch = add_content_sha256(batch)
         return batch
 
@@ -98,38 +122,69 @@ def parse_validate(ds: "ray.data.Dataset", *, batch_size: int | None = None,
 # ---------------------------------------------------------------------------
 
 def _composite_key_codes(t: pa.Table, keys: Sequence[str]) -> np.ndarray:
-    """int64 group codes for the composite key, via Arrow dictionary
-    encoding (no Python-object comparisons)."""
-    if len(keys) == 1:
-        key = t[keys[0]]
-    else:
-        cols = [t[k].combine_chunks() if isinstance(t[k], pa.ChunkedArray)
-                else t[k] for k in keys]
-        key = pc.binary_join_element_wise(*cols, "\x00")
-    if isinstance(key, pa.ChunkedArray):
-        key = key.combine_chunks()
+    """int64 group codes for the composite key.
+
+    Allocation-lean: per-column dictionary encode (int codes) combined by
+    mixed-radix arithmetic — no composite key strings are materialized
+    (string concat + hash of millions of rows was the dominant allocation
+    in the merge finalize, and heavy concurrent allocation anti-scales
+    across a full node). Falls back to string-join when the radix product
+    could overflow int64."""
+    total: np.ndarray | None = None
+    radix = 1
+    for k in keys:
+        col = t[k]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        enc = pc.dictionary_encode(col)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        card = len(enc.dictionary) + 1
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        if total is None:
+            total, radix = idx, card
+        else:
+            if radix * card > (1 << 62):
+                return _composite_key_codes_strjoin(t, keys)
+            total = total * card + idx
+            radix *= card
+    return total
+
+
+def _composite_key_codes_strjoin(t: pa.Table, keys: Sequence[str]
+                                 ) -> np.ndarray:
+    cols = [t[k].combine_chunks() if isinstance(t[k], pa.ChunkedArray)
+            else t[k] for k in keys]
+    key = pc.binary_join_element_wise(*cols, "\x00")
     codes = pc.dictionary_encode(key)
     if isinstance(codes, pa.ChunkedArray):
         codes = codes.combine_chunks()
     return codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
 
 
+def _col_np(t: pa.Table, name: str) -> np.ndarray:
+    col = t[name]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False)
+
+
 def lww_reduce_table(t: pa.Table, keys: Sequence[str] = KEY_COLS,
-                     seq_col: str = SEQ_COL,
-                     tiebreak: str = "commit") -> pa.Table:
-    """Keep, per key, the single row with max (seq, tiebreak).
+                     seq_col: str = SEQ_COL) -> pa.Table:
+    """Keep, per key, the single row with max commit_seq.
 
     Associative + commutative, so it serves both as the map-side combiner
-    and (after key-hash repartition) the final reduce. Redelivered events
-    (same key+seq) collapse deterministically via the tiebreak column.
-    """
+    and (after key-hash repartition) the final reduce. commit_seq is
+    unique per logical event (FIXTURES.md) and redelivered duplicates are
+    byte-identical, so no further tiebreak is needed for deterministic
+    OUTPUT VALUES; np.lexsort is stable, making even the row choice
+    deterministic. Pure numpy + one Arrow take — allocation-lean on
+    purpose (see _composite_key_codes)."""
     if t.num_rows <= 1:
         return t
     codes = _composite_key_codes(t, keys)
-    order = pc.sort_indices(
-        pa.table({"k": pa.array(codes), "s": t[seq_col], "c": t[tiebreak]}),
-        sort_keys=[("k", "ascending"), ("s", "ascending"), ("c", "ascending")],
-    ).to_numpy(zero_copy_only=False)
+    seq = _col_np(t, seq_col)
+    order = np.lexsort((seq, codes))
     sk = codes[order]
     last = np.empty(len(sk), dtype=bool)
     last[:-1] = sk[1:] != sk[:-1]
@@ -144,14 +199,10 @@ def dedup_events_table(t: pa.Table, keys: Sequence[str] = KEY_COLS,
     if t.num_rows <= 1:
         return t
     codes = _composite_key_codes(t, keys)
-    order = pc.sort_indices(
-        pa.table({"k": pa.array(codes), "s": t[seq_col]}),
-        sort_keys=[("k", "ascending"), ("s", "ascending")],
-    ).to_numpy(zero_copy_only=False)
+    seq = _col_np(t, seq_col)
+    order = np.lexsort((seq, codes))
     sk = codes[order]
-    ss = t[seq_col].combine_chunks().to_numpy(zero_copy_only=False)[order] \
-        if isinstance(t[seq_col], pa.ChunkedArray) else \
-        t[seq_col].to_numpy(zero_copy_only=False)[order]
+    ss = seq[order]
     first = np.empty(len(sk), dtype=bool)
     first[0] = True
     first[1:] = (sk[1:] != sk[:-1]) | (ss[1:] != ss[:-1])

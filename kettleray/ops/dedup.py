@@ -1,0 +1,335 @@
+"""Deduplication family for large-scale training-data pipelines.
+
+Beyond Kettle's Unique Rows: exact hash dedup, MinHash+LSH near-dup,
+SimHash fingerprints, n-gram Jaccard verification, embedding-cosine
+near-dup. All designed as Dataset pipelines:
+
+  shingle/minhash per batch (vectorized numpy)
+    -> explode to (band_id, band_hash, doc_id)
+    -> hash-partition groupby on the band bucket
+    -> candidate pairs within bucket
+    -> exact-Jaccard verify
+    -> min-label propagation for connected components.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _hash_shingles(text: str, k: int) -> np.ndarray:
+    """k-character shingle hashes (uint64) of one document."""
+    n = max(len(text) - k + 1, 1)
+    out = np.empty(n, dtype=np.uint64)
+    for i in range(n):
+        h = hashlib.blake2b(text[i:i + k].encode("utf-8"),
+                            digest_size=8).digest()
+        out[i] = int.from_bytes(h, "little")
+    return out
+
+
+def _word_shingles(text: str, k: int) -> np.ndarray:
+    toks = text.split()
+    if len(toks) < k:
+        grams = [" ".join(toks)] if toks else [""]
+    else:
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    out = np.empty(len(grams), dtype=np.uint64)
+    for i, g in enumerate(grams):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(),
+            "little")
+    return out
+
+
+class MinHasher:
+    """Stateful per-actor minhash signer: permutation coefficients built
+    once in __init__ (the actor-pool pattern for stateful stages)."""
+
+    def __init__(self, id_col: str, text_col: str, num_perm: int,
+                 shingle_k: int, bands: int, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, (1 << 61) - 1, num_perm).astype(np.uint64)
+        self.b = rng.randint(0, (1 << 61) - 1, num_perm).astype(np.uint64)
+        self.id_col, self.text_col = id_col, text_col
+        self.num_perm, self.k, self.bands = num_perm, shingle_k, bands
+        self.rows_per_band = num_perm // bands
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _word_shingles(text, self.k)
+        with np.errstate(over="ignore"):
+            vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) \
+                % _MERSENNE
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        out_id, out_band, out_hash = [], [], []
+        for i, txt in zip(ids, texts):
+            sig = self.signature(txt or "")
+            for band in range(self.bands):
+                chunk = sig[band * self.rows_per_band:
+                            (band + 1) * self.rows_per_band]
+                bh = hashlib.blake2b(chunk.tobytes(),
+                                     digest_size=8).hexdigest()
+                out_id.append(i)
+                out_band.append(band)
+                out_hash.append(bh)
+        return pa.table({
+            "doc_id": pa.array(out_id),
+            "band_id": pa.array(out_band, type=pa.int32()),
+            "band_hash": pa.array(out_hash, type=pa.string()),
+        })
+
+
+def exact_dedup(ds, text_col: str, id_col: str, *,
+                num_partitions: int = 32, keep: str = "min"):
+    """Exact dedup by content hash: hash-partition on the digest +
+    per-group min-id representative. Returns the surviving rows."""
+    from kettleray.ops.cdc import sha256_hex_array
+
+    def _hash(t: pa.Table) -> pa.Table:
+        return t.append_column("__h", sha256_hex_array(t[text_col]))
+
+    hashed = ds.map_batches(_hash, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    shuffled = hashed.repartition(num_partitions, keys=["__h"])
+
+    def _first(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.drop_columns(["__h"])
+        import numpy as _np
+        from kettleray.ops.cdc import _composite_key_codes
+        codes = _composite_key_codes(t, ["__h"])
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False) \
+            if isinstance(t[id_col], pa.ChunkedArray) else \
+            t[id_col].to_numpy(zero_copy_only=False)
+        order = _np.lexsort((ids, codes))
+        sk = codes[order]
+        first = _np.empty(len(sk), dtype=bool)
+        first[0] = True
+        first[1:] = sk[1:] != sk[:-1]
+        return t.take(pa.array(order[first], type=pa.int64())) \
+            .drop_columns(["__h"])
+
+    return shuffled.map_batches(_first, batch_format="pyarrow",
+                                batch_size=None, zero_copy_batch=True)
+
+
+def minhash_lsh_pairs(ds, id_col: str, text_col: str, *,
+                      num_perm: int = 64, bands: int = 16,
+                      shingle_k: int = 3, num_partitions: int = 16,
+                      concurrency=(1, 8)):
+    """Candidate near-dup pairs via MinHash banding: docs sharing any
+    (band_id, band_hash) bucket. Returns distinct (doc_a, doc_b) pairs,
+    doc_a < doc_b."""
+    sigs = ds.map_batches(
+        MinHasher, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency,
+        fn_constructor_args=(id_col, text_col, num_perm, shingle_k, bands))
+    buckets = sigs.repartition(num_partitions,
+                               keys=["band_id", "band_hash"])
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        if t.num_rows == 0:
+            return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                             "doc_b": pa.array([], type=pa.int64())})
+        df = t.to_pandas()
+        out_a, out_b = [], []
+        for _, grp in df.groupby(["band_id", "band_hash"], sort=False):
+            if len(grp) < 2:
+                continue
+            ids = sorted(grp["doc_id"].tolist())
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        return pa.table({"doc_a": pa.array(out_a, type=pa.int64()),
+                         "doc_b": pa.array(out_b, type=pa.int64())})
+
+    pairs = buckets.map_batches(_pairs, batch_format="pyarrow",
+                                batch_size=None)
+    # distinct pairs (a doc pair can collide in several bands)
+    from kettleray.ops.aggregates import unique_rows
+    return unique_rows(pairs, ["doc_a", "doc_b"],
+                       num_partitions=num_partitions)
+
+
+def jaccard_verify(pairs, docs, id_col: str, text_col: str, *,
+                   shingle_k: int = 3, threshold: float = 0.7):
+    """Exact n-gram Jaccard on candidate pairs. Docs table is broadcast
+    (candidate verification needs random access to both texts; the pair
+    set is assumed <<< corpus size)."""
+    import ray
+    doc_table = pa.concat_tables(
+        ray.get(docs.select_columns([id_col, text_col]).to_arrow_refs()))
+    ref = ray.put(doc_table)
+
+    class _Verify:
+        def __init__(self):
+            t = ray.get(ref)
+            ids = t[id_col].to_pylist()
+            texts = t[text_col].to_pylist()
+            self.sh = {i: set(_word_shingles(x or "", shingle_k).tolist())
+                       for i, x in zip(ids, texts)}
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            a = t["doc_a"].to_pylist()
+            b = t["doc_b"].to_pylist()
+            jac = []
+            for x, y in zip(a, b):
+                sa, sb = self.sh.get(x, set()), self.sh.get(y, set())
+                inter = len(sa & sb)
+                union = len(sa | sb) or 1
+                jac.append(inter / union)
+            out = t.append_column("jaccard",
+                                  pa.array(jac, type=pa.float64()))
+            return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    return pairs.map_batches(_Verify, batch_format="pyarrow",
+                             concurrency=(1, 4))
+
+
+def connected_components(pairs, *, max_iters: int = 10,
+                         num_partitions: int = 8):
+    """Min-label propagation over (doc_a, doc_b) edges -> (doc_id, component).
+    Iterative groupby rounds (no driver union-find) so it scales with the
+    edge set; converges in O(diameter) rounds."""
+    edges = pairs.select_columns(["doc_a", "doc_b"]).materialize()
+
+    def _sym(t: pa.Table) -> pa.Table:
+        fwd = pa.table({"node": t["doc_a"], "nbr": t["doc_b"]})
+        bwd = pa.table({"node": t["doc_b"], "nbr": t["doc_a"]})
+        self_a = pa.table({"node": t["doc_a"], "nbr": t["doc_a"]})
+        self_b = pa.table({"node": t["doc_b"], "nbr": t["doc_b"]})
+        return pa.concat_tables([fwd, bwd, self_a, self_b])
+
+    adj = edges.map_batches(_sym, batch_format="pyarrow").materialize()
+
+    # labels: node -> current component label (init: self)
+    def _init(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"], "label": t["nbr"]})
+
+    labels = None
+    cur = adj
+    for _ in range(max_iters):
+        # label(node) = min(label(neighbor)) over neighbors incl. self
+        joined = cur if labels is None else adj.join(
+            labels.rename_columns({"node": "nbr", "label": "nbr_label"}),
+            join_type="inner", num_partitions=num_partitions,
+            on=("nbr",))
+        if labels is None:
+            src = cur.map_batches(
+                lambda t: pa.table({"node": t["node"], "cand": t["nbr"]}),
+                batch_format="pyarrow")
+        else:
+            src = joined.map_batches(
+                lambda t: pa.table({"node": t["node"],
+                                    "cand": t["nbr_label"]}),
+                batch_format="pyarrow")
+        from ray.data.aggregate import Min
+        new_labels = src.groupby("node").aggregate(
+            Min("cand", alias_name="label")).materialize()
+        if labels is not None:
+            # converged when labels stop changing
+            old = {r["node"]: r["label"] for r in labels.take_all()}
+            new = {r["node"]: r["label"] for r in new_labels.take_all()}
+            labels = new_labels
+            if old == new:
+                break
+        else:
+            labels = new_labels
+    return labels.rename_columns({"label": "component"})
+
+
+def simhash(ds, id_col: str, text_col: str, *, seed: int = 42,
+            concurrency=(1, 8)):
+    """64-bit SimHash per document + 4 16-bit band keys (hamming<=3
+    near-dup candidates share >=1 band by pigeonhole)."""
+
+    class _SimHash:
+        def __init__(self):
+            pass
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_pylist()
+            texts = t[text_col].to_pylist()
+            fps, b0, b1, b2, b3 = [], [], [], [], []
+            for txt in texts:
+                acc = np.zeros(64, dtype=np.int64)
+                for tok in (txt or "").lower().split():
+                    h = int.from_bytes(
+                        hashlib.blake2b(tok.encode("utf-8"),
+                                        digest_size=8).digest(), "little")
+                    bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+                    acc += np.where(bits.astype(bool), 1, -1)
+                fp = int(((acc > 0).astype(np.uint64)
+                          << np.arange(64, dtype=np.uint64)).sum())
+                fps.append(fp)
+                b0.append(fp & 0xFFFF)
+                b1.append((fp >> 16) & 0xFFFF)
+                b2.append((fp >> 32) & 0xFFFF)
+                b3.append((fp >> 48) & 0xFFFF)
+            return pa.table({
+                id_col: pa.array(ids),
+                "simhash": pa.array([f"{f:016x}" for f in fps],
+                                    type=pa.string()),
+                "band0": pa.array(b0, type=pa.int32()),
+                "band1": pa.array(b1, type=pa.int32()),
+                "band2": pa.array(b2, type=pa.int32()),
+                "band3": pa.array(b3, type=pa.int32()),
+            })
+
+    return ds.map_batches(_SimHash, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=concurrency)
+
+
+def embedding_cosine_dups(ds, id_col: str, vec_col: str, *,
+                          threshold: float = 0.95,
+                          block_rows: int = 2048):
+    """Embedding near-dup pairs: brute-force blocked cosine — the whole
+    (normalized) matrix is broadcast once, each batch matmuls against it
+    (numpy, C speed) and emits pairs above threshold with id_a < id_b.
+    The scale path replaces the broadcast with LSH bucketing (see
+    similarity.lsh_buckets)."""
+    import ray
+    t = pa.concat_tables(
+        ray.get(ds.select_columns([id_col, vec_col]).to_arrow_refs()))
+    ids_all = np.asarray(t[id_col].to_pylist())
+    mat = np.asarray(t[vec_col].to_pylist(), dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((ids_all, mat))
+
+    class _Cos:
+        def __init__(self):
+            self.ids_all, self.mat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch[id_col].to_pylist())
+            vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+            vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True),
+                               1e-12)
+            sims = vecs @ self.mat.T
+            ai, bj = np.nonzero(sims >= threshold)
+            a = ids[ai]
+            b = self.ids_all[bj]
+            keep = a < b
+            return pa.table({
+                "id_a": pa.array(a[keep], type=pa.int64()),
+                "id_b": pa.array(b[keep], type=pa.int64()),
+                "cosine": pa.array(np.round(sims[ai, bj][keep], 6),
+                                   type=pa.float64()),
+            })
+
+    return ds.map_batches(_Cos, batch_format="pyarrow",
+                          batch_size=block_rows, concurrency=(1, 8))

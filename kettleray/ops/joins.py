@@ -1,0 +1,214 @@
+"""Joins & lookups (SURVEY.md §2.5).
+
+≙ Kettle steps: Stream lookup (streamlookup/StreamLookup.java — broadcast
+hash join), Merge join (mergejoin/MergeJoin.java — inner/left/right/full),
+Join rows (joinrows/JoinRows.java — cartesian), Multiway merge join
+(multimerge/MultiMergeJoin.java), Fuzzy match (fuzzymatch/FuzzyMatch.java),
+Closure generator (closure/ClosureGenerator.java).
+
+Scale rules: small side broadcast via ``ray.put`` ONCE and probed inside
+``map_batches`` with Arrow's C++ hash join (pa.Table.join) — never
+re-shipped per batch, no shuffle. Large-large joins use Ray's
+hash-partitioned ``Dataset.join``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def merge_join(left, right, on: Sequence[str], *, how: str = "inner",
+               num_partitions: int = 32,
+               right_on: Sequence[str] | None = None,
+               left_suffix: str | None = None,
+               right_suffix: str | None = "_r"):
+    """Large-large equi-join via Ray's hash-partitioned Dataset.join.
+    Kettle requires pre-sorted inputs; here sortedness is an executor
+    concern — the hash shuffle replaces the sort contract."""
+    how_map = {"inner": "inner", "left": "left_outer",
+               "right": "right_outer", "full": "full_outer"}
+    return left.join(right, join_type=how_map.get(how, how),
+                     num_partitions=num_partitions, on=tuple(on),
+                     right_on=tuple(right_on) if right_on else None,
+                     left_suffix=left_suffix, right_suffix=right_suffix)
+
+
+class _BroadcastProbe:
+    """Actor-pool stage holding the broadcast lookup table: fetched from
+    the object store ONCE per actor (``__init__``), probed per batch with
+    Arrow's C++ hash join."""
+
+    def __init__(self, lookup_ref, on, retain, defaults, join_type):
+        lk: pa.Table = ray.get(lookup_ref)
+        cols = list(dict.fromkeys(list(on) + list(retain)))
+        self.lookup = lk.select(cols)
+        self.on = list(on)
+        self.retain = list(retain)
+        self.defaults = defaults or {}
+        self.join_type = join_type
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        out = batch.join(self.lookup, keys=self.on,
+                         join_type=self.join_type)
+        for col, default in self.defaults.items():
+            if col in out.column_names:
+                i = out.column_names.index(col)
+                out = out.set_column(i, col, pc.fill_null(out[col], default))
+        return out
+
+
+def stream_lookup(main, lookup, on: Sequence[str],
+                  retain: Sequence[str], *,
+                  defaults: Mapping[str, Any] | None = None,
+                  concurrency: int | tuple[int, int] = (2, 8),
+                  batch_size: int | None = None):
+    """Broadcast hash join: ``lookup`` (small) materialized once,
+    ``ray.put`` once, left-join-probed from every batch of ``main``.
+    Misses get ``defaults`` (Kettle's default-value-on-miss semantics).
+    """
+    # materialize small side on the driver (it must be broadcast-small)
+    lk_table = pa.concat_tables(ray.get(lookup.to_arrow_refs()))
+    ref = ray.put(lk_table)
+    return main.map_batches(
+        _BroadcastProbe, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency,
+        fn_constructor_args=(ref, list(on), list(retain), dict(defaults or {}),
+                             "left outer"))
+
+
+def semi_join(main, lookup, on: Sequence[str], *, anti: bool = False):
+    """Semi/anti join via broadcast key set filter inside map_batches."""
+    keys = list(on)
+    lk_table = pa.concat_tables(ray.get(lookup.to_arrow_refs()))
+    lk_keys = lk_table.select(keys)
+    ref = ray.put(lk_keys)
+
+    class _Filter:
+        def __init__(self):
+            import pyarrow.compute as pc
+            lk = ray.get(ref)
+            if len(keys) == 1:
+                self.key_set = pc.unique(lk[keys[0]])
+            else:
+                joined = pc.binary_join_element_wise(
+                    *[pc.cast(lk[k], pa.string()) for k in keys], "\x00")
+                self.key_set = pc.unique(joined)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            if len(keys) == 1:
+                probe = t[keys[0]]
+            else:
+                probe = pc.binary_join_element_wise(
+                    *[pc.cast(t[k], pa.string()) for k in keys], "\x00")
+            mask = pc.is_in(probe, value_set=self.key_set)
+            if anti:
+                mask = pc.invert(mask)
+            return t.filter(mask)
+
+    return main.map_batches(_Filter, batch_format="pyarrow",
+                            zero_copy_batch=True, concurrency=(1, 8))
+
+
+def join_rows_cartesian(main, small, *, suffix: str = "_r",
+                        condition=None):
+    """≙ Join rows: cross join against a broadcast-small side; optional
+    post-filter condition (a rowops Cond/CondTree). There is deliberately
+    no distributed-both-sides cross join — at 100 TB that is always a
+    design error; Kettle buffers one side to temp files for the same
+    reason."""
+    import numpy as np
+    sm = pa.concat_tables(ray.get(small.to_arrow_refs()))
+    ref = ray.put(sm)
+
+    def _fn(t: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        n, m = t.num_rows, s.num_rows
+        left = t.take(pa.array(np.repeat(np.arange(n), m), type=pa.int64()))
+        right = s.take(pa.array(np.tile(np.arange(m), n), type=pa.int64()))
+        for name, col in zip(right.column_names, right.columns):
+            out_name = name if name not in left.column_names \
+                else f"{name}{suffix}"
+            left = left.append_column(out_name, col)
+        if condition is not None:
+            from kettleray.ops.rowops import _eval_cond
+            import pyarrow.compute as pc
+            left = left.filter(pc.fill_null(_eval_cond(left, condition),
+                                            False))
+        return left
+
+    return main.map_batches(_fn, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def fuzzy_match(main, lookup, main_field: str, lookup_field: str, *,
+                algo: str = "levenshtein", max_distance: int = 3,
+                out_match: str = "match", out_score: str = "score",
+                concurrency: int | tuple[int, int] = (1, 8)):
+    """≙ Fuzzy match: nearest lookup value by edit distance. Broadcast
+    lookup values; per batch, a vectorized band-limited Levenshtein scan.
+    Lookup side must be broadcast-small (same constraint as Kettle's
+    in-memory lookup stream)."""
+    lk_table = pa.concat_tables(ray.get(lookup.to_arrow_refs()))
+    ref = ray.put(lk_table[lookup_field].combine_chunks().to_pylist())
+
+    class _Fuzzy:
+        def __init__(self):
+            self.cands = [c for c in ray.get(ref) if c is not None]
+            from kettleray.ops.calculator import _levenshtein
+            self.dist = _levenshtein
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vals = t[main_field].combine_chunks().to_pylist() \
+                if isinstance(t[main_field], pa.ChunkedArray) \
+                else t[main_field].to_pylist()
+            best_m, best_s = [], []
+            for v in vals:
+                bm, bs = None, None
+                if v is not None:
+                    for c in self.cands:
+                        if abs(len(c) - len(v)) > max_distance:
+                            continue
+                        d = self.dist(v, c)
+                        if d <= max_distance and (bs is None or d < bs):
+                            bm, bs = c, d
+                            if d == 0:
+                                break
+                best_m.append(bm)
+                best_s.append(bs)
+            t = t.append_column(out_match, pa.array(best_m,
+                                                    type=pa.string()))
+            return t.append_column(out_score, pa.array(best_s,
+                                                       type=pa.int64()))
+
+    return main.map_batches(_Fuzzy, batch_format="pyarrow",
+                            zero_copy_batch=True, concurrency=concurrency)
+
+
+def closure_generator(pairs, parent_col: str, child_col: str, *,
+                      max_depth: int = 32):
+    """≙ Closure generator: transitive closure of a (parent, child)
+    hierarchy, emitting (root, node, depth). Hierarchies are dimension-
+    sized; computed on the driver (documented small-side assumption)."""
+    t = pa.concat_tables(ray.get(pairs.to_arrow_refs()))
+    parent = t[parent_col].to_pylist()
+    child = t[child_col].to_pylist()
+    up = dict(zip(child, parent))
+    rows = []
+    for c in child:
+        node, depth = c, 0
+        rows.append({parent_col: c, child_col: c, "depth": 0})
+        while depth < max_depth:
+            p = up.get(node)
+            if p is None or p == node:
+                break
+            depth += 1
+            rows.append({parent_col: p, child_col: c, "depth": depth})
+            node = p
+    return ray.data.from_items(rows)

@@ -1,0 +1,113 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+Stateful pieces (compiled regexes, stopword tables) live in actor-pool
+classes (built once per actor in __init__); pure column math uses
+pyarrow.compute.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def token_count(ds, text_col: str, out_col: str = "n_tokens"):
+    """Whitespace token count, fully vectorized."""
+    def _fn(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t[text_col])
+        parts = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        return t.append_column(out_col,
+                               pc.cast(pc.list_value_length(parts),
+                                       pa.int64()))
+    return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def text_quality(ds, text_col: str):
+    """Quality-signal columns: length, alpha ratio, digit ratio, upper
+    ratio, avg token length (rounded to 4dp so oracle floats compare)."""
+    def _fn(t: pa.Table) -> pa.Table:
+        s = t[text_col]
+        n = pc.utf8_length(s)
+        nf = pc.cast(n, pa.float64())
+        alpha = pc.utf8_length(
+            pc.replace_substring_regex(s, r"[^A-Za-z]", ""))
+        digit = pc.utf8_length(
+            pc.replace_substring_regex(s, r"[^0-9]", ""))
+        upper = pc.utf8_length(
+            pc.replace_substring_regex(s, r"[^A-Z]", ""))
+        toks = pc.list_value_length(pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(s), pattern=r"\s+"))
+        safe_n = pc.max_element_wise(nf, 1.0)
+        t = t.append_column("n_chars_calc", pc.cast(n, pa.int64()))
+        t = t.append_column("alpha_ratio", pc.round(
+            pc.divide(pc.cast(alpha, pa.float64()), safe_n), ndigits=4))
+        t = t.append_column("digit_ratio", pc.round(
+            pc.divide(pc.cast(digit, pa.float64()), safe_n), ndigits=4))
+        t = t.append_column("upper_ratio", pc.round(
+            pc.divide(pc.cast(upper, pa.float64()), safe_n), ndigits=4))
+        t = t.append_column("avg_token_len", pc.round(
+            pc.divide(safe_n, pc.cast(pc.max_element_wise(
+                pc.cast(toks, pa.int64()), 1), pa.float64())), ndigits=4))
+        return t
+    return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def doc_fingerprint(ds, text_col: str, out_col: str = "fingerprint"):
+    """Normalization fingerprint: md5 of lowercased, whitespace-collapsed
+    text — the cheap canonical-form dedup key."""
+    import hashlib
+
+    def _fn(t: pa.Table) -> pa.Table:
+        norm = pc.replace_substring_regex(
+            pc.utf8_lower(t[text_col]), pattern=r"\s+", replacement=" ")
+        norm = pc.utf8_trim_whitespace(norm)
+        vals = norm.combine_chunks().to_pylist() \
+            if isinstance(norm, pa.ChunkedArray) else norm.to_pylist()
+        fp = [None if v is None else
+              hashlib.md5(v.encode("utf-8")).hexdigest() for v in vals]
+        return t.append_column(out_col, pa.array(fp, type=pa.string()))
+    return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "for", "it"},
+    "de": {"der", "die", "das", "und", "ist", "von", "zu", "mit", "den",
+           "nicht"},
+    "fr": {"le", "la", "les", "et", "de", "un", "une", "est", "pour",
+           "dans"},
+    "es": {"el", "la", "los", "y", "de", "un", "una", "es", "por", "con"},
+}
+
+
+class LangId:
+    """Heuristic language ID: stopword-hit voting. Stopword sets + regex
+    compiled ONCE per actor (the stateful actor-pool pattern)."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
+        import re
+        self.word = re.compile(r"[a-zA-ZäöüéèêàçñáíóúÄÖÜ]+")
+        self.tables = {lang: sw for lang, sw in _STOPWORDS.items()}
+        self.text_col, self.out_col = text_col, out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        preds = []
+        for txt in texts:
+            toks = [w.lower() for w in self.word.findall(txt or "")][:200]
+            best, best_hits = "unknown", 0
+            for lang, sw in self.tables.items():
+                hits = sum(1 for w in toks if w in sw)
+                if hits > best_hits:
+                    best, best_hits = lang, hits
+            preds.append(best)
+        return batch.append_column(self.out_col,
+                                   pa.array(preds, type=pa.string()))
+
+
+def lang_id(ds, text_col: str = "text", *, concurrency=(1, 8),
+            batch_size: int = 4096):
+    return ds.map_batches(LangId, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size,
+                          concurrency=concurrency,
+                          fn_constructor_args=(text_col,))

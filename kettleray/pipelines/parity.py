@@ -1,0 +1,468 @@
+"""Operator-parity queries: one oracle-checked pipeline per Kettle step.
+
+Each ``q_*`` takes an sf_dir and returns a Dataset; ``ORACLES`` holds the
+equivalent DuckDB SQL (same column names — the driver hash-compares
+values after sorting columns/rows). Together with the CDC queries this is
+the line-by-line SURVEY.md §2 coverage evidence.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+from kettleray import configure_ray_data
+from kettleray.ops import aggregates as ag
+from kettleray.ops import calculator as calc
+from kettleray.ops import joins
+from kettleray.ops import rowops as ro
+from kettleray.ops import strings as st
+from kettleray.ops.rowops import Cond, CondTree
+
+
+def _t(sf_dir: str, name: str, columns=None):
+    configure_ray_data()
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet",
+                                 columns=columns)
+
+
+# --- §2.4 row-level -------------------------------------------------------
+
+def q_select_values(sf_dir):
+    ds = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_linenumber", "l_quantity"])
+    return ro.select_values(ds, casts={"l_linenumber": pa.int64()},
+                            rename={"l_quantity": "qty",
+                                    "l_linenumber": "lineno"})
+
+
+def q_filter_rows(sf_dir):
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity",
+                                 "l_discount", "l_returnflag"])
+    cond = CondTree("OR", [
+        CondTree("AND", [Cond("l_quantity", ">=", 30),
+                         Cond("l_discount", "<", 0.05)]),
+        Cond("l_returnflag", "=", "R"),
+    ])
+    return ro.filter_rows(ds, cond)
+
+
+def q_calculator(sf_dir):
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber",
+                                 "l_extendedprice", "l_discount",
+                                 "l_shipdate"])
+    # chained ops: 1-l_discount first, then multiply, then round
+    out = calc.calculator(ds, [
+        calc.CalcOp("one_minus_disc", "subtract", const_a=1.0,
+                    b="l_discount"),
+        calc.CalcOp("revenue", "multiply", a="l_extendedprice",
+                    b="one_minus_disc"),
+        calc.CalcOp("revenue", "round", a="revenue", const_b=2),
+        calc.CalcOp("ship_year", "year", a="l_shipdate"),
+        calc.CalcOp("ship_quarter", "quarter", a="l_shipdate"),
+        calc.CalcOp("ship_month", "month", a="l_shipdate"),
+    ])
+    return ro.select_values(out, select=["l_orderkey", "l_linenumber",
+                                         "revenue", "ship_year",
+                                         "ship_quarter", "ship_month"])
+
+
+def q_string_ops(sf_dir):
+    ds = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    out = st.string_operations(ds, case={"c_mktsegment": "lower"})
+    out = st.strings_cut(out, {"c_name": (0, 8)}, {"c_name": "name_prefix"})
+    out = st.replace_in_string(out, "c_name", "Customer", "Cust",
+                               out_col="short_name")
+    return ro.select_values(out, select=["c_custkey", "c_mktsegment",
+                                         "name_prefix", "short_name"])
+
+
+def q_split_to_rows(sf_dir):
+    ds = _t(sf_dir, "part", ["p_partkey", "p_name"])
+    return st.split_field_to_rows(ds, "p_name", " ", out_col="word")
+
+
+def q_concat_fields(sf_dir):
+    ds = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    out = st.concat_fields(ds, ["c_name", "c_mktsegment"], "|", "tag")
+    return ro.select_values(out, select=["c_custkey", "tag"])
+
+
+def q_value_mapper(sf_dir):
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber",
+                                 "l_returnflag"])
+    return ro.value_mapper(ds, "l_returnflag",
+                           {"R": "returned", "A": "accepted", "N": "none"},
+                           target_field="flag_label")
+
+
+def q_null_handling(sf_dir):
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    out = ro.null_if(ds, {"o_orderstatus": "O"})
+    return ro.if_null(out, {"o_orderstatus": "X"})
+
+
+def q_number_range(sf_dir):
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ro.number_range(ds, "o_totalprice",
+                           bounds=[0, 50_000, 150_000, 10_000_000],
+                           labels=["small", "medium", "large"],
+                           out_col="price_band")
+
+
+def q_checksum(sf_dir):
+    ds = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    return ro.checksum(ds, ["c_name", "c_mktsegment"], algo="md5",
+                       out_col="row_md5")
+
+
+def q_switch_case(sf_dir):
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber",
+                                 "l_returnflag"])
+    return ro.switch_case(ds, "l_returnflag",
+                          {"R": "returns", "A": "archive"},
+                          default="other", route_col="route")
+
+
+def q_clone_row(sf_dir):
+    ds = _t(sf_dir, "region", ["r_regionkey", "r_name"])
+    return ro.clone_row(ds, n=3, add_clone_num=True)
+
+
+def q_add_sequence(sf_dir):
+    ds = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+    return ro.add_sequence(ds, ["c_custkey"], out_col="seq")
+
+
+def q_sample_rows(sf_dir):
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ro.sample_rows(ds, [(5, 15), (25, 27)], order_by=["o_orderkey"])
+
+
+def q_regex_eval(sf_dir):
+    ds = _t(sf_dir, "part", ["p_partkey", "p_name"])
+    return st.regex_eval(ds, "p_name", r"^(?P<first_word>\w+)",
+                         ["first_word"])
+
+
+def q_data_validator(sf_dir):
+    ds = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal",
+                                 "c_mktsegment"])
+    good, bad = ro.data_validator(ds, [
+        ro.Rule("c_acctbal", min_val=0.0, code="NEG_BAL"),
+        ro.Rule("c_mktsegment",
+                allowed=["BUILDING", "AUTOMOBILE", "MACHINERY",
+                         "HOUSEHOLD", "FURNITURE"], code="BAD_SEG"),
+    ])
+    return good
+
+
+# --- §2.6 aggregates / sort / dedup / window ------------------------------
+
+def q_group_by_q1(sf_dir):
+    """TPC-H Q1 shape — the Group by step with algebraic aggregates."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_linestatus",
+                                 "l_quantity", "l_extendedprice"])
+    out = ag.group_by(ds, ["l_returnflag", "l_linestatus"], [
+        ag.Agg("l_quantity", "sum", "sum_qty"),
+        ag.Agg("l_extendedprice", "sum", "sum_price"),
+        ag.Agg("l_quantity", "avg", "avg_qty"),
+        ag.Agg("l_quantity", "max", "max_qty"),
+        ag.Agg("l_quantity", "min", "min_qty"),
+        ag.Agg(None, "count", "n_rows"),
+    ])
+    return calc.calculator(out, [
+        calc.CalcOp("sum_price", "round", a="sum_price", const_b=2),
+        calc.CalcOp("avg_qty", "round", a="avg_qty", const_b=4),
+    ])
+
+
+def q_group_by_holistic(sf_dir):
+    """Memory-group-by path: first/last by order, count_distinct, concat."""
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderstatus",
+                               "o_totalprice"])
+    out = ag.group_by(ds, ["o_custkey"], [
+        ag.Agg("o_orderkey", "first", "first_order", order_col="o_orderkey"),
+        ag.Agg("o_orderkey", "last", "last_order", order_col="o_orderkey"),
+        ag.Agg("o_orderstatus", "count_distinct", "n_statuses"),
+        ag.Agg(None, "count", "n_orders"),
+    ], num_partitions=8)
+    return out
+
+
+def q_unique_rows(sf_dir):
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    return ag.unique_rows(ds, ["l_returnflag", "l_linestatus"],
+                          count_col="dup_count", num_partitions=4)
+
+
+def q_top_k(sf_dir):
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ag.top_k(ds, "o_totalprice", 10)
+
+
+def q_analytic_lag(sf_dir):
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    return ag.analytic_query(ds, ["o_custkey"], "o_orderkey",
+                             [("o_totalprice", "lag", 1, "prev_price"),
+                              ("o_totalprice", "lead", 1, "next_price")],
+                             num_partitions=8)
+
+
+def q_fields_change_sequence(sf_dir):
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+    return ag.fields_change_sequence(ds, ["o_custkey"], "o_orderkey",
+                                     out_col="seq_in_cust",
+                                     num_partitions=8)
+
+
+def q_univariate_stats(sf_dir):
+    import pyarrow.compute as pc
+    ds = _t(sf_dir, "lineitem", ["l_extendedprice"])
+    t = ag.univariate_stats(ds, "l_extendedprice")
+    for col in ("l_extendedprice_mean", "l_extendedprice_std",
+                "l_extendedprice_median"):
+        i = t.column_names.index(col)
+        t = t.set_column(i, col, pc.round(
+            t[col], ndigits=4, round_mode="half_towards_infinity"))
+    return t
+
+
+def q_append_streams(sf_dir):
+    a = _t(sf_dir, "nation", ["n_nationkey", "n_name"])
+    b = _t(sf_dir, "region", ["r_regionkey", "r_name"])
+    b2 = ro.select_values(b, rename={"r_regionkey": "n_nationkey",
+                                     "r_name": "n_name"})
+    return ag.append_streams(a, b2)
+
+
+# --- §2.5 joins & lookups -------------------------------------------------
+
+def q_merge_join_inner(sf_dir):
+    o = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    c = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+    c = ro.select_values(c, rename={"c_custkey": "o_custkey"})
+    j = joins.merge_join(o, c, ["o_custkey"], how="inner",
+                         num_partitions=8)
+    return j.select_columns(["o_orderkey", "o_custkey", "o_totalprice",
+                             "c_name"])
+
+
+def q_merge_join_left(sf_dir):
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"])
+    p = _t(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    p = ro.filter_rows(p, Cond("p_size", ">", 25))
+    p = ro.select_values(p, select=["p_partkey", "p_brand"],
+                         rename={"p_partkey": "l_partkey"})
+    j = joins.merge_join(li, p, ["l_partkey"], how="left",
+                         num_partitions=8)
+    return j.select_columns(["l_orderkey", "l_linenumber", "l_partkey",
+                             "p_brand"])
+
+
+def q_stream_lookup(sf_dir):
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"])
+    p = _t(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    p = ro.filter_rows(p, Cond("p_size", ">", 25))
+    p = ro.select_values(p, select=["p_partkey", "p_brand"],
+                         rename={"p_partkey": "l_partkey"})
+    return joins.stream_lookup(li, p, ["l_partkey"], ["p_brand"],
+                               defaults={"p_brand": "NONE"})
+
+
+def q_anti_join(sf_dir):
+    """Orders from customers NOT in the high-balance set (guaranteed
+    non-empty so the result schema survives the comparison)."""
+    o = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    c = _t(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    c = ro.filter_rows(c, Cond("c_acctbal", ">", 5000.0))
+    c = ro.select_values(c, select=["c_custkey"],
+                         rename={"c_custkey": "o_custkey"})
+    return joins.semi_join(o, c, ["o_custkey"], anti=True)
+
+
+def q_semi_join(sf_dir):
+    c = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+    o = _t(sf_dir, "orders", ["o_custkey"])
+    o = ro.select_values(o, rename={"o_custkey": "c_custkey"})
+    return joins.semi_join(c, o, ["c_custkey"], anti=False)
+
+
+def q_join_cartesian(sf_dir):
+    r = _t(sf_dir, "region", ["r_regionkey", "r_name"])
+    n = _t(sf_dir, "nation", ["n_nationkey", "n_name"])
+    return joins.join_rows_cartesian(n, r)
+
+
+def q_closure(sf_dir):
+    n = _t(sf_dir, "nation", ["n_name", "n_regionkey"])
+    r = _t(sf_dir, "region", ["r_regionkey", "r_name"])
+    r = ro.select_values(r, rename={"r_regionkey": "n_regionkey"})
+    pairs = joins.merge_join(n, r, ["n_regionkey"], how="inner",
+                             num_partitions=4)
+    pairs = ro.select_values(pairs, select=["r_name", "n_name"],
+                             rename={"r_name": "parent", "n_name": "child"})
+    return joins.closure_generator(pairs, "parent", "child")
+
+
+QUERIES = {
+    "select_values": q_select_values,
+    "filter_rows": q_filter_rows,
+    "calculator": q_calculator,
+    "string_ops": q_string_ops,
+    "split_to_rows": q_split_to_rows,
+    "concat_fields": q_concat_fields,
+    "value_mapper": q_value_mapper,
+    "null_handling": q_null_handling,
+    "number_range": q_number_range,
+    "checksum_md5": q_checksum,
+    "switch_case": q_switch_case,
+    "clone_row": q_clone_row,
+    "add_sequence": q_add_sequence,
+    "sample_rows": q_sample_rows,
+    "regex_eval": q_regex_eval,
+    "data_validator_good": q_data_validator,
+    "group_by_q1": q_group_by_q1,
+    "group_by_holistic": q_group_by_holistic,
+    "unique_rows": q_unique_rows,
+    "top_k": q_top_k,
+    "analytic_lag": q_analytic_lag,
+    "fields_change_sequence": q_fields_change_sequence,
+    "univariate_stats": q_univariate_stats,
+    "append_streams": q_append_streams,
+    "merge_join_inner": q_merge_join_inner,
+    "merge_join_left": q_merge_join_left,
+    "stream_lookup": q_stream_lookup,
+    "anti_join": q_anti_join,
+    "semi_join": q_semi_join,
+    "join_cartesian": q_join_cartesian,
+    "closure_generator": q_closure,
+}
+
+
+ORACLES = {
+    "select_values":
+        "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS lineno, "
+        "l_quantity AS qty FROM lineitem",
+    "filter_rows":
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_discount, "
+        "l_returnflag FROM lineitem WHERE (l_quantity >= 30 AND "
+        "l_discount < 0.05) OR l_returnflag = 'R'",
+    "calculator":
+        "SELECT l_orderkey, l_linenumber, "
+        "ROUND(l_extendedprice * (1.0 - l_discount), 2) AS revenue, "
+        "EXTRACT(year FROM l_shipdate) AS ship_year, "
+        "EXTRACT(quarter FROM l_shipdate) AS ship_quarter, "
+        "EXTRACT(month FROM l_shipdate) AS ship_month FROM lineitem",
+    "string_ops":
+        "SELECT c_custkey, lower(c_mktsegment) AS c_mktsegment, "
+        "substr(c_name, 1, 8) AS name_prefix, "
+        "replace(c_name, 'Customer', 'Cust') AS short_name FROM customer",
+    "split_to_rows":
+        "SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word "
+        "FROM part",
+    "concat_fields":
+        "SELECT c_custkey, c_name || '|' || c_mktsegment AS tag "
+        "FROM customer",
+    "value_mapper":
+        "SELECT l_orderkey, l_linenumber, l_returnflag, "
+        "CASE l_returnflag WHEN 'R' THEN 'returned' WHEN 'A' THEN "
+        "'accepted' WHEN 'N' THEN 'none' ELSE l_returnflag END AS "
+        "flag_label FROM lineitem",
+    "null_handling":
+        "SELECT o_orderkey, COALESCE(NULLIF(o_orderstatus, 'O'), 'X') "
+        "AS o_orderstatus FROM orders",
+    "number_range":
+        "SELECT o_orderkey, o_totalprice, CASE "
+        "WHEN o_totalprice >= 0 AND o_totalprice < 50000 THEN 'small' "
+        "WHEN o_totalprice >= 50000 AND o_totalprice < 150000 THEN 'medium' "
+        "WHEN o_totalprice >= 150000 AND o_totalprice < 10000000 "
+        "THEN 'large' ELSE 'other' END AS price_band FROM orders",
+    "checksum_md5":
+        "SELECT c_custkey, c_name, c_mktsegment, "
+        "md5(c_name || c_mktsegment) AS row_md5 FROM customer",
+    "switch_case":
+        "SELECT l_orderkey, l_linenumber, l_returnflag, "
+        "CASE l_returnflag WHEN 'R' THEN 'returns' WHEN 'A' THEN "
+        "'archive' ELSE 'other' END AS route FROM lineitem",
+    "clone_row":
+        "SELECT r_regionkey, r_name, g.v AS clone_num FROM region "
+        "CROSS JOIN generate_series(0, 2) g(v)",
+    "add_sequence":
+        "SELECT c_custkey, c_name, row_number() OVER (ORDER BY c_custkey) "
+        "AS seq FROM customer",
+    "sample_rows":
+        "SELECT o_orderkey, o_totalprice FROM (SELECT *, row_number() "
+        "OVER (ORDER BY o_orderkey) AS rn FROM orders) WHERE "
+        "(rn BETWEEN 5 AND 15) OR (rn BETWEEN 25 AND 27)",
+    "regex_eval":
+        "SELECT p_partkey, p_name, regexp_extract(p_name, '^(\\w+)', 1) "
+        "AS first_word FROM part",
+    "data_validator_good":
+        "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer "
+        "WHERE c_acctbal >= 0 AND c_mktsegment IN ('BUILDING', "
+        "'AUTOMOBILE', 'MACHINERY', 'HOUSEHOLD', 'FURNITURE')",
+    "group_by_q1":
+        "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "
+        "ROUND(SUM(l_extendedprice), 2) AS sum_price, "
+        "ROUND(AVG(l_quantity), 4) AS avg_qty, MAX(l_quantity) AS max_qty, "
+        "MIN(l_quantity) AS min_qty, COUNT(*) AS n_rows "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus",
+    "group_by_holistic":
+        "SELECT o_custkey, MIN(o_orderkey) AS first_order, "
+        "MAX(o_orderkey) AS last_order, "
+        "COUNT(DISTINCT o_orderstatus) AS n_statuses, "
+        "COUNT(*) AS n_orders FROM orders GROUP BY o_custkey",
+    "unique_rows":
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS dup_count "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus",
+    "top_k":
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC LIMIT 10",
+    "analytic_lag":
+        "SELECT o_custkey, o_orderkey, o_totalprice, "
+        "LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY "
+        "o_orderkey) AS prev_price, LEAD(o_totalprice, 1) OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderkey) AS next_price "
+        "FROM orders",
+    "fields_change_sequence":
+        "SELECT o_custkey, o_orderkey, row_number() OVER (PARTITION BY "
+        "o_custkey ORDER BY o_orderkey) AS seq_in_cust FROM orders",
+    "univariate_stats":
+        "SELECT COUNT(l_extendedprice) AS l_extendedprice_n, "
+        "ROUND(AVG(l_extendedprice), 4) AS l_extendedprice_mean, "
+        "ROUND(STDDEV_SAMP(l_extendedprice), 4) AS l_extendedprice_std, "
+        "MIN(l_extendedprice) AS l_extendedprice_min, "
+        "MAX(l_extendedprice) AS l_extendedprice_max, "
+        "ROUND(MEDIAN(l_extendedprice), 4) AS l_extendedprice_median "
+        "FROM lineitem",
+    "append_streams":
+        "SELECT n_nationkey, n_name FROM nation UNION ALL "
+        "SELECT r_regionkey AS n_nationkey, r_name AS n_name FROM region",
+    "merge_join_inner":
+        "SELECT o_orderkey, o_custkey, o_totalprice, c_name FROM orders "
+        "JOIN customer ON o_custkey = c_custkey",
+    "merge_join_left":
+        "SELECT l_orderkey, l_linenumber, l_partkey, p_brand FROM "
+        "lineitem LEFT JOIN (SELECT p_partkey, p_brand FROM part WHERE "
+        "p_size > 25) p ON l_partkey = p_partkey",
+    "stream_lookup":
+        "SELECT l_orderkey, l_linenumber, l_partkey, "
+        "COALESCE(p_brand, 'NONE') AS p_brand FROM lineitem LEFT JOIN "
+        "(SELECT p_partkey, p_brand FROM part WHERE p_size > 25) p "
+        "ON l_partkey = p_partkey",
+    "anti_join":
+        "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey NOT IN "
+        "(SELECT c_custkey FROM customer WHERE c_acctbal > 5000)",
+    "semi_join":
+        "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN "
+        "(SELECT o_custkey FROM orders)",
+    "join_cartesian":
+        "SELECT n_nationkey, n_name, r_regionkey, r_name FROM nation "
+        "CROSS JOIN region",
+    "closure_generator":
+        "SELECT n_name AS parent, n_name AS child, 0 AS depth FROM nation "
+        "UNION ALL SELECT r_name AS parent, n_name AS child, 1 AS depth "
+        "FROM nation JOIN region ON n_regionkey = r_regionkey",
+}

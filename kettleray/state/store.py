@@ -1,0 +1,193 @@
+"""Per-shard key-state store for streaming (micro-batch) CDC ingest.
+
+≙ DimensionLookup's per-copy cache + Kettle's ModPartitioner key
+affinity (SURVEY.md §2.7/§4): each shard actor owns hash-bucket
+``hash(key) % P == shard_id`` and maintains last-writer-wins state with
+tombstones, commit-ordered (LSM-flavored: hot state in a dict, cold
+segments flushable to Parquet).
+
+This is the raw-actor path (SURVEY.md §2 'custom operators' case c):
+a shared mutable index across micro-batches is the one thing
+``Dataset`` can't express. The batch replay path (ops.cdc.replay_lww)
+remains the default for backfills.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+
+class KeyStateStore:
+    """In-process LWW state: (repo, path) -> (commit_seq, row-tuple).
+    Deletes keep a tombstone (needed for correct late-event handling
+    WITHIN the open window; events below the committed watermark are
+    filtered upstream)."""
+
+    def __init__(self):
+        self.state: dict[tuple[str, str], tuple] = {}
+        self.watermark = -1
+        self.applied = 0
+
+    def apply_table(self, t: pa.Table) -> None:
+        repo = t["repo"].to_pylist()
+        path = t["path"].to_pylist()
+        seq = t["commit_seq"].to_pylist()
+        op = t["op"].to_pylist()
+        commit = t["commit"].to_pylist()
+        lang = t["lang"].to_pylist()
+        content = t["content"].to_pylist()
+        st = self.state
+        for i in range(t.num_rows):
+            k = (repo[i], path[i])
+            cur = st.get(k)
+            if cur is None or (seq[i], commit[i]) > (cur[0], cur[1]):
+                st[k] = (seq[i], commit[i], op[i], lang[i], content[i])
+        self.applied += t.num_rows
+        if t.num_rows:
+            self.watermark = max(self.watermark, max(seq))
+
+    def snapshot(self, *, include_tombstones: bool = False) -> pa.Table:
+        import hashlib
+        rows = {"repo": [], "path": [], "commit": [], "lang": [],
+                "content": [], "content_sha256": [], "last_commit_seq": []}
+        if include_tombstones:
+            rows["op"] = []
+        for (r, p), (seq, commit, op, lang, content) in self.state.items():
+            if op == "delete" and not include_tombstones:
+                continue
+            rows["repo"].append(r)
+            rows["path"].append(p)
+            rows["commit"].append(commit)
+            rows["lang"].append(lang)
+            rows["content"].append(content)
+            rows["content_sha256"].append(
+                hashlib.sha256(content.encode()).hexdigest())
+            rows["last_commit_seq"].append(seq)
+            if include_tombstones:
+                rows["op"].append(op)
+        return pa.table(rows) if rows["repo"] else pa.table({
+            "repo": pa.array([], pa.string()),
+            "path": pa.array([], pa.string()),
+            "commit": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+            "content": pa.array([], pa.string()),
+            "content_sha256": pa.array([], pa.string()),
+            "last_commit_seq": pa.array([], pa.int64()),
+        })
+
+    def flush_segment(self, path: str) -> int:
+        """LSM flush: persist current state as a Parquet segment and drop
+        the in-memory dict (bounds actor heap for hot shards)."""
+        snap = self.snapshot(include_tombstones=True)
+        pq.write_table(snap, path)
+        n = len(self.state)
+        self.state.clear()
+        return n
+
+    def load_segment(self, path: str) -> None:
+        t = pq.read_table(path)
+        ops = t["op"].to_pylist() if "op" in t.column_names \
+            else ["insert"] * t.num_rows
+        for i in range(t.num_rows):
+            k = (t["repo"][i].as_py(), t["path"][i].as_py())
+            self.state[k] = (t["last_commit_seq"][i].as_py(),
+                             t["commit"][i].as_py(), ops[i],
+                             t["lang"][i].as_py(), t["content"][i].as_py())
+
+
+@ray.remote
+class StateShardActor:
+    """One hash shard of the streaming merge-apply stage."""
+
+    def __init__(self, shard_id: int, spill_dir: str | None = None):
+        self.shard_id = shard_id
+        self.store = KeyStateStore()
+        self.spill_dir = spill_dir
+        if spill_dir:
+            os.makedirs(spill_dir, exist_ok=True)
+            seg = os.path.join(spill_dir, f"shard_{shard_id}.parquet")
+            if os.path.exists(seg):
+                self.store.load_segment(seg)
+
+    def apply(self, t: pa.Table) -> int:
+        self.store.apply_table(t)
+        return t.num_rows
+
+    def snapshot(self, include_tombstones: bool = False) -> pa.Table:
+        return self.store.snapshot(include_tombstones=include_tombstones)
+
+    def checkpoint(self) -> tuple[int, int]:
+        if self.spill_dir:
+            seg = os.path.join(self.spill_dir,
+                               f"shard_{self.shard_id}.parquet")
+            self.store.flush_segment(seg + ".tmp")
+            os.rename(seg + ".tmp", seg)
+            self.store.load_segment(seg)
+        return self.shard_id, self.store.watermark
+
+    def stats(self) -> dict:
+        return {"shard": self.shard_id, "keys": len(self.store.state),
+                "watermark": self.store.watermark,
+                "applied": self.store.applied}
+
+
+class StreamingIngestor:
+    """Micro-batch streaming ingest: P shard actors, events routed by
+    hash(repo, path) % P inside a side-effecting map_batches pass (the
+    data never flows through the driver)."""
+
+    def __init__(self, num_shards: int = 8, spill_dir: str | None = None):
+        self.num_shards = num_shards
+        self.actors = [StateShardActor.remote(i, spill_dir)
+                       for i in range(num_shards)]
+
+    def ingest(self, events) -> int:
+        actors = self.actors
+        P = self.num_shards
+
+        def _route(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            import zlib
+            key = pc.binary_join_element_wise(t["repo"], t["path"], "\x00")
+            if isinstance(key, pa.ChunkedArray):
+                key = key.combine_chunks()
+            import numpy as _np
+            # crc32, NOT hash(): Python's str hash is per-process salted,
+            # which would route the same key to different shards from
+            # different worker processes.
+            h = _np.array([zlib.crc32(k.encode()) % P
+                           for k in key.to_pylist()], dtype=_np.int64)
+            futs = []
+            for shard in range(P):
+                mask = h == shard
+                if mask.any():
+                    sub = t.take(pa.array(_np.nonzero(mask)[0],
+                                          type=pa.int64()))
+                    futs.append(actors[shard].apply.remote(sub))
+            n = sum(ray.get(futs)) if futs else 0
+            return pa.table({"routed": pa.array([n], type=pa.int64())})
+
+        counts = events.map_batches(_route, batch_format="pyarrow",
+                                    zero_copy_batch=True).take_all()
+        return sum(r["routed"] for r in counts)
+
+    def snapshot(self) -> pa.Table:
+        return pa.concat_tables(
+            ray.get([a.snapshot.remote() for a in self.actors]))
+
+    def checkpoint(self) -> dict[int, int]:
+        return dict(ray.get([a.checkpoint.remote() for a in self.actors]))
+
+    def stats(self) -> list[dict]:
+        return ray.get([a.stats.remote() for a in self.actors])
+
+    def shutdown(self):
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

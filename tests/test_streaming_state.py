@@ -1,0 +1,61 @@
+"""Streaming micro-batch ingest via shard actors vs batch replay."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from kettleray.gen.oracle import replay_oracle
+from kettleray.gen.synthetic import EventGenConfig, generate_events_local
+from kettleray.state.store import StreamingIngestor
+
+CFG = EventGenConfig(n_events=2000, n_repos=6, n_paths_per_repo=30,
+                     p_delete=0.1, seed=21)
+
+
+def test_streaming_ingest_matches_oracle(tmp_path):
+    events = generate_events_local(CFG)
+    ing = StreamingIngestor(num_shards=4, spill_dir=str(tmp_path / "spill"))
+    try:
+        third = CFG.n_events // 3
+        for lo, hi in ((0, third), (third, 2 * third),
+                       (2 * third, CFG.n_events)):
+            mb = events.filter(pc.and_(
+                pc.greater_equal(events["commit_seq"], lo),
+                pc.less(events["commit_seq"], hi)))
+            ing.ingest(ray.data.from_arrow(mb))
+        snap = ing.snapshot()
+        got = {(r["repo"], r["path"]): r for r in snap.to_pylist()}
+        want = replay_oracle(events)
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k]["content_sha256"] == want[k]["content_sha256"]
+            assert got[k]["last_commit_seq"] == want[k]["last_commit_seq"]
+        wm = ing.checkpoint()
+        assert max(wm.values()) == CFG.n_events - 1
+    finally:
+        ing.shutdown()
+
+
+def test_streaming_ingest_resumes_from_checkpoint(tmp_path):
+    events = generate_events_local(CFG)
+    spill = str(tmp_path / "spill")
+    half = CFG.n_events // 2
+    ing = StreamingIngestor(num_shards=3, spill_dir=spill)
+    try:
+        b1 = events.filter(pc.less(events["commit_seq"], half))
+        ing.ingest(ray.data.from_arrow(b1))
+        ing.checkpoint()
+    finally:
+        ing.shutdown()
+    # new ingestor resumes from the spilled segments
+    ing2 = StreamingIngestor(num_shards=3, spill_dir=spill)
+    try:
+        b2 = events.filter(pc.greater_equal(events["commit_seq"], half))
+        ing2.ingest(ray.data.from_arrow(b2))
+        got = {(r["repo"], r["path"]): r["content_sha256"]
+               for r in ing2.snapshot().to_pylist()}
+        want = {k: v["content_sha256"]
+                for k, v in replay_oracle(events).items()}
+        assert got == want
+    finally:
+        ing2.shutdown()

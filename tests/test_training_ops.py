@@ -1,0 +1,119 @@
+"""Dedup / similarity / textstats / multimodal operator tests."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from kettleray.ops import dedup, multimodal, similarity, textstats
+
+
+def test_exact_dedup_keeps_min_id():
+    t = pa.table({"doc_id": [5, 1, 3, 2], "text": ["a", "b", "a", "b"]})
+    out = dedup.exact_dedup(ray.data.from_arrow(t), "text", "doc_id",
+                            num_partitions=2).take_all()
+    assert sorted((r["doc_id"], r["text"]) for r in out) == \
+        [(1, "b"), (3, "a")]
+
+
+def test_minhash_finds_near_duplicates():
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight")
+    texts = [base,
+             base.replace("tonight", "today"),          # near-dup of 0
+             "completely different content about database systems and "
+             "distributed computing with ray data pipelines",
+             base.replace("quick", "slow"),             # near-dup of 0
+             "another unrelated short text"]
+    t = pa.table({"doc_id": list(range(5)), "text": texts})
+    docs = ray.data.from_arrow(t)
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_perm=64,
+                                    bands=32, shingle_k=2,
+                                    num_partitions=2)
+    verified = dedup.jaccard_verify(pairs, docs, "doc_id", "text",
+                                    shingle_k=2, threshold=0.5).take_all()
+    found = {(r["doc_a"], r["doc_b"]) for r in verified}
+    assert (0, 1) in found and (0, 3) in found
+    assert all(a in (0, 1, 3) and b in (0, 1, 3) for a, b in found)
+
+
+def test_connected_components_groups_dups():
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": [1, 2, 10], "doc_b": [2, 3, 11]}))
+    comp = {r["node"]: r["component"]
+            for r in dedup.connected_components(pairs,
+                                                num_partitions=2).take_all()}
+    assert comp[1] == comp[2] == comp[3]
+    assert comp[10] == comp[11] != comp[1]
+
+
+def test_simhash_deterministic_and_close_for_neardups():
+    t = pa.table({"doc_id": [0, 1],
+                  "text": ["alpha beta gamma delta epsilon zeta",
+                           "alpha beta gamma delta epsilon eta"]})
+    out = dedup.simhash(ray.data.from_arrow(t), "doc_id", "text").take_all()
+    a, b = (int(r["simhash"], 16) for r in sorted(out,
+                                                  key=lambda r: r["doc_id"]))
+    hamming = bin(a ^ b).count("1")
+    assert hamming <= 16          # near-dups have close fingerprints
+    out2 = dedup.simhash(ray.data.from_arrow(t), "doc_id",
+                         "text").take_all()
+    assert sorted(r["simhash"] for r in out) == \
+        sorted(r["simhash"] for r in out2)
+
+
+def test_embedding_cosine_dups():
+    v = np.eye(4).tolist() + [[1.0, 0.001, 0, 0]]
+    t = pa.table({"vec_id": list(range(5)),
+                  "embedding": pa.array(v, type=pa.list_(pa.float32()))})
+    out = dedup.embedding_cosine_dups(ray.data.from_arrow(t), "vec_id",
+                                      "embedding",
+                                      threshold=0.99).take_all()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(0, 4)}
+
+
+def test_brute_force_topk_and_lsh_topk_agree_on_top1():
+    rng = np.random.RandomState(0)
+    mat = rng.standard_normal((300, 16))
+    q = mat[7] + rng.standard_normal(16) * 0.01
+    t = pa.table({"vec_id": list(range(300)),
+                  "embedding": pa.array(mat.tolist(),
+                                        type=pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t)
+    bf = similarity.brute_force_topk(ds, "vec_id", "embedding", q, k=5)
+    assert bf["vec_id"][0].as_py() == 7
+    lsh = similarity.lsh_topk(ds, "vec_id", "embedding", q, k=5,
+                              n_planes=6, probe_hamming=1)
+    assert 7 in lsh["vec_id"].to_pylist()
+
+
+def test_token_count_and_quality():
+    t = pa.table({"doc_id": [0, 1],
+                  "text": ["Hello World 123", "  a  b  "]})
+    out = textstats.token_count(ray.data.from_arrow(t), "text").take_all()
+    assert [r["n_tokens"] for r in sorted(out, key=lambda r: r["doc_id"])] \
+        == [3, 2]
+    q = textstats.text_quality(ray.data.from_arrow(t), "text").take_all()
+    r0 = next(r for r in q if r["doc_id"] == 0)
+    assert r0["n_chars_calc"] == 15
+    assert abs(r0["alpha_ratio"] - round(10 / 15, 4)) < 1e-9
+
+
+def test_lang_id_heuristic():
+    t = pa.table({"doc_id": [0, 1],
+                  "text": ["the cat and the dog of a house is that it",
+                           "der hund und die katze ist von den nicht"]})
+    out = textstats.lang_id(ray.data.from_arrow(t)).take_all()
+    pred = {r["doc_id"]: r["lang_pred"] for r in out}
+    assert pred[0] == "en" and pred[1] == "de"
+
+
+def test_multimodal_image_plumbing():
+    media = ray.data.from_arrow(multimodal.synthetic_media_table(20))
+    out = multimodal.extract_image_features(media, mode="fake").take_all()
+    assert len(out) == 20
+    assert all(64 <= r["width"] <= 256 and 0 <= r["mean_intensity"] <= 1
+               for r in out)
+    # determinism
+    out2 = multimodal.extract_image_features(media, mode="fake").take_all()
+    assert sorted(r["mean_intensity"] for r in out) == \
+        sorted(r["mean_intensity"] for r in out2)
