@@ -91,6 +91,23 @@ def run_scd2() -> float:
     return time.time() - t0
 
 
+def run_skew(salted: bool) -> float:
+    """Hot-key stream (30% of events on ONE key): salted vs plain replay."""
+    from kettleray.gen.synthetic import EventGenConfig, generate_events
+    from kettleray.ops import cdc, skew
+    n = max(1_000_000, N_SYNTH // 4)
+    cfg = EventGenConfig(n_events=n, n_repos=200, n_paths_per_repo=500,
+                         p_delete=0.05, seed=44, hot_key_share=0.3)
+    t0 = time.time()
+    ev = generate_events(cfg, override_num_blocks=BLOCKS)
+    if salted:
+        skew.replay_lww_salted(ev, num_partitions=PARTS, salt_factor=8,
+                               hot_min_count=n // 50).count()
+    else:
+        cdc.replay_lww(ev, num_partitions=PARTS).count()
+    return time.time() - t0
+
+
 def run_incremental() -> float:
     """Two-batch incremental apply through the exactly-once sink."""
     import shutil
@@ -157,6 +174,8 @@ def main() -> None:
     queries["derived_replay"] = round(run_derived_replay(), 2)
     queries["scd2_history"] = round(run_scd2(), 2)
     queries["incremental_apply"] = round(run_incremental(), 2)
+    queries["skew_hotkey_salted"] = round(run_skew(salted=True), 2)
+    queries["skew_hotkey_plain"] = round(run_skew(salted=False), 2)
     total = round(time.time() - t_all, 2)
     print(json.dumps({
         "metric": "cdc_pipeline_suite_sec",

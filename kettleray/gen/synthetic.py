@@ -58,6 +58,7 @@ class EventGenConfig:
     redeliver_window: int = 10_000
     content_repeat: int = 8     # ~32 bytes per repeat unit
     seed: int = 42
+    hot_key_share: float = 0.0  # fraction of events hitting ONE (repo, path)
 
 
 def _hex40(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
@@ -96,6 +97,10 @@ def events_for_indices(idx: np.ndarray, cfg: EventGenConfig) -> pa.Table:
     op = np.where(is_delete, "delete",
                   np.where(u_op < cfg.p_delete + cfg.p_insert,
                            "insert", "update"))
+    if cfg.hot_key_share > 0:   # skew-test mode: one pathological key
+        hot = _unit(idx, s + 9) < cfg.hot_key_share
+        repo_id = np.where(hot, 0, repo_id)
+        path_id = np.where(hot, -1, path_id)
     repo = pc.binary_join_element_wise(
         "repo_", pc.cast(pa.array(repo_id), pa.string()), "")
     path = pc.binary_join_element_wise(

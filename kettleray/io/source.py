@@ -1,0 +1,140 @@
+"""Sources (SURVEY.md §2.2) — Ray Data readers with Kettle-step options.
+
+≙ CSV file input (csvinput/CsvInput.java — parallel by block for free),
+Text file input (fileinput/text/TextFileInput.java — bad-row routing),
+JSON input (jsoninput/JsonInput.java — JSONPath-ish field extraction),
+Fixed file input (fixedinput/FixedInput.java), Generate rows
+(rowgenerator/RowGenerator.java), Data grid (datagrid/DataGrid.java),
+Get file names (getfilenames/GetFileNames.java), Load file content
+(loadfileinput/LoadFileInput.java), Parquet input (big-data plugin).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Mapping, Sequence
+
+import pyarrow as pa
+
+import ray.data
+
+
+def read_parquet(paths, *, columns: Sequence[str] | None = None,
+                 filter_expr=None, **kw):
+    """Primary source: column pruning + row-group predicate pushdown."""
+    return ray.data.read_parquet(paths, columns=list(columns)
+                                 if columns else None,
+                                 filter=filter_expr, **kw)
+
+
+def read_csv(paths, **kw):
+    return ray.data.read_csv(paths, **kw)
+
+
+def read_text_with_errors(paths, parse_fn, *, error_col: str = "_error"):
+    """≙ Text file input with reject routing: parse_fn(line) -> dict or
+    raise; failures become rows with the raw line + error message in an
+    error dataset (StepErrorMeta semantics). Returns (good, bad)."""
+    lines = ray.data.read_text(paths)
+
+    def _good(batch: dict) -> pa.Table:
+        rows = []
+        for line in batch["text"]:
+            try:
+                rows.append(parse_fn(line))
+            except Exception:
+                pass
+        return pa.Table.from_pylist(rows) if rows else _empty_from(parse_fn)
+
+    def _bad(batch: dict) -> pa.Table:
+        out_line, out_err = [], []
+        for line in batch["text"]:
+            try:
+                parse_fn(line)
+            except Exception as ex:
+                out_line.append(line)
+                out_err.append(f"{type(ex).__name__}: {ex}")
+        return pa.table({"line": pa.array(out_line, type=pa.string()),
+                         error_col: pa.array(out_err, type=pa.string())})
+
+    return (lines.map_batches(_good, batch_format="numpy"),
+            lines.map_batches(_bad, batch_format="numpy"))
+
+
+def _empty_from(parse_fn):
+    return pa.Table.from_pylist([])
+
+
+def read_json_lines(paths, *, fields: Mapping[str, str] | None = None):
+    """≙ JSON input: one JSON object per line; optional dotted-path field
+    extraction ({"out_col": "a.b.c"})."""
+    lines = ray.data.read_text(paths)
+
+    def _parse(batch: dict) -> pa.Table:
+        objs = [json.loads(x) for x in batch["text"]]
+        if not fields:
+            return pa.Table.from_pylist(objs)
+        out = {}
+        for col, path in fields.items():
+            parts = path.split(".")
+            vals = []
+            for o in objs:
+                v: Any = o
+                for p in parts:
+                    v = v.get(p) if isinstance(v, dict) else None
+                    if v is None:
+                        break
+                vals.append(v)
+            out[col] = vals
+        return pa.Table.from_pylist(
+            [dict(zip(out, t)) for t in zip(*out.values())]) \
+            if out else pa.Table.from_pylist([])
+
+    return lines.map_batches(_parse, batch_format="numpy")
+
+
+def read_fixed_width(paths, field_specs: Sequence[tuple[str, int, int]]):
+    """≙ Fixed file input: (name, start, end) byte slices per line."""
+    lines = ray.data.read_text(paths)
+
+    def _slice(batch: dict) -> pa.Table:
+        cols = {name: [ln[s:e].strip() for ln in batch["text"]]
+                for name, s, e in field_specs}
+        return pa.table({k: pa.array(v, type=pa.string())
+                         for k, v in cols.items()})
+
+    return lines.map_batches(_slice, batch_format="numpy")
+
+
+def generate_rows(n: int, constants: Mapping[str, Any]):
+    """≙ Generate rows: N copies of a constant row."""
+    ds = ray.data.range(n)
+
+    def _fn(batch: dict) -> pa.Table:
+        m = len(batch["id"])
+        return pa.table({k: pa.array([v] * m) for k, v in constants.items()}
+                        | {"id": pa.array(batch["id"])})
+
+    return ds.map_batches(_fn, batch_format="numpy")
+
+
+def data_grid(rows: Sequence[Mapping[str, Any]]):
+    """≙ Data grid: inline literal table."""
+    return ray.data.from_arrow(pa.Table.from_pylist(list(rows)))
+
+
+def get_file_names(root: str, *, pattern: str = "**/*"):
+    """≙ Get file names: directory listing as rows (driver-side listing,
+    distributed downstream)."""
+    import glob
+    import os
+    files = sorted(glob.glob(os.path.join(root, pattern), recursive=True))
+    rows = [{"path": f, "name": os.path.basename(f),
+             "size": os.path.getsize(f)} for f in files
+            if os.path.isfile(f)]
+    return ray.data.from_items(rows)
+
+
+def load_file_content(paths):
+    """≙ Load file content in memory: whole file -> one binary row."""
+    return ray.data.read_binary_files(paths, include_paths=True)

@@ -217,6 +217,21 @@ FINAL_STATE_COLS = ["repo", "path", "commit", "lang", "content",
                     "content_sha256", "last_commit_seq"]
 
 
+def finalize_state_table(t: pa.Table, *, keep_tombstones: bool = False,
+                         with_sha: bool = True) -> pa.Table:
+    """Format per-key winner rows as final-state rows (drop tombstones,
+    derive content_sha256, rename commit_seq -> last_commit_seq)."""
+    if not keep_tombstones:
+        t = t.filter(pc.not_equal(t["op"], OP_DELETE))
+    if with_sha and "content_sha256" not in t.column_names:
+        t = add_content_sha256(t)
+    t = t.append_column("last_commit_seq", t[SEQ_COL])
+    cols = list(FINAL_STATE_COLS)
+    if keep_tombstones:
+        cols.append("op")
+    return t.select([c for c in cols if c in t.column_names])
+
+
 def replay_lww(events: "ray.data.Dataset", *,
                num_partitions: int = 64,
                keep_tombstones: bool = False,
@@ -234,15 +249,8 @@ def replay_lww(events: "ray.data.Dataset", *,
 
     def _finalize(batch: pa.Table) -> pa.Table:
         t = lww_reduce_table(batch)  # one row per key now (key-partitioned)
-        if not keep_tombstones:
-            t = t.filter(pc.not_equal(t["op"], OP_DELETE))
-        if with_sha and "content_sha256" not in t.column_names:
-            t = add_content_sha256(t)
-        t = t.append_column("last_commit_seq", t[SEQ_COL])
-        cols = list(FINAL_STATE_COLS)
-        if keep_tombstones:
-            cols.append("op")
-        return t.select([c for c in cols if c in t.column_names])
+        return finalize_state_table(t, keep_tombstones=keep_tombstones,
+                                    with_sha=with_sha)
 
     combined = events.map_batches(_combine, batch_format="pyarrow",
                                   batch_size=combine_batch_size,

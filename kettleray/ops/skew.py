@@ -1,0 +1,358 @@
+"""Skew handling: hot-key detection, salted key-splitting, and the
+post-merge reconciliation reduce (north-star requirement; SURVEY.md §4,
+§7.2.8).
+
+Kettle has NO skew story (a hot ModPartitioner partition simply stalls
+the pipeline); this module is the Ray-native answer:
+
+- LWW replay: the map-side combiner already collapses a hot key to one
+  row per input block BEFORE the shuffle, so replay skew is structurally
+  bounded (partials per key <= num input blocks). ``replay_lww_salted``
+  additionally splits those partials across ``salt_factor`` partitions
+  and reconciles with a second (tiny) LWW reduce — for clusters where
+  even the partials of a pathological key overwhelm one aggregator.
+
+- SCD2 history CANNOT pre-combine (it needs every event), so a hot key
+  genuinely concentrates work: ``scd2_history_salted`` range-salts hot
+  keys by commit_seq windows, builds per-salt partial histories in
+  parallel, then a reconciliation pass stitches the salt boundaries
+  (closing each salt's open tail with the next salt's first event and
+  re-basing version numbers).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from kettleray.ops import cdc
+from kettleray.ops.cdc import KEY_COLS, SEQ_COL
+
+
+def detect_hot_keys(events, *, keys: Sequence[str] = KEY_COLS,
+                    top_k: int = 16, min_count: int = 10_000,
+                    sample_rate: float = 1.0) -> pa.Table:
+    """Cheap pre-pass: per-batch partial counts (combiner) -> small
+    groupby -> top-k keys above ``min_count``. Only the two key columns
+    leave the scan. With ``sample_rate`` < 1 the scan counts a seeded
+    row sample and scales the threshold — hot keys by definition
+    dominate, so sampling finds them at a fraction of the cost."""
+    keys = list(keys)
+    if sample_rate < 1.0:
+        events = events.random_sample(sample_rate, seed=42)
+        min_count = max(1, int(min_count * sample_rate))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        codes = cdc._composite_key_codes(t, keys)
+        order = np.argsort(codes, kind="stable")
+        sk = codes[order]
+        start = np.empty(len(sk), dtype=bool)
+        if len(sk):
+            start[0] = True
+            start[1:] = sk[1:] != sk[:-1]
+        reps = order[start] if len(sk) else np.array([], dtype=np.int64)
+        counts = np.diff(np.append(np.nonzero(start)[0], len(sk))) \
+            if len(sk) else np.array([], dtype=np.int64)
+        out = t.select(keys).take(pa.array(reps, type=pa.int64()))
+        return out.append_column("__cnt", pa.array(counts,
+                                                   type=pa.int64()))
+
+    partials = events.select_columns(keys).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True)
+    if sample_rate < 1.0:
+        # sampled partials are small by construction: finish on the driver
+        # (a distributed groupby would cost more than the whole scan)
+        t = pa.Table.from_pylist(partials.take_all())
+        if t.num_rows == 0:
+            return t
+        df = t.to_pandas().groupby(keys, sort=False)["__cnt"].sum() \
+            .rename("n_events").reset_index()
+        df = df.sort_values("n_events", ascending=False).head(top_k)
+        df = df[df["n_events"] >= min_count]
+        return pa.Table.from_pandas(df, preserve_index=False)
+    from ray.data.aggregate import Sum
+    counts = partials.groupby(keys).aggregate(
+        Sum("__cnt", alias_name="n_events"))
+    top = counts.sort("n_events", descending=True).limit(top_k)
+    t = pa.Table.from_pylist(top.take_all())
+    if t.num_rows == 0:
+        return t
+    return t.filter(pc.greater_equal(t["n_events"], min_count))
+
+
+def _add_salt(events, hot_keys: pa.Table, *,
+              keys: Sequence[str] = KEY_COLS, salt_factor: int,
+              range_salt: bool = False, window: int = 1 << 20):
+    """Append a __salt column: 0 for cold keys; hot keys get either
+    hash-salt (commit_seq % factor, LWW-safe) or range-salt
+    (commit_seq // window, order-preserving for SCD2)."""
+    keys = list(keys)
+    if hot_keys.num_rows:
+        joined_hot = pc.binary_join_element_wise(
+            *[pc.cast(hot_keys[k], pa.string()) for k in keys], "\x00")
+        if isinstance(joined_hot, pa.ChunkedArray):
+            joined_hot = joined_hot.combine_chunks()
+    else:
+        joined_hot = pa.array([], type=pa.string())
+    hot_ref = ray.put(joined_hot)
+
+    def _salt(t: pa.Table) -> pa.Table:
+        hs = ray.get(hot_ref)
+        if len(hs) == 0:
+            return t.append_column(
+                "__salt", pa.array(np.zeros(t.num_rows, np.int64)))
+        joined = pc.binary_join_element_wise(
+            *[t[k] for k in keys], "\x00")
+        ishot = pc.is_in(joined, value_set=hs)
+        if isinstance(ishot, pa.ChunkedArray):
+            ishot = ishot.combine_chunks()
+        ishot = ishot.to_numpy(zero_copy_only=False)
+        seq = cdc._col_np(t, SEQ_COL)
+        salt = np.zeros(t.num_rows, dtype=np.int64)
+        if range_salt:
+            salt[ishot] = seq[ishot] // window + 1
+        else:
+            salt[ishot] = seq[ishot] % salt_factor + 1
+        return t.append_column("__salt", pa.array(salt))
+
+    return events.map_batches(_salt, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def replay_lww_salted(events, *, num_partitions: int = 64,
+                      salt_factor: int = 8,
+                      hot_keys: pa.Table | None = None,
+                      hot_top_k: int = 16, hot_min_count: int = 10_000):
+    """LWW replay with explicit hot-key salting + reconciliation reduce.
+
+    Stage 1: salt hot keys -> hash repartition on (key, salt) ->
+    per-block LWW => <= salt_factor partial winners per hot key.
+    Stage 2 (reconciliation): standard replay over the partials — tiny,
+    because stage 1 reduced each (key, salt) to one row. Reconciliation
+    compares commit_seq (never arrival order), per SURVEY.md §7.4.3.
+    """
+    if hot_keys is None:
+        hot_keys = detect_hot_keys(events, top_k=hot_top_k,
+                                   min_count=hot_min_count,
+                                   sample_rate=0.05)
+    salted = _add_salt(events, hot_keys, salt_factor=salt_factor)
+    combined = salted.map_batches(
+        lambda t: cdc.lww_reduce_table(t, keys=list(KEY_COLS) + ["__salt"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    stage1 = combined.repartition(num_partitions,
+                                  keys=list(KEY_COLS) + ["__salt"])
+
+    # Per-partition reduce leaves exactly ONE row per (key, salt):
+    # cold keys (salt 0) are therefore already final; only the hot keys'
+    # <= salt_factor partials go through the reconciliation reduce.
+    def _cold_final(t: pa.Table) -> pa.Table:
+        t = cdc.lww_reduce_table(t, keys=list(KEY_COLS) + ["__salt"])
+        t = t.filter(pc.equal(t["__salt"], 0)).drop_columns(["__salt"])
+        return cdc.finalize_state_table(t)
+
+    def _hot_partials(t: pa.Table) -> pa.Table:
+        t = cdc.lww_reduce_table(t, keys=list(KEY_COLS) + ["__salt"])
+        return t.filter(pc.greater(t["__salt"], 0)) \
+            .drop_columns(["__salt"])
+
+    stage1 = stage1.materialize()   # reused by both branches
+    cold = stage1.map_batches(_cold_final, batch_format="pyarrow",
+                              batch_size=None, zero_copy_batch=True)
+    hot = stage1.map_batches(_hot_partials, batch_format="pyarrow",
+                             batch_size=None, zero_copy_batch=True)
+    hot_final = cdc.replay_lww(hot, num_partitions=8)
+    return cold.union(hot_final)
+
+
+def scd2_history_salted(events, *, num_partitions: int = 64,
+                        hot_keys: pa.Table | None = None,
+                        window: int = 1 << 20,
+                        hot_top_k: int = 16, hot_min_count: int = 10_000):
+    """SCD2 with range-salted hot keys + boundary-stitch reconciliation.
+
+    Hot keys are split by commit_seq windows (order-preserving), each
+    window's history built independently (its tail left open, versions
+    numbered locally), then a reconciliation pass over per-window
+    boundary stats — (key, salt) -> (first_seq, first_is_any_event,
+    n_live) — closes window tails and re-bases version numbers. The
+    boundary table is tiny (hot keys × windows), so reconciliation is a
+    broadcast, not a shuffle."""
+    if hot_keys is None:
+        hot_keys = detect_hot_keys(events, top_k=hot_top_k,
+                                   min_count=hot_min_count)
+    salted = _add_salt(events, hot_keys, salt_factor=0, range_salt=True,
+                       window=window)
+    # materialized once: both the history pass and the boundary pass read
+    # the same shuffle output (otherwise the shuffle would execute twice)
+    shuffled = salted.repartition(num_partitions,
+                                  keys=list(KEY_COLS) + ["__salt"]) \
+        .materialize()
+
+    def _partial_history(t: pa.Table):
+        """Emits history rows (open-tailed per salt) + boundary rows."""
+        t = cdc.dedup_events_table(t, keys=list(KEY_COLS) + ["__salt"])
+        if t.num_rows == 0:
+            return _empty_partial()
+        codes = cdc._composite_key_codes(t, list(KEY_COLS) + ["__salt"])
+        seq = cdc._col_np(t, SEQ_COL)
+        order = np.lexsort((seq, codes))
+        sk, ss = codes[order], seq[order]
+        n = len(sk)
+        same_next = np.empty(n, dtype=bool)
+        same_next[:-1] = sk[1:] == sk[:-1]
+        same_next[-1] = False
+        next_seq = np.full(n, np.nan)
+        next_seq[:-1] = ss[1:]
+        next_seq[~same_next] = np.nan
+
+        tt = t if "content_sha256" in t.column_names \
+            else cdc.add_content_sha256(t)
+        op_sorted = cdc._col_np(tt, "op")[order]
+        live = op_sorted != cdc.OP_DELETE
+        run_start = np.empty(n, dtype=bool)
+        run_start[0] = True
+        run_start[1:] = sk[1:] != sk[:-1]
+        live_cum = np.cumsum(live)
+        base = np.zeros(n, dtype=np.int64)
+        starts = np.nonzero(run_start)[0]
+        base[starts] = live_cum[starts] - live[starts]
+        np.maximum.accumulate(base, out=base)
+        local_version = live_cum - base
+
+        keep = np.nonzero(live)[0]
+        sel = order[keep]
+        hist = tt.take(pa.array(sel, type=pa.int64()))
+        vt = next_seq[keep]
+        hist = hist.append_column("local_version",
+                                  pa.array(local_version[keep],
+                                           type=pa.int64()))
+        hist = hist.append_column("valid_from_seq", hist[SEQ_COL])
+        hist = hist.append_column(
+            "valid_to_seq",
+            pa.array([None if np.isnan(v) else int(v) for v in vt],
+                     type=pa.int64()))
+        hist = hist.append_column("open_tail",
+                                  pa.array(np.isnan(vt), type=pa.bool_()))
+        hist = hist.select(["repo", "path", "__salt", "local_version",
+                            "valid_from_seq", "valid_to_seq", "open_tail",
+                            "commit", "lang", "content_sha256"])
+
+        # boundary stats per (key, salt) group
+        ends = np.append(starts[1:], n)
+        n_live = live_cum[ends - 1] - base[starts]
+        first_seq = ss[starts]
+        btab = t.select(list(KEY_COLS) + ["__salt"]).take(
+            pa.array(order[starts], type=pa.int64()))
+        btab = btab.append_column("first_seq",
+                                  pa.array(first_seq, type=pa.int64()))
+        btab = btab.append_column("n_live",
+                                  pa.array(n_live, type=pa.int64()))
+        return {"hist": hist, "bound": btab}
+
+    # run partial history; route the two outputs via a tag column union
+    def _emit(t: pa.Table):
+        res = _partial_history(t)
+        return res["hist"]
+
+    def _emit_bounds(t: pa.Table):
+        res = _partial_history(t)
+        return res["bound"]
+
+    hist = shuffled.map_batches(_emit, batch_format="pyarrow",
+                                batch_size=None, zero_copy_batch=True) \
+        .materialize()
+    bounds = shuffled.map_batches(_emit_bounds, batch_format="pyarrow",
+                                  batch_size=None, zero_copy_batch=True)
+
+    # ---- reconciliation (tiny): per key ordered by salt, compute version
+    # offsets and the closing seq for each salt's open tail.
+    btab = pa.Table.from_pylist(bounds.take_all())
+    stitch: dict[tuple, tuple[int | None, int]] = {}
+    if btab.num_rows:
+        rows = sorted(btab.to_pylist(),
+                      key=lambda r: (r["repo"], r["path"], r["__salt"]))
+        i = 0
+        while i < len(rows):
+            j = i
+            key = (rows[i]["repo"], rows[i]["path"])
+            while j < len(rows) and (rows[j]["repo"],
+                                     rows[j]["path"]) == key:
+                j += 1
+            offset = 0
+            for k in range(i, j):
+                r = rows[k]
+                close = rows[k + 1]["first_seq"] if k + 1 < j else None
+                stitch[(r["repo"], r["path"], r["__salt"])] = \
+                    (close, offset)
+                offset += r["n_live"]
+            i = j
+    stitch_ref = ray.put(stitch)
+
+    def _apply_stitch(t: pa.Table) -> pa.Table:
+        st = ray.get(stitch_ref)
+        if t.num_rows == 0:
+            return _scd2_select(t)
+        repo = t["repo"].to_pylist()
+        path = t["path"].to_pylist()
+        salt = t["__salt"].to_pylist()
+        open_tail = cdc._col_np(t, "open_tail")
+        lv = cdc._col_np(t, "local_version")
+        vt = t["valid_to_seq"].to_pylist()
+        version = np.empty(t.num_rows, dtype=np.int64)
+        is_current = np.zeros(t.num_rows, dtype=bool)
+        for i in range(t.num_rows):
+            close, offset = st.get((repo[i], path[i], salt[i]), (None, 0))
+            version[i] = lv[i] + offset
+            if open_tail[i]:
+                if close is None:
+                    is_current[i] = True
+                else:
+                    vt[i] = close
+        t = t.drop_columns(["local_version", "open_tail", "__salt",
+                            "valid_to_seq"])
+        t = t.append_column("version", pa.array(version, type=pa.int64()))
+        t = t.append_column("valid_to_seq",
+                            pa.array(vt, type=pa.int64()))
+        t = t.append_column("is_current",
+                            pa.array(is_current, type=pa.bool_()))
+        return _scd2_select(t)
+
+    return hist.map_batches(_apply_stitch, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def _scd2_select(t: pa.Table) -> pa.Table:
+    cols = cdc.SCD2_COLS
+    if t.num_rows == 0:
+        return pa.table({c: pa.array([], type=cdc._scd2_type(c))
+                         for c in cols})
+    return t.select(cols)
+
+
+def _empty_partial():
+    hist = pa.table({
+        "repo": pa.array([], pa.string()),
+        "path": pa.array([], pa.string()),
+        "__salt": pa.array([], pa.int64()),
+        "local_version": pa.array([], pa.int64()),
+        "valid_from_seq": pa.array([], pa.int64()),
+        "valid_to_seq": pa.array([], pa.int64()),
+        "open_tail": pa.array([], pa.bool_()),
+        "commit": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()),
+        "content_sha256": pa.array([], pa.string()),
+    })
+    bound = pa.table({
+        "repo": pa.array([], pa.string()),
+        "path": pa.array([], pa.string()),
+        "__salt": pa.array([], pa.int64()),
+        "first_seq": pa.array([], pa.int64()),
+        "n_live": pa.array([], pa.int64()),
+    })
+    return {"hist": hist, "bound": bound}

@@ -1,0 +1,104 @@
+"""Pipeline composition: operator registry + config-driven builder.
+
+≙ Kettle's plugin registry (PluginRegistry/StepPluginType — steps
+discovered by name), TransMeta (the declared DAG), and ETL Metadata
+Injection (metainject/MetaInject.java — building a transformation from
+config data). Here a pipeline is data: a list of {op, args} step dicts
+applied left-to-right to a Dataset; operators are plain functions
+``(Dataset, **args) -> Dataset`` registered by name. Sub-pipelines
+(≙ Mapping / Trans-Executor) are just nested pipeline specs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Mapping, Sequence
+
+import ray.data
+
+Operator = Callable[..., "ray.data.Dataset"]
+
+_REGISTRY: dict[str, Operator] = {}
+
+
+def register(name: str, fn: Operator | None = None):
+    """Register an operator by name (decorator or direct call)."""
+    if fn is not None:
+        _REGISTRY[name] = fn
+        return fn
+
+    def deco(f):
+        _REGISTRY[name] = f
+        return f
+    return deco
+
+
+def get_operator(name: str) -> Operator:
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown operator {name!r}; known: "
+                       f"{sorted(_REGISTRY)}")
+    return _REGISTRY[name]
+
+
+def operators() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+@dataclass
+class Pipeline:
+    """A declared chain of registered operators over one input Dataset."""
+    steps: Sequence[Mapping[str, Any]] = field(default_factory=list)
+
+    def run(self, ds: "ray.data.Dataset") -> "ray.data.Dataset":
+        for step in self.steps:
+            op = get_operator(step["op"])
+            ds = op(ds, **{k: v for k, v in step.items() if k != "op"})
+        return ds
+
+    @staticmethod
+    def from_config(cfg: Sequence[Mapping[str, Any]]) -> "Pipeline":
+        """≙ Metadata injection: a pipeline built from plain data."""
+        return Pipeline(steps=list(cfg))
+
+
+def _register_builtins() -> None:
+    from kettleray.ops import aggregates as ag
+    from kettleray.ops import cdc, dedup, rowops, skew, strings, textstats
+
+    register("parse_validate", cdc.parse_validate)
+    register("replay_lww", cdc.replay_lww)
+    register("scd2_history", cdc.scd2_history)
+    register("replay_lww_salted", skew.replay_lww_salted)
+    register("scd2_history_salted", skew.scd2_history_salted)
+    register("select_values", rowops.select_values)
+    register("filter_rows", rowops.filter_rows)
+    register("switch_case", rowops.switch_case)
+    register("add_constants", rowops.add_constants)
+    register("value_mapper", rowops.value_mapper)
+    register("if_null", rowops.if_null)
+    register("null_if", rowops.null_if)
+    register("number_range", rowops.number_range)
+    register("clone_row", rowops.clone_row)
+    register("checksum", rowops.checksum)
+    register("string_operations", strings.string_operations)
+    register("strings_cut", strings.strings_cut)
+    register("replace_in_string", strings.replace_in_string)
+    register("split_fields", strings.split_fields)
+    register("split_field_to_rows", strings.split_field_to_rows)
+    register("concat_fields", strings.concat_fields)
+    register("regex_eval", strings.regex_eval)
+    register("group_by", ag.group_by)
+    register("unique_rows", ag.unique_rows)
+    register("sort_rows", ag.sort_rows)
+    register("top_k", ag.top_k)
+    register("analytic_query", ag.analytic_query)
+    register("fields_change_sequence", ag.fields_change_sequence)
+    register("token_count", textstats.token_count)
+    register("text_quality", textstats.text_quality)
+    register("doc_fingerprint", textstats.doc_fingerprint)
+    register("lang_id", textstats.lang_id)
+    register("exact_dedup", dedup.exact_dedup)
+    register("simhash", dedup.simhash)
+
+
+_register_builtins()

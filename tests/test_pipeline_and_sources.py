@@ -1,0 +1,81 @@
+"""Pipeline registry / config-driven builder + source readers."""
+
+import json
+import os
+
+import pyarrow as pa
+import ray.data
+
+from kettleray.io import source
+from kettleray.pipeline import Pipeline, get_operator, operators
+
+
+def test_registry_has_core_operators():
+    ops = operators()
+    for name in ("replay_lww", "scd2_history", "filter_rows", "group_by",
+                 "split_field_to_rows", "exact_dedup"):
+        assert name in ops
+    assert callable(get_operator("replay_lww"))
+
+
+def test_config_driven_pipeline_runs():
+    from kettleray.ops.rowops import Cond
+    t = pa.table({"a": [1, 2, 3, 4], "b": ["x", "y", "x", "z"]})
+    pipe = Pipeline.from_config([
+        {"op": "filter_rows", "condition": Cond("a", ">", 1)},
+        {"op": "value_mapper", "field": "b",
+         "mapping": {"x": "ex"}, "target_field": "b2"},
+    ])
+    out = pipe.run(ray.data.from_arrow(t)).take_all()
+    assert len(out) == 3
+    assert {r["b2"] for r in out} == {"ex", "y", "z"}
+
+
+def test_read_json_lines_with_paths(tmp_path):
+    p = tmp_path / "data.jsonl"
+    with open(p, "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"a": i, "nest": {"v": i * 10}}) + "\n")
+    ds = source.read_json_lines(str(p), fields={"a": "a", "v": "nest.v"})
+    rows = sorted(ds.take_all(), key=lambda r: r["a"])
+    assert rows[2] == {"a": 2, "v": 20}
+
+
+def test_read_text_with_error_routing(tmp_path):
+    p = tmp_path / "data.txt"
+    with open(p, "w") as f:
+        f.write("1,ok\nbad-line\n2,fine\n")
+
+    def parse(line):
+        num, word = line.split(",")
+        return {"num": int(num), "word": word}
+
+    good, bad = source.read_text_with_errors(str(p), parse)
+    g = sorted(good.take_all(), key=lambda r: r["num"])
+    b = bad.take_all()
+    assert [r["num"] for r in g] == [1, 2]
+    assert len(b) == 1 and "bad-line" in b[0]["line"]
+
+
+def test_fixed_width_and_generate_and_grid(tmp_path):
+    p = tmp_path / "fixed.txt"
+    with open(p, "w") as f:
+        f.write("alpha 123\nbeta  456\n")
+    ds = source.read_fixed_width(str(p), [("name", 0, 6), ("num", 6, 9)])
+    rows = sorted(ds.take_all(), key=lambda r: r["num"])
+    assert rows[0] == {"name": "alpha", "num": "123"}
+
+    g = source.generate_rows(4, {"k": "const"}).take_all()
+    assert len(g) == 4 and all(r["k"] == "const" for r in g)
+
+    grid = source.data_grid([{"a": 1}, {"a": 2}]).take_all()
+    assert sorted(r["a"] for r in grid) == [1, 2]
+
+
+def test_get_file_names(tmp_path):
+    for name in ("x.txt", "y.txt"):
+        with open(os.path.join(tmp_path, name), "w") as f:
+            f.write("data")
+    rows = source.get_file_names(str(tmp_path), pattern="*.txt").take_all()
+    assert {r["name"] for r in rows} == {"x.txt", "y.txt"}
+    assert all(r["size"] == 4 for r in rows)
