@@ -91,6 +91,50 @@ def q_cdc_dedup_redelivery(sf_dir: str):
     return cdc.replay_lww(ev.union(dup), num_partitions=_NUM_PARTITIONS)
 
 
+def q_cdc_replay_twopass(sf_dir: str):
+    """Shuffle-light two-pass replay — same oracle as the one-pass."""
+    return cdc.replay_lww_twopass(lambda: _events(sf_dir),
+                                  num_partitions=_NUM_PARTITIONS)
+
+
+def q_cdc_snapshot_at(sf_dir: str):
+    """Time travel: table state as of watermark 1,500,000 (= v0+v1)."""
+    import pyarrow.compute as pc
+    ev = _events(sf_dir).map_batches(
+        lambda b: b.filter(pc.less_equal(b["commit_seq"], 1_500_000)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return cdc.replay_lww(ev, num_partitions=_NUM_PARTITIONS)
+
+
+def q_cdc_scd2_asof_lookup(sf_dir: str):
+    """≙ Dimension Lookup in lookup-only mode: the version valid at a
+    given stream position (valid_from <= S < valid_to)."""
+    import pyarrow.compute as pc
+    S = 1_200_000
+    hist = cdc.scd2_history(_events(sf_dir),
+                            num_partitions=_NUM_PARTITIONS)
+
+    def _asof(t):
+        m = pc.and_kleene(
+            pc.less_equal(t["valid_from_seq"], S),
+            pc.or_kleene(pc.is_null(t["valid_to_seq"]),
+                         pc.greater(t["valid_to_seq"], S)))
+        return t.filter(pc.fill_null(m, False))
+
+    return hist.map_batches(_asof, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def q_cdc_scd2_surrogate(sf_dir: str):
+    """SCD2 history + deterministic surrogate key md5(repo|path|version)
+    (≙ DimensionLookup technical key, without a global sequence actor)."""
+    from kettleray.ops.rowops import checksum
+    hist = cdc.scd2_history(_events(sf_dir),
+                            num_partitions=_NUM_PARTITIONS)
+    return checksum(hist, ["repo", "path", "version"], algo="md5",
+                    out_col="dim_key", sep="|")
+
+
 def q_cdc_schema_evolution(sf_dir: str):
     import pyarrow as pa
     target = pa.schema([
@@ -125,6 +169,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_diff_snapshots": q_cdc_diff_snapshots,
         "cdc_dedup_redelivery": q_cdc_dedup_redelivery,
         "cdc_schema_evolution": q_cdc_schema_evolution,
+        "cdc_replay_twopass": q_cdc_replay_twopass,
+        "cdc_snapshot_at": q_cdc_snapshot_at,
+        "cdc_scd2_asof_lookup": q_cdc_scd2_asof_lookup,
+        "cdc_scd2_surrogate": q_cdc_scd2_surrogate,
     }
     out.update(PARITY_QUERIES)
     out.update(TRAINING_QUERIES)
@@ -183,6 +231,40 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {ev} SELECT repo, path, \"commit\", lang, content, op, "
             "CAST(commit_seq AS DOUBLE) AS commit_seq, "
             "CAST(NULL AS VARCHAR) AS author FROM ev"),
+        "cdc_replay_twopass":
+            f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
+        "cdc_snapshot_at": (
+            f"WITH {ev}, ev2 AS (SELECT * FROM ev WHERE commit_seq <= "
+            "1500000), ranked AS (SELECT *, row_number() OVER (PARTITION "
+            'BY repo, path ORDER BY commit_seq DESC, "commit" DESC) AS rn '
+            "FROM ev2) "
+            'SELECT repo, path, "commit", lang, content, '
+            "sha256(content) AS content_sha256, commit_seq AS "
+            "last_commit_seq FROM ranked WHERE rn = 1 AND op <> 'delete'"),
+        "cdc_scd2_asof_lookup": (
+            f"WITH {ev}, "
+            "w AS (SELECT *, lead(commit_seq) OVER (PARTITION BY repo, "
+            "path ORDER BY commit_seq) AS valid_to_seq FROM ev), "
+            "h AS (SELECT *, CAST(row_number() OVER (PARTITION BY repo, "
+            "path ORDER BY commit_seq) AS BIGINT) AS version FROM w "
+            "WHERE op <> 'delete') "
+            "SELECT repo, path, version, commit_seq AS valid_from_seq, "
+            "valid_to_seq, (valid_to_seq IS NULL) AS is_current, "
+            '"commit", lang, sha256(content) AS content_sha256 FROM h '
+            "WHERE commit_seq <= 1200000 AND (valid_to_seq IS NULL OR "
+            "valid_to_seq > 1200000)"),
+        "cdc_scd2_surrogate": (
+            f"WITH {ev}, "
+            "w AS (SELECT *, lead(commit_seq) OVER (PARTITION BY repo, "
+            "path ORDER BY commit_seq) AS valid_to_seq FROM ev), "
+            "h AS (SELECT *, CAST(row_number() OVER (PARTITION BY repo, "
+            "path ORDER BY commit_seq) AS BIGINT) AS version FROM w "
+            "WHERE op <> 'delete') "
+            "SELECT repo, path, version, commit_seq AS valid_from_seq, "
+            "valid_to_seq, (valid_to_seq IS NULL) AS is_current, "
+            '"commit", lang, sha256(content) AS content_sha256, '
+            "md5(repo || '|' || path || '|' || CAST(version AS VARCHAR)) "
+            "AS dim_key FROM h"),
     }
     out.update(PARITY_ORACLES)
     out.update(TRAINING_ORACLES)

@@ -108,6 +108,22 @@ def run_skew(salted: bool) -> float:
     return time.time() - t0
 
 
+def run_twopass() -> float:
+    """Wide-payload (1.5 KB content) replay via the shuffle-light
+    two-pass variant (winners-only shuffle + filtered second scan)."""
+    from kettleray.gen.synthetic import EventGenConfig, generate_events
+    from kettleray.ops import cdc
+    n = max(1_000_000, N_SYNTH // 2)
+    cfg = EventGenConfig(n_events=n, n_repos=500, n_paths_per_repo=2000,
+                         p_delete=0.05, p_redeliver=0.01, seed=42,
+                         content_repeat=32)
+    t0 = time.time()
+    cdc.replay_lww_twopass(
+        lambda: generate_events(cfg, override_num_blocks=BLOCKS),
+        num_partitions=PARTS).count()
+    return time.time() - t0
+
+
 def run_incremental() -> float:
     """Two-batch incremental apply through the exactly-once sink."""
     import shutil
@@ -176,6 +192,7 @@ def main() -> None:
     queries["incremental_apply"] = round(run_incremental(), 2)
     queries["skew_hotkey_salted"] = round(run_skew(salted=True), 2)
     queries["skew_hotkey_plain"] = round(run_skew(salted=False), 2)
+    queries["twopass_wide_payload"] = round(run_twopass(), 2)
     total = round(time.time() - t_all, 2)
     print(json.dumps({
         "metric": "cdc_pipeline_suite_sec",

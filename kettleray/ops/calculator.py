@@ -149,7 +149,8 @@ def _eval(t: pa.Table, op: CalcOp):
         return pc.utf8_reverse(A)
     if f == "levenshtein":
         av = _apply_py(A, lambda v: v)
-        bv = _apply_py(B, lambda v: v)
+        bv = [B] * len(av) if isinstance(B, str) else \
+            _apply_py(B, lambda v: v)
         return pa.array([_levenshtein(x, y) for x, y in zip(av, bv)],
                         type=pa.int64())
     if f == "soundex":

@@ -260,6 +260,73 @@ def replay_lww(events: "ray.data.Dataset", *,
                                 batch_size=None, zero_copy_batch=True)
 
 
+def replay_lww_twopass(events_factory, *, num_partitions: int = 64,
+                       keep_tombstones: bool = False,
+                       with_sha: bool = True) -> "ray.data.Dataset":
+    """Shuffle-light LWW replay for wide payloads.
+
+    ``replay_lww`` shuffles every surviving event's full row (content
+    included). At 10^10 events with multi-KB contents the shuffle IS the
+    job. This variant shuffles only (repo, path, commit_seq) — ~24 B per
+    event — to decide each key's winning commit_seq, broadcasts the
+    winning (key, seq) set, and filters a SECOND scan of the source down
+    to exactly the winner rows (winning seq is unique per key, so no
+    further reduce is needed: the filtered rows ARE the final state).
+
+    Trade-off: two scans of the source vs payload-free shuffle — a win
+    whenever scan bandwidth > shuffle bandwidth x payload ratio (true for
+    columnar storage, where pass 1 reads only 3 narrow columns).
+
+    ``events_factory``: zero-arg callable returning the events Dataset
+    (called twice — Datasets re-execute per consumption, so a factory
+    makes the two-scan structure explicit). The broadcast winner set
+    bounds this variant at roughly 25-30 B x live keys of driver/worker
+    memory; beyond that, fall back to replay_lww or shard the winner set.
+    """
+    slim_cols = list(KEY_COLS) + [SEQ_COL, "op"]
+
+    def _slim(t: pa.Table) -> pa.Table:
+        return t.select(slim_cols)
+
+    slim = events_factory().map_batches(_slim, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+    winners = replay_lww(slim, num_partitions=num_partitions,
+                         keep_tombstones=keep_tombstones, with_sha=False)
+    # winner identity = the (repo, path, commit_seq) triple; seq alone is
+    # NOT unique across keys under redelivery, so key the filter fully.
+    wt = pa.concat_tables(ray.get(winners.to_arrow_refs()))
+    win_key = pc.binary_join_element_wise(
+        wt["repo"], wt["path"],
+        pc.cast(wt["last_commit_seq"], pa.string()), "\x00")
+    if isinstance(win_key, pa.ChunkedArray):
+        win_key = win_key.combine_chunks()
+    win_ref = ray.put(win_key)
+
+    def _filter_winners(t: pa.Table) -> pa.Table:
+        ws = ray.get(win_ref)
+        probe = pc.binary_join_element_wise(
+            t["repo"], t["path"], pc.cast(t[SEQ_COL], pa.string()), "\x00")
+        return t.filter(pc.is_in(probe, value_set=ws))
+
+    picked = events_factory().map_batches(_filter_winners,
+                                          batch_format="pyarrow",
+                                          zero_copy_batch=True)
+
+    # A redelivered winner row can appear in two different input blocks,
+    # so one output-sized shuffle dedups the picked rows exactly once —
+    # still payload-light: it moves only final-state rows, never events.
+    deduped = picked.repartition(max(8, num_partitions // 4),
+                                 keys=list(KEY_COLS))
+
+    def _finish(t: pa.Table) -> pa.Table:
+        return finalize_state_table(dedup_events_table(t),
+                                    keep_tombstones=keep_tombstones,
+                                    with_sha=with_sha)
+
+    return deduped.map_batches(_finish, batch_format="pyarrow",
+                               batch_size=None, zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # Merge Rows (diff): two snapshots -> flagged stream
 # ---------------------------------------------------------------------------

@@ -176,10 +176,11 @@ def fuzzy_match(main, lookup, main_field: str, lookup_field: str, *,
                         if abs(len(c) - len(v)) > max_distance:
                             continue
                         d = self.dist(v, c)
-                        if d <= max_distance and (bs is None or d < bs):
+                        # deterministic: min by (distance, candidate)
+                        if d <= max_distance and (
+                                bs is None or d < bs
+                                or (d == bs and c < bm)):
                             bm, bs = c, d
-                            if d == 0:
-                                break
                 best_m.append(bm)
                 best_s.append(bs)
             t = t.append_column(out_match, pa.array(best_m,

@@ -306,6 +306,58 @@ def q_closure(sf_dir):
     return joins.closure_generator(pairs, "parent", "child")
 
 
+def q_multiway_join(sf_dir):
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber",
+                                 "l_quantity"])
+    o = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    c = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+    o = ro.select_values(o, rename={"o_orderkey": "l_orderkey"})
+    j1 = joins.merge_join(li, o, ["l_orderkey"], how="inner",
+                          num_partitions=8)
+    j1 = ro.select_values(j1, select=["l_orderkey", "l_linenumber",
+                                      "l_quantity", "o_custkey"],
+                          rename={"o_custkey": "c_custkey"})
+    j2 = joins.merge_join(j1, c, ["c_custkey"], how="inner",
+                          num_partitions=8)
+    return j2.select_columns(["l_orderkey", "l_linenumber", "l_quantity",
+                              "c_custkey", "c_name"])
+
+
+def q_combination_lookup(sf_dir):
+    """≙ Combination lookup/update: natural-key combo -> deterministic
+    surrogate key (hash — avoids a global sequence actor)."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    combos = ag.unique_rows(ds, ["l_returnflag", "l_linestatus"],
+                            num_partitions=4)
+    return ro.checksum(combos, ["l_returnflag", "l_linestatus"],
+                       algo="md5", out_col="combo_key", sep="|")
+
+
+def q_fuzzy_match(sf_dir):
+    n = _t(sf_dir, "nation", ["n_nationkey", "n_name"])
+    r = _t(sf_dir, "region", ["r_regionkey", "r_name"])
+    return joins.fuzzy_match(n, r, "n_name", "r_name",
+                             max_distance=20, out_match="best_region",
+                             out_score="distance")
+
+
+def q_string_distance(sf_dir):
+    ds = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+    return calc.calculator(ds, [
+        calc.CalcOp("lev", "levenshtein", a="c_name",
+                    const_b="Customer#000000001"),
+    ])
+
+
+def q_deterministic_sample(sf_dir):
+    """Exact deterministic uniform k-sample: k smallest md5(key) —
+    the distributed stand-in for reservoir sampling (same uniformity,
+    reproducible, no sequential pass)."""
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    h = ro.checksum(ds, ["o_orderkey"], algo="md5", out_col="__h")
+    return ag.top_k(h, "__h", 20, descending=False)
+
+
 QUERIES = {
     "select_values": q_select_values,
     "filter_rows": q_filter_rows,
@@ -338,6 +390,11 @@ QUERIES = {
     "semi_join": q_semi_join,
     "join_cartesian": q_join_cartesian,
     "closure_generator": q_closure,
+    "multiway_join": q_multiway_join,
+    "combination_lookup": q_combination_lookup,
+    "fuzzy_match": q_fuzzy_match,
+    "string_distance": q_string_distance,
+    "deterministic_sample": q_deterministic_sample,
 }
 
 
@@ -465,4 +522,25 @@ ORACLES = {
         "SELECT n_name AS parent, n_name AS child, 0 AS depth FROM nation "
         "UNION ALL SELECT r_name AS parent, n_name AS child, 1 AS depth "
         "FROM nation JOIN region ON n_regionkey = r_regionkey",
+    "multiway_join":
+        "SELECT l_orderkey, l_linenumber, l_quantity, c_custkey, c_name "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey",
+    "combination_lookup":
+        "SELECT l_returnflag, l_linestatus, "
+        "md5(l_returnflag || '|' || l_linestatus) AS combo_key "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus",
+    "fuzzy_match":
+        "SELECT n_nationkey, n_name, "
+        "(SELECT r_name FROM region ORDER BY levenshtein(n_name, r_name), "
+        "r_name LIMIT 1) AS best_region, "
+        "(SELECT MIN(levenshtein(n_name, r_name)) FROM region) AS distance "
+        "FROM nation",
+    "string_distance":
+        "SELECT c_custkey, c_name, "
+        "levenshtein(c_name, 'Customer#000000001') AS lev FROM customer",
+    "deterministic_sample":
+        "SELECT o_orderkey, o_totalprice, "
+        "md5(CAST(o_orderkey AS VARCHAR)) AS __h FROM orders "
+        "ORDER BY __h LIMIT 20",
 }
