@@ -152,10 +152,18 @@ def q_cdc_schema_evolution(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship: CDC replay (events -> final table state) on sf0.001."""
+    """Flagship: full CDC ingest on sf0.001 — derive events, validate,
+    LWW-replay through the exactly-once staged sink (manifest +
+    watermark), read the committed state back and return it."""
+    import shutil
+    from kettleray.io import sink
     configure_ray_data()
-    ev = cdc.parse_validate(derive_events("/root/testdata/sf0.001"))
-    return cdc.replay_lww(ev, num_partitions=8)
+    root = "/tmp/kettleray_entry_state"
+    shutil.rmtree(root, ignore_errors=True)
+    ev = cdc.parse_validate(derive_events("/root/testdata/sf0.001"),
+                            with_sha=False)
+    sink.apply_incremental(root, ev, num_partitions=8)
+    return sink.read_state(root)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

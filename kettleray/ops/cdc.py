@@ -426,64 +426,65 @@ def scd2_history(events: "ray.data.Dataset", *,
     vectorized per-block pass computes intervals.
     """
     shuffled = events.repartition(num_partitions, keys=list(KEY_COLS))
-
-    def _history(t: pa.Table) -> pa.Table:
-        t = dedup_events_table(t)  # exactly-once: drop redeliveries
-        if t.num_rows == 0:
-            return pa.table({c: pa.array([], type=_scd2_type(c))
-                             for c in SCD2_COLS})
-        codes = _composite_key_codes(t, KEY_COLS)
-        seq = t[SEQ_COL].combine_chunks().to_numpy(zero_copy_only=False) \
-            if isinstance(t[SEQ_COL], pa.ChunkedArray) else \
-            t[SEQ_COL].to_numpy(zero_copy_only=False)
-        order = np.lexsort((seq, codes))
-        sk, ss = codes[order], seq[order]
-        n = len(sk)
-        same_next = np.empty(n, dtype=bool)          # next row is same key
-        same_next[:-1] = sk[1:] == sk[:-1]
-        same_next[-1] = False
-        next_seq = np.empty(n, dtype=np.float64)
-        next_seq[:-1] = ss[1:]
-        next_seq[-1] = np.nan
-        next_seq[~same_next] = np.nan
-
-        if "content_sha256" in t.column_names:
-            tt = t
-        else:
-            tt = add_content_sha256(t)
-        op = tt["op"].combine_chunks().to_numpy(zero_copy_only=False) \
-            if isinstance(tt["op"], pa.ChunkedArray) else \
-            tt["op"].to_numpy(zero_copy_only=False)
-        op_sorted = op[order]
-        live = op_sorted != OP_DELETE
-
-        # version numbering among live events per key (vectorized cumcount)
-        run_start = np.empty(n, dtype=bool)
-        run_start[0] = True
-        run_start[1:] = sk[1:] != sk[:-1]
-        live_cum = np.cumsum(live)
-        base = np.zeros(n, dtype=np.int64)
-        starts = np.nonzero(run_start)[0]
-        base[starts] = live_cum[starts] - live[starts]
-        np.maximum.accumulate(base, out=base)  # broadcast run base forward
-        version = live_cum - base
-
-        keep_idx = np.nonzero(live)[0]
-        sel = order[keep_idx]
-        out = tt.take(pa.array(sel, type=pa.int64()))
-        vt = next_seq[keep_idx]
-        valid_to = pa.array([None if np.isnan(v) else int(v) for v in vt],
-                            type=pa.int64())
-        out = out.append_column("version",
-                                pa.array(version[keep_idx], type=pa.int64()))
-        out = out.append_column("valid_from_seq", out[SEQ_COL])
-        out = out.append_column("valid_to_seq", valid_to)
-        out = out.append_column("is_current",
-                                pa.array(np.isnan(vt), type=pa.bool_()))
-        return out.select(SCD2_COLS)
-
-    return shuffled.map_batches(_history, batch_format="pyarrow",
+    return shuffled.map_batches(scd2_history_table, batch_format="pyarrow",
                                 batch_size=None, zero_copy_batch=True)
+
+
+def scd2_history_table(t: pa.Table) -> pa.Table:
+    """Per-block SCD2 kernel (every event of a key must be in ``t``)."""
+    t = dedup_events_table(t)  # exactly-once: drop redeliveries
+    if t.num_rows == 0:
+        return pa.table({c: pa.array([], type=_scd2_type(c))
+                         for c in SCD2_COLS})
+    codes = _composite_key_codes(t, KEY_COLS)
+    seq = t[SEQ_COL].combine_chunks().to_numpy(zero_copy_only=False) \
+        if isinstance(t[SEQ_COL], pa.ChunkedArray) else \
+        t[SEQ_COL].to_numpy(zero_copy_only=False)
+    order = np.lexsort((seq, codes))
+    sk, ss = codes[order], seq[order]
+    n = len(sk)
+    same_next = np.empty(n, dtype=bool)          # next row is same key
+    same_next[:-1] = sk[1:] == sk[:-1]
+    same_next[-1] = False
+    next_seq = np.empty(n, dtype=np.float64)
+    next_seq[:-1] = ss[1:]
+    next_seq[-1] = np.nan
+    next_seq[~same_next] = np.nan
+
+    if "content_sha256" in t.column_names:
+        tt = t
+    else:
+        tt = add_content_sha256(t)
+    op = tt["op"].combine_chunks().to_numpy(zero_copy_only=False) \
+        if isinstance(tt["op"], pa.ChunkedArray) else \
+        tt["op"].to_numpy(zero_copy_only=False)
+    op_sorted = op[order]
+    live = op_sorted != OP_DELETE
+
+    # version numbering among live events per key (vectorized cumcount)
+    run_start = np.empty(n, dtype=bool)
+    run_start[0] = True
+    run_start[1:] = sk[1:] != sk[:-1]
+    live_cum = np.cumsum(live)
+    base = np.zeros(n, dtype=np.int64)
+    starts = np.nonzero(run_start)[0]
+    base[starts] = live_cum[starts] - live[starts]
+    np.maximum.accumulate(base, out=base)  # broadcast run base forward
+    version = live_cum - base
+
+    keep_idx = np.nonzero(live)[0]
+    sel = order[keep_idx]
+    out = tt.take(pa.array(sel, type=pa.int64()))
+    vt = next_seq[keep_idx]
+    valid_to = pa.array([None if np.isnan(v) else int(v) for v in vt],
+                        type=pa.int64())
+    out = out.append_column("version",
+                            pa.array(version[keep_idx], type=pa.int64()))
+    out = out.append_column("valid_from_seq", out[SEQ_COL])
+    out = out.append_column("valid_to_seq", valid_to)
+    out = out.append_column("is_current",
+                            pa.array(np.isnan(vt), type=pa.bool_()))
+    return out.select(SCD2_COLS)
 
 
 def _scd2_type(col: str) -> pa.DataType:

@@ -306,6 +306,25 @@ def q_closure(sf_dir):
     return joins.closure_generator(pairs, "parent", "child")
 
 
+def q_date_calculator(sf_dir):
+    """Date function surface: iso week, isodow, day-diff, month floor."""
+    import datetime
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    out = calc.calculator(ds, [
+        calc.CalcOp("iso_week", "week_iso", a="o_orderdate"),
+        calc.CalcOp("dow", "day_of_week", a="o_orderdate"),
+        calc.CalcOp("days_since_95", "date_diff_days", a="o_orderdate",
+                    const_b=datetime.datetime(1995, 1, 1)),
+        calc.CalcOp("month_start", "first_day_of_month", a="o_orderdate"),
+        calc.CalcOp("doy", "day_of_year", a="o_orderdate"),
+    ])
+    # align dow with SQL isodow (Mon=1..Sun=7; Arrow gives Mon=0..Sun=6)
+    out = calc.calculator(out, [
+        calc.CalcOp("dow", "add", a="dow", const_b=1)])
+    return out.select_columns(["o_orderkey", "iso_week", "dow",
+                               "days_since_95", "month_start", "doy"])
+
+
 def q_multiway_join(sf_dir):
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber",
                                  "l_quantity"])
@@ -390,6 +409,7 @@ QUERIES = {
     "semi_join": q_semi_join,
     "join_cartesian": q_join_cartesian,
     "closure_generator": q_closure,
+    "date_calculator": q_date_calculator,
     "multiway_join": q_multiway_join,
     "combination_lookup": q_combination_lookup,
     "fuzzy_match": q_fuzzy_match,
@@ -522,6 +542,14 @@ ORACLES = {
         "SELECT n_name AS parent, n_name AS child, 0 AS depth FROM nation "
         "UNION ALL SELECT r_name AS parent, n_name AS child, 1 AS depth "
         "FROM nation JOIN region ON n_regionkey = r_regionkey",
+    "date_calculator":
+        "SELECT o_orderkey, "
+        "CAST(extract(week FROM o_orderdate) AS BIGINT) AS iso_week, "
+        "CAST(extract(isodow FROM o_orderdate) AS BIGINT) AS dow, "
+        "CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) "
+        "AS days_since_95, "
+        "date_trunc('month', o_orderdate) AS month_start, "
+        "CAST(extract(doy FROM o_orderdate) AS BIGINT) AS doy FROM orders",
     "multiway_join":
         "SELECT l_orderkey, l_linenumber, l_quantity, c_custkey, c_name "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
