@@ -139,10 +139,12 @@ def apply_incremental(root: str, events: "ray.data.Dataset", *,
     def _above(b):
         return b.filter(pc.greater(b["commit_seq"], wm))
 
-    event_cols = ["repo", "path", "commit", "lang", "content", "op",
-                  "commit_seq"]
+    import pyarrow as pa
+
+    from kettleray.ops.cdc import evolve_to_schema, unify_event_schemas
+
     fresh = events.map_batches(_above, batch_format="pyarrow",
-                               zero_copy_batch=True).select_columns(event_cols)
+                               zero_copy_batch=True)
     try:
         new_wm = int(fresh.max("commit_seq"))
     except (TypeError, ValueError):
@@ -153,15 +155,20 @@ def apply_incremental(root: str, events: "ray.data.Dataset", *,
     state = read_state(root)
     if state is not None:
         def _state_as_events(b):
-            import pyarrow as pa
+            b = b.drop_columns([c for c in ("content_sha256",)
+                                if c in b.column_names])
             b = b.rename_columns(
                 [c if c != "last_commit_seq" else "commit_seq"
                  for c in b.column_names])
             return b.append_column(
                 "op", pa.array(["insert"] * b.num_rows))
-        pseudo = (state.map_batches(_state_as_events, batch_format="pyarrow")
-                  .select_columns(event_cols))
-        merged = pseudo.union(fresh)
+        pseudo = state.map_batches(_state_as_events, batch_format="pyarrow")
+        # schema evolution across generations: additive columns backfill
+        # null, widening casts apply, on BOTH sides before the union
+        target = unify_event_schemas(
+            [pseudo.schema().base_schema, fresh.schema().base_schema])
+        merged = evolve_to_schema(pseudo, target).union(
+            evolve_to_schema(fresh, target))
     else:
         merged = fresh
     final = cdc.replay_lww(merged, num_partitions=num_partitions)

@@ -220,7 +220,8 @@ FINAL_STATE_COLS = ["repo", "path", "commit", "lang", "content",
 def finalize_state_table(t: pa.Table, *, keep_tombstones: bool = False,
                          with_sha: bool = True) -> pa.Table:
     """Format per-key winner rows as final-state rows (drop tombstones,
-    derive content_sha256, rename commit_seq -> last_commit_seq)."""
+    derive content_sha256, rename commit_seq -> last_commit_seq).
+    Extra (schema-evolved) columns ride along after the core columns."""
     if not keep_tombstones:
         t = t.filter(pc.not_equal(t["op"], OP_DELETE))
     if with_sha and "content_sha256" not in t.column_names:
@@ -229,7 +230,9 @@ def finalize_state_table(t: pa.Table, *, keep_tombstones: bool = False,
     cols = list(FINAL_STATE_COLS)
     if keep_tombstones:
         cols.append("op")
-    return t.select([c for c in cols if c in t.column_names])
+    skip = set(cols) | {"op", SEQ_COL}
+    extras = [c for c in t.column_names if c not in skip]
+    return t.select([c for c in cols if c in t.column_names] + extras)
 
 
 def replay_lww(events: "ray.data.Dataset", *,

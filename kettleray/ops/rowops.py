@@ -432,6 +432,56 @@ def data_validator(ds, rules: Sequence[Rule]):
 
 
 # ---------------------------------------------------------------------------
+# Row Normaliser / Denormaliser (normaliser/Normaliser.java,
+# denormaliser/Denormaliser.java): unpivot / pivot
+# ---------------------------------------------------------------------------
+
+def row_normaliser(ds, id_cols: Sequence[str],
+                   value_cols: Sequence[str], *,
+                   type_col: str = "type", value_col: str = "value"):
+    """Unpivot: one row per (id, value-column) pair — melt. Vectorized:
+    per batch, one projected table per value column, concatenated."""
+    id_cols, value_cols = list(id_cols), list(value_cols)
+
+    def _fn(t: pa.Table) -> pa.Table:
+        parts = []
+        for vc in value_cols:
+            p = t.select(id_cols)
+            p = p.append_column(type_col,
+                                pa.array([vc] * t.num_rows,
+                                         type=pa.string()))
+            p = p.append_column(value_col, pc.cast(t[vc], pa.float64())
+                                if pa.types.is_integer(t[vc].type)
+                                or pa.types.is_floating(t[vc].type)
+                                else pc.cast(t[vc], pa.string()))
+            parts.append(p)
+        return pa.concat_tables(parts)
+    return _arrow_batches(ds, _fn)
+
+
+def row_denormaliser(ds, id_cols: Sequence[str], type_col: str,
+                     value_col: str, types: Sequence[str], *,
+                     num_partitions: int = 16):
+    """Pivot: one row per id, one column per type value. Requires the
+    one co-locating shuffle on the id key, then a per-block pandas pivot."""
+    import pandas as pd
+    id_cols = list(id_cols)
+    shuffled = ds.repartition(num_partitions, keys=id_cols)
+
+    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(columns=id_cols + list(types))
+        p = df.pivot_table(index=id_cols, columns=type_col,
+                           values=value_col, aggfunc="first")
+        p = p.reindex(columns=list(types)).reset_index()
+        p.columns.name = None
+        return p
+
+    return shuffled.map_batches(_fn, batch_format="pandas",
+                                batch_size=None)
+
+
+# ---------------------------------------------------------------------------
 # Metadata structure (metastructure/StepMetastructure.java)
 # ---------------------------------------------------------------------------
 

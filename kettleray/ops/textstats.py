@@ -41,14 +41,18 @@ def text_quality(ds, text_col: str):
         safe_n = pc.max_element_wise(nf, 1.0)
         t = t.append_column("n_chars_calc", pc.cast(n, pa.int64()))
         t = t.append_column("alpha_ratio", pc.round(
-            pc.divide(pc.cast(alpha, pa.float64()), safe_n), ndigits=4))
+            pc.divide(pc.cast(alpha, pa.float64()), safe_n), ndigits=4,
+            round_mode="half_towards_infinity"))
         t = t.append_column("digit_ratio", pc.round(
-            pc.divide(pc.cast(digit, pa.float64()), safe_n), ndigits=4))
+            pc.divide(pc.cast(digit, pa.float64()), safe_n), ndigits=4,
+            round_mode="half_towards_infinity"))
         t = t.append_column("upper_ratio", pc.round(
-            pc.divide(pc.cast(upper, pa.float64()), safe_n), ndigits=4))
+            pc.divide(pc.cast(upper, pa.float64()), safe_n), ndigits=4,
+            round_mode="half_towards_infinity"))
         t = t.append_column("avg_token_len", pc.round(
             pc.divide(safe_n, pc.cast(pc.max_element_wise(
-                pc.cast(toks, pa.int64()), 1), pa.float64())), ndigits=4))
+                pc.cast(toks, pa.int64()), 1), pa.float64())), ndigits=4,
+            round_mode="half_towards_infinity"))
         return t
     return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -306,6 +306,25 @@ def q_closure(sf_dir):
     return joins.closure_generator(pairs, "parent", "child")
 
 
+def q_row_normaliser(sf_dir):
+    """Unpivot supplier numeric facts into (key, type, value) rows."""
+    ds = _t(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+    return ro.row_normaliser(ds, ["p_partkey"],
+                             ["p_size", "p_retailprice"],
+                             type_col="measure", value_col="value")
+
+
+def q_row_denormaliser(sf_dir):
+    """Pivot back: round-trip of the normaliser output."""
+    ds = _t(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+    melted = ro.row_normaliser(ds, ["p_partkey"],
+                               ["p_size", "p_retailprice"],
+                               type_col="measure", value_col="value")
+    return ro.row_denormaliser(melted, ["p_partkey"], "measure", "value",
+                               ["p_size", "p_retailprice"],
+                               num_partitions=4)
+
+
 def q_date_calculator(sf_dir):
     """Date function surface: iso week, isodow, day-diff, month floor."""
     import datetime
@@ -409,6 +428,8 @@ QUERIES = {
     "semi_join": q_semi_join,
     "join_cartesian": q_join_cartesian,
     "closure_generator": q_closure,
+    "row_normaliser": q_row_normaliser,
+    "row_denormaliser": q_row_denormaliser,
     "date_calculator": q_date_calculator,
     "multiway_join": q_multiway_join,
     "combination_lookup": q_combination_lookup,
@@ -542,6 +563,14 @@ ORACLES = {
         "SELECT n_name AS parent, n_name AS child, 0 AS depth FROM nation "
         "UNION ALL SELECT r_name AS parent, n_name AS child, 1 AS depth "
         "FROM nation JOIN region ON n_regionkey = r_regionkey",
+    "row_normaliser":
+        "SELECT p_partkey, 'p_size' AS measure, "
+        "CAST(p_size AS DOUBLE) AS value FROM part UNION ALL "
+        "SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice "
+        "AS value FROM part",
+    "row_denormaliser":
+        "SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size, "
+        "p_retailprice FROM part",
     "date_calculator":
         "SELECT o_orderkey, "
         "CAST(extract(week FROM o_orderdate) AS BIGINT) AS iso_week, "
