@@ -52,7 +52,13 @@ def _word_shingles(text: str, k: int) -> np.ndarray:
 
 class MinHasher:
     """Stateful per-actor minhash signer: permutation coefficients built
-    once in __init__ (the actor-pool pattern for stateful stages)."""
+    once in __init__ (the actor-pool pattern for stateful stages).
+
+    Vectorized batch path: Arrow whitespace split -> dictionary-encoded
+    token vocabulary (hash each UNIQUE token once) -> rolling k-gram
+    shingle hashes over the flat token stream (numpy) -> per-doc
+    signature minima via np.minimum.reduceat. No per-document Python
+    loop in the hot path."""
 
     def __init__(self, id_col: str, text_col: str, num_perm: int,
                  shingle_k: int, bands: int, seed: int = 42):
@@ -62,28 +68,83 @@ class MinHasher:
         self.id_col, self.text_col = id_col, text_col
         self.num_perm, self.k, self.bands = num_perm, shingle_k, bands
         self.rows_per_band = num_perm // bands
+        # rolling-combine multipliers for k consecutive token hashes
+        self.roll = (np.uint64(0x100000001B3) **
+                     np.arange(shingle_k, dtype=np.uint64))
 
-    def signature(self, text: str) -> np.ndarray:
-        sh = _word_shingles(text, self.k)
+    def signatures(self, batch: pa.Table) -> np.ndarray:
+        """(n_docs, num_perm) uint64 signature matrix, vectorized."""
+        import pyarrow.compute as pc
+        texts = batch[self.text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+        flat = pc.list_flatten(toks)
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ndocs = len(counts)
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        vocab = enc.dictionary.to_pylist()
+        vh = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(w.encode("utf-8"),
+                                            digest_size=8).digest(),
+                            "little") for w in vocab),
+            dtype=np.uint64, count=len(vocab))
+        tok_h = vh[enc.indices.to_numpy(zero_copy_only=False)] \
+            if len(vocab) else np.empty(0, np.uint64)
+
+        n = len(tok_h)
+        k = self.k
+        doc_of = np.repeat(np.arange(ndocs), counts)
         with np.errstate(over="ignore"):
-            vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) \
+            # shingle hash at token position i combines tok_h[i..i+k-1]
+            sh = np.zeros(max(n - k + 1, 0), dtype=np.uint64)
+            for j in range(k):
+                sh += tok_h[j:n - k + 1 + j] * self.roll[j]
+            valid = np.zeros(max(n - k + 1, 0), dtype=bool)
+            if n >= k:
+                valid = doc_of[:n - k + 1] == doc_of[k - 1:]
+            # fallback single shingle for docs shorter than k tokens
+            doc_sum = np.zeros(ndocs, dtype=np.uint64)
+            if n:
+                starts = np.concatenate(
+                    [[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+                nz = counts > 0
+                if nz.any():
+                    doc_sum[nz] = np.add.reduceat(tok_h, starts[nz])
+            sh_doc = doc_of[:n - k + 1][valid] if n >= k else \
+                np.empty(0, np.int64)
+            sh_valid = sh[valid]
+            n_valid = np.bincount(sh_doc, minlength=ndocs) \
+                if len(sh_doc) else np.zeros(ndocs, np.int64)
+            need_fallback = n_valid == 0
+            fb_docs = np.nonzero(need_fallback)[0]
+            all_sh = np.concatenate([sh_valid, doc_sum[fb_docs]])
+            all_doc = np.concatenate([sh_doc, fb_docs])
+            order = np.argsort(all_doc, kind="stable")
+            all_sh, all_doc = all_sh[order], all_doc[order]
+            # per-doc minima over num_perm permutations
+            V = (all_sh[:, None] * self.a[None, :] + self.b[None, :]) \
                 % _MERSENNE
-        return vals.min(axis=1)
+            starts_sh = np.searchsorted(all_doc, np.arange(ndocs))
+            sig = np.minimum.reduceat(V, starts_sh, axis=0)
+        return sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_pylist()
-        texts = batch[self.text_col].to_pylist()
-        out_id, out_band, out_hash = [], [], []
-        for i, txt in zip(ids, texts):
-            sig = self.signature(txt or "")
+        sig = self.signatures(batch)
+        ndocs = len(ids)
+        out_id = np.repeat(np.asarray(ids), self.bands)
+        out_band = np.tile(np.arange(self.bands, dtype=np.int32), ndocs)
+        out_hash = []
+        rpb = self.rows_per_band
+        for d in range(ndocs):
+            row = sig[d]
             for band in range(self.bands):
-                chunk = sig[band * self.rows_per_band:
-                            (band + 1) * self.rows_per_band]
-                bh = hashlib.blake2b(chunk.tobytes(),
-                                     digest_size=8).hexdigest()
-                out_id.append(i)
-                out_band.append(band)
-                out_hash.append(bh)
+                out_hash.append(hashlib.blake2b(
+                    row[band * rpb:(band + 1) * rpb].tobytes(),
+                    digest_size=8).hexdigest())
         return pa.table({
             "doc_id": pa.array(out_id),
             "band_id": pa.array(out_band, type=pa.int32()),
@@ -178,17 +239,25 @@ def jaccard_verify(pairs, docs, id_col: str, text_col: str, *,
     class _Verify:
         def __init__(self):
             t = ray.get(ref)
-            ids = t[id_col].to_pylist()
-            texts = t[text_col].to_pylist()
-            self.sh = {i: set(_word_shingles(x or "", shingle_k).tolist())
-                       for i, x in zip(ids, texts)}
+            self.texts = dict(zip(t[id_col].to_pylist(),
+                                  t[text_col].to_pylist()))
+            self.cache: dict = {}   # shingles computed lazily: only docs
+            # that actually appear in candidate pairs pay the cost
+
+        def _sh(self, i):
+            s = self.cache.get(i)
+            if s is None:
+                s = set(_word_shingles(self.texts.get(i) or "",
+                                       shingle_k).tolist())
+                self.cache[i] = s
+            return s
 
         def __call__(self, t: pa.Table) -> pa.Table:
             a = t["doc_a"].to_pylist()
             b = t["doc_b"].to_pylist()
             jac = []
             for x, y in zip(a, b):
-                sa, sb = self.sh.get(x, set()), self.sh.get(y, set())
+                sa, sb = self._sh(x), self._sh(y)
                 inter = len(sa & sb)
                 union = len(sa | sb) or 1
                 jac.append(inter / union)
