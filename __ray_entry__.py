@@ -22,7 +22,7 @@ from kettleray import configure_ray_data
 from kettleray.gen.derive import DERIVED_EVENTS_SQL, derive_events
 from kettleray.ops import cdc
 
-_NUM_PARTITIONS = 16  # sf0.01-scale shuffles; production uses 2-4x cores
+_NUM_PARTITIONS = 8   # sf0.01-scale shuffles; production uses 2-4x cores
 
 # SQL fragment: LWW-ranked events (the replay oracle core).
 _RANKED = (

@@ -93,6 +93,38 @@ def read_json_lines(paths, *, fields: Mapping[str, str] | None = None):
     return lines.map_batches(_parse, batch_format="numpy")
 
 
+def read_xml(paths, record_path: str,
+             fields: Mapping[str, str]):
+    """≙ Get data from XML (getxmldata/GetXMLData.java): per file, find
+    record elements by ElementTree path, extract fields by relative
+    path / ``@attr`` / ``text()``. Whole-file parse per task (XML is not
+    splittable); many files parallelize across tasks."""
+    import xml.etree.ElementTree as ET
+
+    files = ray.data.read_binary_files(paths, include_paths=True)
+
+    def _parse(batch: dict) -> pa.Table:
+        rows = []
+        for payload in batch["bytes"]:
+            root = ET.fromstring(payload)
+            for rec in root.findall(record_path):
+                row = {}
+                for col, path in fields.items():
+                    if path == "text()":
+                        row[col] = (rec.text or "").strip()
+                    elif path.startswith("@"):
+                        row[col] = rec.get(path[1:])
+                    else:
+                        el = rec.find(path)
+                        row[col] = None if el is None \
+                            else (el.text or "").strip()
+                rows.append(row)
+        return pa.Table.from_pylist(rows) if rows else \
+            pa.table({c: pa.array([], type=pa.string()) for c in fields})
+
+    return files.map_batches(_parse, batch_format="numpy")
+
+
 def read_fixed_width(paths, field_specs: Sequence[tuple[str, int, int]]):
     """≙ Fixed file input: (name, start, end) byte slices per line."""
     lines = ray.data.read_text(paths)

@@ -231,6 +231,49 @@ def fields_change_sequence(ds, watch: Sequence[str], order: str, *,
                                 batch_size=None, zero_copy_batch=True)
 
 
+def sessionize(ds, key: str, ts_col: str, *, gap_us: int,
+               out_col: str = "session_id", num_partitions: int = 16):
+    """Session windows (gaps-and-islands): a new session starts when the
+    gap to the previous event of the same key exceeds ``gap_us``.
+    session_id = 1-based session index within the key. Ray Data has no
+    watermarks; sessions are derived data after one key-co-locating
+    shuffle + a vectorized per-block pass (SURVEY.md §2.10)."""
+    shuffled = ds.repartition(num_partitions, keys=[key])
+
+    def _fn(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        from kettleray.ops.cdc import _composite_key_codes
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], type=pa.int64()))
+        codes = _composite_key_codes(t, [key])
+        ts = pc.cast(t[ts_col], pa.int64())
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        ts = ts.to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, codes))
+        sk, st_ = codes[order], ts[order]
+        n = len(sk)
+        new_sess = np.empty(n, dtype=bool)
+        new_sess[0] = True
+        new_sess[1:] = (sk[1:] != sk[:-1]) | \
+            ((st_[1:] - st_[:-1]) > gap_us)
+        run_start = np.empty(n, dtype=bool)
+        run_start[0] = True
+        run_start[1:] = sk[1:] != sk[:-1]
+        sess_cum = np.cumsum(new_sess)
+        base = np.zeros(n, dtype=np.int64)
+        starts = np.nonzero(run_start)[0]
+        base[starts] = sess_cum[starts] - 1
+        np.maximum.accumulate(base, out=base)
+        sess_id = sess_cum - base
+        out = t.take(pa.array(order, type=pa.int64()))
+        return out.append_column(out_col,
+                                 pa.array(sess_id, type=pa.int64()))
+
+    return shuffled.map_batches(_fn, batch_format="pyarrow",
+                                batch_size=None, zero_copy_batch=True)
+
+
 def univariate_stats(ds, col: str) -> pa.Table:
     """One-row global stats (UnivariateStats). Ray's Dataset.aggregate
     returns a plain dict row; wrap it as a one-row Arrow table."""

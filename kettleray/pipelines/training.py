@@ -77,6 +77,13 @@ def q_events_window(sf_dir):
         calc.CalcOp("sum_value", "round", a="sum_value", const_b=4)])
 
 
+def q_events_sessionize(sf_dir):
+    """Session windows on the events stream: 30-minute inactivity gap."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return ag.sessionize(ds, "user_id", "ts", gap_us=1_800_000_000,
+                         num_partitions=8)
+
+
 # --- rows-only (non-SQL-expressible) --------------------------------------
 
 def q_minhash_neardup(sf_dir):
@@ -129,6 +136,7 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "ann_cosine_scores": q_ann_cosine_scores,
     "events_window": q_events_window,
+    "events_sessionize": q_events_sessionize,
     "minhash_neardup": q_minhash_neardup,
     "simhash_fingerprints": q_simhash,
     "lang_id": q_lang_id,
@@ -163,4 +171,12 @@ ORACLES = {
         "SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS "
         "window_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS "
         "sum_value FROM events GROUP BY user_id, window_id",
+    "events_sessionize": (
+        "WITH g AS (SELECT event_id, user_id, ts, CASE WHEN "
+        "lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > "
+        "INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts)) "
+        "SELECT event_id, user_id, ts, CAST(SUM(new_sess) OVER "
+        "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) "
+        "AS BIGINT) AS session_id FROM g"),
 }

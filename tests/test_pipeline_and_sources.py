@@ -79,3 +79,34 @@ def test_get_file_names(tmp_path):
     rows = source.get_file_names(str(tmp_path), pattern="*.txt").take_all()
     assert {r["name"] for r in rows} == {"x.txt", "y.txt"}
     assert all(r["size"] == 4 for r in rows)
+
+
+def test_read_xml(tmp_path):
+    p = tmp_path / "data.xml"
+    p.write_text(
+        "<catalog>"
+        "<book id='1'><title>Ray</title><price>10</price></book>"
+        "<book id='2'><title>Arrow</title><price>20</price></book>"
+        "</catalog>")
+    ds = source.read_xml(str(p), "book",
+                         {"id": "@id", "title": "title", "price": "price"})
+    rows = sorted(ds.take_all(), key=lambda r: r["id"])
+    assert rows == [{"id": "1", "title": "Ray", "price": "10"},
+                    {"id": "2", "title": "Arrow", "price": "20"}]
+
+
+def test_sessionize_gap_logic():
+    import pyarrow as pa
+    import ray.data as rd
+    from kettleray.ops import aggregates as ag
+    t = pa.table({
+        "user": ["u", "u", "u", "v"],
+        "ts": pa.array([0, 10, 1_000_000, 5], type=pa.timestamp("us")),
+    })
+    out = ag.sessionize(rd.from_arrow(t), "user", "ts", gap_us=100,
+                        num_partitions=2).take_all()
+    by = {(r["user"], r["ts"].microsecond + r["ts"].second * 10**6):
+          r["session_id"] for r in out}
+    assert by[("u", 0)] == 1 and by[("u", 10)] == 1
+    assert by[("u", 1_000_000)] == 2
+    assert by[("v", 5)] == 1
