@@ -100,6 +100,10 @@ def commit_state(ds: "ray.data.Dataset", root: str, *, watermark: int,
         shutil.rmtree(stage)
     t0 = time.time()
     ds.write_parquet(stage)
+    try:                         # per-stage Ray execution stats -> lineage
+        stats_tail = ds.stats()[-1800:]
+    except Exception:
+        stats_tail = ""
     files = []
     for name in sorted(os.listdir(stage)):
         fp = os.path.join(stage, name)
@@ -112,6 +116,7 @@ def commit_state(ds: "ray.data.Dataset", root: str, *, watermark: int,
                    files=files,
                    metrics={"write_sec": round(time.time() - t0, 3),
                             "total_rows": sum(f["rows"] for f in files),
+                            "ray_stats_tail": stats_tail,
                             **(metrics or {})})
     with open(os.path.join(stage, "manifest.json"), "w") as f:
         f.write(man.to_json())

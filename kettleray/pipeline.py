@@ -93,6 +93,13 @@ def _register_builtins() -> None:
     register("top_k", ag.top_k)
     register("analytic_query", ag.analytic_query)
     register("fields_change_sequence", ag.fields_change_sequence)
+    register("sessionize", ag.sessionize)
+    register("row_normaliser", rowops.row_normaliser)
+    register("row_denormaliser", rowops.row_denormaliser)
+    register("data_validator", rowops.data_validator)
+    register("replay_lww_twopass", cdc.replay_lww_twopass)
+    register("evolve_to_schema", cdc.evolve_to_schema)
+    register("diff_snapshots", cdc.diff_snapshots)
     register("token_count", textstats.token_count)
     register("text_quality", textstats.text_quality)
     register("doc_fingerprint", textstats.doc_fingerprint)
