@@ -79,7 +79,7 @@ def derive_events(sf_dir: str) -> "ray.data.Dataset":
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text", "lang"])
     return docs.map_batches(_derive_batch, batch_format="pyarrow",
-                            zero_copy_batch=True)
+                            zero_copy_batch=True, batch_size=None)
 
 
 # The EXACT same derivation as ANSI SQL (DuckDB), used as a CTE prefix by

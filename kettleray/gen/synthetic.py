@@ -151,7 +151,7 @@ def generate_events(cfg: EventGenConfig, *,
     ds = ray.data.range(cfg.n_events,
                         override_num_blocks=override_num_blocks)
     return ds.map_batches(_gen_batch, batch_format="numpy",
-                          fn_kwargs={"cfg": cfg})
+                          batch_size=None, fn_kwargs={"cfg": cfg})
 
 
 def generate_events_local(cfg: EventGenConfig) -> pa.Table:

@@ -222,4 +222,5 @@ def calculator(ds, ops: list[CalcOp]):
             else:
                 t = t.append_column(op.out, col)
         return t
-    return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(_fn, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)

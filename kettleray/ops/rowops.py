@@ -22,6 +22,7 @@ import ray.data
 
 
 def _arrow_batches(ds, fn, **kw):
+    kw.setdefault("batch_size", None)   # full blocks: vectorized kernels
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
                           **kw)
 

@@ -64,7 +64,8 @@ def detect_hot_keys(events, *, keys: Sequence[str] = KEY_COLS,
                                                    type=pa.int64()))
 
     partials = events.select_columns(keys).map_batches(
-        _partial, batch_format="pyarrow", zero_copy_batch=True)
+        _partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None)
     if sample_rate < 1.0:
         # sampled partials are small by construction: finish on the driver
         # (a distributed groupby would cost more than the whole scan)
@@ -122,7 +123,7 @@ def _add_salt(events, hot_keys: pa.Table, *,
         return t.append_column("__salt", pa.array(salt))
 
     return events.map_batches(_salt, batch_format="pyarrow",
-                              zero_copy_batch=True)
+                              zero_copy_batch=True, batch_size=None)
 
 
 def replay_lww_salted(events, *, num_partitions: int = 64,
@@ -144,7 +145,7 @@ def replay_lww_salted(events, *, num_partitions: int = 64,
     salted = _add_salt(events, hot_keys, salt_factor=salt_factor)
     combined = salted.map_batches(
         lambda t: cdc.lww_reduce_table(t, keys=list(KEY_COLS) + ["__salt"]),
-        batch_format="pyarrow", zero_copy_batch=True)
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     stage1 = combined.repartition(num_partitions,
                                   keys=list(KEY_COLS) + ["__salt"])
 

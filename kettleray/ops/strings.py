@@ -18,7 +18,8 @@ import pyarrow.compute as pc
 
 
 def _mb(ds, fn):
-    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
 
 
 _CASE_FNS = {

@@ -20,7 +20,8 @@ def token_count(ds, text_col: str, out_col: str = "n_tokens"):
         return t.append_column(out_col,
                                pc.cast(pc.list_value_length(parts),
                                        pa.int64()))
-    return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(_fn, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
 
 
 def text_quality(ds, text_col: str):
@@ -54,7 +55,8 @@ def text_quality(ds, text_col: str):
                 pc.cast(toks, pa.int64()), 1), pa.float64())), ndigits=4,
             round_mode="half_towards_infinity"))
         return t
-    return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(_fn, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
 
 
 def doc_fingerprint(ds, text_col: str, out_col: str = "fingerprint"):
@@ -71,7 +73,8 @@ def doc_fingerprint(ds, text_col: str, out_col: str = "fingerprint"):
         fp = [None if v is None else
               hashlib.md5(v.encode("utf-8")).hexdigest() for v in vals]
         return t.append_column(out_col, pa.array(fp, type=pa.string()))
-    return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(_fn, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
 
 
 _STOPWORDS = {
