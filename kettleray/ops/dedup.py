@@ -275,6 +275,13 @@ def connected_components(pairs, *, max_iters: int = 10,
     Iterative groupby rounds (no driver union-find) so it scales with the
     edge set; converges in O(diameter) rounds."""
     edges = pairs.select_columns(["doc_a", "doc_b"]).materialize()
+    if edges.count() == 0:
+        # Ray's hash-shuffle groupby chokes on fully-empty inputs; an
+        # empty edge set trivially has no components.
+        import ray.data as _rd
+        return _rd.from_arrow(pa.table({
+            "node": pa.array([], type=pa.int64()),
+            "component": pa.array([], type=pa.int64())}))
 
     def _sym(t: pa.Table) -> pa.Table:
         fwd = pa.table({"node": t["doc_a"], "nbr": t["doc_b"]})
@@ -290,34 +297,33 @@ def connected_components(pairs, *, max_iters: int = 10,
         return pa.table({"node": t["node"], "label": t["nbr"]})
 
     labels = None
-    cur = adj
+    prev_sum = None
     for _ in range(max_iters):
         # label(node) = min(label(neighbor)) over neighbors incl. self
-        joined = cur if labels is None else adj.join(
-            labels.rename_columns({"node": "nbr", "label": "nbr_label"}),
-            join_type="inner", num_partitions=num_partitions,
-            on=("nbr",))
         if labels is None:
-            src = cur.map_batches(
+            src = adj.map_batches(
                 lambda t: pa.table({"node": t["node"], "cand": t["nbr"]}),
                 batch_format="pyarrow")
         else:
+            joined = adj.join(
+                labels.rename_columns({"node": "nbr",
+                                       "label": "nbr_label"}),
+                join_type="inner", num_partitions=num_partitions,
+                on=("nbr",))
             src = joined.map_batches(
                 lambda t: pa.table({"node": t["node"],
                                     "cand": t["nbr_label"]}),
                 batch_format="pyarrow")
         from ray.data.aggregate import Min
-        new_labels = src.groupby("node").aggregate(
+        labels = src.groupby("node").aggregate(
             Min("cand", alias_name="label")).materialize()
-        if labels is not None:
-            # converged when labels stop changing
-            old = {r["node"]: r["label"] for r in labels.take_all()}
-            new = {r["node"]: r["label"] for r in new_labels.take_all()}
-            labels = new_labels
-            if old == new:
-                break
-        else:
-            labels = new_labels
+        # labels are monotonically non-increasing under min-propagation,
+        # so an unchanged label SUM means convergence — one distributed
+        # aggregate, no driver-side label pull.
+        cur_sum = labels.sum("label")
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
     return labels.rename_columns({"label": "component"})
 
 
