@@ -429,10 +429,21 @@ def scd2_history(events: "ray.data.Dataset", *,
     a deterministic hash surrogate can be added by the caller.
 
     Needs every event of a key (not just the last), so there is no
-    combiner; the hash repartition co-locates full per-key logs, then a
-    vectorized per-block pass computes intervals.
+    combiner — but the payload still never enters the exchange: the
+    history only needs content_sha256, so content is hashed and dropped
+    BEFORE the shuffle (~3x less exchanged data at ~450 B contents,
+    far more on real repositories).
     """
-    shuffled = events.repartition(num_partitions, keys=list(KEY_COLS))
+    def _slim(t: pa.Table) -> pa.Table:
+        if "content" in t.column_names:
+            if "content_sha256" not in t.column_names:
+                t = add_content_sha256(t)
+            t = t.drop_columns(["content"])
+        return t
+
+    slim = events.map_batches(_slim, batch_format="pyarrow",
+                              batch_size=None, zero_copy_batch=True)
+    shuffled = slim.repartition(num_partitions, keys=list(KEY_COLS))
     return shuffled.map_batches(scd2_history_table, batch_format="pyarrow",
                                 batch_size=None, zero_copy_batch=True)
 

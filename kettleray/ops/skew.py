@@ -187,7 +187,18 @@ def scd2_history_salted(events, *, num_partitions: int = 64,
     if hot_keys is None:
         hot_keys = detect_hot_keys(events, top_k=hot_top_k,
                                    min_count=hot_min_count)
-    salted = _add_salt(events, hot_keys, salt_factor=0, range_salt=True,
+    def _slim(t: pa.Table) -> pa.Table:
+        # hash + drop the payload before the exchange (same optimization
+        # as cdc.scd2_history: history rows carry only the sha)
+        if "content" in t.column_names:
+            if "content_sha256" not in t.column_names:
+                t = cdc.add_content_sha256(t)
+            t = t.drop_columns(["content"])
+        return t
+
+    slim = events.map_batches(_slim, batch_format="pyarrow",
+                              batch_size=None, zero_copy_batch=True)
+    salted = _add_salt(slim, hot_keys, salt_factor=0, range_salt=True,
                        window=window)
     # materialized once: both the history pass and the boundary pass read
     # the same shuffle output (otherwise the shuffle would execute twice)

@@ -60,6 +60,17 @@ class Pipeline:
         """≙ Metadata injection: a pipeline built from plain data."""
         return Pipeline(steps=list(cfg))
 
+    @staticmethod
+    def from_json(path: str) -> "Pipeline":
+        """≙ loading a .ktr: a declared pipeline from a JSON spec file
+        (a list of {"op": ..., ...} step objects)."""
+        import json
+        with open(path) as f:
+            cfg = json.load(f)
+        if not isinstance(cfg, list):
+            raise ValueError("pipeline spec must be a JSON list of steps")
+        return Pipeline.from_config(cfg)
+
 
 def _register_builtins() -> None:
     from kettleray.ops import aggregates as ag

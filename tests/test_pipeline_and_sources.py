@@ -110,3 +110,25 @@ def test_sessionize_gap_logic():
     assert by[("u", 0)] == 1 and by[("u", 10)] == 1
     assert by[("u", 1_000_000)] == 2
     assert by[("v", 5)] == 1
+
+
+def test_pipeline_from_json(tmp_path):
+    import json as _json
+    spec = [{"op": "add_constants", "constants": {"tag": "x"}}]
+    p = tmp_path / "pipe.json"
+    p.write_text(_json.dumps(spec))
+    import pyarrow as pa
+    import ray.data as rd
+    out = Pipeline.from_json(str(p)).run(
+        rd.from_arrow(pa.table({"a": [1, 2]}))).take_all()
+    assert all(r["tag"] == "x" for r in out)
+
+
+def test_sql_statements_output():
+    import pyarrow as pa
+    import ray.data as rd
+    from kettleray.io import output
+    t = pa.table({"id": [1], "name": ["O'Hara"], "x": [None]})
+    stmts = output.sql_statements(rd.from_arrow(t), "people").take_all()
+    assert stmts[0]["statement"] == \
+        "INSERT INTO people (id, name, x) VALUES (1, 'O''Hara', NULL);"
