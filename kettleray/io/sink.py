@@ -71,14 +71,20 @@ def read_manifest(root: str, version: int | None = None) -> Manifest | None:
         return Manifest.from_json(f.read())
 
 
+def _parquet_files(vdir: str) -> list[str]:
+    out = []
+    for base, _, names in os.walk(vdir):
+        for n in sorted(names):
+            if n.endswith(".parquet"):
+                out.append(os.path.join(base, n))
+    return sorted(out)
+
+
 def read_state(root: str) -> "ray.data.Dataset | None":
     v = current_version(root)
     if v is None:
         return None
-    vdir = _version_dir(root, v)
-    files = [os.path.join(vdir, f) for f in sorted(os.listdir(vdir))
-             if f.endswith(".parquet")]
-    return ray.data.read_parquet(files)
+    return ray.data.read_parquet(_parquet_files(_version_dir(root, v)))
 
 
 def commit_state(ds: "ray.data.Dataset", root: str, *, watermark: int,
@@ -179,3 +185,146 @@ def apply_incremental(root: str, events: "ray.data.Dataset", *,
     final = cdc.replay_lww(merged, num_partitions=num_partitions)
     return commit_state(final, root, watermark=new_wm,
                         metrics={"prev_watermark": wm})
+
+
+# ---------------------------------------------------------------------------
+# Bucketed state: rewrite only the buckets a batch touches (copy-on-write
+# file groups, ≙ a lake-upsert layout). Untouched buckets are HARDLINKED
+# into the new version — resumable output per SURVEY.md §7.2.5.
+# ---------------------------------------------------------------------------
+
+def add_bucket_column(ds: "ray.data.Dataset", num_buckets: int,
+                      col: str = "bucket") -> "ray.data.Dataset":
+    """Stable key bucket: crc32(repo \\x00 path) % B (process-independent,
+    unlike Python's salted hash)."""
+    import pyarrow.compute as pc
+    import zlib
+
+    def _fn(t):
+        import numpy as np
+        import pyarrow as pa
+        key = pc.binary_join_element_wise(t["repo"], t["path"], "\x00")
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        b = np.fromiter((zlib.crc32(k.encode()) % num_buckets
+                         for k in key.to_pylist()),
+                        dtype=np.int64, count=t.num_rows)
+        return t.append_column(col, pa.array(b))
+
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)
+
+
+def apply_incremental_bucketed(root: str, events: "ray.data.Dataset", *,
+                               num_buckets: int = 64,
+                               num_partitions: int = 16) -> Manifest:
+    """Incremental upsert over a bucket-partitioned state layout.
+
+    Only buckets containing keys touched by this batch are re-replayed
+    and rewritten; every other bucket's files are hardlinked from the
+    previous version (O(1) per file). At 10^10 events with micro-batches
+    touching a small key subset, this turns each commit from a full
+    table rewrite into work proportional to the touched buckets.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    man = read_manifest(root)
+    wm = man.watermark if man else -1
+
+    def _above(b):
+        return b.filter(pc.greater(b["commit_seq"], wm))
+
+    fresh = events.map_batches(_above, batch_format="pyarrow",
+                               batch_size=None, zero_copy_batch=True)
+    fresh = add_bucket_column(fresh, num_buckets).materialize()
+    if fresh.count() == 0 and man is not None:
+        return man
+    new_wm = int(fresh.max("commit_seq"))
+    touched = sorted({r["bucket"] for r in
+                      fresh.groupby("bucket").count().take_all()})
+
+    prev_v = current_version(root)
+    v = 1 if prev_v is None else prev_v + 1
+    os.makedirs(root, exist_ok=True)
+    stage = os.path.join(root, f"_stage_v{v:04d}")
+    if os.path.exists(stage):
+        shutil.rmtree(stage)
+    os.makedirs(stage)
+
+    t0 = time.time()
+    if prev_v is not None:
+        prev_dir = _version_dir(root, prev_v)
+        # hardlink untouched bucket dirs into the stage
+        for name in sorted(os.listdir(prev_dir)):
+            if not name.startswith("bucket="):
+                continue
+            b = int(name.split("=", 1)[1])
+            if b in touched:
+                continue
+            os.makedirs(os.path.join(stage, name), exist_ok=True)
+            for f in os.listdir(os.path.join(prev_dir, name)):
+                os.link(os.path.join(prev_dir, name, f),
+                        os.path.join(stage, name, f))
+        # merge touched buckets: old rows of those buckets + fresh events
+        touched_dirs = [os.path.join(prev_dir, f"bucket={b}")
+                        for b in touched
+                        if os.path.isdir(os.path.join(prev_dir,
+                                                      f"bucket={b}"))]
+        old_files = [f for d in touched_dirs for f in _parquet_files(d)]
+        if old_files:
+            old = ray.data.read_parquet(old_files)
+
+            def _as_events(b):
+                b = b.drop_columns(
+                    [c for c in ("content_sha256", "bucket")
+                     if c in b.column_names])
+                b = b.rename_columns(
+                    [c if c != "last_commit_seq" else "commit_seq"
+                     for c in b.column_names])
+                return b.append_column("op",
+                                       pa.array(["insert"] * b.num_rows))
+
+            pseudo = old.map_batches(_as_events, batch_format="pyarrow",
+                                     batch_size=None)
+            from kettleray.ops.cdc import (evolve_to_schema,
+                                           unify_event_schemas)
+            fresh_e = fresh.drop_columns(["bucket"])
+            target = unify_event_schemas(
+                [pseudo.schema().base_schema, fresh_e.schema().base_schema])
+            merged = evolve_to_schema(pseudo, target).union(
+                evolve_to_schema(fresh_e, target))
+        else:
+            merged = fresh.drop_columns(["bucket"])
+    else:
+        touched = list(range(num_buckets))
+        merged = fresh.drop_columns(["bucket"])
+
+    final = cdc.replay_lww(merged, num_partitions=num_partitions)
+    final = add_bucket_column(final, num_buckets)
+    final.write_parquet(stage, partition_cols=["bucket"])
+
+    files = []
+    for fp in _parquet_files(stage):
+        md = pq.read_metadata(fp)
+        files.append({"file": os.path.relpath(fp, stage),
+                      "rows": md.num_rows,
+                      "bytes": os.path.getsize(fp)})
+    man2 = Manifest(
+        version=v, watermark=new_wm,
+        schema=str(pq.read_schema(_parquet_files(stage)[0]))
+        if files else "",
+        files=files,
+        metrics={"write_sec": round(time.time() - t0, 3),
+                 "total_rows": sum(f["rows"] for f in files),
+                 "touched_buckets": len(touched),
+                 "num_buckets": num_buckets,
+                 "prev_watermark": wm})
+    with open(os.path.join(stage, "manifest.json"), "w") as f:
+        f.write(man2.to_json())
+    os.rename(stage, _version_dir(root, v))
+    tmp = os.path.join(root, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"version": v}, f)
+    os.rename(tmp, os.path.join(root, "CURRENT"))
+    return man2

@@ -1,0 +1,68 @@
+"""Bucketed copy-on-write state: only touched buckets rewritten,
+untouched bucket files hardlinked across versions."""
+
+import os
+
+import pyarrow as pa
+import ray.data
+
+from kettleray.gen.oracle import replay_oracle
+from kettleray.gen.synthetic import EventGenConfig, generate_events_local
+from kettleray.io import sink
+
+CFG = EventGenConfig(n_events=3000, n_repos=10, n_paths_per_repo=40,
+                     p_delete=0.08, seed=31)
+
+
+def _state(root):
+    return {(r["repo"], r["path"]): r["content_sha256"]
+            for r in sink.read_state(root).take_all()}
+
+
+def test_bucketed_incremental_correct_and_links(tmp_path):
+    root = str(tmp_path / "state")
+    events = generate_events_local(CFG)
+    half = CFG.n_events // 2
+    b1 = events.filter(pa.compute.less(events["commit_seq"], half))
+    m1 = sink.apply_incremental_bucketed(
+        root, ray.data.from_arrow(b1), num_buckets=16, num_partitions=4)
+    assert m1.version == 1 and m1.watermark == half - 1
+
+    # second batch touching only ONE key
+    one = events.filter(pa.compute.greater_equal(events["commit_seq"],
+                                                 half)).slice(0, 1)
+    m2 = sink.apply_incremental_bucketed(
+        root, ray.data.from_arrow(one), num_buckets=16, num_partitions=4)
+    assert m2.version == 2
+    assert m2.metrics["touched_buckets"] == 1
+
+    # untouched bucket files must be hardlinks (nlink >= 2)
+    v2 = os.path.join(root, "v0002")
+    linked = rewritten = 0
+    for name in os.listdir(v2):
+        if not name.startswith("bucket="):
+            continue
+        for f in os.listdir(os.path.join(v2, name)):
+            if os.stat(os.path.join(v2, name, f)).st_nlink >= 2:
+                linked += 1
+            else:
+                rewritten += 1
+    assert linked > 0 and rewritten >= 1
+
+    # final state must equal a full oracle replay of b1 + that one event
+    applied = pa.concat_tables([b1, one])
+    want = {k: v["content_sha256"]
+            for k, v in replay_oracle(applied).items()}
+    assert _state(root) == want
+
+
+def test_bucketed_rerun_is_noop(tmp_path):
+    root = str(tmp_path / "state")
+    events = generate_events_local(CFG)
+    sink.apply_incremental_bucketed(root, ray.data.from_arrow(events),
+                                    num_buckets=8, num_partitions=4)
+    before = _state(root)
+    m = sink.apply_incremental_bucketed(root, ray.data.from_arrow(events),
+                                        num_buckets=8, num_partitions=4)
+    assert m.version == 1           # watermark filter made it a no-op
+    assert _state(root) == before
