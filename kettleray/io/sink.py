@@ -28,6 +28,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Any
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 import ray.data
@@ -326,5 +327,60 @@ def apply_incremental_bucketed(root: str, events: "ray.data.Dataset", *,
     tmp = os.path.join(root, "CURRENT.tmp")
     with open(tmp, "w") as f:
         json.dump({"version": v}, f)
+    os.rename(tmp, os.path.join(root, "CURRENT"))
+    return man2
+
+
+def compact_state(root: str, *, max_files_per_bucket: int = 4) -> Manifest:
+    """Compaction for the bucketed layout: buckets accumulating more than
+    ``max_files_per_bucket`` fragments (one per incremental commit) are
+    rewritten as a single file; small buckets are hardlinked through.
+    Commits a new version atomically — the LSM merge step of the state
+    store, run out-of-band like any lake table service."""
+    v = current_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no committed state under {root}")
+    man = read_manifest(root, v)
+    prev_dir = _version_dir(root, v)
+    nv = v + 1
+    stage = os.path.join(root, f"_stage_v{nv:04d}")
+    if os.path.exists(stage):
+        shutil.rmtree(stage)
+    os.makedirs(stage)
+    t0 = time.time()
+    compacted = linked = 0
+    for name in sorted(os.listdir(prev_dir)):
+        if not name.startswith("bucket="):
+            continue
+        src = os.path.join(prev_dir, name)
+        dst = os.path.join(stage, name)
+        os.makedirs(dst, exist_ok=True)
+        frags = _parquet_files(src)
+        if len(frags) > max_files_per_bucket:
+            table = pa.concat_tables([pq.read_table(f) for f in frags])
+            pq.write_table(table, os.path.join(dst, "compacted-0.parquet"))
+            compacted += 1
+        else:
+            for f in frags:
+                os.link(f, os.path.join(dst, os.path.basename(f)))
+            linked += 1
+    files = []
+    for fp in _parquet_files(stage):
+        md = pq.read_metadata(fp)
+        files.append({"file": os.path.relpath(fp, stage),
+                      "rows": md.num_rows, "bytes": os.path.getsize(fp)})
+    man2 = Manifest(version=nv, watermark=man.watermark,
+                    schema=man.schema, files=files,
+                    metrics={"write_sec": round(time.time() - t0, 3),
+                             "total_rows": sum(f["rows"] for f in files),
+                             "compacted_buckets": compacted,
+                             "linked_buckets": linked,
+                             "compaction_of": v})
+    with open(os.path.join(stage, "manifest.json"), "w") as f:
+        f.write(man2.to_json())
+    os.rename(stage, _version_dir(root, nv))
+    tmp = os.path.join(root, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"version": nv}, f)
     os.rename(tmp, os.path.join(root, "CURRENT"))
     return man2

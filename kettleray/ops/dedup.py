@@ -228,12 +228,25 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str, *,
 
 def jaccard_verify(pairs, docs, id_col: str, text_col: str, *,
                    shingle_k: int = 3, threshold: float = 0.7):
-    """Exact n-gram Jaccard on candidate pairs. Docs table is broadcast
-    (candidate verification needs random access to both texts; the pair
-    set is assumed <<< corpus size)."""
+    """Exact n-gram Jaccard on candidate pairs. Only the texts of docs
+    that APPEAR in a candidate pair are broadcast (the pair set, not the
+    corpus, bounds memory — at web scale the corpus never fits, the
+    candidate set must)."""
     import ray
-    doc_table = pa.concat_tables(
-        ray.get(docs.select_columns([id_col, text_col]).to_arrow_refs()))
+    pairs = pairs.materialize()
+    cand_ids = set()
+    for b in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        cand_ids.update(b["doc_a"].to_pylist())
+        cand_ids.update(b["doc_b"].to_pylist())
+    id_arr = pa.array(sorted(cand_ids))
+
+    def _only_candidates(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[id_col], value_set=id_arr))
+
+    needed = docs.select_columns([id_col, text_col]).map_batches(
+        _only_candidates, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True)
+    doc_table = pa.concat_tables(ray.get(needed.to_arrow_refs()))
     ref = ray.put(doc_table)
 
     class _Verify:

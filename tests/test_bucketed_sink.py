@@ -66,3 +66,27 @@ def test_bucketed_rerun_is_noop(tmp_path):
                                         num_buckets=8, num_partitions=4)
     assert m.version == 1           # watermark filter made it a no-op
     assert _state(root) == before
+
+
+def test_compaction_merges_fragmented_buckets(tmp_path):
+    root = str(tmp_path / "state")
+    events = generate_events_local(CFG)
+    # several small commits to fragment buckets
+    step = CFG.n_events // 5
+    for i in range(5):
+        b = events.filter(pa.compute.and_(
+            pa.compute.greater_equal(events["commit_seq"], i * step),
+            pa.compute.less(events["commit_seq"], (i + 1) * step)))
+        sink.apply_incremental_bucketed(root, ray.data.from_arrow(b),
+                                        num_buckets=4, num_partitions=8)
+    before = _state(root)
+    m = sink.compact_state(root, max_files_per_bucket=1)
+    assert m.metrics["compacted_buckets"] >= 1
+    assert _state(root) == before          # compaction preserves state
+    # compacted buckets now hold a single file
+    vdir = os.path.join(root, f"v{m.version:04d}")
+    for name in os.listdir(vdir):
+        if name.startswith("bucket="):
+            files = [f for f in os.listdir(os.path.join(vdir, name))
+                     if f.endswith(".parquet")]
+            assert len(files) == 1
