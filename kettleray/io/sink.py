@@ -107,6 +107,7 @@ def commit_state(ds: "ray.data.Dataset", root: str, *, watermark: int,
         shutil.rmtree(stage)
     t0 = time.time()
     ds.write_parquet(stage)
+    os.makedirs(stage, exist_ok=True)   # empty ds writes no files at all
     try:                         # per-stage Ray execution stats -> lineage
         stats_tail = ds.stats()[-1800:]
     except Exception:
@@ -127,12 +128,28 @@ def commit_state(ds: "ray.data.Dataset", root: str, *, watermark: int,
                             **(metrics or {})})
     with open(os.path.join(stage, "manifest.json"), "w") as f:
         f.write(man.to_json())
-    os.rename(stage, final_dir)             # atomic commit of the version
+    try:
+        os.rename(stage, final_dir)         # atomic commit of the version
+    except OSError:
+        # concurrent writer won the rename race: discard our stage and
+        # return the committed manifest (the documented idempotent path).
+        if os.path.exists(final_dir):
+            shutil.rmtree(stage, ignore_errors=True)
+            return read_manifest(root, v)
+        raise
+    _write_current(root, v)
+    return man
+
+
+def _write_current(root: str, v: int) -> None:
+    """Atomically advance the CURRENT pointer (fsynced for crash safety:
+    rename alone does not guarantee the file CONTENT hit disk)."""
     tmp = os.path.join(root, "CURRENT.tmp")
     with open(tmp, "w") as f:
         json.dump({"version": v}, f)
+        f.flush()
+        os.fsync(f.fileno())
     os.rename(tmp, os.path.join(root, "CURRENT"))
-    return man
 
 
 def apply_incremental(root: str, events: "ray.data.Dataset", *,
@@ -197,19 +214,13 @@ def apply_incremental(root: str, events: "ray.data.Dataset", *,
 def add_bucket_column(ds: "ray.data.Dataset", num_buckets: int,
                       col: str = "bucket") -> "ray.data.Dataset":
     """Stable key bucket: crc32(repo \\x00 path) % B (process-independent,
-    unlike Python's salted hash)."""
-    import pyarrow.compute as pc
-    import zlib
+    unlike Python's salted hash); crc32 computed once per UNIQUE key via
+    dictionary encoding (see cdc.stable_key_buckets)."""
 
     def _fn(t):
-        import numpy as np
         import pyarrow as pa
-        key = pc.binary_join_element_wise(t["repo"], t["path"], "\x00")
-        if isinstance(key, pa.ChunkedArray):
-            key = key.combine_chunks()
-        b = np.fromiter((zlib.crc32(k.encode()) % num_buckets
-                         for k in key.to_pylist()),
-                        dtype=np.int64, count=t.num_rows)
+        from kettleray.ops.cdc import stable_key_buckets
+        b = stable_key_buckets(t, ("repo", "path"), num_buckets)
         return t.append_column(col, pa.array(b))
 
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None,
@@ -239,8 +250,13 @@ def apply_incremental_bucketed(root: str, events: "ray.data.Dataset", *,
     fresh = events.map_batches(_above, batch_format="pyarrow",
                                batch_size=None, zero_copy_batch=True)
     fresh = add_bucket_column(fresh, num_buckets).materialize()
-    if fresh.count() == 0 and man is not None:
-        return man
+    if fresh.count() == 0:
+        if man is not None:
+            return man
+        # first-ever commit with nothing above the (empty) watermark:
+        # commit an empty v0001 so downstream readers see a valid table.
+        return commit_state(fresh.drop_columns(["bucket"]), root,
+                            watermark=wm)
     new_wm = int(fresh.max("commit_seq"))
     touched = sorted({r["bucket"] for r in
                       fresh.groupby("bucket").count().take_all()})
@@ -324,10 +340,7 @@ def apply_incremental_bucketed(root: str, events: "ray.data.Dataset", *,
     with open(os.path.join(stage, "manifest.json"), "w") as f:
         f.write(man2.to_json())
     os.rename(stage, _version_dir(root, v))
-    tmp = os.path.join(root, "CURRENT.tmp")
-    with open(tmp, "w") as f:
-        json.dump({"version": v}, f)
-    os.rename(tmp, os.path.join(root, "CURRENT"))
+    _write_current(root, v)
     return man2
 
 
@@ -379,8 +392,5 @@ def compact_state(root: str, *, max_files_per_bucket: int = 4) -> Manifest:
     with open(os.path.join(stage, "manifest.json"), "w") as f:
         f.write(man2.to_json())
     os.rename(stage, _version_dir(root, nv))
-    tmp = os.path.join(root, "CURRENT.tmp")
-    with open(tmp, "w") as f:
-        json.dump({"version": nv}, f)
-    os.rename(tmp, os.path.join(root, "CURRENT"))
+    _write_current(root, nv)
     return man2

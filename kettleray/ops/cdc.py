@@ -162,6 +162,32 @@ def _composite_key_codes_strjoin(t: pa.Table, keys: Sequence[str]
     return codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
 
 
+def stable_key_buckets(t: pa.Table, keys: Sequence[str],
+                       num_buckets: int) -> np.ndarray:
+    """Process-stable bucket id per row: crc32 of the \\x00-joined
+    composite key, modulo ``num_buckets``. crc32, NOT hash(): Python's
+    str hash is per-process salted, which would route the same key to
+    different buckets from different worker processes.
+
+    Vectorization: dictionary-encode the composite key and crc32 each
+    UNIQUE key once, then scatter via the dictionary indices — per-row
+    Python cost collapses to per-unique-key cost (keys repeat heavily in
+    event streams)."""
+    import zlib
+    cols = [t[k].combine_chunks() if isinstance(t[k], pa.ChunkedArray)
+            else t[k] for k in keys]
+    key = pc.binary_join_element_wise(*cols, "\x00")
+    enc = pc.dictionary_encode(key)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    uniq = enc.dictionary.to_pylist()
+    if not uniq:
+        return np.empty(0, dtype=np.int64)
+    uh = np.fromiter((zlib.crc32(u.encode()) % num_buckets for u in uniq),
+                     dtype=np.int64, count=len(uniq))
+    return uh[enc.indices.to_numpy(zero_copy_only=False)]
+
+
 def _col_np(t: pa.Table, name: str) -> np.ndarray:
     col = t[name]
     if isinstance(col, pa.ChunkedArray):
@@ -464,10 +490,12 @@ def scd2_history_table(t: pa.Table) -> pa.Table:
     same_next = np.empty(n, dtype=bool)          # next row is same key
     same_next[:-1] = sk[1:] == sk[:-1]
     same_next[-1] = False
-    next_seq = np.empty(n, dtype=np.float64)
+    # int64 throughout + explicit has-next mask: commit_seq must NOT
+    # round-trip through float64 (a NaN sentinel silently loses precision
+    # above 2^53 — e.g. nanosecond-epoch sequence numbers).
+    next_seq = np.zeros(n, dtype=np.int64)
     next_seq[:-1] = ss[1:]
-    next_seq[-1] = np.nan
-    next_seq[~same_next] = np.nan
+    has_next = same_next                          # closing event exists
 
     if "content_sha256" in t.column_names:
         tt = t
@@ -494,14 +522,14 @@ def scd2_history_table(t: pa.Table) -> pa.Table:
     sel = order[keep_idx]
     out = tt.take(pa.array(sel, type=pa.int64()))
     vt = next_seq[keep_idx]
-    valid_to = pa.array([None if np.isnan(v) else int(v) for v in vt],
-                        type=pa.int64())
+    open_tail = ~has_next[keep_idx]
+    valid_to = pa.array(vt, type=pa.int64(), mask=open_tail)
     out = out.append_column("version",
                             pa.array(version[keep_idx], type=pa.int64()))
     out = out.append_column("valid_from_seq", out[SEQ_COL])
     out = out.append_column("valid_to_seq", valid_to)
     out = out.append_column("is_current",
-                            pa.array(np.isnan(vt), type=pa.bool_()))
+                            pa.array(open_tail, type=pa.bool_()))
     return out.select(SCD2_COLS)
 
 

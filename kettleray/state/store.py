@@ -35,22 +35,38 @@ class KeyStateStore:
         self.applied = 0
 
     def apply_table(self, t: pa.Table) -> None:
-        repo = t["repo"].to_pylist()
-        path = t["path"].to_pylist()
-        seq = t["commit_seq"].to_pylist()
-        op = t["op"].to_pylist()
-        commit = t["commit"].to_pylist()
-        lang = t["lang"].to_pylist()
-        content = t["content"].to_pylist()
+        """Vectorized pre-reduce: per-batch LWW winners (max (commit_seq,
+        commit) per key, numpy lexsort) BEFORE touching the dict — the
+        Python loop runs once per unique key per batch, not once per
+        event."""
+        n = t.num_rows
+        if n == 0:
+            return
+        from kettleray.ops.cdc import _col_np, _composite_key_codes
+        codes = _composite_key_codes(t, ("repo", "path"))
+        seq_np = _col_np(t, "commit_seq")
+        commit_np = _col_np(t, "commit")
+        order = np.lexsort((commit_np, seq_np, codes))
+        sk = codes[order]
+        last = np.empty(len(sk), dtype=bool)
+        last[:-1] = sk[1:] != sk[:-1]
+        last[-1] = True
+        win = t.take(pa.array(order[last], type=pa.int64()))
+        repo = win["repo"].to_pylist()
+        path = win["path"].to_pylist()
+        seq = win["commit_seq"].to_pylist()
+        op = win["op"].to_pylist()
+        commit = win["commit"].to_pylist()
+        lang = win["lang"].to_pylist()
+        content = win["content"].to_pylist()
         st = self.state
-        for i in range(t.num_rows):
+        for i in range(win.num_rows):
             k = (repo[i], path[i])
             cur = st.get(k)
             if cur is None or (seq[i], commit[i]) > (cur[0], cur[1]):
                 st[k] = (seq[i], commit[i], op[i], lang[i], content[i])
-        self.applied += t.num_rows
-        if t.num_rows:
-            self.watermark = max(self.watermark, max(seq))
+        self.applied += n
+        self.watermark = max(self.watermark, int(seq_np.max()))
 
     def snapshot(self, *, include_tombstones: bool = False) -> pa.Table:
         import hashlib
@@ -83,8 +99,14 @@ class KeyStateStore:
 
     def flush_segment(self, path: str) -> int:
         """LSM flush: persist current state as a Parquet segment and drop
-        the in-memory dict (bounds actor heap for hot shards)."""
+        the in-memory dict (bounds actor heap for hot shards). Watermark
+        and applied-count ride along as Parquet key-value metadata so a
+        restarted shard restores its full position, not just its rows."""
         snap = self.snapshot(include_tombstones=True)
+        meta = dict(snap.schema.metadata or {})
+        meta[b"kettleray.watermark"] = str(self.watermark).encode()
+        meta[b"kettleray.applied"] = str(self.applied).encode()
+        snap = snap.replace_schema_metadata(meta)
         pq.write_table(snap, path)
         n = len(self.state)
         self.state.clear()
@@ -99,6 +121,17 @@ class KeyStateStore:
             self.state[k] = (t["last_commit_seq"][i].as_py(),
                              t["commit"][i].as_py(), ops[i],
                              t["lang"][i].as_py(), t["content"][i].as_py())
+        meta = t.schema.metadata or {}
+        if b"kettleray.watermark" in meta:
+            self.watermark = max(self.watermark,
+                                 int(meta[b"kettleray.watermark"]))
+            self.applied = int(meta.get(b"kettleray.applied", b"0"))
+        elif t.num_rows:
+            # legacy segment without metadata: the max applied seq IS the
+            # winner of its key (it is that key's latest), so the global
+            # max over per-key winners equals the true watermark.
+            self.watermark = max(self.watermark,
+                                 max(r[0] for r in self.state.values()))
 
 
 @ray.remote
@@ -152,17 +185,9 @@ class StreamingIngestor:
         P = self.num_shards
 
         def _route(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-            import zlib
-            key = pc.binary_join_element_wise(t["repo"], t["path"], "\x00")
-            if isinstance(key, pa.ChunkedArray):
-                key = key.combine_chunks()
             import numpy as _np
-            # crc32, NOT hash(): Python's str hash is per-process salted,
-            # which would route the same key to different shards from
-            # different worker processes.
-            h = _np.array([zlib.crc32(k.encode()) % P
-                           for k in key.to_pylist()], dtype=_np.int64)
+            from kettleray.ops.cdc import stable_key_buckets
+            h = stable_key_buckets(t, ("repo", "path"), P)
             futs = []
             for shard in range(P):
                 mask = h == shard

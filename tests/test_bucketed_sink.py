@@ -90,3 +90,21 @@ def test_compaction_merges_fragmented_buckets(tmp_path):
             files = [f for f in os.listdir(os.path.join(vdir, name))
                      if f.endswith(".parquet")]
             assert len(files) == 1
+
+
+def test_bucketed_first_commit_empty_batch(tmp_path):
+    """First-ever commit whose batch is empty must not crash (commits an
+    empty v0001 instead of TypeError on max(None))."""
+    root = str(tmp_path / "state_empty")
+    empty = ray.data.from_arrow(pa.table({
+        "repo": pa.array([], pa.string()),
+        "path": pa.array([], pa.string()),
+        "commit": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()),
+        "content": pa.array([], pa.string()),
+        "op": pa.array([], pa.string()),
+        "commit_seq": pa.array([], pa.int64()),
+    }))
+    man = sink.apply_incremental_bucketed(root, empty, num_buckets=4)
+    assert man.version == 1
+    assert man.watermark == -1

@@ -132,3 +132,23 @@ def test_parse_validate_adds_sha_and_rejects_missing(events_ds):
     bad = ray.data.from_arrow(pa.table({"repo": ["x"]}))
     with pytest.raises(Exception):
         cdc.parse_validate(bad).take_all()
+
+
+def test_scd2_preserves_large_commit_seq():
+    """commit_seq above 2^53 must survive SCD2 exactly (no float64
+    round-trip of validity boundaries — nanosecond-epoch sequences)."""
+    base = 1 << 60
+    seqs = [base + 1, base + 2, base + 3]
+    t = pa.table({
+        "repo": pa.array(["r"] * 3), "path": pa.array(["p"] * 3),
+        "commit": pa.array(["a", "b", "c"]),
+        "lang": pa.array(["py"] * 3),
+        "content": pa.array(["v1", "v2", "v3"]),
+        "op": pa.array(["insert", "update", "update"]),
+        "commit_seq": pa.array(seqs, type=pa.int64()),
+    })
+    out = cdc.scd2_history_table(t)
+    rows = sorted(out.to_pylist(), key=lambda r: r["version"])
+    assert [r["valid_from_seq"] for r in rows] == seqs
+    assert [r["valid_to_seq"] for r in rows] == [seqs[1], seqs[2], None]
+    assert [r["is_current"] for r in rows] == [False, False, True]

@@ -59,3 +59,23 @@ def test_streaming_ingest_resumes_from_checkpoint(tmp_path):
         assert got == want
     finally:
         ing2.shutdown()
+
+
+def test_restored_shard_reports_watermark(tmp_path):
+    """A shard restarted from a spill segment must restore its committed
+    watermark (not report -1 and trigger full re-ingest upstream)."""
+    events = generate_events_local(CFG)
+    spill = str(tmp_path / "spill_wm")
+    ing = StreamingIngestor(num_shards=2, spill_dir=spill)
+    try:
+        ing.ingest(ray.data.from_arrow(events))
+        wm = ing.checkpoint()
+    finally:
+        ing.shutdown()
+    ing2 = StreamingIngestor(num_shards=2, spill_dir=spill)
+    try:
+        stats = ing2.stats()
+        assert {s["shard"]: s["watermark"] for s in stats} == wm
+        assert all(s["watermark"] >= 0 for s in stats)
+    finally:
+        ing2.shutdown()
