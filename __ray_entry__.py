@@ -153,8 +153,9 @@ def q_cdc_schema_evolution(sf_dir: str):
 
 def entry() -> Any:
     """Flagship: full CDC ingest on sf0.001 — derive events, validate,
-    LWW-replay through the exactly-once staged sink (manifest +
-    watermark), read the committed state back and return it."""
+    LWW-replay through the exactly-once BUCKETED sink (copy-on-write file
+    groups: a commit rewrites only touched buckets, hardlinks the rest —
+    the default incremental path), read the committed state back."""
     import shutil
     from kettleray.io import sink
     configure_ray_data()
@@ -162,8 +163,10 @@ def entry() -> Any:
     shutil.rmtree(root, ignore_errors=True)
     ev = cdc.parse_validate(derive_events("/root/testdata/sf0.001"),
                             with_sha=False)
-    sink.apply_incremental(root, ev, num_partitions=8)
-    return sink.read_state(root)
+    sink.apply_incremental_bucketed(root, ev, num_buckets=16,
+                                    num_partitions=8)
+    # drop the physical layout column: the logical state schema is stable
+    return sink.read_state(root).drop_columns(["bucket"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -125,7 +125,9 @@ def run_twopass() -> float:
 
 
 def run_incremental() -> float:
-    """Two-batch incremental apply through the exactly-once sink."""
+    """Two-batch incremental apply through the exactly-once BUCKETED sink
+    (default path: copy-on-write file groups — the second commit replays
+    only the buckets its keys touch and hardlinks the rest)."""
     import shutil
     import pyarrow.compute as pc
     import ray.data
@@ -138,14 +140,25 @@ def run_incremental() -> float:
                          p_delete=0.05, seed=43)
     t0 = time.time()
     ev = generate_events(cfg, override_num_blocks=max(16, NUM_CPUS * 2))
-    half = n // 2
-    b1 = ev.map_batches(lambda b: b.filter(pc.less(b["commit_seq"], half)),
+    cut = (n * 9) // 10
+    # backfill commit, then a repo-local micro-batch (the realistic CDC
+    # tail shape): bucketing by repo means the micro-batch rewrites only
+    # the buckets of the repos it touches, hardlinking the rest.
+    import pyarrow as pa
+    repos = pa.array(["repo_0", "repo_1", "repo_2", "repo_3"])
+    b1 = ev.map_batches(lambda b: b.filter(pc.less(b["commit_seq"], cut)),
                         batch_format="pyarrow")
     b2 = ev.map_batches(
-        lambda b: b.filter(pc.greater_equal(b["commit_seq"], half)),
+        lambda b: b.filter(pc.and_(
+            pc.greater_equal(b["commit_seq"], cut),
+            pc.is_in(b["repo"], value_set=repos))),
         batch_format="pyarrow")
-    sink.apply_incremental(root, b1, num_partitions=_num_partitions())
-    sink.apply_incremental(root, b2, num_partitions=_num_partitions())
+    sink.apply_incremental_bucketed(root, b1, num_buckets=64,
+                                    bucket_cols=("repo",),
+                                    num_partitions=_num_partitions())
+    sink.apply_incremental_bucketed(root, b2, num_buckets=64,
+                                    bucket_cols=("repo",),
+                                    num_partitions=_num_partitions())
     return time.time() - t0
 
 

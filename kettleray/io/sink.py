@@ -212,15 +212,23 @@ def apply_incremental(root: str, events: "ray.data.Dataset", *,
 # ---------------------------------------------------------------------------
 
 def add_bucket_column(ds: "ray.data.Dataset", num_buckets: int,
-                      col: str = "bucket") -> "ray.data.Dataset":
-    """Stable key bucket: crc32(repo \\x00 path) % B (process-independent,
-    unlike Python's salted hash); crc32 computed once per UNIQUE key via
-    dictionary encoding (see cdc.stable_key_buckets)."""
+                      col: str = "bucket",
+                      bucket_cols: tuple = ("repo", "path"),
+                      ) -> "ray.data.Dataset":
+    """Stable key bucket: crc32 of the \\x00-joined ``bucket_cols`` % B
+    (process-independent, unlike Python's salted hash); crc32 computed
+    once per UNIQUE key via dictionary encoding (cdc.stable_key_buckets).
+
+    ``bucket_cols`` must be a prefix-compatible grouping of the upsert
+    key (repo, path): the default buckets by the full key (uniform
+    spread); ``("repo",)`` aligns buckets with commit locality — a
+    micro-batch touching few repos rewrites few buckets — at the cost of
+    hot-repo bucket skew (compact those via compact_state)."""
 
     def _fn(t):
         import pyarrow as pa
         from kettleray.ops.cdc import stable_key_buckets
-        b = stable_key_buckets(t, ("repo", "path"), num_buckets)
+        b = stable_key_buckets(t, bucket_cols, num_buckets)
         return t.append_column(col, pa.array(b))
 
     return ds.map_batches(_fn, batch_format="pyarrow", batch_size=None,
@@ -229,7 +237,9 @@ def add_bucket_column(ds: "ray.data.Dataset", num_buckets: int,
 
 def apply_incremental_bucketed(root: str, events: "ray.data.Dataset", *,
                                num_buckets: int = 64,
-                               num_partitions: int = 16) -> Manifest:
+                               num_partitions: int = 16,
+                               bucket_cols: tuple = ("repo", "path"),
+                               ) -> Manifest:
     """Incremental upsert over a bucket-partitioned state layout.
 
     Only buckets containing keys touched by this batch are re-replayed
@@ -249,7 +259,8 @@ def apply_incremental_bucketed(root: str, events: "ray.data.Dataset", *,
 
     fresh = events.map_batches(_above, batch_format="pyarrow",
                                batch_size=None, zero_copy_batch=True)
-    fresh = add_bucket_column(fresh, num_buckets).materialize()
+    fresh = add_bucket_column(fresh, num_buckets,
+                              bucket_cols=bucket_cols).materialize()
     if fresh.count() == 0:
         if man is not None:
             return man
@@ -318,7 +329,7 @@ def apply_incremental_bucketed(root: str, events: "ray.data.Dataset", *,
         merged = fresh.drop_columns(["bucket"])
 
     final = cdc.replay_lww(merged, num_partitions=num_partitions)
-    final = add_bucket_column(final, num_buckets)
+    final = add_bucket_column(final, num_buckets, bucket_cols=bucket_cols)
     final.write_parquet(stage, partition_cols=["bucket"])
 
     files = []

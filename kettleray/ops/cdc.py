@@ -289,6 +289,38 @@ def replay_lww(events: "ray.data.Dataset", *,
                                 batch_size=None, zero_copy_batch=True)
 
 
+def _winner_hash64(t: pa.Table, seq_col: str) -> np.ndarray:
+    """64-bit mixed hash of the (repo, path, seq) winner identity.
+
+    crc32 of the \\x00-joined key is computed once per UNIQUE key
+    (dictionary encode) and mixed with the full-entropy commit_seq via a
+    murmur-style finalizer — vectorized, process-stable, 8 B per key.
+    Collisions only admit FALSE POSITIVES into the pass-2 filter (the
+    true winner's exact hash is always present) and the final per-key
+    LWW reduce removes them, so the compaction is correctness-free."""
+    import zlib
+    cols = [t[k].combine_chunks() if isinstance(t[k], pa.ChunkedArray)
+            else t[k] for k in KEY_COLS]
+    key = pc.binary_join_element_wise(*cols, "\x00")
+    enc = pc.dictionary_encode(key)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    uniq = enc.dictionary.to_pylist()
+    if not uniq:
+        return np.empty(0, dtype=np.uint64)
+    uh = np.fromiter((zlib.crc32(u.encode()) for u in uniq),
+                     dtype=np.uint64, count=len(uniq))
+    kc = uh[enc.indices.to_numpy(zero_copy_only=False)]
+    seq = _col_np(t, seq_col).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        x = (kc * np.uint64(0x9E3779B97F4A7C15)) ^ \
+            (seq * np.uint64(0xC2B2AE3D27D4EB4F))
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xFF51AFD7ED558CCD)
+        x ^= x >> np.uint64(33)
+    return x
+
+
 def replay_lww_twopass(events_factory, *, num_partitions: int = 64,
                        keep_tombstones: bool = False,
                        with_sha: bool = True) -> "ray.data.Dataset":
@@ -298,11 +330,14 @@ def replay_lww_twopass(events_factory, *, num_partitions: int = 64,
     included). At 10^10 events with multi-KB contents the shuffle IS the
     job. This variant shuffles only (repo, path, commit_seq) — ~24 B per
     event — to decide each key's winning commit_seq, broadcasts the
-    winning (key, seq) set, and filters a SECOND scan of the source down
-    to exactly the winner rows (2-5x faster than one-pass on ~1.5 KB
-    contents in back-to-back measurements; the gap grows with payload
-    width) (winning seq is unique per key, so no
-    further reduce is needed: the filtered rows ARE the final state).
+    winner identities as a COMPACTED sorted uint64 hash set (8 B per
+    live key — see _winner_hash64; the driver never materializes winner
+    strings, only the per-block hash columns), and filters a SECOND scan
+    of the source down to the winner rows (2-5x faster than one-pass on
+    ~1.5 KB contents in back-to-back measurements; the gap grows with
+    payload width). Hash false positives and redelivered duplicates are
+    both removed by the final per-key LWW reduce after the (winner-rows-
+    only) output shuffle.
 
     Trade-off: two scans of the source vs payload-free shuffle — a win
     whenever scan bandwidth > shuffle bandwidth x payload ratio (true for
@@ -311,8 +346,8 @@ def replay_lww_twopass(events_factory, *, num_partitions: int = 64,
     ``events_factory``: zero-arg callable returning the events Dataset
     (called twice — Datasets re-execute per consumption, so a factory
     makes the two-scan structure explicit). The broadcast winner set
-    bounds this variant at roughly 25-30 B x live keys of driver/worker
-    memory; beyond that, fall back to replay_lww or shard the winner set.
+    costs 8 B x live keys (e.g. 0.8 GB at 100M live keys); beyond ~1B
+    live keys fall back to replay_lww.
     """
     slim_cols = list(KEY_COLS) + [SEQ_COL, "op"]
 
@@ -324,21 +359,28 @@ def replay_lww_twopass(events_factory, *, num_partitions: int = 64,
                                         batch_size=None)
     winners = replay_lww(slim, num_partitions=num_partitions,
                          keep_tombstones=keep_tombstones, with_sha=False)
-    # winner identity = the (repo, path, commit_seq) triple; seq alone is
-    # NOT unique across keys under redelivery, so key the filter fully.
-    wt = pa.concat_tables(ray.get(winners.to_arrow_refs()))
-    win_key = pc.binary_join_element_wise(
-        wt["repo"], wt["path"],
-        pc.cast(wt["last_commit_seq"], pa.string()), "\x00")
-    if isinstance(win_key, pa.ChunkedArray):
-        win_key = win_key.combine_chunks()
-    win_ref = ray.put(win_key)
+
+    def _hash_only(t: pa.Table) -> pa.Table:
+        return pa.table({"__wh": pa.array(
+            _winner_hash64(t, "last_commit_seq"), type=pa.uint64())})
+
+    hashed = winners.map_batches(_hash_only, batch_format="pyarrow",
+                                 batch_size=None, zero_copy_batch=True)
+    # the driver pulls ONLY the 8-byte hash column of each block
+    parts = [p["__wh"].combine_chunks().to_numpy(zero_copy_only=False)
+             for p in ray.get(hashed.to_arrow_refs())]
+    wh = np.unique(np.concatenate(parts)) if parts \
+        else np.empty(0, dtype=np.uint64)
+    win_ref = ray.put(wh)
 
     def _filter_winners(t: pa.Table) -> pa.Table:
         ws = ray.get(win_ref)
-        probe = pc.binary_join_element_wise(
-            t["repo"], t["path"], pc.cast(t[SEQ_COL], pa.string()), "\x00")
-        return t.filter(pc.is_in(probe, value_set=ws))
+        if len(ws) == 0 or t.num_rows == 0:
+            return t.slice(0, 0)
+        h = _winner_hash64(t, SEQ_COL)
+        pos = np.searchsorted(ws, h)
+        pos[pos == len(ws)] = 0
+        return t.filter(pa.array(ws[pos] == h))
 
     picked = events_factory().map_batches(_filter_winners,
                                           batch_format="pyarrow",
@@ -352,7 +394,9 @@ def replay_lww_twopass(events_factory, *, num_partitions: int = 64,
                                  keys=list(KEY_COLS))
 
     def _finish(t: pa.Table) -> pa.Table:
-        return finalize_state_table(dedup_events_table(t),
+        # per-key LWW reduce: drops hash false positives AND collapses
+        # redelivered winner copies in one deterministic pass
+        return finalize_state_table(lww_reduce_table(t),
                                     keep_tombstones=keep_tombstones,
                                     with_sha=with_sha)
 

@@ -200,14 +200,13 @@ def scd2_history_salted(events, *, num_partitions: int = 64,
                               batch_size=None, zero_copy_batch=True)
     salted = _add_salt(slim, hot_keys, salt_factor=0, range_salt=True,
                        window=window)
-    # materialized once: both the history pass and the boundary pass read
-    # the same shuffle output (otherwise the shuffle would execute twice)
     shuffled = salted.repartition(num_partitions,
-                                  keys=list(KEY_COLS) + ["__salt"]) \
-        .materialize()
+                                  keys=list(KEY_COLS) + ["__salt"])
 
-    def _partial_history(t: pa.Table):
-        """Emits history rows (open-tailed per salt) + boundary rows."""
+    def _partial_history(t: pa.Table) -> pa.Table:
+        """ONE pass per shuffled block: emits history rows (open-tailed
+        per salt) AND boundary rows in a single tagged union table — the
+        SCD2 kernel runs once, not once per consumer."""
         t = cdc.dedup_events_table(t, keys=list(KEY_COLS) + ["__salt"])
         if t.num_rows == 0:
             return _empty_partial()
@@ -219,9 +218,10 @@ def scd2_history_salted(events, *, num_partitions: int = 64,
         same_next = np.empty(n, dtype=bool)
         same_next[:-1] = sk[1:] == sk[:-1]
         same_next[-1] = False
-        next_seq = np.full(n, np.nan)
+        # int64 + mask, never float64/NaN (commit_seq > 2^53 must survive)
+        next_seq = np.zeros(n, dtype=np.int64)
         next_seq[:-1] = ss[1:]
-        next_seq[~same_next] = np.nan
+        has_next = same_next
 
         tt = t if "content_sha256" in t.column_names \
             else cdc.add_content_sha256(t)
@@ -241,16 +241,15 @@ def scd2_history_salted(events, *, num_partitions: int = 64,
         sel = order[keep]
         hist = tt.take(pa.array(sel, type=pa.int64()))
         vt = next_seq[keep]
+        open_tail = ~has_next[keep]
         hist = hist.append_column("local_version",
                                   pa.array(local_version[keep],
                                            type=pa.int64()))
         hist = hist.append_column("valid_from_seq", hist[SEQ_COL])
         hist = hist.append_column(
-            "valid_to_seq",
-            pa.array([None if np.isnan(v) else int(v) for v in vt],
-                     type=pa.int64()))
+            "valid_to_seq", pa.array(vt, type=pa.int64(), mask=open_tail))
         hist = hist.append_column("open_tail",
-                                  pa.array(np.isnan(vt), type=pa.bool_()))
+                                  pa.array(open_tail, type=pa.bool_()))
         hist = hist.select(["repo", "path", "__salt", "local_version",
                             "valid_from_seq", "valid_to_seq", "open_tail",
                             "commit", "lang", "content_sha256"])
@@ -265,29 +264,32 @@ def scd2_history_salted(events, *, num_partitions: int = 64,
                                   pa.array(first_seq, type=pa.int64()))
         btab = btab.append_column("n_live",
                                   pa.array(n_live, type=pa.int64()))
-        return {"hist": hist, "bound": btab}
+        return _tag_union(hist, btab)
 
-    # run partial history; route the two outputs via a tag column union
-    def _emit(t: pa.Table):
-        res = _partial_history(t)
-        return res["hist"]
+    combined = shuffled.map_batches(_partial_history,
+                                    batch_format="pyarrow",
+                                    batch_size=None, zero_copy_batch=True) \
+        .materialize()   # consumed twice (hist + bounds); payload-light
 
-    def _emit_bounds(t: pa.Table):
-        res = _partial_history(t)
-        return res["bound"]
+    def _only(kind: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["__kind"], kind)) \
+                .drop_columns(["__kind"])
+        return fn
 
-    hist = shuffled.map_batches(_emit, batch_format="pyarrow",
-                                batch_size=None, zero_copy_batch=True) \
-        .materialize()
-    bounds = shuffled.map_batches(_emit_bounds, batch_format="pyarrow",
-                                  batch_size=None, zero_copy_batch=True)
+    hist = combined.map_batches(_only("h"), batch_format="pyarrow",
+                                batch_size=None, zero_copy_batch=True)
+    bounds_rows = [r for r in combined.map_batches(
+        _only("b"), batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True).take_all()]
 
     # ---- reconciliation (tiny): per key ordered by salt, compute version
-    # offsets and the closing seq for each salt's open tail.
-    btab = pa.Table.from_pylist(bounds.take_all())
-    stitch: dict[tuple, tuple[int | None, int]] = {}
-    if btab.num_rows:
-        rows = sorted(btab.to_pylist(),
+    # offsets and the closing seq for each salt's open tail. The stitch
+    # table is hot-keys x windows rows — broadcast as an Arrow table and
+    # applied per block with Arrow's C++ hash join, no per-row Python.
+    st_repo, st_path, st_salt, st_close, st_off = [], [], [], [], []
+    if bounds_rows:
+        rows = sorted(bounds_rows,
                       key=lambda r: (r["repo"], r["path"], r["__salt"]))
         i = 0
         while i < len(rows):
@@ -299,44 +301,94 @@ def scd2_history_salted(events, *, num_partitions: int = 64,
             offset = 0
             for k in range(i, j):
                 r = rows[k]
-                close = rows[k + 1]["first_seq"] if k + 1 < j else None
-                stitch[(r["repo"], r["path"], r["__salt"])] = \
-                    (close, offset)
+                st_repo.append(r["repo"])
+                st_path.append(r["path"])
+                st_salt.append(r["__salt"])
+                st_close.append(rows[k + 1]["first_seq"]
+                                if k + 1 < j else None)
+                st_off.append(offset)
                 offset += r["n_live"]
             i = j
-    stitch_ref = ray.put(stitch)
+    stitch_tbl = pa.table({
+        "repo": pa.array(st_repo, type=pa.string()),
+        "path": pa.array(st_path, type=pa.string()),
+        "__salt": pa.array(st_salt, type=pa.int64()),
+        "__close": pa.array(st_close, type=pa.int64()),
+        "__offset": pa.array(st_off, type=pa.int64()),
+    })
+    stitch_ref = ray.put(stitch_tbl)
 
     def _apply_stitch(t: pa.Table) -> pa.Table:
-        st = ray.get(stitch_ref)
         if t.num_rows == 0:
             return _scd2_select(t)
-        repo = t["repo"].to_pylist()
-        path = t["path"].to_pylist()
-        salt = t["__salt"].to_pylist()
-        open_tail = cdc._col_np(t, "open_tail")
-        lv = cdc._col_np(t, "local_version")
-        vt = t["valid_to_seq"].to_pylist()
-        version = np.empty(t.num_rows, dtype=np.int64)
-        is_current = np.zeros(t.num_rows, dtype=bool)
-        for i in range(t.num_rows):
-            close, offset = st.get((repo[i], path[i], salt[i]), (None, 0))
-            version[i] = lv[i] + offset
-            if open_tail[i]:
-                if close is None:
-                    is_current[i] = True
-                else:
-                    vt[i] = close
-        t = t.drop_columns(["local_version", "open_tail", "__salt",
-                            "valid_to_seq"])
-        t = t.append_column("version", pa.array(version, type=pa.int64()))
-        t = t.append_column("valid_to_seq",
-                            pa.array(vt, type=pa.int64()))
-        t = t.append_column("is_current",
+        st = ray.get(stitch_ref)
+        j = t.join(st, keys=["repo", "path", "__salt"],
+                   join_type="left outer")
+        lv = cdc._col_np(j, "local_version")
+        off = pc.fill_null(j["__offset"], 0)
+        if isinstance(off, pa.ChunkedArray):
+            off = off.combine_chunks()
+        version = lv + off.to_numpy(zero_copy_only=False)
+        open_tail = cdc._col_np(j, "open_tail")
+        close = j["__close"].combine_chunks() \
+            if isinstance(j["__close"], pa.ChunkedArray) else j["__close"]
+        close_valid = pc.is_valid(close).to_numpy(zero_copy_only=False)
+        close_np = pc.fill_null(close, 0).to_numpy(zero_copy_only=False)
+        vt = j["valid_to_seq"].combine_chunks() \
+            if isinstance(j["valid_to_seq"], pa.ChunkedArray) \
+            else j["valid_to_seq"]
+        vt_valid = pc.is_valid(vt).to_numpy(zero_copy_only=False)
+        vt_np = pc.fill_null(vt, 0).to_numpy(zero_copy_only=False)
+        stitched = open_tail & close_valid
+        new_vt = np.where(stitched, close_np, vt_np)
+        new_vt_valid = vt_valid | stitched
+        is_current = open_tail & ~close_valid
+        j = j.drop_columns(["local_version", "open_tail", "__salt",
+                            "valid_to_seq", "__close", "__offset"])
+        j = j.append_column("version", pa.array(version, type=pa.int64()))
+        j = j.append_column("valid_to_seq",
+                            pa.array(new_vt, type=pa.int64(),
+                                     mask=~new_vt_valid))
+        j = j.append_column("is_current",
                             pa.array(is_current, type=pa.bool_()))
-        return _scd2_select(t)
+        return _scd2_select(j)
 
     return hist.map_batches(_apply_stitch, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def _tag_union(hist: pa.Table, bound: pa.Table) -> pa.Table:
+    """Union the history and boundary outputs into one tagged table
+    (null-backfilled columns) so one kernel pass serves both consumers."""
+    all_cols = list(dict.fromkeys(hist.column_names + bound.column_names))
+
+    def _conform(t: pa.Table, kind: str) -> pa.Table:
+        arrays, fields = [], []
+        for c in all_cols:
+            if c in t.column_names:
+                col = t[c]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                arrays.append(col)
+                fields.append(pa.field(c, col.type))
+            else:
+                typ = _UNION_TYPES[c]
+                arrays.append(pa.nulls(t.num_rows, type=typ))
+                fields.append(pa.field(c, typ))
+        arrays.append(pa.array([kind] * t.num_rows, type=pa.string()))
+        fields.append(pa.field("__kind", pa.string()))
+        return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+
+    return pa.concat_tables([_conform(hist, "h"), _conform(bound, "b")])
+
+
+_UNION_TYPES = {
+    "local_version": pa.int64(), "valid_from_seq": pa.int64(),
+    "valid_to_seq": pa.int64(), "open_tail": pa.bool_(),
+    "commit": pa.string(), "lang": pa.string(),
+    "content_sha256": pa.string(), "first_seq": pa.int64(),
+    "n_live": pa.int64(),
+}
 
 
 def _scd2_select(t: pa.Table) -> pa.Table:
@@ -347,7 +399,7 @@ def _scd2_select(t: pa.Table) -> pa.Table:
     return t.select(cols)
 
 
-def _empty_partial():
+def _empty_partial() -> pa.Table:
     hist = pa.table({
         "repo": pa.array([], pa.string()),
         "path": pa.array([], pa.string()),
@@ -367,4 +419,4 @@ def _empty_partial():
         "first_seq": pa.array([], pa.int64()),
         "n_live": pa.array([], pa.int64()),
     })
-    return {"hist": hist, "bound": bound}
+    return _tag_union(hist, bound)
