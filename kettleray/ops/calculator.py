@@ -48,6 +48,251 @@ def _levenshtein(x: str | None, y: str | None) -> int | None:
     return prev[-1]
 
 
+def _jaro(x: str | None, y: str | None) -> float | None:
+    """Standard Jaro similarity (matches DuckDB jaro_similarity and
+    commons-codec)."""
+    if x is None or y is None:
+        return None
+    if x == y:
+        return 1.0
+    lx, ly = len(x), len(y)
+    if lx == 0 or ly == 0:
+        return 0.0
+    window = max(lx, ly) // 2 - 1
+    xm = [False] * lx
+    ym = [False] * ly
+    m = 0
+    for i, cx in enumerate(x):
+        lo = max(0, i - window)
+        hi = min(ly, i + window + 1)
+        for j in range(lo, hi):
+            if not ym[j] and y[j] == cx:
+                xm[i] = ym[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(lx):
+        if xm[i]:
+            while not ym[j]:
+                j += 1
+            if x[i] != y[j]:
+                t += 1
+            j += 1
+    t //= 2
+    return (m / lx + m / ly + (m - t) / m) / 3.0
+
+
+def _jaro_winkler(x: str | None, y: str | None, *, p: float = 0.1,
+                  boost: float = 0.7) -> float | None:
+    """Jaro-Winkler with the standard 0.7 boost threshold and max-4
+    common prefix (matches DuckDB jaro_winkler_similarity)."""
+    j = _jaro(x, y)
+    if j is None:
+        return None
+    if j > boost:
+        l = 0
+        for a, b in zip(x[:4], y[:4]):
+            if a != b:
+                break
+            l += 1
+        j += l * p * (1.0 - j)
+    return j
+
+
+def _damerau_osa(x: str | None, y: str | None) -> int | None:
+    """Optimal-string-alignment Damerau-Levenshtein (adjacent
+    transposition counts 1; the variant Kettle's Utils implements)."""
+    if x is None or y is None:
+        return None
+    lx, ly = len(x), len(y)
+    prev2: list[int] = []
+    prev = list(range(ly + 1))
+    for i in range(1, lx + 1):
+        cur = [i] + [0] * ly
+        for j in range(1, ly + 1):
+            cost = 0 if x[i - 1] == y[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (i > 1 and j > 1 and x[i - 1] == y[j - 2]
+                    and x[i - 2] == y[j - 1]):
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+        prev2, prev = prev, cur
+    return prev[ly]
+
+
+_METAPHONE_VOWELS = "AEIOU"
+
+
+def _metaphone(s: str | None, max_len: int = 4) -> str | None:
+    """Classic Lawrence Philips Metaphone (commons-codec Metaphone
+    semantics, default code length 4) — ≙ Calculator METAPHONE."""
+    if s is None:
+        return None
+    w = "".join(ch for ch in s.upper() if ch.isalpha())
+    if not w:
+        return ""
+    if len(w) == 1:
+        return w
+    # initial-letter transforms
+    first2 = w[:2]
+    if first2 in ("AE", "GN", "KN", "PN", "WR"):
+        w = w[1:]
+    elif first2 == "WH":
+        w = "W" + w[2:]
+    elif w[0] == "X":
+        w = "S" + w[1:]
+    out = []
+    n = len(w)
+    i = 0
+    while i < n and len(out) < max_len:
+        c = w[i]
+        if c != "C" and i > 0 and w[i - 1] == c:
+            i += 1
+            continue
+        # "\0" sentinel, NOT "": `"" in "EIY"` is vacuously True in Python
+        nxt = w[i + 1] if i + 1 < n else "\0"
+        nxt2 = w[i + 2] if i + 2 < n else "\0"
+        if c in _METAPHONE_VOWELS:
+            if i == 0:
+                out.append(c)
+        elif c == "B":
+            if not (i == n - 1 and i > 0 and w[i - 1] == "M"):
+                out.append("B")
+        elif c == "C":
+            if nxt == "I" and nxt2 == "A":
+                out.append("X")
+            elif nxt == "H":
+                if i > 0 and w[i - 1] == "S":
+                    out.append("K")
+                else:
+                    out.append("X")
+            elif nxt in "IEY":
+                if i > 0 and w[i - 1] == "S":
+                    pass
+                else:
+                    out.append("S")
+            else:
+                out.append("K")
+        elif c == "D":
+            if nxt == "G" and nxt2 in "EIY":
+                out.append("J")
+                i += 2
+            else:
+                out.append("T")
+        elif c == "G":
+            if nxt == "H":
+                if not (i + 2 == n or w[i + 2] in _METAPHONE_VOWELS):
+                    pass            # silent GH
+                else:
+                    out.append("K")
+                    i += 1
+            elif nxt == "N":
+                pass                # silent as in GNAT tail
+            elif nxt in "EIY":
+                out.append("J")
+            else:
+                out.append("K")
+        elif c == "H":
+            if i > 0 and w[i - 1] in _METAPHONE_VOWELS and \
+                    nxt not in _METAPHONE_VOWELS:
+                pass
+            elif i > 0 and w[i - 1] in "CSPTG":
+                pass
+            else:
+                out.append("H")
+        elif c in "FJLMNR":
+            out.append(c)
+        elif c == "K":
+            if i == 0 or w[i - 1] != "C":
+                out.append("K")
+        elif c == "P":
+            out.append("F" if nxt == "H" else "P")
+            if nxt == "H":
+                i += 1
+        elif c == "Q":
+            out.append("K")
+        elif c == "S":
+            if nxt == "H":
+                out.append("X")
+                i += 1
+            elif nxt == "I" and nxt2 in "OA":
+                out.append("X")
+            else:
+                out.append("S")
+        elif c == "T":
+            if nxt == "H":
+                out.append("0")
+                i += 1
+            elif nxt == "I" and nxt2 in "OA":
+                out.append("X")
+            else:
+                out.append("T")
+        elif c == "V":
+            out.append("F")
+        elif c == "W":
+            if nxt in _METAPHONE_VOWELS:
+                out.append("W")
+        elif c == "X":
+            out.append("K")
+            if len(out) < max_len:
+                out.append("S")
+        elif c == "Y":
+            if nxt in _METAPHONE_VOWELS:
+                out.append("Y")
+        elif c == "Z":
+            out.append("S")
+        i += 1
+    return "".join(out[:max_len])
+
+
+def _refined_soundex(s: str | None) -> str | None:
+    """commons-codec RefinedSoundex: first letter + full digit string
+    (no length-4 truncation, no H/W skip rule)."""
+    if not s:
+        return None
+    w = "".join(ch for ch in s.upper() if ch.isalpha())
+    if not w:
+        return None
+    codes = {**dict.fromkeys("BP", "1"), **dict.fromkeys("FV", "2"),
+             **dict.fromkeys("CKS", "3"), **dict.fromkeys("GJ", "4"),
+             **dict.fromkeys("QXZ", "5"), **dict.fromkeys("DT", "6"),
+             "L": "7", **dict.fromkeys("MN", "8"), "R": "9",
+             **dict.fromkeys("AEIOUYHW", "0")}
+    out = w[0]
+    last = None
+    for ch in w:
+        code = codes.get(ch, "")
+        if code != last:
+            out += code
+        last = code
+    return out
+
+
+def _add_months(ts, months: int):
+    """Calendar-correct month add with day clamping (Jan 31 + 1 month ->
+    Feb 28/29) — java.util.Calendar.add semantics."""
+    import calendar
+    if ts is None:
+        return None
+    y = ts.year + (ts.month - 1 + months) // 12
+    m = (ts.month - 1 + months) % 12 + 1
+    d = min(ts.day, calendar.monthrange(y, m)[1])
+    return ts.replace(year=y, month=m, day=d)
+
+
+def _last_day_of_month(ts):
+    import calendar
+    if ts is None:
+        return None
+    return ts.replace(day=calendar.monthrange(ts.year, ts.month)[1])
+
+
+_XML_ESCAPES = [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+                ('"', "&quot;"), ("'", "&apos;")]
+
+
 def _soundex(s: str | None) -> str | None:
     """Standard American Soundex."""
     if not s:
@@ -147,14 +392,85 @@ def _eval(t: pa.Table, op: CalcOp):
         return pc.find_substring(A, pattern=B)
     if f == "reverse":
         return pc.utf8_reverse(A)
-    if f == "levenshtein":
+    if f in ("levenshtein", "jaro", "jaro_winkler", "damerau_levenshtein"):
         av = _apply_py(A, lambda v: v)
         bv = [B] * len(av) if isinstance(B, str) else \
             _apply_py(B, lambda v: v)
-        return pa.array([_levenshtein(x, y) for x, y in zip(av, bv)],
-                        type=pa.int64())
+        fn = {"levenshtein": _levenshtein, "jaro": _jaro,
+              "jaro_winkler": _jaro_winkler,
+              "damerau_levenshtein": _damerau_osa}[f]
+        typ = pa.int64() if f in ("levenshtein",
+                                  "damerau_levenshtein") else pa.float64()
+        return pa.array([fn(x, y) for x, y in zip(av, bv)], type=typ)
     if f == "soundex":
         return pa.array(_apply_py(A, _soundex), type=pa.string())
+    if f == "refined_soundex":
+        return pa.array(_apply_py(A, _refined_soundex), type=pa.string())
+    if f == "metaphone":
+        ln = int(op.const_b) if op.const_b is not None else 4
+        return pa.array(_apply_py(A, lambda v: _metaphone(v, ln)),
+                        type=pa.string())
+    if f == "double_metaphone":
+        # primary code of the double-metaphone pair; the alternate code
+        # differs only for ~10% of names — exposed as a second op if
+        # needed (ref calculator/CalculatorMetaFunction.java
+        # CALC_DOUBLE_METAPHONE delegates to commons-codec)
+        from kettleray.ops.phonetics import double_metaphone
+        return pa.array(_apply_py(A, lambda v: None if v is None
+                                  else double_metaphone(v)[0]),
+                        type=pa.string())
+    # --- string cleanup / escape family (vectorized pc kernels) ---
+    if f == "left":
+        return pc.utf8_slice_codeunits(A, start=0, stop=int(B))
+    if f == "right":
+        import numpy as np
+        ln = pc.utf8_length(A)
+        k = int(B)
+        # slice per row from len-k: use reverse trick (vectorized)
+        rev = pc.utf8_reverse(A)
+        return pc.utf8_reverse(
+            pc.utf8_slice_codeunits(rev, start=0, stop=k))
+    if f == "remove_cr":
+        return pc.replace_substring(A, pattern="\r", replacement="")
+    if f == "remove_lf":
+        return pc.replace_substring(A, pattern="\n", replacement="")
+    if f == "remove_crlf":
+        return pc.replace_substring(
+            pc.replace_substring(A, pattern="\r", replacement=""),
+            pattern="\n", replacement="")
+    if f == "remove_tab":
+        return pc.replace_substring(A, pattern="\t", replacement="")
+    if f == "get_only_digits":
+        return pc.replace_substring_regex(A, pattern=r"[^0-9]",
+                                          replacement="")
+    if f == "remove_digits":
+        return pc.replace_substring_regex(A, pattern=r"[0-9]",
+                                          replacement="")
+    if f in ("escape_xml", "mask_xml"):
+        out = A
+        for raw, ent in _XML_ESCAPES:
+            out = pc.replace_substring(out, pattern=raw, replacement=ent)
+        return out
+    if f == "unescape_xml":
+        out = A
+        for raw, ent in reversed(_XML_ESCAPES):
+            out = pc.replace_substring(out, pattern=ent, replacement=raw)
+        return out
+    if f == "escape_sql":
+        return pc.replace_substring(A, pattern="'", replacement="''")
+    if f == "use_cdata":
+        return pc.binary_join_element_wise(
+            "<![CDATA[", pc.cast(A, pa.string()), "]]>", "")
+    if f == "hex_encode":
+        import binascii
+        return pa.array(_apply_py(A, lambda v: None if v is None else
+                                  binascii.hexlify(v.encode()).decode()
+                                  .upper()), type=pa.string())
+    if f == "hex_decode":
+        import binascii
+        return pa.array(_apply_py(A, lambda v: None if v is None else
+                                  binascii.unhexlify(v).decode()),
+                        type=pa.string())
     if f == "urlencode":
         from urllib.parse import quote
         return pa.array(_apply_py(A, lambda v: None if v is None
@@ -208,6 +524,60 @@ def _eval(t: pa.Table, op: CalcOp):
         return pc.floor_temporal(A, unit="month")
     if f == "truncate_day":
         return pc.floor_temporal(A, unit="day")
+    if f == "hour":
+        return pc.hour(A)
+    if f == "minute":
+        return pc.minute(A)
+    if f == "second":
+        return pc.second(A)
+    if f == "iso_year":
+        return pc.iso_year(A)
+    if f == "add_months":
+        months = int(B)
+        return pa.array(_apply_py(A, lambda v: _add_months(v, months)),
+                        type=pa.timestamp("us"))
+    if f == "add_years":
+        months = int(B) * 12
+        return pa.array(_apply_py(A, lambda v: _add_months(v, months)),
+                        type=pa.timestamp("us"))
+    if f == "last_day_of_month":
+        return pa.array(_apply_py(A, _last_day_of_month),
+                        type=pa.timestamp("us"))
+    if f in ("add_hours", "add_minutes", "add_seconds"):
+        unit_us = {"add_hours": 3_600_000_000,
+                   "add_minutes": 60_000_000,
+                   "add_seconds": 1_000_000}[f]
+        import datetime
+        if isinstance(B, (int, float)):
+            return pc.add(A, pa.scalar(
+                datetime.timedelta(microseconds=int(B) * unit_us),
+                type=pa.duration("us")))
+        return pc.add(A, pc.cast(pc.multiply(pc.cast(B, pa.int64()),
+                                             unit_us), pa.duration("us")))
+    if f == "add_time_to_date":
+        # ≙ CALC_ADD_TIME_TO_DATE: seconds-of-day field B onto date A
+        return pc.add(pc.floor_temporal(A, unit="day"),
+                      pc.cast(pc.multiply(pc.cast(B, pa.int64()),
+                                          1_000_000), pa.duration("us")))
+    if f == "date_diff_ms":
+        return pc.milliseconds_between(B, A)   # A - B in ms
+    # --- extra arithmetic ---
+    if f == "square":
+        return pc.multiply(A, A)
+    if f == "hypot":
+        return pc.sqrt(pc.add(pc.multiply(A, A), pc.multiply(B, B)))
+    if f == "percent_add":       # A + A*B%
+        return pc.add(A, pc.divide(pc.multiply(
+            pc.cast(A, pa.float64()), B), 100.0))
+    if f == "percent_subtract":  # A - A*B%
+        return pc.subtract(A, pc.divide(pc.multiply(
+            pc.cast(A, pa.float64()), B), 100.0))
+    if f == "adler32":
+        import zlib
+        return pa.array(_apply_py(pc.cast(A, pa.string()),
+                                  lambda v: None if v is None else
+                                  zlib.adler32(v.encode())),
+                        type=pa.int64())
     raise ValueError(f"unknown calculator function {op.fn!r}")
 
 

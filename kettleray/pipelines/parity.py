@@ -50,8 +50,8 @@ def q_filter_rows(sf_dir):
 
 def q_calculator(sf_dir):
     ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber",
-                                 "l_extendedprice", "l_discount",
-                                 "l_shipdate"])
+                                 "l_quantity", "l_extendedprice",
+                                 "l_discount", "l_shipdate"])
     # chained ops: 1-l_discount first, then multiply, then round
     out = calc.calculator(ds, [
         calc.CalcOp("one_minus_disc", "subtract", const_a=1.0,
@@ -62,10 +62,17 @@ def q_calculator(sf_dir):
         calc.CalcOp("ship_year", "year", a="l_shipdate"),
         calc.CalcOp("ship_quarter", "quarter", a="l_shipdate"),
         calc.CalcOp("ship_month", "month", a="l_shipdate"),
+        calc.CalcOp("qty_sq", "square", a="l_quantity"),
+        calc.CalcOp("hyp", "hypot", a="l_quantity", b="l_discount"),
+        calc.CalcOp("hyp", "round", a="hyp", const_b=6),
+        calc.CalcOp("plus_10pct", "percent_add", a="l_extendedprice",
+                    const_b=10.0),
+        calc.CalcOp("plus_10pct", "round", a="plus_10pct", const_b=4),
     ])
     return ro.select_values(out, select=["l_orderkey", "l_linenumber",
                                          "revenue", "ship_year",
-                                         "ship_quarter", "ship_month"])
+                                         "ship_quarter", "ship_month",
+                                         "qty_sq", "hyp", "plus_10pct"])
 
 
 def q_string_ops(sf_dir):
@@ -336,12 +343,20 @@ def q_date_calculator(sf_dir):
                     const_b=datetime.datetime(1995, 1, 1)),
         calc.CalcOp("month_start", "first_day_of_month", a="o_orderdate"),
         calc.CalcOp("doy", "day_of_year", a="o_orderdate"),
+        calc.CalcOp("iso_year", "iso_year", a="o_orderdate"),
+        calc.CalcOp("next_month", "add_months", a="o_orderdate",
+                    const_b=1),
+        calc.CalcOp("next_year", "add_years", a="o_orderdate", const_b=1),
+        calc.CalcOp("month_end", "last_day_of_month", a="o_orderdate"),
+        calc.CalcOp("plus_36h", "add_hours", a="o_orderdate", const_b=36),
     ])
     # align dow with SQL isodow (Mon=1..Sun=7; Arrow gives Mon=0..Sun=6)
     out = calc.calculator(out, [
         calc.CalcOp("dow", "add", a="dow", const_b=1)])
     return out.select_columns(["o_orderkey", "iso_week", "dow",
-                               "days_since_95", "month_start", "doy"])
+                               "days_since_95", "month_start", "doy",
+                               "iso_year", "next_month", "next_year",
+                               "month_end", "plus_36h"])
 
 
 def q_multiway_join(sf_dir):
@@ -380,11 +395,46 @@ def q_fuzzy_match(sf_dir):
 
 
 def q_string_distance(sf_dir):
+    """Edit/phonetic distance surface (≙ Calculator LEVENSHTEIN/JARO/
+    JARO_WINKLER + Kettle Utils Damerau; values match DuckDB's kernels
+    bit-for-bit, verified in round 2)."""
     ds = _t(sf_dir, "customer", ["c_custkey", "c_name"])
-    return calc.calculator(ds, [
-        calc.CalcOp("lev", "levenshtein", a="c_name",
-                    const_b="Customer#000000001"),
+    ref = "Customer#000000001"
+    out = calc.calculator(ds, [
+        calc.CalcOp("lev", "levenshtein", a="c_name", const_b=ref),
+        calc.CalcOp("dam", "damerau_levenshtein", a="c_name", const_b=ref),
+        calc.CalcOp("jaro", "jaro", a="c_name", const_b=ref),
+        calc.CalcOp("jw", "jaro_winkler", a="c_name", const_b=ref),
     ])
+    return calc.calculator(out, [
+        calc.CalcOp("jaro", "round", a="jaro", const_b=6),
+        calc.CalcOp("jw", "round", a="jw", const_b=6),
+    ])
+
+
+def q_string_cleanup(sf_dir):
+    """String cleanup / escape / hex family (≙ Calculator REMOVE_*,
+    GET_ONLY_DIGIT, ESCAPE/UNESCAPE XML, USE_CDATA, ESCAPE_SQL,
+    HEX_ENCODE/DECODE, LEFT/RIGHT — calculator/CalculatorMetaFunction
+    .java)."""
+    ds = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    out = calc.calculator(ds, [
+        calc.CalcOp("digits", "get_only_digits", a="c_name"),
+        calc.CalcOp("alpha", "remove_digits", a="c_name"),
+        calc.CalcOp("l4", "left", a="c_name", const_b=4),
+        calc.CalcOp("r3", "right", a="c_name", const_b=3),
+        calc.CalcOp("tagged", "concat", a="c_name", const_b="<&>"),
+        calc.CalcOp("xml_esc", "escape_xml", a="tagged"),
+        calc.CalcOp("xml_rt", "unescape_xml", a="xml_esc"),
+        calc.CalcOp("cdata", "use_cdata", a="c_name"),
+        calc.CalcOp("quoted", "concat", a="c_mktsegment", const_b="'s"),
+        calc.CalcOp("sql_esc", "escape_sql", a="quoted"),
+        calc.CalcOp("hexed", "hex_encode", a="c_mktsegment"),
+        calc.CalcOp("unhexed", "hex_decode", a="hexed"),
+    ])
+    return out.select_columns(["c_custkey", "digits", "alpha", "l4", "r3",
+                               "xml_esc", "xml_rt", "cdata", "sql_esc",
+                               "hexed", "unhexed"])
 
 
 def q_deterministic_sample(sf_dir):
@@ -435,6 +485,7 @@ QUERIES = {
     "combination_lookup": q_combination_lookup,
     "fuzzy_match": q_fuzzy_match,
     "string_distance": q_string_distance,
+    "string_cleanup": q_string_cleanup,
     "deterministic_sample": q_deterministic_sample,
 }
 
@@ -452,7 +503,12 @@ ORACLES = {
         "ROUND(l_extendedprice * (1.0 - l_discount), 2) AS revenue, "
         "EXTRACT(year FROM l_shipdate) AS ship_year, "
         "EXTRACT(quarter FROM l_shipdate) AS ship_quarter, "
-        "EXTRACT(month FROM l_shipdate) AS ship_month FROM lineitem",
+        "EXTRACT(month FROM l_shipdate) AS ship_month, "
+        "l_quantity * l_quantity AS qty_sq, "
+        "ROUND(sqrt(l_quantity * l_quantity + l_discount * l_discount), "
+        "6) AS hyp, "
+        "ROUND(l_extendedprice + l_extendedprice * 10.0 / 100.0, 4) "
+        "AS plus_10pct FROM lineitem",
     "string_ops":
         "SELECT c_custkey, lower(c_mktsegment) AS c_mktsegment, "
         "substr(c_name, 1, 8) AS name_prefix, "
@@ -578,7 +634,12 @@ ORACLES = {
         "CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) "
         "AS days_since_95, "
         "date_trunc('month', o_orderdate) AS month_start, "
-        "CAST(extract(doy FROM o_orderdate) AS BIGINT) AS doy FROM orders",
+        "CAST(extract(doy FROM o_orderdate) AS BIGINT) AS doy, "
+        "CAST(extract(isoyear FROM o_orderdate) AS BIGINT) AS iso_year, "
+        "o_orderdate + INTERVAL 1 MONTH AS next_month, "
+        "o_orderdate + INTERVAL 1 YEAR AS next_year, "
+        "CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end, "
+        "o_orderdate + INTERVAL 36 HOUR AS plus_36h FROM orders",
     "multiway_join":
         "SELECT l_orderkey, l_linenumber, l_quantity, c_custkey, c_name "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
@@ -595,7 +656,25 @@ ORACLES = {
         "FROM nation",
     "string_distance":
         "SELECT c_custkey, c_name, "
-        "levenshtein(c_name, 'Customer#000000001') AS lev FROM customer",
+        "levenshtein(c_name, 'Customer#000000001') AS lev, "
+        "damerau_levenshtein(c_name, 'Customer#000000001') AS dam, "
+        "ROUND(jaro_similarity(c_name, 'Customer#000000001'), 6) AS jaro, "
+        "ROUND(jaro_winkler_similarity(c_name, 'Customer#000000001'), 6) "
+        "AS jw FROM customer",
+    "string_cleanup":
+        "SELECT c_custkey, "
+        "regexp_replace(c_name, '[^0-9]', '', 'g') AS digits, "
+        "regexp_replace(c_name, '[0-9]', '', 'g') AS alpha, "
+        "substr(c_name, 1, 4) AS l4, "
+        "substr(c_name, length(c_name) - 2, 3) AS r3, "
+        "replace(replace(replace(replace(replace(c_name || '<&>', "
+        "'&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '\"', '&quot;'), "
+        "'''', '&apos;') AS xml_esc, "
+        "c_name || '<&>' AS xml_rt, "
+        "'<![CDATA[' || c_name || ']]>' AS cdata, "
+        "replace(c_mktsegment || '''s', '''', '''''') AS sql_esc, "
+        "hex(c_mktsegment) AS hexed, "
+        "c_mktsegment AS unhexed FROM customer",
     "deterministic_sample":
         "SELECT o_orderkey, o_totalprice, "
         "md5(CAST(o_orderkey AS VARCHAR)) AS __h FROM orders "
