@@ -170,3 +170,80 @@ def get_file_names(root: str, *, pattern: str = "**/*"):
 def load_file_content(paths):
     """≙ Load file content in memory: whole file -> one binary row."""
     return ray.data.read_binary_files(paths, include_paths=True)
+
+
+def generate_random_values(n: int, fields: Mapping[str, str], *,
+                           seed: int = 42, num_blocks: int | None = None):
+    """≙ Generate random value (generaterandomvalue/RandomValue.java):
+    n rows of seeded random columns. Types: 'number' (uniform [0,1)),
+    'integer' (int64), 'string' (16-hex chars), 'uuid'.
+
+    Deterministic AND distribution-friendly: value = pure function of
+    (row index, column, seed) via splitmix64 — no RNG state shared
+    across blocks, so any partitioning yields the same table."""
+    from kettleray.gen.synthetic import _mix64, _unit
+    import numpy as np
+
+    ds = ray.data.range(n, override_num_blocks=num_blocks)
+
+    def _fn(batch: dict) -> pa.Table:
+        idx = batch["id"].astype(np.int64)
+        cols: dict[str, pa.Array] = {"id": pa.array(idx)}
+        for j, (name, typ) in enumerate(sorted(fields.items())):
+            salt = seed * 1000 + j
+            if typ == "number":
+                cols[name] = pa.array(_unit(idx, salt))
+            elif typ == "integer":
+                cols[name] = pa.array(
+                    _mix64(idx, salt).astype(np.int64))
+            elif typ == "string":
+                h = _mix64(idx, salt)
+                cols[name] = pa.array(
+                    [format(int(v), "016x") for v in h],
+                    type=pa.string())
+            elif typ == "uuid":
+                import uuid
+                h1, h2 = _mix64(idx, salt), _mix64(idx, salt + 1)
+                cols[name] = pa.array(
+                    [str(uuid.UUID(int=(int(a) << 64) | int(b)))
+                     for a, b in zip(h1, h2)], type=pa.string())
+            else:
+                raise ValueError(f"unknown random type {typ!r}")
+        return pa.table(cols)
+
+    return ds.map_batches(_fn, batch_format="numpy")
+
+
+def get_system_info(fields: Sequence[str] = ("system_date", "hostname",
+                                             "os_name", "cpu_count")):
+    """≙ Get system info (systemdata/SystemData.java): one row of system
+    facts — driver-evaluated once (system data is per-run constant, not
+    per-record)."""
+    import datetime
+    import os
+    import platform
+    import socket
+
+    vals: dict[str, Any] = {}
+    for f in fields:
+        if f == "system_date":
+            vals[f] = datetime.datetime.now()
+        elif f == "system_date_utc":
+            vals[f] = datetime.datetime.utcnow()
+        elif f == "hostname":
+            vals[f] = socket.gethostname()
+        elif f == "os_name":
+            vals[f] = platform.system()
+        elif f == "os_version":
+            vals[f] = platform.release()
+        elif f == "python_version":
+            vals[f] = platform.python_version()
+        elif f == "cpu_count":
+            vals[f] = os.cpu_count()
+        elif f == "pid":
+            vals[f] = os.getpid()
+        elif f == "cwd":
+            vals[f] = os.getcwd()
+        else:
+            raise ValueError(f"unknown system info field {f!r}")
+    return ray.data.from_items([vals])

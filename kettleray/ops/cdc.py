@@ -56,11 +56,15 @@ OP_DELETE = "delete"
 # parse / validate (≙ Select values + Checksum: the per-row invariant column)
 # ---------------------------------------------------------------------------
 
-def sha256_hex_array(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """sha256 hex of a string column, hashing straight from the Arrow data
-    buffer (no per-row Python string materialization — that allocation
-    churn anti-scales across a full node of workers). Null -> null."""
+def hash_hex_array(arr: pa.ChunkedArray | pa.Array,
+                   algo: str = "sha256") -> pa.Array:
+    """Hex digest (md5/sha1/sha256) of a string column, hashing straight
+    from the Arrow data buffer (no per-row Python string materialization
+    — that allocation churn anti-scales across a full node of workers).
+    Null -> null."""
     import binascii
+    hex_len = {"md5": 32, "sha1": 40, "sha256": 64}[algo]
+    hfn = getattr(hashlib, algo)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n = len(arr)
@@ -68,7 +72,7 @@ def sha256_hex_array(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
         return pa.array([], type=pa.string())
     if arr.null_count > 0:
         out = [None if v is None else
-               hashlib.sha256(v.encode("utf-8")).hexdigest()
+               hfn(v.encode("utf-8")).hexdigest()
                for v in arr.to_pylist()]
         return pa.array(out, type=pa.string())
     bufs = arr.buffers()
@@ -76,15 +80,20 @@ def sha256_hex_array(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
     dt = np.int32 if width == 4 else np.int64
     off = np.frombuffer(bufs[1], dtype=dt)[arr.offset:arr.offset + n + 1]
     data = memoryview(bufs[2])
-    out = bytearray(n * 64)
+    out = bytearray(n * hex_len)
     mv = memoryview(out)
-    sha, hexl = hashlib.sha256, binascii.hexlify
+    hexl = binascii.hexlify
     for i in range(n):
-        mv[i * 64:(i + 1) * 64] = hexl(sha(data[off[i]:off[i + 1]]).digest())
-    out_offsets = np.arange(0, (n + 1) * 64, 64, dtype=np.int32)
+        mv[i * hex_len:(i + 1) * hex_len] = \
+            hexl(hfn(data[off[i]:off[i + 1]]).digest())
+    out_offsets = np.arange(0, (n + 1) * hex_len, hex_len, dtype=np.int32)
     return pa.Array.from_buffers(
         pa.utf8(), n,
         [None, pa.py_buffer(out_offsets.tobytes()), pa.py_buffer(bytes(out))])
+
+
+def sha256_hex_array(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    return hash_hex_array(arr, "sha256")
 
 
 def add_content_sha256(batch: pa.Table, content_col: str = "content",

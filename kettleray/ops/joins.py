@@ -147,12 +147,27 @@ def join_rows_cartesian(main, small, *, suffix: str = "_r",
                             zero_copy_batch=True)
 
 
+_FUZZY_DISTANCE = ("levenshtein", "damerau_levenshtein")
+_FUZZY_SIMILARITY = ("jaro", "jaro_winkler")
+_FUZZY_PHONETIC = ("soundex", "refined_soundex", "metaphone",
+                   "double_metaphone")
+
+
 def fuzzy_match(main, lookup, main_field: str, lookup_field: str, *,
                 algo: str = "levenshtein", max_distance: int = 3,
+                min_similarity: float = 0.0,
                 out_match: str = "match", out_score: str = "score",
                 concurrency: int | tuple[int, int] = (1, 8)):
-    """≙ Fuzzy match: nearest lookup value by edit distance. Broadcast
-    lookup values; per batch, a vectorized band-limited Levenshtein scan.
+    """≙ Fuzzy match (fuzzymatch/FuzzyMatch.java): nearest lookup value
+    under the chosen algorithm. Broadcast lookup values once per actor;
+    per batch, a band-limited candidate scan.
+
+    Algorithms (Kettle's matching modes):
+    - levenshtein / damerau_levenshtein: min edit distance
+      (<= max_distance), tie broken by candidate value;
+    - jaro / jaro_winkler: max similarity (>= min_similarity);
+    - soundex / refined_soundex / metaphone / double_metaphone: first
+      candidate whose phonetic code equals the input's (score = code).
     Lookup side must be broadcast-small (same constraint as Kettle's
     in-memory lookup stream)."""
     lk_table = pa.concat_tables(ray.get(lookup.to_arrow_refs()))
@@ -160,9 +175,26 @@ def fuzzy_match(main, lookup, main_field: str, lookup_field: str, *,
 
     class _Fuzzy:
         def __init__(self):
-            self.cands = [c for c in ray.get(ref) if c is not None]
-            from kettleray.ops.calculator import _levenshtein
-            self.dist = _levenshtein
+            from kettleray.ops import calculator as calc
+            from kettleray.ops.phonetics import double_metaphone
+            self.cands = sorted(c for c in ray.get(ref) if c is not None)
+            if algo in _FUZZY_DISTANCE:
+                self.fn = {"levenshtein": calc._levenshtein,
+                           "damerau_levenshtein": calc._damerau_osa}[algo]
+            elif algo in _FUZZY_SIMILARITY:
+                self.fn = {"jaro": calc._jaro,
+                           "jaro_winkler": calc._jaro_winkler}[algo]
+            elif algo in _FUZZY_PHONETIC:
+                enc = {"soundex": calc._soundex,
+                       "refined_soundex": calc._refined_soundex,
+                       "metaphone": calc._metaphone,
+                       "double_metaphone":
+                           lambda v: double_metaphone(v)[0]}[algo]
+                self.enc = enc
+                # encode each unique candidate ONCE per actor
+                self.codes = [(c, enc(c)) for c in self.cands]
+            else:
+                raise ValueError(f"unknown fuzzy algorithm {algo!r}")
 
         def __call__(self, t: pa.Table) -> pa.Table:
             vals = t[main_field].combine_chunks().to_pylist() \
@@ -172,21 +204,35 @@ def fuzzy_match(main, lookup, main_field: str, lookup_field: str, *,
             for v in vals:
                 bm, bs = None, None
                 if v is not None:
-                    for c in self.cands:
-                        if abs(len(c) - len(v)) > max_distance:
-                            continue
-                        d = self.dist(v, c)
-                        # deterministic: min by (distance, candidate)
-                        if d <= max_distance and (
-                                bs is None or d < bs
-                                or (d == bs and c < bm)):
-                            bm, bs = c, d
+                    if algo in _FUZZY_DISTANCE:
+                        for c in self.cands:
+                            if abs(len(c) - len(v)) > max_distance:
+                                continue
+                            d = self.fn(v, c)
+                            if d <= max_distance and (
+                                    bs is None or d < bs
+                                    or (d == bs and c < bm)):
+                                bm, bs = c, d
+                    elif algo in _FUZZY_SIMILARITY:
+                        for c in self.cands:
+                            s = self.fn(v, c)
+                            if s >= min_similarity and (
+                                    bs is None or s > bs
+                                    or (s == bs and c < bm)):
+                                bm, bs = c, s
+                    else:
+                        code = self.enc(v)
+                        for c, ccode in self.codes:
+                            if ccode == code:
+                                bm, bs = c, code
+                                break
                 best_m.append(bm)
                 best_s.append(bs)
             t = t.append_column(out_match, pa.array(best_m,
                                                     type=pa.string()))
-            return t.append_column(out_score, pa.array(best_s,
-                                                       type=pa.int64()))
+            stype = pa.int64() if algo in _FUZZY_DISTANCE else (
+                pa.float64() if algo in _FUZZY_SIMILARITY else pa.string())
+            return t.append_column(out_score, pa.array(best_s, type=stype))
 
     return main.map_batches(_Fuzzy, batch_format="pyarrow",
                             zero_copy_batch=True, concurrency=concurrency)

@@ -296,13 +296,12 @@ def checksum(ds, fields: Sequence[str], algo: str = "sha256",
             pc.binary_join_element_wise(*cols, sep)
         if isinstance(joined, pa.ChunkedArray):
             joined = joined.combine_chunks()
-        vals = joined.to_pylist()
         if algo in ("md5", "sha1", "sha256"):
-            h = getattr(hashlib, algo)
-            out = pa.array([None if v is None else
-                            h(v.encode("utf-8")).hexdigest() for v in vals],
-                           type=pa.string())
-        elif algo == "crc32":
+            from kettleray.ops.cdc import hash_hex_array
+            out = hash_hex_array(joined, algo)   # buffer-walking hot path
+            return t.append_column(out_col, out)
+        vals = joined.to_pylist()
+        if algo == "crc32":
             out = pa.array([None if v is None else
                             binascii.crc32(v.encode("utf-8")) for v in vals],
                            type=pa.int64())

@@ -56,20 +56,49 @@ class Pipeline:
         return ds
 
     @staticmethod
-    def from_config(cfg: Sequence[Mapping[str, Any]]) -> "Pipeline":
-        """≙ Metadata injection: a pipeline built from plain data."""
+    def from_config(cfg: Sequence[Mapping[str, Any]],
+                    variables: Mapping[str, Any] | None = None,
+                    ) -> "Pipeline":
+        """≙ Metadata injection: a pipeline built from plain data.
+        ``variables`` enables ``${VAR}`` substitution (≙ Kettle's
+        core/.../variables/Variables.java environmentSubstitute) in every
+        string value of the spec; a string that is EXACTLY "${VAR}" is
+        replaced by the variable's native value (int/float/list survive),
+        otherwise standard string templating applies."""
+        if variables:
+            cfg = _substitute(cfg, dict(variables))
         return Pipeline(steps=list(cfg))
 
     @staticmethod
-    def from_json(path: str) -> "Pipeline":
+    def from_json(path: str,
+                  variables: Mapping[str, Any] | None = None,
+                  ) -> "Pipeline":
         """≙ loading a .ktr: a declared pipeline from a JSON spec file
-        (a list of {"op": ..., ...} step objects)."""
+        (a list of {"op": ..., ...} step objects) with optional ``${VAR}``
+        substitution."""
         import json
         with open(path) as f:
             cfg = json.load(f)
         if not isinstance(cfg, list):
             raise ValueError("pipeline spec must be a JSON list of steps")
-        return Pipeline.from_config(cfg)
+        return Pipeline.from_config(cfg, variables=variables)
+
+
+def _substitute(node: Any, variables: Mapping[str, Any]) -> Any:
+    """Recursive ${VAR} substitution over a JSON-shaped spec. Unknown
+    variables raise KeyError (fail loudly, like Kettle's strict mode)."""
+    import re
+    import string
+    if isinstance(node, str):
+        m = re.fullmatch(r"\$\{([A-Za-z_][A-Za-z0-9_]*)\}", node)
+        if m:                      # whole-string ref: keep native type
+            return variables[m.group(1)]
+        return string.Template(node).substitute(variables)
+    if isinstance(node, Mapping):
+        return {k: _substitute(v, variables) for k, v in node.items()}
+    if isinstance(node, (list, tuple)):
+        return [_substitute(v, variables) for v in node]
+    return node
 
 
 def _register_builtins() -> None:
@@ -117,6 +146,14 @@ def _register_builtins() -> None:
     register("lang_id", textstats.lang_id)
     register("exact_dedup", dedup.exact_dedup)
     register("simhash", dedup.simhash)
+    register("calculator", _calculator_from_spec)
+
+
+def _calculator_from_spec(ds, ops):
+    """Config-shaped calculator: ops as plain dicts (metadata-injection
+    friendly), converted to CalcOp."""
+    from kettleray.ops.calculator import CalcOp, calculator
+    return calculator(ds, [CalcOp(**o) for o in ops])
 
 
 _register_builtins()

@@ -268,6 +268,43 @@ def q_merge_join_left(sf_dir):
                              "p_brand"])
 
 
+def q_merge_join_right(sf_dir):
+    """≙ Merge join RIGHT OUTER (mergejoin/MergeJoin.java join type
+    'RIGHT OUTER'): all customers kept, order columns null on miss."""
+    o = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    o = ro.filter_rows(o, Cond("o_totalprice", ">", 150_000.0))
+    o = ro.select_values(o, rename={"o_custkey": "c_custkey"})
+    c = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+    j = joins.merge_join(o, c, ["c_custkey"], how="right",
+                         num_partitions=8)
+    return j.select_columns(["c_custkey", "c_name", "o_orderkey",
+                             "o_totalprice"])
+
+
+def q_merge_join_full(sf_dir):
+    """≙ Merge join FULL OUTER: misses on both sides survive with the
+    key column coalesced."""
+    o = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    o = ro.filter_rows(o, Cond("o_totalprice", ">", 150_000.0))
+    o = ro.select_values(o, rename={"o_custkey": "c_custkey"})
+    c = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    c = ro.filter_rows(c, Cond("c_acctbal", "<", 1000.0))
+    j = joins.merge_join(o, c, ["c_custkey"], how="full",
+                         num_partitions=8)
+    return j.select_columns(["c_custkey", "c_name", "o_orderkey",
+                             "o_totalprice"])
+
+
+def q_fuzzy_match_jw(sf_dir):
+    """Fuzzy match in Jaro-Winkler mode (max similarity)."""
+    n = _t(sf_dir, "nation", ["n_nationkey", "n_name"])
+    r = _t(sf_dir, "region", ["r_regionkey", "r_name"])
+    out = joins.fuzzy_match(n, r, "n_name", "r_name", algo="jaro_winkler",
+                            out_match="best_region", out_score="jw")
+    return calc.calculator(out, [
+        calc.CalcOp("jw", "round", a="jw", const_b=6)])
+
+
 def q_stream_lookup(sf_dir):
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"])
     p = _t(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
@@ -473,6 +510,9 @@ QUERIES = {
     "append_streams": q_append_streams,
     "merge_join_inner": q_merge_join_inner,
     "merge_join_left": q_merge_join_left,
+    "merge_join_right": q_merge_join_right,
+    "merge_join_full": q_merge_join_full,
+    "fuzzy_match_jw": q_fuzzy_match_jw,
     "stream_lookup": q_stream_lookup,
     "anti_join": q_anti_join,
     "semi_join": q_semi_join,
@@ -601,6 +641,23 @@ ORACLES = {
         "SELECT l_orderkey, l_linenumber, l_partkey, p_brand FROM "
         "lineitem LEFT JOIN (SELECT p_partkey, p_brand FROM part WHERE "
         "p_size > 25) p ON l_partkey = p_partkey",
+    "merge_join_right":
+        "SELECT c_custkey, c_name, o_orderkey, o_totalprice FROM "
+        "(SELECT * FROM orders WHERE o_totalprice > 150000) o "
+        "RIGHT JOIN customer ON o.o_custkey = c_custkey",
+    "merge_join_full":
+        "SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey, c_name, "
+        "o_orderkey, o_totalprice FROM "
+        "(SELECT * FROM orders WHERE o_totalprice > 150000) o "
+        "FULL OUTER JOIN (SELECT c_custkey, c_name FROM customer WHERE "
+        "c_acctbal < 1000) c ON o.o_custkey = c.c_custkey",
+    "fuzzy_match_jw":
+        "SELECT n_nationkey, n_name, "
+        "(SELECT r_name FROM region ORDER BY "
+        "jaro_winkler_similarity(n_name, r_name) DESC, r_name LIMIT 1) "
+        "AS best_region, "
+        "ROUND((SELECT MAX(jaro_winkler_similarity(n_name, r_name)) "
+        "FROM region), 6) AS jw FROM nation",
     "stream_lookup":
         "SELECT l_orderkey, l_linenumber, l_partkey, "
         "COALESCE(p_brand, 'NONE') AS p_brand FROM lineitem LEFT JOIN "

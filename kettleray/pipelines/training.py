@@ -169,7 +169,9 @@ def q_multimodal_image(sf_dir):
     from kettleray.ops import multimodal
     configure_ray_data()
     media = ray.data.from_arrow(multimodal.synthetic_media_table(200))
-    imgs = media.filter(lambda r: r["kind"] == "image")
+    imgs = media.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "image")),
+        batch_format="pyarrow", zero_copy_batch=True)
     return multimodal.extract_image_features(imgs, mode="fake") \
         .select_columns(["media_id", "width", "height", "mean_intensity"])
 

@@ -81,3 +81,37 @@ def test_final_state_sha_invariant_vs_oracle():
             hashlib.sha256(r["content"].encode()).hexdigest()
         assert want[(r["repo"], r["path"])]["content_sha256"] == \
             r["content_sha256"]
+
+
+def test_keyed_repartition_single_block_per_partition():
+    """Guard for the engine-wide assumption that Ray's hash shuffle
+    finalizes each key partition as exactly ONE block (see
+    constraints.txt). If a Ray upgrade starts splitting partitions, this
+    fails loudly instead of letting per-block reduces emit duplicate
+    winners."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    n, parts = 50_000, 8
+    t = pa.table({
+        "repo": pa.array([f"r{i % 97}" for i in range(n)]),
+        "path": pa.array([f"p{i % 31}" for i in range(n)]),
+        "v": pa.array(np.arange(n)),
+    })
+    ds = ray.data.from_arrow(t).map_batches(
+        lambda b: b, batch_format="pyarrow",
+        batch_size=4096).repartition(parts, keys=["repo", "path"]) \
+        .materialize()
+    refs = ds.to_arrow_refs()
+    assert len(refs) == parts, (
+        f"hash shuffle produced {len(refs)} blocks for {parts} "
+        "partitions — per-block reduce assumption broken")
+    # every key must live in exactly one block
+    seen: dict[tuple, int] = {}
+    for bi, ref in enumerate(refs):
+        blk = ray.get(ref)
+        for k in set(zip(blk["repo"].to_pylist(),
+                         blk["path"].to_pylist())):
+            assert seen.setdefault(k, bi) == bi, f"key {k} split"

@@ -132,3 +132,57 @@ def test_sql_statements_output():
     stmts = output.sql_statements(rd.from_arrow(t), "people").take_all()
     assert stmts[0]["statement"] == \
         "INSERT INTO people (id, name, x) VALUES (1, 'O''Hara', NULL);"
+
+
+def test_generate_random_values_deterministic_and_partition_invariant():
+    from kettleray.io import source
+    a = source.generate_random_values(
+        100, {"x": "number", "k": "integer", "s": "string", "u": "uuid"},
+        seed=7, num_blocks=1).take_all()
+    b = source.generate_random_values(
+        100, {"x": "number", "k": "integer", "s": "string", "u": "uuid"},
+        seed=7, num_blocks=8).take_all()
+    key = lambda r: r["id"]
+    assert sorted(a, key=key) == sorted(b, key=key)
+    xs = [r["x"] for r in a]
+    assert all(0.0 <= x < 1.0 for x in xs)
+    assert len({r["u"] for r in a}) == 100
+
+
+def test_get_system_info_row():
+    from kettleray.io import source
+    rows = source.get_system_info(["hostname", "os_name", "cpu_count",
+                                   "pid"]).take_all()
+    assert len(rows) == 1
+    assert rows[0]["cpu_count"] >= 1
+
+
+def test_pipeline_variable_substitution(tmp_path):
+    import json
+    from kettleray.pipeline import Pipeline
+    spec = [
+        {"op": "filter_rows", "cond": ["v", ">=", "${MIN_V}"]},
+        {"op": "add_constants", "constants": {"source": "${SRC}-copy"}},
+    ]
+    p = tmp_path / "spec.json"
+    p.write_text(json.dumps(spec))
+    import pyarrow as pa
+    import ray.data
+    from kettleray.ops.rowops import Cond
+
+    pipe = Pipeline.from_json(str(p), variables={"MIN_V": 5, "SRC": "s3"})
+    # whole-string ${MIN_V} keeps its native int; embedded ${SRC} templatess
+    assert pipe.steps[0]["cond"][2] == 5
+    assert pipe.steps[1]["constants"]["source"] == "s3-copy"
+    # unknown variable fails loudly
+    import pytest
+    with pytest.raises(KeyError):
+        Pipeline.from_json(str(p), variables={"MIN_V": 5})
+    ds = ray.data.from_arrow(pa.table({"v": list(range(10))}))
+    cond = pipe.steps[0]["cond"]
+    out = Pipeline.from_config([
+        {"op": "filter_rows", "condition": Cond(cond[0], cond[1], cond[2])},
+        pipe.steps[1],
+    ]).run(ds).take_all()
+    assert sorted(r["v"] for r in out) == [5, 6, 7, 8, 9]
+    assert all(r["source"] == "s3-copy" for r in out)
