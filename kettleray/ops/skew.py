@@ -186,7 +186,14 @@ def scd2_history_salted(events, *, num_partitions: int = 64,
     broadcast, not a shuffle."""
     if hot_keys is None:
         hot_keys = detect_hot_keys(events, top_k=hot_top_k,
-                                   min_count=hot_min_count)
+                                   min_count=hot_min_count,
+                                   sample_rate=0.05)
+    if hot_keys.num_rows == 0:
+        # adaptive: no skew detected -> the salt/stitch machinery is pure
+        # overhead; run the plain one-shuffle SCD2 (cost of salting on
+        # clean data = the sampled detection pre-pass only)
+        return cdc.scd2_history(events, num_partitions=num_partitions)
+
     def _slim(t: pa.Table) -> pa.Table:
         # hash + drop the payload before the exchange (same optimization
         # as cdc.scd2_history: history rows carry only the sha)
@@ -254,12 +261,18 @@ def scd2_history_salted(events, *, num_partitions: int = 64,
                             "valid_from_seq", "valid_to_seq", "open_tail",
                             "commit", "lang", "content_sha256"])
 
-        # boundary stats per (key, salt) group
+        # boundary stats — ONLY for salted (hot) groups: cold keys have a
+        # single salt-0 group whose stitch is the identity, and emitting
+        # a boundary row per cold key would make reconciliation O(all
+        # keys) on the driver instead of O(hot keys x windows)
         ends = np.append(starts[1:], n)
-        n_live = live_cum[ends - 1] - base[starts]
-        first_seq = ss[starts]
+        salt_np = cdc._col_np(t, "__salt")[order]
+        hot_groups = np.nonzero(salt_np[starts] > 0)[0]
+        gs = starts[hot_groups]
+        n_live = live_cum[ends[hot_groups] - 1] - base[gs]
+        first_seq = ss[gs]
         btab = t.select(list(KEY_COLS) + ["__salt"]).take(
-            pa.array(order[starts], type=pa.int64()))
+            pa.array(order[gs], type=pa.int64()))
         btab = btab.append_column("first_seq",
                                   pa.array(first_seq, type=pa.int64()))
         btab = btab.append_column("n_live",
