@@ -119,7 +119,8 @@ def run_twopass() -> float:
                          content_repeat=32)
     t0 = time.time()
     cdc.replay_lww_twopass(
-        lambda: generate_events(cfg, override_num_blocks=BLOCKS),
+        lambda columns=None: generate_events(
+            cfg, override_num_blocks=BLOCKS, columns=columns),
         num_partitions=PARTS).count()
     return time.time() - t0
 

@@ -73,12 +73,15 @@ def _hex40(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
     return np.frombuffer(hexed, dtype="S40").astype("U40")
 
 
-def events_for_indices(idx: np.ndarray, cfg: EventGenConfig) -> pa.Table:
+def events_for_indices(idx: np.ndarray, cfg: EventGenConfig,
+                       columns: list[str] | None = None) -> pa.Table:
     """Materialize the event rows for a batch of global indices.
 
     Hot path for the bench: string building uses Arrow C++ kernels
     (binary_join_element_wise) and vectorized hex, no np.char / Python
-    loops."""
+    loops. ``columns`` emulates columnar projection pushdown: the
+    expensive ``content`` build is skipped when not requested (a real
+    Parquet scan would never read the column)."""
     import pyarrow.compute as pc
     s = cfg.seed
     u_repo = _unit(idx, s + 1)
@@ -107,16 +110,19 @@ def events_for_indices(idx: np.ndarray, cfg: EventGenConfig) -> pa.Table:
         "src/f_", pc.cast(pa.array(path_id), pa.string()), ".txt", "")
     lang = pa.array(_LANGS[lang_id], type=pa.string())
     commit = pa.array(_hex40(h1, h2), type=pa.string())
-    body = pc.binary_join_element_wise(
-        lang, " code unit ", repo, "/", path, " #",
-        pc.cast(pa.array((h1 % np.uint64(1_000_000)).astype(np.int64)),
-                pa.string()),
-        "\n", "")
-    content = pc.binary_join_element_wise(
-        *([body] * cfg.content_repeat), "")
-    content = pc.if_else(pa.array(is_delete), "", content)
+    if columns is None or "content" in columns:
+        body = pc.binary_join_element_wise(
+            lang, " code unit ", repo, "/", path, " #",
+            pc.cast(pa.array((h1 % np.uint64(1_000_000)).astype(np.int64)),
+                    pa.string()),
+            "\n", "")
+        content = pc.binary_join_element_wise(
+            *([body] * cfg.content_repeat), "")
+        content = pc.if_else(pa.array(is_delete), "", content)
+    else:
+        content = None
 
-    return pa.table({
+    cols = {
         "repo": repo,
         "path": path,
         "commit": commit,
@@ -127,12 +133,16 @@ def events_for_indices(idx: np.ndarray, cfg: EventGenConfig) -> pa.Table:
         "ts": pa.array(
             (np.int64(1_700_000_000_000_000) + idx * np.int64(1_000)),
             type=pa.timestamp("us")),
-    })
+    }
+    if columns is not None:
+        return pa.table({k: cols[k] for k in columns})
+    return pa.table({k: v for k, v in cols.items() if v is not None})
 
 
-def _gen_batch(batch: dict, cfg: EventGenConfig) -> pa.Table:
+def _gen_batch(batch: dict, cfg: EventGenConfig,
+               columns: list[str] | None = None) -> pa.Table:
     idx = batch["id"].astype(np.int64)
-    t = events_for_indices(idx, cfg)
+    t = events_for_indices(idx, cfg, columns)
     if cfg.p_redeliver > 0:
         u = _unit(idx, cfg.seed + 7)
         dup_src = idx[u < cfg.p_redeliver]
@@ -140,18 +150,22 @@ def _gen_batch(batch: dict, cfg: EventGenConfig) -> pa.Table:
             back = (_mix64(dup_src, cfg.seed + 8)
                     % np.uint64(cfg.redeliver_window)).astype(np.int64)
             j = np.maximum(dup_src - back, 0)
-            t = pa.concat_tables([t, events_for_indices(j, cfg)])
+            t = pa.concat_tables([t, events_for_indices(j, cfg, columns)])
     return t
 
 
 def generate_events(cfg: EventGenConfig, *,
                     override_num_blocks: int | None = None,
+                    columns: list[str] | None = None,
                     ) -> "ray.data.Dataset":
-    """Distributed deterministic event stream as a Ray Dataset."""
+    """Distributed deterministic event stream as a Ray Dataset.
+    ``columns`` = projection pushdown (skips building unrequested
+    columns, notably the wide ``content``)."""
     ds = ray.data.range(cfg.n_events,
                         override_num_blocks=override_num_blocks)
     return ds.map_batches(_gen_batch, batch_format="numpy",
-                          batch_size=None, fn_kwargs={"cfg": cfg})
+                          batch_size=None,
+                          fn_kwargs={"cfg": cfg, "columns": columns})
 
 
 def generate_events_local(cfg: EventGenConfig) -> pa.Table:

@@ -358,14 +358,22 @@ def replay_lww_twopass(events_factory, *, num_partitions: int = 64,
     costs 8 B x live keys (e.g. 0.8 GB at 100M live keys); beyond ~1B
     live keys fall back to replay_lww.
     """
+    import inspect
     slim_cols = list(KEY_COLS) + [SEQ_COL, "op"]
+    # projection pushdown for pass 1: a factory that accepts `columns`
+    # (like a parquet reader, or generate_events) never materializes the
+    # wide payload at all on the winner-deciding scan
+    takes_columns = "columns" in inspect.signature(
+        events_factory).parameters
 
     def _slim(t: pa.Table) -> pa.Table:
         return t.select(slim_cols)
 
-    slim = events_factory().map_batches(_slim, batch_format="pyarrow",
-                                        zero_copy_batch=True,
-                                        batch_size=None)
+    src1 = events_factory(columns=slim_cols) if takes_columns \
+        else events_factory()
+    slim = src1.map_batches(_slim, batch_format="pyarrow",
+                            zero_copy_batch=True,
+                            batch_size=None)
     winners = replay_lww(slim, num_partitions=num_partitions,
                          keep_tombstones=keep_tombstones, with_sha=False)
 

@@ -274,12 +274,25 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str, *,
 
 
 def jaccard_verify(pairs, docs, id_col: str, text_col: str, *,
-                   shingle_k: int = 3, threshold: float = 0.7):
-    """Exact n-gram Jaccard on candidate pairs. Only the texts of docs
-    that APPEAR in a candidate pair are broadcast (the pair set, not the
-    corpus, bounds memory — at web scale the corpus never fits, the
-    candidate set must)."""
+                   shingle_k: int = 3, threshold: float = 0.7,
+                   method: str = "broadcast", num_partitions: int = 16):
+    """Exact n-gram Jaccard on candidate pairs.
+
+    ``method='broadcast'`` (default, small candidate sets): only the
+    texts of docs that APPEAR in a candidate pair are broadcast (the
+    pair set, not the corpus, bounds memory) and shingled lazily per
+    actor.
+
+    ``method='join'`` (scale path, unbounded candidate sets): two
+    hash-partitioned ``Dataset.join``s attach text_a / text_b to each
+    pair — nothing is ever materialized on the driver; memory per task
+    is one partition of pairs + texts."""
     import ray
+    if method == "join":
+        return _jaccard_verify_join(pairs, docs, id_col, text_col,
+                                    shingle_k=shingle_k,
+                                    threshold=threshold,
+                                    num_partitions=num_partitions)
     pairs = pairs.materialize()
     cand_ids = set()
     for b in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
@@ -327,6 +340,51 @@ def jaccard_verify(pairs, docs, id_col: str, text_col: str, *,
 
     return pairs.map_batches(_Verify, batch_format="pyarrow",
                              concurrency=(1, 4))
+
+
+def _jaccard_verify_join(pairs, docs, id_col: str, text_col: str, *,
+                         shingle_k: int, threshold: float,
+                         num_partitions: int):
+    """Distributed verify: pairs ⋈ texts twice (hash-partitioned), then
+    a per-batch vectorized-shingle Jaccard. No driver materialization."""
+    texts = docs.select_columns([id_col, text_col])
+    ta = texts.rename_columns({id_col: "doc_a", text_col: "__text_a"})
+    tb = texts.rename_columns({id_col: "doc_b", text_col: "__text_b"})
+    j = pairs.join(ta, join_type="inner", on=("doc_a",),
+                   num_partitions=num_partitions)
+    j = j.join(tb, join_type="inner", on=("doc_b",),
+               num_partitions=num_partitions)
+
+    def _score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                             "doc_b": pa.array([], type=pa.int64()),
+                             "jaccard": pa.array([], type=pa.float64())})
+        a_txt = t["__text_a"].to_pylist()
+        b_txt = t["__text_b"].to_pylist()
+        # shingle each DISTINCT text once per batch (pairs share docs)
+        cache: dict = {}
+
+        def sh(txt):
+            s = cache.get(txt)
+            if s is None:
+                s = set(_word_shingles(txt or "", shingle_k).tolist())
+                cache[txt] = s
+            return s
+
+        jac = []
+        for x, y in zip(a_txt, b_txt):
+            sa, sb = sh(x), sh(y)
+            inter = len(sa & sb)
+            union = len(sa | sb) or 1
+            jac.append(inter / union)
+        out = t.drop_columns(["__text_a", "__text_b"])
+        out = out.append_column("jaccard",
+                                pa.array(jac, type=pa.float64()))
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    return j.map_batches(_score, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True)
 
 
 def connected_components(pairs, *, max_iters: int = 10,

@@ -168,3 +168,22 @@ def test_simhash_ignores_whitespace_only_and_null():
                   "text": pa.array(["", "   ", None])})
     out = dedup.simhash(ray.data.from_arrow(t), "doc_id", "text").take_all()
     assert all(r["simhash"] == "0" * 16 for r in out)
+
+
+def test_jaccard_verify_join_matches_broadcast():
+    """The distributed (join) verify path must agree exactly with the
+    broadcast path."""
+    import pyarrow.parquet as pq
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                                 columns=["doc_id", "text"])
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_perm=64,
+                                    bands=16, shingle_k=3,
+                                    num_partitions=4)
+    bc = dedup.jaccard_verify(pairs, docs, "doc_id", "text", shingle_k=3,
+                              threshold=0.5).take_all()
+    jn = dedup.jaccard_verify(pairs, docs, "doc_id", "text", shingle_k=3,
+                              threshold=0.5, method="join",
+                              num_partitions=4).take_all()
+    key = lambda r: (r["doc_a"], r["doc_b"])
+    assert sorted(bc, key=key) == sorted(jn, key=key)
+    assert len(bc) > 0
