@@ -350,7 +350,14 @@ def replay_lww_twopass(events_factory, *, num_partitions: int = 64,
 
     Trade-off: two scans of the source vs payload-free shuffle — a win
     whenever scan bandwidth > shuffle bandwidth x payload ratio (true for
-    columnar storage, where pass 1 reads only 3 narrow columns).
+    columnar storage, where pass 1 reads only 3 narrow columns) AND the
+    overwrite ratio is high (winners << events). At overwrite ratio near
+    1 (almost every event is its key's only event) pass 2 re-reads and
+    re-shuffles nearly the whole stream and one-pass replay dominates —
+    measured: 4M events / 1M keys x 1.5 KB: two-pass 10.1 s vs ~90 s
+    one-pass; 5M events / 5M keys x 450 B: two-pass 14.4 s vs 5.5 s
+    one-pass. Rule of thumb: use two-pass when live_keys / n_events
+    < ~0.3 and payloads are wide.
 
     ``events_factory``: zero-arg callable returning the events Dataset
     (called twice — Datasets re-execute per consumption, so a factory

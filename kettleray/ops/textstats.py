@@ -77,14 +77,38 @@ def doc_fingerprint(ds, text_col: str, out_col: str = "fingerprint"):
                           zero_copy_batch=True, batch_size=None)
 
 
+# Ordered dict: earlier languages win stopword-count ties (the voting
+# loop only replaces on STRICTLY more hits). The lang_id oracle SQL is
+# GENERATED from this table (pipelines/training.py::lang_id_oracle_sql)
+# so the heuristic and its oracle cannot drift apart.
 _STOPWORDS = {
-    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "for", "it"},
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "for", "it",
+           "was", "with", "as", "his", "on", "be", "at", "by", "this",
+           "had"},
     "de": {"der", "die", "das", "und", "ist", "von", "zu", "mit", "den",
-           "nicht"},
+           "nicht", "ein", "eine", "auf", "im", "sich", "des", "auch",
+           "es", "an", "als"},
     "fr": {"le", "la", "les", "et", "de", "un", "une", "est", "pour",
-           "dans"},
-    "es": {"el", "la", "los", "y", "de", "un", "una", "es", "por", "con"},
+           "dans", "que", "qui", "des", "du", "il", "au", "plus", "pas",
+           "sur", "se"},
+    "es": {"el", "la", "los", "y", "de", "un", "una", "es", "por", "con",
+           "que", "del", "las", "en", "se", "no", "más", "como", "pero",
+           "sus"},
+    "it": {"il", "di", "che", "e", "la", "per", "un", "una", "non", "con",
+           "del", "gli", "le", "si", "da", "dei", "nel", "alla", "come",
+           "anche"},
+    "pt": {"o", "a", "de", "que", "e", "do", "da", "em", "um", "para",
+           "com", "não", "uma", "os", "no", "se", "na", "por", "mais",
+           "as"},
 }
+
+
+# shared by LangId and the generated oracle SQL (RE2-compatible, no
+# shorthand classes) — keep in sync by construction
+TOKEN_PATTERN = (r"[a-zA-Zäöüß"
+                 r"éèêëàâçñ"
+                 r"áíóúãõôîûìòù"
+                 r"ÄÖÜ]+")
 
 
 class LangId:
@@ -93,7 +117,7 @@ class LangId:
 
     def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
         import re
-        self.word = re.compile(r"[a-zA-ZäöüéèêàçñáíóúÄÖÜ]+")
+        self.word = re.compile(TOKEN_PATTERN)
         self.tables = {lang: sw for lang, sw in _STOPWORDS.items()}
         self.text_col, self.out_col = text_col, out_col
 

@@ -176,6 +176,36 @@ def q_multimodal_image(sf_dir):
         .select_columns(["media_id", "width", "height", "mean_intensity"])
 
 
+def lang_id_oracle_sql() -> str:
+    """Generate the lang_id DuckDB oracle from the SAME stopword table
+    and token pattern the LangId actor uses. Voting semantics: languages
+    iterate in dict order, a later language wins only with STRICTLY more
+    hits than every earlier one (the loop's `hits > best_hits`)."""
+    from kettleray.ops.textstats import _STOPWORDS, TOKEN_PATTERN
+    langs = list(_STOPWORDS)
+
+    def in_list(lang):
+        words = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
+        return (f"len(list_filter(toks, x -> x IN ({words}))) "
+                f"AS h_{lang}")
+
+    hits_cols = ", ".join(in_list(l) for l in langs)
+    cases = []
+    for j in range(len(langs) - 1, 0, -1):
+        conds = " AND ".join(f"h_{langs[j]} > h_{langs[i]}"
+                             for i in range(j))
+        cases.append(f"WHEN {conds} THEN '{langs[j]}'")
+    cases.append(f"WHEN h_{langs[0]} > 0 THEN '{langs[0]}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'unknown' END"
+    return (
+        "WITH tk AS (SELECT doc_id, text, lang, "
+        "list_slice(list_transform(regexp_extract_all(text, "
+        f"'{TOKEN_PATTERN}'), x -> lower(x)), 1, 200) AS toks "
+        "FROM documents), "
+        f"hits AS (SELECT doc_id, text, lang, {hits_cols} FROM tk) "
+        f"SELECT doc_id, text, lang, {case_sql} AS lang_pred FROM hits")
+
+
 QUERIES = {
     "token_count": q_token_count,
     "text_quality": q_text_quality,
@@ -245,26 +275,9 @@ ORACLES = {
         "FROM inter JOIN cnt ca ON ca.doc_id = inter.doc_a "
         "JOIN cnt cb ON cb.doc_id = inter.doc_b "
         "WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5"),
-    # same stopword-vote heuristic as ops.textstats.LangId, in SQL
-    "lang_id": (
-        "WITH tk AS (SELECT doc_id, text, lang, list_slice(list_transform("
-        "regexp_extract_all(text, '[a-zA-Zäöüéè"
-        "êàçñáíóúÄÖ"
-        "Ü]+'), x -> lower(x)), 1, 200) AS toks FROM documents), "
-        "hits AS (SELECT doc_id, text, lang, "
-        "len(list_filter(toks, x -> x IN ('the','and','of','to','a','in',"
-        "'is','that','for','it'))) AS en, "
-        "len(list_filter(toks, x -> x IN ('der','die','das','und','ist',"
-        "'von','zu','mit','den','nicht'))) AS de, "
-        "len(list_filter(toks, x -> x IN ('le','la','les','et','de','un',"
-        "'une','est','pour','dans'))) AS fr, "
-        "len(list_filter(toks, x -> x IN ('el','la','los','y','de','un',"
-        "'una','es','por','con'))) AS es FROM tk) "
-        "SELECT doc_id, text, lang, "
-        "CASE WHEN es > en AND es > de AND es > fr THEN 'es' "
-        "WHEN fr > en AND fr > de THEN 'fr' "
-        "WHEN de > en THEN 'de' "
-        "WHEN en > 0 THEN 'en' ELSE 'unknown' END AS lang_pred FROM hits"),
+    # stopword-vote heuristic oracle GENERATED from textstats._STOPWORDS
+    # + TOKEN_PATTERN, so the SQL cannot drift from the implementation
+    "lang_id": None,  # filled below by lang_id_oracle_sql()
     # copy-augmented corpus (see q_embedding_neardup): pairs >= 0.99 are
     # exactly the 1:1 exact-copy pairs
     "embedding_neardup": (
@@ -290,3 +303,5 @@ ORACLES = {
         "ORDER BY list_cosine_similarity(e, (SELECT q FROM qv)) DESC, "
         "vec_id LIMIT 10"),
 }
+
+ORACLES["lang_id"] = lang_id_oracle_sql()

@@ -187,3 +187,19 @@ def test_jaccard_verify_join_matches_broadcast():
     key = lambda r: (r["doc_a"], r["doc_b"])
     assert sorted(bc, key=key) == sorted(jn, key=key)
     assert len(bc) > 0
+
+
+def test_lang_id_six_languages():
+    from kettleray.ops.textstats import lang_id
+    t = pa.table({"text": pa.array([
+        "the cat sat on the mat and it was happy with his day",
+        "der hund ist mit den kindern zu hause und das ist auch gut",
+        "le chat est dans la maison et les enfants sont pour le jardin",
+        "el perro es de la casa y los gatos no son como sus amigos",
+        "il cane non è per la casa come anche il gatto del vicino",
+        "o cachorro está em casa com o gato e não quer mais sair para a rua",
+        "zzz qqq xxx",
+    ])})
+    out = lang_id(ray.data.from_arrow(t), "text").take_all()
+    assert [r["lang_pred"] for r in out] == \
+        ["en", "de", "fr", "es", "it", "pt", "unknown"]
