@@ -139,6 +139,65 @@ def top_k(ds, key: str, k: int, *, descending: bool = True):
     return ds.sort(key, descending=descending).limit(k)
 
 
+def top_k_per_group(ds, group: Sequence[str], order: str, k: int, *,
+                    descending: bool = True, num_partitions: int = 32,
+                    rank_col: str | None = "rank"):
+    """Per-group top-k (row_number() OVER (PARTITION BY g ORDER BY o)
+    <= k): ONE hash shuffle on the group key, then a vectorized
+    per-block selection — never a global sort. Ties broken by the order
+    value then arrival index (deterministic). ``rank_col`` appends the
+    1-based in-group rank (None to skip)."""
+    import numpy as np
+    group = list(group)
+    shuffled = ds.repartition(num_partitions, keys=group)
+
+    def _fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            if rank_col:
+                return t.append_column(rank_col,
+                                       pa.array([], type=pa.int64()))
+            return t
+        from kettleray.ops.cdc import _col_np, _composite_key_codes
+        codes = _composite_key_codes(t, group)
+        val = _col_np(t, order)
+        sortable = -val if descending and np.issubdtype(
+            val.dtype, np.number) else val
+        if descending and not np.issubdtype(val.dtype, np.number):
+            # strings: lexsort ascending, then reverse within groups via
+            # a stable trick — sort ascending and rank from the end
+            order_idx = np.lexsort((sortable, codes))
+            sk = codes[order_idx]
+            run_start = np.empty(len(sk), dtype=bool)
+            run_start[0] = True
+            run_start[1:] = sk[1:] != sk[:-1]
+            run_id = np.cumsum(run_start) - 1
+            run_len = np.bincount(run_id)
+            pos = np.arange(len(sk)) - np.repeat(
+                np.concatenate([[0], np.cumsum(run_len)[:-1]]), run_len)
+            rank = run_len[run_id] - pos  # descending rank, ties inverted
+        else:
+            order_idx = np.lexsort((sortable, codes))
+            sk = codes[order_idx]
+            run_start = np.empty(len(sk), dtype=bool)
+            run_start[0] = True
+            run_start[1:] = sk[1:] != sk[:-1]
+            run_id = np.cumsum(run_start) - 1
+            run_len = np.bincount(run_id)
+            rank = np.arange(len(sk)) - np.repeat(
+                np.concatenate([[0], np.cumsum(run_len)[:-1]]),
+                run_len) + 1
+        keep = rank <= k
+        sel = order_idx[keep]
+        out = t.take(pa.array(sel, type=pa.int64()))
+        if rank_col:
+            out = out.append_column(
+                rank_col, pa.array(rank[keep], type=pa.int64()))
+        return out
+
+    return shuffled.map_batches(_fn, batch_format="pyarrow",
+                                batch_size=None, zero_copy_batch=True)
+
+
 def append_streams(*datasets):
     """≙ Append streams / Prioritize streams: ordered concatenation.
     Row order beyond stream order is not guaranteed (document ordering

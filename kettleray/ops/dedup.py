@@ -445,6 +445,44 @@ def connected_components(pairs, *, max_iters: int = 10,
     return labels.rename_columns({"label": "component"})
 
 
+def dedup_corpus(docs, id_col: str, text_col: str, *,
+                 num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
+                 threshold: float = 0.7, num_partitions: int = 16,
+                 max_bucket: int = 64, cc_iters: int = 10,
+                 verify_method: str = "broadcast"):
+    """End-to-end near-dup corpus dedup — THE flagship LLM-training-data
+    pipeline: MinHash sign -> LSH band buckets -> capped candidate pairs
+    -> exact-Jaccard verify -> distributed connected components ->
+    keep the min-id representative per component, drop other members.
+
+    Every stage is a Dataset transform (one shuffle per stage, no driver
+    materialization except the verified pair set, which is bounded by
+    the near-dup rate, not the corpus). Returns the SURVIVING documents
+    with their original columns."""
+    pairs = minhash_lsh_pairs(docs, id_col, text_col, num_perm=num_perm,
+                              bands=bands, shingle_k=shingle_k,
+                              num_partitions=num_partitions,
+                              max_bucket=max_bucket)
+    verified = jaccard_verify(pairs, docs, id_col, text_col,
+                              shingle_k=shingle_k, threshold=threshold,
+                              method=verify_method,
+                              num_partitions=num_partitions)
+    comps = connected_components(verified, max_iters=cc_iters,
+                                 num_partitions=max(4,
+                                                    num_partitions // 2))
+    # min-label propagation labels each node with its component's MIN id,
+    # so the representative is exactly the node whose label == itself;
+    # every other member is a drop.
+    def _drops(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t["node"], t["component"])
+        return pa.table({id_col: t.filter(keep)["node"]})
+
+    dropped = comps.map_batches(_drops, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    from kettleray.ops.joins import semi_join
+    return semi_join(docs, dropped, [id_col], anti=True)
+
+
 def simhash(ds, id_col: str, text_col: str, *, seed: int = 42,
             concurrency=(1, 8)):
     """64-bit SimHash per document + 4 16-bit band keys (hamming<=3

@@ -85,7 +85,15 @@ def stream_lookup(main, lookup, on: Sequence[str],
 def semi_join(main, lookup, on: Sequence[str], *, anti: bool = False):
     """Semi/anti join via broadcast key set filter inside map_batches."""
     keys = list(on)
-    lk_table = pa.concat_tables(ray.get(lookup.to_arrow_refs()))
+    # tolerate empty/zero-column blocks (e.g. a fully-filtered stage can
+    # emit schema-less empties); empty lookup: anti keeps all, semi none
+    tables = [t for t in ray.get(lookup.to_arrow_refs())
+              if t.num_columns > 0]
+    if not tables or sum(t.num_rows for t in tables) == 0:
+        if anti:
+            return main
+        return main.limit(0)
+    lk_table = pa.concat_tables(tables)
     lk_keys = lk_table.select(keys)
     ref = ray.put(lk_keys)
 

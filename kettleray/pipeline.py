@@ -147,6 +147,9 @@ def _register_builtins() -> None:
     register("exact_dedup", dedup.exact_dedup)
     register("simhash", dedup.simhash)
     register("calculator", _calculator_from_spec)
+    register("top_k_per_group", ag.top_k_per_group)
+    from kettleray.ops.formula import formula
+    register("formula", formula)
 
 
 def _calculator_from_spec(ds, ops):

@@ -474,6 +474,29 @@ def q_string_cleanup(sf_dir):
                                "hexed", "unhexed"])
 
 
+def q_formula(sf_dir):
+    """≙ Formula / Janino expression step: free-form vectorized row
+    expression (ast-whitelisted, numpy-compiled once)."""
+    from kettleray.ops.formula import formula
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber",
+                                 "l_quantity", "l_extendedprice",
+                                 "l_discount", "l_tax"])
+    out = formula(
+        ds, "charge",
+        "l_extendedprice * (1 - l_discount) * (1 + l_tax) "
+        "if l_quantity > 20 else l_extendedprice * (1 - l_discount)",
+        round_to=6)
+    return out.select_columns(["l_orderkey", "l_linenumber", "charge"])
+
+
+def q_top_orders_per_customer(sf_dir):
+    """Per-group top-k (QUALIFY row_number): one group-key shuffle +
+    vectorized per-block rank — never a global sort."""
+    o = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return ag.top_k_per_group(o, ["o_custkey"], "o_totalprice", 3,
+                              descending=True, num_partitions=8)
+
+
 def q_deterministic_sample(sf_dir):
     """Exact deterministic uniform k-sample: k smallest md5(key) —
     the distributed stand-in for reservoir sampling (same uniformity,
@@ -526,6 +549,8 @@ QUERIES = {
     "fuzzy_match": q_fuzzy_match,
     "string_distance": q_string_distance,
     "string_cleanup": q_string_cleanup,
+    "top_k_per_group": q_top_orders_per_customer,
+    "formula": q_formula,
     "deterministic_sample": q_deterministic_sample,
 }
 
@@ -732,6 +757,17 @@ ORACLES = {
         "replace(c_mktsegment || '''s', '''', '''''') AS sql_esc, "
         "hex(c_mktsegment) AS hexed, "
         "c_mktsegment AS unhexed FROM customer",
+    "top_k_per_group":
+        "SELECT o_orderkey, o_custkey, o_totalprice, rank FROM "
+        "(SELECT *, CAST(row_number() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC) AS BIGINT) AS rank FROM orders) "
+        "WHERE rank <= 3",
+    "formula":
+        "SELECT l_orderkey, l_linenumber, "
+        "ROUND(CASE WHEN l_quantity > 20 THEN "
+        "l_extendedprice * (1 - l_discount) * (1 + l_tax) "
+        "ELSE l_extendedprice * (1 - l_discount) END, 6) AS charge "
+        "FROM lineitem",
     "deterministic_sample":
         "SELECT o_orderkey, o_totalprice, "
         "md5(CAST(o_orderkey AS VARCHAR)) AS __h FROM orders "

@@ -100,6 +100,17 @@ def q_minhash_neardup(sf_dir):
                                 shingle_k=3, threshold=0.5)
 
 
+def q_dedup_corpus(sf_dir):
+    """Flagship end-to-end near-dup dedup: sign -> band -> verify ->
+    connected components -> keep min-id representative. Oracle = the
+    exhaustive Jaccard pair set closed transitively with a recursive CTE
+    (valid for the same determinism reasons as minhash_neardup)."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return dedup.dedup_corpus(docs, "doc_id", "text", num_perm=64,
+                              bands=16, shingle_k=3, threshold=0.5,
+                              num_partitions=8)
+
+
 def q_simhash(sf_dir):
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
     return dedup.simhash(docs, "doc_id", "text")
@@ -206,6 +217,25 @@ def lang_id_oracle_sql() -> str:
         f"SELECT doc_id, text, lang, {case_sql} AS lang_pred FROM hits")
 
 
+_DEDUP_PAIRS_CTE = (
+    "toks AS (SELECT doc_id, regexp_split_to_array(trim(text), "
+    "'\\s+') AS w FROM documents), "
+    "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || "
+    "w[i+2] AS g FROM toks, UNNEST(range(1, array_length(w) - 1)) "
+    "AS t(i) WHERE array_length(w) >= 3 "
+    "UNION SELECT DISTINCT doc_id, array_to_string(w, ' ') AS g "
+    "FROM toks WHERE array_length(w) < 3), "
+    "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "count(*) AS i FROM sh a JOIN sh b ON a.g = b.g AND "
+    "a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "jpairs AS (SELECT doc_a, doc_b, i * 1.0 / (ca.n + cb.n - i) AS "
+    "jaccard FROM inter JOIN cnt ca ON ca.doc_id = inter.doc_a "
+    "JOIN cnt cb ON cb.doc_id = inter.doc_b "
+    "WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5)"
+)
+
+
 QUERIES = {
     "token_count": q_token_count,
     "text_quality": q_text_quality,
@@ -215,6 +245,7 @@ QUERIES = {
     "events_window": q_events_window,
     "events_sessionize": q_events_sessionize,
     "minhash_neardup": q_minhash_neardup,
+    "dedup_corpus": q_dedup_corpus,
     "simhash_fingerprints": q_simhash,
     "lang_id": q_lang_id,
     "embedding_neardup": q_embedding_neardup,
@@ -260,21 +291,21 @@ ORACLES = {
     # inverted join); equals the deterministic LSH+verify result — see
     # q_minhash_neardup docstring for why
     "minhash_neardup": (
-        "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), "
-        "'\\s+') AS w FROM documents), "
-        "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || "
-        "w[i+2] AS g FROM toks, UNNEST(range(1, array_length(w) - 1)) "
-        "AS t(i) WHERE array_length(w) >= 3 "
-        "UNION SELECT DISTINCT doc_id, array_to_string(w, ' ') AS g "
-        "FROM toks WHERE array_length(w) < 3), "
-        "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
-        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
-        "count(*) AS i FROM sh a JOIN sh b ON a.g = b.g AND "
-        "a.doc_id < b.doc_id GROUP BY 1, 2) "
-        "SELECT doc_a, doc_b, i * 1.0 / (ca.n + cb.n - i) AS jaccard "
-        "FROM inter JOIN cnt ca ON ca.doc_id = inter.doc_a "
-        "JOIN cnt cb ON cb.doc_id = inter.doc_b "
-        "WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5"),
+        f"WITH {_DEDUP_PAIRS_CTE} "
+        "SELECT doc_a, doc_b, jaccard FROM jpairs"),
+    # pair set closed transitively (recursive CTE), min-id representative
+    # kept per component — mirrors dedup.dedup_corpus end to end
+    "dedup_corpus": (
+        f"WITH RECURSIVE {_DEDUP_PAIRS_CTE}, "
+        "edges AS (SELECT doc_a AS u, doc_b AS v FROM jpairs "
+        "UNION SELECT doc_b, doc_a FROM jpairs), "
+        "reach(u, v) AS (SELECT u, v FROM edges "
+        "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), "
+        "comp AS (SELECT u AS node, LEAST(u, MIN(v)) AS component "
+        "FROM reach GROUP BY u) "
+        "SELECT d.doc_id, d.text, d.lang FROM documents d "
+        "WHERE d.doc_id NOT IN "
+        "(SELECT node FROM comp WHERE node <> component)"),
     # stopword-vote heuristic oracle GENERATED from textstats._STOPWORDS
     # + TOKEN_PATTERN, so the SQL cannot drift from the implementation
     "lang_id": None,  # filled below by lang_id_oracle_sql()

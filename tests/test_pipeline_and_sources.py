@@ -186,3 +186,21 @@ def test_pipeline_variable_substitution(tmp_path):
     ]).run(ds).take_all()
     assert sorted(r["v"] for r in out) == [5, 6, 7, 8, 9]
     assert all(r["source"] == "s3-copy" for r in out)
+
+
+def test_formula_op_vectorized_and_sandboxed():
+    import pytest
+    import pyarrow as pa
+    import ray.data
+    from kettleray.ops.formula import compile_formula, formula
+    ds = ray.data.from_arrow(pa.table({
+        "a": [1.0, 5.0, 10.0], "b": [2.0, 2.0, 2.0]}))
+    out = formula(ds, "c", "a * b if a > 4 else a + b").take_all()
+    assert [r["c"] for r in out] == [3.0, 10.0, 20.0]
+    out2 = formula(ds, "f", "sqrt(maximum(a, b)) + 1",
+                   round_to=4).take_all()
+    assert out2[2]["f"] == round(10 ** 0.5 + 1, 4)
+    for bad in ("__import__('os')", "a.__class__", "open('x')",
+                "[1 for _ in a]", "a[0]"):
+        with pytest.raises(ValueError):
+            compile_formula(bad)
