@@ -135,6 +135,52 @@ def q_cdc_scd2_surrogate(sf_dir: str):
                     out_col="dim_key", sep="|")
 
 
+def q_cdc_bucketed_state(sf_dir: str):
+    """Default incremental path under the driver gate: two-commit apply
+    through the bucketed copy-on-write sink (commit 2 rewrites only its
+    touched buckets and hardlinks the rest), read back the committed
+    state. Oracle = the plain LWW replay SQL."""
+    import shutil
+    import tempfile
+    import pyarrow.compute as pc
+    from kettleray.io import sink
+    root = tempfile.mkdtemp(prefix="kr_bucketed_state_")
+    shutil.rmtree(root, ignore_errors=True)
+    ev = _events(sf_dir)
+    cut = 1_500_000
+    b1 = ev.map_batches(lambda b: b.filter(pc.less(b["commit_seq"], cut)),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    b2 = ev.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["commit_seq"], cut)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    sink.apply_incremental_bucketed(root, b1, num_buckets=16,
+                                    num_partitions=_NUM_PARTITIONS)
+    sink.apply_incremental_bucketed(root, b2, num_buckets=16,
+                                    num_partitions=_NUM_PARTITIONS)
+    return sink.read_state(root).drop_columns(["bucket"])
+
+
+def q_cdc_streaming_state(sf_dir: str):
+    """Micro-batch streaming ingest (shard actors, hash-routed) over
+    three event windows; the snapshot must equal batch replay."""
+    import pyarrow.compute as pc
+    from kettleray.state.store import StreamingIngestor
+    ev = _events(sf_dir)
+    ing = StreamingIngestor(num_shards=4)
+    try:
+        for lo, hi in ((0, 1_000_000), (1_000_000, 2_000_000),
+                       (2_000_000, 1 << 62)):
+            mb = ev.map_batches(
+                lambda b, lo=lo, hi=hi: b.filter(pc.and_(
+                    pc.greater_equal(b["commit_seq"], lo),
+                    pc.less(b["commit_seq"], hi))),
+                batch_format="pyarrow", zero_copy_batch=True)
+            ing.ingest(mb)
+        return ing.snapshot()
+    finally:
+        ing.shutdown()
+
+
 def q_cdc_schema_evolution(sf_dir: str):
     import pyarrow as pa
     target = pa.schema([
@@ -184,6 +230,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_snapshot_at": q_cdc_snapshot_at,
         "cdc_scd2_asof_lookup": q_cdc_scd2_asof_lookup,
         "cdc_scd2_surrogate": q_cdc_scd2_surrogate,
+        "cdc_bucketed_state": q_cdc_bucketed_state,
+        "cdc_streaming_state": q_cdc_streaming_state,
     }
     out.update(PARITY_QUERIES)
     out.update(TRAINING_QUERIES)
@@ -243,6 +291,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(commit_seq AS DOUBLE) AS commit_seq, "
             "CAST(NULL AS VARCHAR) AS author FROM ev"),
         "cdc_replay_twopass":
+            f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
+        "cdc_bucketed_state":
+            f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
+        "cdc_streaming_state":
             f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
         "cdc_snapshot_at": (
             f"WITH {ev}, ev2 AS (SELECT * FROM ev WHERE commit_seq <= "

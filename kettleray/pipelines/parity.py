@@ -165,6 +165,20 @@ def q_data_validator(sf_dir):
     return good
 
 
+def q_data_validator_bad(sf_dir):
+    """The error stream: rejected rows with error_code/error_field
+    (first failing rule wins) — Kettle's red-hop error handling."""
+    ds = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal",
+                                 "c_mktsegment"])
+    good, bad = ro.data_validator(ds, [
+        ro.Rule("c_acctbal", min_val=0.0, code="NEG_BAL"),
+        ro.Rule("c_mktsegment",
+                allowed=["BUILDING", "AUTOMOBILE", "MACHINERY",
+                         "HOUSEHOLD", "FURNITURE"], code="BAD_SEG"),
+    ])
+    return bad.select_columns(["c_custkey", "error_code", "error_field"])
+
+
 # --- §2.6 aggregates / sort / dedup / window ------------------------------
 
 def q_group_by_q1(sf_dir):
@@ -523,6 +537,7 @@ QUERIES = {
     "sample_rows": q_sample_rows,
     "regex_eval": q_regex_eval,
     "data_validator_good": q_data_validator,
+    "data_validator_bad": q_data_validator_bad,
     "group_by_q1": q_group_by_q1,
     "group_by_holistic": q_group_by_holistic,
     "unique_rows": q_unique_rows,
@@ -622,6 +637,15 @@ ORACLES = {
         "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer "
         "WHERE c_acctbal >= 0 AND c_mktsegment IN ('BUILDING', "
         "'AUTOMOBILE', 'MACHINERY', 'HOUSEHOLD', 'FURNITURE')",
+    "data_validator_bad":
+        "SELECT c_custkey, "
+        "CASE WHEN NOT COALESCE(c_acctbal >= 0, FALSE) THEN 'NEG_BAL' "
+        "ELSE 'BAD_SEG' END AS error_code, "
+        "CASE WHEN NOT COALESCE(c_acctbal >= 0, FALSE) THEN 'c_acctbal' "
+        "ELSE 'c_mktsegment' END AS error_field FROM customer "
+        "WHERE NOT COALESCE(c_acctbal >= 0, FALSE) OR NOT COALESCE("
+        "c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY', "
+        "'HOUSEHOLD', 'FURNITURE'), FALSE)",
     "group_by_q1":
         "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "
         "ROUND(SUM(l_extendedprice), 2) AS sum_price, "
