@@ -136,7 +136,24 @@ def sort_rows(ds, keys: Sequence[str], *, descending=False):
 
 
 def top_k(ds, key: str, k: int, *, descending: bool = True):
-    return ds.sort(key, descending=descending).limit(k)
+    """Global top-k WITHOUT a global sort: per-block partial top-k
+    (numpy argsort on the key column only), then one sort over the tiny
+    k x num_blocks candidate set. At web scale the full-sort version
+    shuffles the entire dataset to order rows it then throws away."""
+    import numpy as np
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        from kettleray.ops.cdc import _col_np
+        val = _col_np(t, key)
+        order = np.argsort(val, kind="stable")
+        sel = order[-k:] if descending else order[:k]
+        return t.take(pa.array(np.sort(sel), type=pa.int64()))
+
+    cands = ds.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True)
+    return cands.sort(key, descending=descending).limit(k)
 
 
 def top_k_per_group(ds, group: Sequence[str], order: str, k: int, *,

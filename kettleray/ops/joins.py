@@ -246,11 +246,75 @@ def fuzzy_match(main, lookup, main_field: str, lookup_field: str, *,
                             zero_copy_batch=True, concurrency=concurrency)
 
 
+def closure_generator_distributed(pairs, parent_col: str, child_col: str,
+                                  *, max_depth: int = 32,
+                                  num_partitions: int = 8):
+    """Distributed transitive closure by ITERATIVE DOUBLING: each round
+    joins the reach set with itself (ancestor path of depth a+b from
+    paths a and b), so all depths up to 2^r are covered after r rounds —
+    O(log max_depth) hash-shuffle joins, no driver walk. Use when the
+    hierarchy is too large for the driver-side ``closure_generator``
+    (which is fine for dimension-sized inputs). Emits the same
+    (parent=ancestor, child, depth) rows."""
+    import pyarrow.compute as _pc
+
+    def _base(t: pa.Table) -> pa.Table:
+        edge = pa.table({"anc": t[parent_col], "node": t[child_col],
+                         "depth": pa.array([1] * t.num_rows,
+                                           type=pa.int64())})
+        self_rows = pa.table({"anc": t[child_col], "node": t[child_col],
+                              "depth": pa.array([0] * t.num_rows,
+                                                type=pa.int64())})
+        return pa.concat_tables([edge, self_rows])
+
+    from kettleray.ops.aggregates import unique_rows
+    reach = pairs.map_batches(_base, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    reach = unique_rows(reach, ["anc", "node", "depth"],
+                        num_partitions=num_partitions).materialize()
+    rounds = max(1, (max_depth - 1).bit_length())
+    prev_n = reach.count()
+    for _ in range(rounds):
+        # rename via an Arrow map (Ray's Project op chokes on the pandas
+        # blocks the unique_rows stage emits)
+        upper = reach.map_batches(
+            lambda t: pa.table({"anc2": t["anc"], "anc": t["node"],
+                                "depth2": t["depth"]}),
+            batch_format="pyarrow")
+        joined = reach.join(upper, join_type="inner",
+                            num_partitions=num_partitions, on=("anc",),
+                            right_suffix="_r")
+
+        def _combine(t: pa.Table) -> pa.Table:
+            d = _pc.add(t["depth"], t["depth2"])
+            out = pa.table({"anc": t["anc2"], "node": t["node"],
+                            "depth": d})
+            return out.filter(_pc.less_equal(out["depth"], max_depth))
+
+        new = joined.map_batches(_combine, batch_format="pyarrow")
+        reach = unique_rows(reach.union(new), ["anc", "node", "depth"],
+                            num_partitions=num_partitions).materialize()
+        n = reach.count()
+        if n == prev_n:
+            break
+        prev_n = n
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return pa.table({parent_col: t["anc"], child_col: t["node"],
+                         "depth": t["depth"]})
+
+    # the driver variant emits self rows only once per distinct child
+    return unique_rows(
+        reach.map_batches(_rename, batch_format="pyarrow"),
+        [parent_col, child_col, "depth"], num_partitions=num_partitions)
+
+
 def closure_generator(pairs, parent_col: str, child_col: str, *,
                       max_depth: int = 32):
     """≙ Closure generator: transitive closure of a (parent, child)
     hierarchy, emitting (root, node, depth). Hierarchies are dimension-
-    sized; computed on the driver (documented small-side assumption)."""
+    sized; computed on the driver (documented small-side assumption);
+    see closure_generator_distributed for the log-rounds join variant."""
     t = pa.concat_tables(ray.get(pairs.to_arrow_refs()))
     parent = t[parent_col].to_pylist()
     child = t[child_col].to_pylist()

@@ -25,3 +25,25 @@ def test_derived_events_match_sql(con):
     a = sorted(tuple(r[c] for c in cols) for r in ray_rows)
     b = sorted(duck)
     assert len(a) == len(b) and a == b
+
+
+def test_closure_generator_distributed_matches_driver():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from kettleray.ops.joins import (closure_generator,
+                                     closure_generator_distributed)
+    rng = np.random.RandomState(11)
+    # random forest: node i's parent < i (roots where parent == -1 omitted)
+    parents, children = [], []
+    for i in range(1, 120):
+        p = rng.randint(0, i)
+        parents.append(f"n{p}")
+        children.append(f"n{i}")
+    t = pa.table({"parent": parents, "child": children})
+    ds = ray.data.from_arrow(t)
+    a = closure_generator(ds, "parent", "child").take_all()
+    b = closure_generator_distributed(ds, "parent", "child",
+                                      num_partitions=4).take_all()
+    key = lambda r: (r["parent"], r["child"], r["depth"])
+    assert sorted(map(key, a)) == sorted(map(key, b))
