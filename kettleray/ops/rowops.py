@@ -124,9 +124,30 @@ def _eval_cond(t: pa.Table, c) -> pa.ChunkedArray:
     raise ValueError(f"unknown condition op {op}")
 
 
+def cond_from_config(c):
+    """Build a Cond/CondTree from JSON-shaped config (the .ktr-spec
+    surface): {"field","op","value"[,"value2"]} leaf, ["f","op",v] leaf,
+    or {"logic": "AND", "children": [...]} tree. Cond/CondTree instances
+    pass through."""
+    if isinstance(c, (Cond, CondTree)):
+        return c
+    if isinstance(c, (list, tuple)):
+        return Cond(*c)
+    if isinstance(c, Mapping):
+        if "logic" in c:
+            return CondTree(c["logic"],
+                            [cond_from_config(ch)
+                             for ch in c["children"]])
+        return Cond(c["field"], c["op"], c.get("value"), c.get("value2"))
+    raise TypeError(f"cannot build a condition from {type(c).__name__}")
+
+
 def filter_rows(ds, condition, *, false_target: bool = False):
     """True-target filter; with ``false_target`` returns (true_ds, false_ds)
-    — Kettle's two-target routing as two filtered datasets of one parent."""
+    — Kettle's two-target routing as two filtered datasets of one parent.
+    ``condition`` may be a Cond/CondTree or JSON-shaped config (see
+    cond_from_config) so declared pipeline specs can filter."""
+    condition = cond_from_config(condition)
     def _true(t: pa.Table) -> pa.Table:
         return t.filter(pc.fill_null(_eval_cond(t, condition), False))
     if not false_target:

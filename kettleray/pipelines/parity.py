@@ -488,6 +488,14 @@ def q_string_cleanup(sf_dir):
                                "hexed", "unhexed"])
 
 
+def q_split_fields(sf_dir):
+    """≙ Field splitter: one field -> N columns by delimiter."""
+    from kettleray.ops.strings import split_fields
+    ds = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+    out = split_fields(ds, "c_name", "#", ["name_word", "name_num"])
+    return out.select_columns(["c_custkey", "name_word", "name_num"])
+
+
 def q_formula(sf_dir):
     """≙ Formula / Janino expression step: free-form vectorized row
     expression (ast-whitelisted, numpy-compiled once)."""
@@ -566,6 +574,7 @@ QUERIES = {
     "string_cleanup": q_string_cleanup,
     "top_k_per_group": q_top_orders_per_customer,
     "formula": q_formula,
+    "split_fields": q_split_fields,
     "deterministic_sample": q_deterministic_sample,
 }
 
@@ -786,6 +795,9 @@ ORACLES = {
         "(SELECT *, CAST(row_number() OVER (PARTITION BY o_custkey "
         "ORDER BY o_totalprice DESC) AS BIGINT) AS rank FROM orders) "
         "WHERE rank <= 3",
+    "split_fields":
+        "SELECT c_custkey, string_split(c_name, '#')[1] AS name_word, "
+        "string_split(c_name, '#')[2] AS name_num FROM customer",
     "formula":
         "SELECT l_orderkey, l_linenumber, "
         "ROUND(CASE WHEN l_quantity > 20 THEN "

@@ -204,3 +204,29 @@ def test_formula_op_vectorized_and_sandboxed():
                 "[1 for _ in a]", "a[0]"):
         with pytest.raises(ValueError):
             compile_formula(bad)
+
+
+def test_run_module_end_to_end(tmp_path):
+    """python -m kettleray.run: the `ray job submit` entrypoint shape."""
+    import json
+    import subprocess
+    import sys
+    spec = [{"op": "replay_lww", "num_partitions": 4}]
+    sp = tmp_path / "spec.json"
+    sp.write_text(json.dumps(spec))
+    # materialize a small derived event stream to parquet as job input
+    from kettleray.gen.derive import derive_events
+    inp = str(tmp_path / "events")
+    derive_events("/root/testdata/sf0.001").write_parquet(inp)
+    out = str(tmp_path / "state")
+    r = subprocess.run(
+        [sys.executable, "-m", "kettleray.run", "--spec", str(sp),
+         "--input", inp, "--output", out, "--output-mode", "state",
+         "--num-cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["version"] == 1 and res["rows"] == 452
+    from kettleray.io import sink
+    man = sink.read_manifest(out)
+    assert man.watermark == res["watermark"] >= 0

@@ -203,3 +203,19 @@ def test_lang_id_six_languages():
     out = lang_id(ray.data.from_arrow(t), "text").take_all()
     assert [r["lang_pred"] for r in out] == \
         ["en", "de", "fr", "es", "it", "pt", "unknown"]
+
+
+def test_multimodal_audio_plumbing():
+    from kettleray.ops import multimodal
+    media = ray.data.from_arrow(multimodal.synthetic_media_table(60))
+    auds = media.map_batches(
+        lambda t: t.filter(__import__("pyarrow").compute.equal(t["kind"],
+                                                               "audio")),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = multimodal.extract_audio_features(auds, mode="fake").take_all()
+    assert len(out) == 30
+    assert all(0.5 <= r["duration_s"] <= 16.5 for r in out)
+    # deterministic: same payload -> same features
+    again = multimodal.extract_audio_features(auds, mode="fake").take_all()
+    key = lambda r: r["media_id"]
+    assert sorted(out, key=key) == sorted(again, key=key)
