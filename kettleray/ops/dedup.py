@@ -137,18 +137,25 @@ class MinHasher:
         ndocs = len(ids)
         out_id = np.repeat(np.asarray(ids), self.bands)
         out_band = np.tile(np.arange(self.bands, dtype=np.int32), ndocs)
-        out_hash = []
+        # band hash = splitmix-style fold of the band's signature columns
+        # — fully vectorized ((ndocs, bands) in a handful of numpy ops;
+        # the per-(doc, band) blake2b loop was the signing bottleneck).
+        # Cross-signature collisions are ~2^-64: harmless false
+        # candidates, removed by the exact-Jaccard verify.
         rpb = self.rows_per_band
-        for d in range(ndocs):
-            row = sig[d]
-            for band in range(self.bands):
-                out_hash.append(hashlib.blake2b(
-                    row[band * rpb:(band + 1) * rpb].tobytes(),
-                    digest_size=8).hexdigest())
+        C1 = np.uint64(0x9E3779B97F4A7C15)
+        C2 = np.uint64(0xBF58476D1CE4E5B9)
+        with np.errstate(over="ignore"):
+            h = np.zeros((ndocs, self.bands), dtype=np.uint64)
+            for j in range(rpb):
+                col = sig[:, [b * rpb + j for b in range(self.bands)]]
+                h = (h ^ (col * C1)) * C2
+                h ^= h >> np.uint64(29)
+        band_hash = h.astype(np.int64).ravel()
         return pa.table({
             "doc_id": pa.array(out_id),
             "band_id": pa.array(out_band, type=pa.int32()),
-            "band_hash": pa.array(out_hash, type=pa.string()),
+            "band_hash": pa.array(band_hash, type=pa.int64()),
         })
 
 
@@ -591,10 +598,11 @@ def embedding_cosine_dups(ds, id_col: str, vec_col: str, *,
                 "cosine": pa.array([], type=pa.float64())})
             if t.num_rows < 2:
                 return empty
+            from kettleray.ops.similarity import _to_matrix
             bkt = _col_np(t, "bucket")
             ids = _col_np(t, id_col)
             order = np.argsort(bkt, kind="stable")
-            mat = np.asarray(t[vec_col].to_pylist(), dtype=np.float64)
+            mat = _to_matrix(t[vec_col])
             mat = mat[order]
             mat /= np.maximum(
                 np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
@@ -640,8 +648,9 @@ def embedding_cosine_dups(ds, id_col: str, vec_col: str, *,
             f"exceeds the {brute_force_max_rows}-row guard — use the "
             "default method='lsh' (O(N^2) all-pairs is a design error at "
             "scale)")
+    from kettleray.ops.similarity import _to_matrix
     ids_all = np.asarray(t[id_col].to_pylist())
-    mat = np.asarray(t[vec_col].to_pylist(), dtype=np.float64)
+    mat = _to_matrix(t[vec_col])
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     ref = ray.put((ids_all, mat))
 
@@ -650,8 +659,9 @@ def embedding_cosine_dups(ds, id_col: str, vec_col: str, *,
             self.ids_all, self.mat = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            from kettleray.ops.similarity import _to_matrix
             ids = np.asarray(batch[id_col].to_pylist())
-            vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+            vecs = _to_matrix(batch[vec_col])
             vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True),
                                1e-12)
             sims = vecs @ self.mat.T

@@ -19,7 +19,27 @@ import ray.data
 
 
 def _to_matrix(tbl_col) -> np.ndarray:
-    return np.asarray(tbl_col.to_pylist(), dtype=np.float64)
+    """(n, dim) float64 matrix from a list<float>/fixed_size_list column
+    — zero-copy flat-values reshape when row lengths are uniform (the
+    embedding-table invariant), falling back to to_pylist otherwise."""
+    col = tbl_col.combine_chunks() if isinstance(tbl_col,
+                                                 __import__("pyarrow")
+                                                 .ChunkedArray) else tbl_col
+    import pyarrow as pa
+    if isinstance(col, pa.FixedSizeListArray):
+        dim = col.type.list_size
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(len(col), dim).astype(np.float64, copy=False)
+    if isinstance(col, (pa.ListArray, pa.LargeListArray)) and len(col):
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        lens = np.diff(offs)
+        if col.null_count == 0 and len(lens) and (lens == lens[0]).all():
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            # offsets may not start at 0 on sliced arrays
+            flat = flat[offs[0]:offs[-1]]
+            return flat.reshape(len(col), int(lens[0])) \
+                .astype(np.float64, copy=False)
+    return np.asarray(col.to_pylist(), dtype=np.float64)
 
 
 def cosine_scores(ds, id_col: str, vec_col: str, query: np.ndarray, *,
