@@ -124,9 +124,11 @@ class MinHasher:
             all_doc = np.concatenate([sh_doc, fb_docs])
             order = np.argsort(all_doc, kind="stable")
             all_sh, all_doc = all_sh[order], all_doc[order]
-            # per-doc minima over num_perm permutations
-            V = (all_sh[:, None] * self.a[None, :] + self.b[None, :]) \
-                % _MERSENNE
+            # per-doc minima over num_perm permutations; Mersenne-prime
+            # reduction via shift-add (no u64 division in the hot loop)
+            V = all_sh[:, None] * self.a[None, :] + self.b[None, :]
+            V = (V & _MERSENNE) + (V >> np.uint64(61))
+            V = np.where(V >= _MERSENNE, V - _MERSENNE, V)
             starts_sh = np.searchsorted(all_doc, np.arange(ndocs))
             sig = np.minimum.reduceat(V, starts_sh, axis=0)
         return sig
