@@ -230,3 +230,31 @@ def test_run_module_end_to_end(tmp_path):
     from kettleray.io import sink
     man = sink.read_manifest(out)
     assert man.watermark == res["watermark"] >= 0
+
+
+def test_output_writers_roundtrip(tmp_path):
+    """Text/JSON/SQL output sinks: write, read back, verify."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+    from kettleray.io import output, source
+    t = pa.table({"k": pa.array([1, 2, 3], type=pa.int64()),
+                  "s": pa.array(["a", "b'c", None])})
+    ds = ray.data.from_arrow(t)
+    csv_dir = str(tmp_path / "csv")
+    output.write_csv(ds, csv_dir)
+    back = source.read_csv(csv_dir).take_all()
+    assert sorted(r["k"] for r in back) == [1, 2, 3]
+    json_dir = str(tmp_path / "json")
+    output.write_json(ds, json_dir)
+    back2 = ray.data.read_json(json_dir).take_all()
+    assert sorted(r["k"] for r in back2) == [1, 2, 3]
+    stmts = [r["statement"]
+             for r in output.sql_statements(ds, "tgt").take_all()]
+    assert len(stmts) == 3
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tgt (k BIGINT, s VARCHAR)")
+    for s in stmts:
+        con.execute(s)
+    got = con.execute("SELECT k, s FROM tgt ORDER BY k").fetchall()
+    assert got == [(1, "a"), (2, "b'c"), (3, None)]
