@@ -355,6 +355,32 @@ def apply_incremental_bucketed(root: str, events: "ray.data.Dataset", *,
     return man2
 
 
+def gc_versions(root: str, *, keep_last: int = 2) -> list[int]:
+    """Expire old state versions (a lake 'vacuum'): delete version dirs
+    older than the newest ``keep_last``, never CURRENT. Safe with the
+    bucketed layout's hardlinks — deleting an old version only drops
+    link counts; files shared with surviving versions remain. Leftover
+    ``_stage_*`` dirs from crashed writers are removed too. Returns the
+    deleted version numbers."""
+    cur = current_version(root)
+    if cur is None:
+        return []
+    versions = sorted(
+        int(n[1:]) for n in os.listdir(root)
+        if n.startswith("v") and n[1:].isdigit())
+    cutoff = max(versions[-keep_last:][0] if len(versions) >= keep_last
+                 else versions[0], 1)
+    deleted = []
+    for v in versions:
+        if v < cutoff and v != cur:
+            shutil.rmtree(_version_dir(root, v))
+            deleted.append(v)
+    for n in os.listdir(root):
+        if n.startswith("_stage_"):
+            shutil.rmtree(os.path.join(root, n), ignore_errors=True)
+    return deleted
+
+
 def compact_state(root: str, *, max_files_per_bucket: int = 4) -> Manifest:
     """Compaction for the bucketed layout: buckets accumulating more than
     ``max_files_per_bucket`` fragments (one per incremental commit) are

@@ -125,6 +125,78 @@ def lsh_buckets(ds, id_col: str, vec_col: str, *, n_planes: int = 8,
                           zero_copy_batch=True, concurrency=(1, 8))
 
 
+def write_ann_index(ds, root: str, id_col: str, vec_col: str, *,
+                    n_planes: int = 8, seed: int = 42,
+                    dim: int | None = None) -> dict:
+    """Persist an IVF-style ANN layout: rows bucketed by random-
+    hyperplane LSH and written as Parquet PARTITIONED BY bucket, plus an
+    index.json recording (n_planes, seed, dim). A query then reads ONLY
+    its probe buckets' files — the scan fraction at query time is
+    probes/2^n_planes of the corpus, enforced by partition pruning at
+    the storage layer (not a post-read filter)."""
+    import json
+    import os
+    if dim is None:
+        dim = len(ds.take(1)[0][vec_col])
+    bucketed = lsh_buckets(ds, id_col, vec_col, n_planes=n_planes,
+                           seed=seed, dim=dim)
+    os.makedirs(root, exist_ok=True)
+    bucketed.write_parquet(root, partition_cols=["bucket"])
+    meta = {"n_planes": n_planes, "seed": seed, "dim": dim,
+            "id_col": id_col, "vec_col": vec_col}
+    with open(os.path.join(root, "index.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def probe_buckets(query: np.ndarray, *, n_planes: int, seed: int,
+                  probe_hamming: int = 1) -> list[int]:
+    """Multi-probe bucket ids for a query vector (own bucket + all ids
+    within ``probe_hamming`` bit flips)."""
+    import itertools
+    q = np.asarray(query, dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((len(q), n_planes))
+    qb = int(((q @ planes) > 0) @ (1 << np.arange(n_planes)))
+    probes = {qb}
+    for r in range(1, probe_hamming + 1):
+        for comb in itertools.combinations(range(n_planes), r):
+            b = qb
+            for c in comb:
+                b ^= 1 << c
+            probes.add(b)
+    return sorted(probes)
+
+
+def query_ann_index(root: str, query: np.ndarray, k: int = 10, *,
+                    probe_hamming: int = 1):
+    """ANN top-k against a written index: partition-pruned read of the
+    probe buckets only, then exact cosine re-scoring. Returns
+    (result_table, n_files_read, n_files_total)."""
+    import glob
+    import json
+    import os
+    with open(os.path.join(root, "index.json")) as f:
+        meta = json.load(f)
+    probes = probe_buckets(query, n_planes=meta["n_planes"],
+                           seed=meta["seed"],
+                           probe_hamming=probe_hamming)
+    files = []
+    for b in probes:
+        files.extend(sorted(glob.glob(
+            os.path.join(root, f"bucket={b}", "*.parquet"))))
+    total = len(glob.glob(os.path.join(root, "bucket=*", "*.parquet")))
+    if not files:
+        import pyarrow as _pa
+        empty = _pa.table({meta["id_col"]: _pa.array([], _pa.int64()),
+                           "cosine": _pa.array([], _pa.float64())})
+        return empty, 0, total
+    subset = ray.data.read_parquet(files)
+    res = brute_force_topk(subset, meta["id_col"], meta["vec_col"],
+                           query, k=k)
+    return res, len(files), total
+
+
 def lsh_topk(ds, id_col: str, vec_col: str, query: np.ndarray,
              k: int = 10, *, n_planes: int = 8, seed: int = 42,
              probe_hamming: int = 1):

@@ -108,3 +108,27 @@ def test_bucketed_first_commit_empty_batch(tmp_path):
     man = sink.apply_incremental_bucketed(root, empty, num_buckets=4)
     assert man.version == 1
     assert man.watermark == -1
+
+
+def test_gc_versions_keeps_current_and_hardlinked_files(tmp_path):
+    root = str(tmp_path / "state_gc")
+    cfg = EventGenConfig(n_events=3000, n_repos=10, n_paths_per_repo=50,
+                         p_delete=0.05, seed=9)
+    ev = generate_events_local(cfg)
+    # three commits -> v1, v2, v3
+    for lo, hi in ((0, 1000), (1000, 2000), (2000, 3000)):
+        mb = ev.filter(pa.compute.and_(
+            pa.compute.greater_equal(ev["commit_seq"], lo),
+            pa.compute.less(ev["commit_seq"], hi)))
+        sink.apply_incremental_bucketed(root, ray.data.from_arrow(mb),
+                                        num_buckets=8, num_partitions=4)
+    assert sink.current_version(root) == 3
+    before = {(r["repo"], r["path"]): r["content_sha256"]
+              for r in sink.read_state(root).take_all()}
+    deleted = sink.gc_versions(root, keep_last=1)
+    assert deleted == [1, 2]
+    # current state fully readable after GC (hardlink survival)
+    after = {(r["repo"], r["path"]): r["content_sha256"]
+             for r in sink.read_state(root).take_all()}
+    assert after == before
+    assert not os.path.isdir(os.path.join(root, "v0001"))

@@ -219,3 +219,24 @@ def test_multimodal_audio_plumbing():
     again = multimodal.extract_audio_features(auds, mode="fake").take_all()
     key = lambda r: r["media_id"]
     assert sorted(out, key=key) == sorted(again, key=key)
+
+
+def test_ann_index_partition_pruned_query(tmp_path):
+    """Written IVF layout: the query physically reads only its probe
+    buckets' files and still finds planted exact neighbors."""
+    rng = np.random.RandomState(9)
+    mat = rng.standard_normal((400, 16)).astype(np.float32)
+    q = mat[7].copy()
+    mat[350] = q          # planted exact dup of the query vector
+    t = pa.table({"vec_id": pa.array(range(400), type=pa.int64()),
+                  "embedding": pa.array(mat.tolist(),
+                                        type=pa.list_(pa.float32()))})
+    root = str(tmp_path / "ann_index")
+    meta = similarity.write_ann_index(ray.data.from_arrow(t), root,
+                                      "vec_id", "embedding", n_planes=6)
+    res, n_read, n_total = similarity.query_ann_index(root, q, k=3,
+                                                      probe_hamming=1)
+    ids = [r["vec_id"] for r in res.to_pylist()]
+    assert set(ids[:2]) == {7, 350}        # query vec + planted dup
+    assert 0 < n_read < n_total           # pruning actually happened
+    assert meta["dim"] == 16
