@@ -135,6 +135,23 @@ def q_cdc_scd2_surrogate(sf_dir: str):
                     out_col="dim_key", sep="|")
 
 
+def q_cdc_sync_roundtrip(sf_dir: str):
+    """The full Kettle CDC loop: Merge Rows (diff) feeding Synchronize
+    After Merge — sync(old_state, diff(old, new)) must equal new_state.
+    Oracle = the plain final-state replay SQL."""
+    import pyarrow.compute as pc
+    from kettleray.gen.derive import SEQ_STRIDE
+    ev = _events(sf_dir)
+    old = cdc.replay_lww(
+        ev.map_batches(lambda b: b.filter(
+            pc.less(b["commit_seq"], SEQ_STRIDE)),
+            batch_format="pyarrow", zero_copy_batch=True),
+        num_partitions=_NUM_PARTITIONS)
+    new = cdc.replay_lww(ev, num_partitions=_NUM_PARTITIONS)
+    d = cdc.diff_snapshots(old, new, num_partitions=_NUM_PARTITIONS)
+    return cdc.sync_after_merge(old, d, num_partitions=_NUM_PARTITIONS)
+
+
 def q_cdc_bucketed_state(sf_dir: str):
     """Default incremental path under the driver gate: two-commit apply
     through the bucketed copy-on-write sink (commit 2 rewrites only its
@@ -232,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_scd2_surrogate": q_cdc_scd2_surrogate,
         "cdc_bucketed_state": q_cdc_bucketed_state,
         "cdc_streaming_state": q_cdc_streaming_state,
+        "cdc_sync_roundtrip": q_cdc_sync_roundtrip,
     }
     out.update(PARITY_QUERIES)
     out.update(TRAINING_QUERIES)
@@ -295,6 +313,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_bucketed_state":
             f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
         "cdc_streaming_state":
+            f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
+        "cdc_sync_roundtrip":
             f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
         "cdc_snapshot_at": (
             f"WITH {ev}, ev2 AS (SELECT * FROM ev WHERE commit_seq <= "

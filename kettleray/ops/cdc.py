@@ -505,6 +505,42 @@ def diff_snapshots(reference: "ray.data.Dataset", compare: "ray.data.Dataset",
                                batch_size=None, zero_copy_batch=True)
 
 
+def sync_after_merge(state: "ray.data.Dataset", flagged: "ray.data.Dataset",
+                     *, num_partitions: int = 64,
+                     flag_col: str = "change_type") -> "ray.data.Dataset":
+    """≙ Synchronize After Merge consuming Merge Rows output
+    (synchronizeaftermerge/SynchronizeAfterMerge.java): apply a flagged
+    diff stream to a base state — 'new'/'changed' upsert the compare-side
+    row, 'deleted' removes the key, 'identical' is a no-op.
+
+    Ray-native: both sides become change events (base rows at their own
+    last_commit_seq, deletes nudged +1 so they deterministically beat
+    the base row they remove) and flow through the standard LWW replay —
+    one shuffle, exactly the invariant ``sync(old, diff(old, new)) ==
+    new``."""
+
+    def _base(t: pa.Table) -> pa.Table:
+        t = t.append_column("op", pa.array([OP_INSERT] * t.num_rows))
+        t = t.append_column(SEQ_COL, t["last_commit_seq"])
+        return t.drop_columns(["last_commit_seq"])
+
+    def _changes(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t[flag_col], FLAG_IDENTICAL))
+        is_del = pc.equal(t[flag_col], FLAG_DELETED)
+        op = pc.if_else(is_del, OP_DELETE, OP_INSERT)
+        seq = pc.add(t["last_commit_seq"],
+                     pc.cast(is_del, pa.int64()))
+        t = t.append_column("op", op)
+        t = t.append_column(SEQ_COL, seq)
+        return t.drop_columns(["last_commit_seq", flag_col])
+
+    base = state.map_batches(_base, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)
+    ch = flagged.map_batches(_changes, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)
+    return replay_lww(base.union(ch), num_partitions=num_partitions)
+
+
 # ---------------------------------------------------------------------------
 # Dimension Lookup/Update (SCD2): events -> version-history table
 # ---------------------------------------------------------------------------
