@@ -79,3 +79,92 @@ def test_sha256_buffer_path_matches_hashlib(vals):
     got = cdc.sha256_hex_array(arr).to_pylist()
     want = [hashlib.sha256(v.encode("utf-8")).hexdigest() for v in vals]
     assert got == want
+
+
+@given(event_logs())
+@settings(max_examples=40, deadline=None)
+def test_sync_after_merge_roundtrip_property(t):
+    """sync(old_state, diff(old, new)) == new_state for arbitrary little
+    logs (split at the midpoint seq) — pure-kernel version of the
+    cdc_sync_roundtrip driver query."""
+    import pyarrow.compute as pc
+    from kettleray.ops.cdc import (FLAG_IDENTICAL, OP_DELETE, OP_INSERT,
+                                   diff_snapshots, lww_reduce_table,
+                                   finalize_state_table, scd2_history_table)
+    # kernel-level equivalents (single block, no Ray round trip)
+    def state_of(tbl):
+        return finalize_state_table(lww_reduce_table(
+            cdc.dedup_events_table(tbl)))
+    seqs = t["commit_seq"].to_pylist()
+    cut = sorted(seqs)[len(seqs) // 2]
+    old_t = t.filter(pc.less(t["commit_seq"], cut))
+    old = state_of(old_t) if old_t.num_rows else \
+        state_of(t.slice(0, 1)).slice(0, 0)
+    new = state_of(t)
+    # flagged diff computed the dumb way for the property
+    ok = {(r["repo"], r["path"]): r for r in old.to_pylist()}
+    nk = {(r["repo"], r["path"]): r for r in new.to_pylist()}
+    flagged = []
+    for k in set(ok) | set(nk):
+        if k in ok and k not in nk:
+            flagged.append({**ok[k], "change_type": "deleted"})
+        elif k in nk and k not in ok:
+            flagged.append({**nk[k], "change_type": "new"})
+        elif ok[k]["content_sha256"] == nk[k]["content_sha256"]:
+            flagged.append({**nk[k], "change_type": "identical"})
+        else:
+            flagged.append({**nk[k], "change_type": "changed"})
+    # apply via the same event construction sync_after_merge uses
+    rows = []
+    for r in old.to_pylist():
+        rows.append({**{c: r[c] for c in ("repo", "path", "commit",
+                                          "lang", "content")},
+                     "op": OP_INSERT, "commit_seq": r["last_commit_seq"]})
+    for r in flagged:
+        if r["change_type"] == FLAG_IDENTICAL:
+            continue
+        is_del = r["change_type"] == "deleted"
+        rows.append({**{c: r[c] for c in ("repo", "path", "commit",
+                                          "lang", "content")},
+                     "op": OP_DELETE if is_del else OP_INSERT,
+                     "commit_seq": r["last_commit_seq"] + int(is_del)})
+    if not rows:
+        return
+    merged = pa.Table.from_pylist(rows)
+    synced = finalize_state_table(lww_reduce_table(merged))
+    got = {(r["repo"], r["path"]): r["content_sha256"]
+           for r in synced.to_pylist()}
+    want = {(r["repo"], r["path"]): r["content_sha256"]
+            for r in new.to_pylist()}
+    assert got == want
+
+
+@given(st.lists(st.tuples(st.integers(0, 5), st.floats(
+    allow_nan=False, allow_infinity=False, width=32)),
+    min_size=1, max_size=60))
+@settings(max_examples=40, deadline=None)
+def test_top_k_per_group_matches_pandas(rows):
+    import pandas as pd
+    import ray.data
+    from kettleray.ops.aggregates import top_k_per_group
+    # unique order values per group to avoid tie ambiguity
+    df = pd.DataFrame(rows, columns=["g", "v"]).drop_duplicates(["g", "v"])
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    got = top_k_per_group(ray.data.from_arrow(t), ["g"], "v", 2,
+                          descending=True, num_partitions=2,
+                          rank_col=None).take_all()
+    want = df.sort_values("v", ascending=False).groupby("g").head(2)
+    gset = {(r["g"], r["v"]) for r in got}
+    wset = set(map(tuple, want[["g", "v"]].itertuples(index=False)))
+    assert gset == wset
+
+
+@given(st.lists(st.text(alphabet="abç日 x", min_size=0, max_size=6),
+                min_size=1, max_size=30))
+@settings(max_examples=30, deadline=None)
+def test_hash_hex_md5_buffer_path(vals):
+    from kettleray.ops.cdc import hash_hex_array
+    arr = pa.array(vals, type=pa.string())
+    got = hash_hex_array(arr, "md5").to_pylist()
+    want = [hashlib.md5(v.encode("utf-8")).hexdigest() for v in vals]
+    assert got == want
