@@ -135,6 +135,14 @@ def q_cdc_scd2_surrogate(sf_dir: str):
                     out_col="dim_key", sep="|")
 
 
+def q_cdc_shuffled_arrival(sf_dir: str):
+    """Arrival-order invariance under the driver gate: the event log is
+    physically random-shuffled before replay — commit order is data
+    (commit_seq), never arrival order, so the state must not change."""
+    return cdc.replay_lww(_events(sf_dir).random_shuffle(seed=7),
+                          num_partitions=_NUM_PARTITIONS)
+
+
 def q_cdc_sync_roundtrip(sf_dir: str):
     """The full Kettle CDC loop: Merge Rows (diff) feeding Synchronize
     After Merge — sync(old_state, diff(old, new)) must equal new_state.
@@ -250,6 +258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_bucketed_state": q_cdc_bucketed_state,
         "cdc_streaming_state": q_cdc_streaming_state,
         "cdc_sync_roundtrip": q_cdc_sync_roundtrip,
+        "cdc_shuffled_arrival": q_cdc_shuffled_arrival,
     }
     out.update(PARITY_QUERIES)
     out.update(TRAINING_QUERIES)
@@ -315,6 +324,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_streaming_state":
             f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
         "cdc_sync_roundtrip":
+            f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
+        "cdc_shuffled_arrival":
             f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
         "cdc_snapshot_at": (
             f"WITH {ev}, ev2 AS (SELECT * FROM ev WHERE commit_seq <= "

@@ -77,6 +77,64 @@ def doc_fingerprint(ds, text_col: str, out_col: str = "fingerprint"):
                           zero_copy_batch=True, batch_size=None)
 
 
+DEFAULT_SCRUB_PATTERNS = (
+    # order matters: URLs before bare domains would, emails before words
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\b(?:\+?\d[\d\-\s]{7,}\d)\b", "<PHONE>"),
+)
+
+
+def scrub_text(ds, text_col: str, *, out_col: str | None = None,
+               patterns=DEFAULT_SCRUB_PATTERNS):
+    """PII/noise scrubbing for training corpora: ordered regex
+    replacements (email/URL/phone by default) applied with Arrow's RE2
+    kernel — compiled once, vectorized per batch."""
+    out_col = out_col or text_col
+
+    def _fn(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        for pat, repl in patterns:
+            col = pc.replace_substring_regex(col, pattern=pat,
+                                             replacement=repl)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if out_col in t.column_names:
+            return t.set_column(t.column_names.index(out_col), out_col,
+                                col)
+        return t.append_column(out_col, col)
+
+    return ds.map_batches(_fn, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+
+
+def normalize_text(ds, text_col: str, *, out_col: str | None = None,
+                   form: str = "NFC", lowercase: bool = True,
+                   collapse_ws: bool = True):
+    """Canonical text normalization (the cheap pre-dedup pass): unicode
+    normalize + lowercase + whitespace collapse, all Arrow kernels."""
+    out_col = out_col or text_col
+
+    def _fn(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        col = pc.utf8_normalize(col, form=form)
+        if lowercase:
+            col = pc.utf8_lower(col)
+        if collapse_ws:
+            col = pc.utf8_trim_whitespace(
+                pc.replace_substring_regex(col, pattern=r"\s+",
+                                           replacement=" "))
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if out_col in t.column_names:
+            return t.set_column(t.column_names.index(out_col), out_col,
+                                col)
+        return t.append_column(out_col, col)
+
+    return ds.map_batches(_fn, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+
+
 # Ordered dict: earlier languages win stopword-count ties (the voting
 # loop only replaces on STRICTLY more hits). The lang_id oracle SQL is
 # GENERATED from this table (pipelines/training.py::lang_id_oracle_sql)

@@ -100,6 +100,27 @@ def q_minhash_neardup(sf_dir):
                                 shingle_k=3, threshold=0.5)
 
 
+def q_text_scrub_normalize(sf_dir):
+    """PII scrub + canonical normalization over documents — the standard
+    pre-dedup cleaning pass. The fixture has no PII, so scrubbing is
+    exercised on a derived column seeded with synthetic emails/URLs."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _seed(t: pa.Table) -> pa.Table:
+        tagged = pc.binary_join_element_wise(
+            t["text"], " contact user", pc.cast(t["doc_id"], pa.string()),
+            "@example.com or https://ex.org/d",
+            pc.cast(t["doc_id"], pa.string()), "")
+        return t.append_column("tagged", tagged)
+
+    seeded = docs.map_batches(_seed, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    scrubbed = textstats.scrub_text(seeded, "tagged", out_col="clean")
+    out = textstats.normalize_text(scrubbed, "clean", out_col="norm",
+                                   form="NFC")
+    return out.select_columns(["doc_id", "clean", "norm"])
+
+
 def q_dedup_corpus(sf_dir):
     """Flagship end-to-end near-dup dedup: sign -> band -> verify ->
     connected components -> keep min-id representative. Oracle = the
@@ -246,6 +267,7 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "minhash_neardup": q_minhash_neardup,
     "dedup_corpus": q_dedup_corpus,
+    "text_scrub_normalize": q_text_scrub_normalize,
     "simhash_fingerprints": q_simhash,
     "lang_id": q_lang_id,
     "embedding_neardup": q_embedding_neardup,
@@ -309,6 +331,18 @@ ORACLES = {
     # stopword-vote heuristic oracle GENERATED from textstats._STOPWORDS
     # + TOKEN_PATTERN, so the SQL cannot drift from the implementation
     "lang_id": None,  # filled below by lang_id_oracle_sql()
+    "text_scrub_normalize": (
+        "WITH seeded AS (SELECT doc_id, text || ' contact user' || "
+        "CAST(doc_id AS VARCHAR) || '@example.com or https://ex.org/d' "
+        "|| CAST(doc_id AS VARCHAR) AS tagged FROM documents), "
+        "scrubbed AS (SELECT doc_id, regexp_replace(regexp_replace("
+        "regexp_replace(tagged, "
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', "
+        "'g'), 'https?://[^\\s]+', '<URL>', 'g'), "
+        "'\\b(?:\\+?\\d[\\d\\-\\s]{7,}\\d)\\b', '<PHONE>', 'g') AS clean "
+        "FROM seeded) "
+        "SELECT doc_id, clean, trim(regexp_replace(lower(nfc_normalize("
+        "clean)), '\\s+', ' ', 'g')) AS norm FROM scrubbed"),
     # copy-augmented corpus (see q_embedding_neardup): pairs >= 0.99 are
     # exactly the 1:1 exact-copy pairs
     "embedding_neardup": (
