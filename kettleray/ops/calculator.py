@@ -561,6 +561,36 @@ def _eval(t: pa.Table, op: CalcOp):
                                           1_000_000), pa.duration("us")))
     if f == "date_diff_ms":
         return pc.milliseconds_between(B, A)   # A - B in ms
+    if f == "date_working_diff":
+        # ≙ CALC_DATE_WORKING_DIFF: weekday count in (B, A], vectorized:
+        # full weeks x 5 + weekday-indexed remainder lookup
+        import numpy as np
+        days = pc.days_between(B, A)
+        d = days.combine_chunks().to_numpy(zero_copy_only=False) \
+            if isinstance(days, pa.ChunkedArray) else \
+            days.to_numpy(zero_copy_only=False)
+        if isinstance(B, (pa.Array, pa.ChunkedArray)):
+            dowB = pc.day_of_week(B)             # Monday=0
+            wb = dowB.combine_chunks().to_numpy(zero_copy_only=False) \
+                if isinstance(dowB, pa.ChunkedArray) else \
+                dowB.to_numpy(zero_copy_only=False)
+        else:                                    # scalar constant date
+            wb = np.full(len(d), B.weekday(), dtype=np.int64)
+        sign = np.sign(d)
+        ad = np.abs(d)
+        start = np.where(sign >= 0, wb, (wb + d) % 7)
+        full, rem = ad // 7, ad % 7
+        # weekdays among the `rem` days following weekday `start`
+        offs = (start[:, None] + 1 + np.arange(7)[None, :]) % 7
+        wk = (offs < 5).cumsum(axis=1)
+        extra = np.where(rem > 0, wk[np.arange(len(rem)),
+                                     np.maximum(rem - 1, 0)], 0)
+        return pa.array((sign * (full * 5 + extra)).astype(np.int64))
+    if f == "round_even":          # ROUND_STD: banker's rounding
+        return pc.round(A, ndigits=int(B or 0), round_mode="half_to_even")
+    if f == "combination_linear":  # CALC_COMBINATION_1: A*K + B
+        k = float(op.c) if op.c is not None else 1.0
+        return pc.add(pc.multiply(pc.cast(A, pa.float64()), k), B)
     # --- extra arithmetic ---
     if f == "square":
         return pc.multiply(A, A)

@@ -400,6 +400,9 @@ def q_date_calculator(sf_dir):
         calc.CalcOp("next_year", "add_years", a="o_orderdate", const_b=1),
         calc.CalcOp("month_end", "last_day_of_month", a="o_orderdate"),
         calc.CalcOp("plus_36h", "add_hours", a="o_orderdate", const_b=36),
+        calc.CalcOp("workdays_since_95", "date_working_diff",
+                    a="o_orderdate",
+                    const_b=datetime.datetime(1995, 1, 1)),
     ])
     # align dow with SQL isodow (Mon=1..Sun=7; Arrow gives Mon=0..Sun=6)
     out = calc.calculator(out, [
@@ -407,7 +410,8 @@ def q_date_calculator(sf_dir):
     return out.select_columns(["o_orderkey", "iso_week", "dow",
                                "days_since_95", "month_start", "doy",
                                "iso_year", "next_month", "next_year",
-                               "month_end", "plus_36h"])
+                               "month_end", "plus_36h",
+                               "workdays_since_95"])
 
 
 def q_multiway_join(sf_dir):
@@ -754,7 +758,11 @@ ORACLES = {
         "o_orderdate + INTERVAL 1 MONTH AS next_month, "
         "o_orderdate + INTERVAL 1 YEAR AS next_year, "
         "CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end, "
-        "o_orderdate + INTERVAL 36 HOUR AS plus_36h FROM orders",
+        "o_orderdate + INTERVAL 36 HOUR AS plus_36h, "
+        "CAST((SELECT count(*) FROM UNNEST(generate_series("
+        "DATE '1995-01-02', CAST(o_orderdate AS DATE), "
+        "INTERVAL 1 DAY)) AS t(d) WHERE isodow(CAST(d AS DATE)) <= 5) "
+        "AS BIGINT) AS workdays_since_95 FROM orders",
     "multiway_join":
         "SELECT l_orderkey, l_linenumber, l_quantity, c_custkey, c_name "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "

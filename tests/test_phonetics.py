@@ -76,3 +76,21 @@ def test_calculator_new_ops_end_to_end():
     assert out[2]["rt"] == "x<y>'z"
     import zlib
     assert out[0]["ad"] == zlib.adler32(b"a1b2")
+
+
+def test_round_even_and_combination_and_workdays():
+    import datetime
+    t = pa.table({"v": pa.array([0.5, 1.5, 2.5, 2.675]),
+                  "b": pa.array([10.0, 10.0, 10.0, 10.0]),
+                  "d": pa.array([datetime.datetime(1995, 1, 9)] * 4,
+                                type=pa.timestamp("us"))})
+    out = calc.calculator(ray.data.from_arrow(t), [
+        calc.CalcOp("re", "round_even", a="v", const_b=0),
+        calc.CalcOp("lin", "combination_linear", a="v", b="b", c=2.0),
+        calc.CalcOp("wd", "date_working_diff", a="d",
+                    const_b=datetime.datetime(1995, 1, 1)),
+    ]).take_all()
+    assert [r["re"] for r in out] == [0.0, 2.0, 2.0, 3.0]
+    assert [r["lin"] for r in out] == [11.0, 13.0, 15.0, 15.35]
+    # 1995-01-01 is a Sunday; through Mon 1995-01-09 = 6 weekdays
+    assert all(r["wd"] == 6 for r in out)
