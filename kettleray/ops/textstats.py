@@ -77,6 +77,54 @@ def doc_fingerprint(ds, text_col: str, out_col: str = "fingerprint"):
                           zero_copy_batch=True, batch_size=None)
 
 
+def word_counts(ds, text_col: str, *, lowercase: bool = True,
+                num_partitions: int = 16):
+    """Distributed vocabulary building (the tokenizer-training staple):
+    per-batch PARTIAL word counts (Arrow split + value_counts — the
+    map-side combiner, so the shuffle moves one row per distinct word
+    per block, not one per token), then a hash-partitioned sum."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        if lowercase:
+            col = pc.utf8_lower(col)
+        toks = pc.list_flatten(pc.utf8_split_whitespace(
+            pc.fill_null(pc.utf8_trim_whitespace(col), "")))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        vc = toks.value_counts()       # StructArray<values, counts>
+        words = vc.field("values")
+        counts = vc.field("counts")
+        keep = pc.not_equal(words, "")
+        return pa.table({"word": words.filter(keep),
+                         "n": pc.cast(counts.filter(keep), pa.int64())})
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    shuffled = partials.repartition(num_partitions, keys=["word"])
+
+    def _sum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        import numpy as np
+        from kettleray.ops.cdc import _col_np, _composite_key_codes
+        codes = _composite_key_codes(t, ["word"])
+        n = _col_np(t, "n")
+        order = np.argsort(codes, kind="stable")
+        sk = codes[order]
+        run_start = np.empty(len(sk), dtype=bool)
+        run_start[0] = True
+        run_start[1:] = sk[1:] != sk[:-1]
+        starts = np.nonzero(run_start)[0]
+        sums = np.add.reduceat(n[order], starts)
+        reps = t.take(pa.array(order[starts], type=pa.int64()))
+        return pa.table({"word": reps["word"],
+                         "n": pa.array(sums, type=pa.int64())})
+
+    return shuffled.map_batches(_sum, batch_format="pyarrow",
+                                batch_size=None, zero_copy_batch=True)
+
+
 DEFAULT_SCRUB_PATTERNS = (
     # order matters: URLs before bare domains would, emails before words
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),

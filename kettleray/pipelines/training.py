@@ -100,6 +100,13 @@ def q_minhash_neardup(sf_dir):
                                 shingle_k=3, threshold=0.5)
 
 
+def q_vocab_counts(sf_dir):
+    """Corpus vocabulary with counts (tokenizer-training step): map-side
+    partial counts -> one hash shuffle on the word."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return textstats.word_counts(docs, "text", num_partitions=8)
+
+
 def q_text_scrub_normalize(sf_dir):
     """PII scrub + canonical normalization over documents — the standard
     pre-dedup cleaning pass. The fixture has no PII, so scrubbing is
@@ -268,6 +275,7 @@ QUERIES = {
     "minhash_neardup": q_minhash_neardup,
     "dedup_corpus": q_dedup_corpus,
     "text_scrub_normalize": q_text_scrub_normalize,
+    "vocab_counts": q_vocab_counts,
     "simhash_fingerprints": q_simhash,
     "lang_id": q_lang_id,
     "embedding_neardup": q_embedding_neardup,
@@ -331,6 +339,10 @@ ORACLES = {
     # stopword-vote heuristic oracle GENERATED from textstats._STOPWORDS
     # + TOKEN_PATTERN, so the SQL cannot drift from the implementation
     "lang_id": None,  # filled below by lang_id_oracle_sql()
+    "vocab_counts": (
+        "SELECT word, CAST(count(*) AS BIGINT) AS n FROM (SELECT "
+        "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS "
+        "word FROM documents) WHERE word <> '' GROUP BY word"),
     "text_scrub_normalize": (
         "WITH seeded AS (SELECT doc_id, text || ' contact user' || "
         "CAST(doc_id AS VARCHAR) || '@example.com or https://ex.org/d' "
