@@ -108,6 +108,17 @@ def commit_state(ds: "ray.data.Dataset", root: str, *, watermark: int,
     t0 = time.time()
     ds.write_parquet(stage)
     os.makedirs(stage, exist_ok=True)   # empty ds writes no files at all
+    if not any(n.endswith(".parquet") for n in os.listdir(stage)):
+        # write an explicit typed empty file so read_state of an empty
+        # version works instead of read_parquet([]) blowing up
+        try:
+            sch = ds.schema()
+            arrow_schema = getattr(sch, "base_schema", None)
+            if arrow_schema is not None:
+                pq.write_table(arrow_schema.empty_table(),
+                               os.path.join(stage, "empty-0.parquet"))
+        except Exception:
+            pass
     try:                         # per-stage Ray execution stats -> lineage
         stats_tail = ds.stats()[-1800:]
     except Exception:
@@ -265,9 +276,13 @@ def apply_incremental_bucketed(root: str, events: "ray.data.Dataset", *,
         if man is not None:
             return man
         # first-ever commit with nothing above the (empty) watermark:
-        # commit an empty v0001 so downstream readers see a valid table.
-        return commit_state(fresh.drop_columns(["bucket"]), root,
-                            watermark=wm)
+        # commit an empty v0001 with the FINAL-STATE schema (not the raw
+        # event schema) so later versions and readers agree.
+        empty_state = ray.data.from_arrow(pa.table({
+            c: pa.array([], type=pa.int64()
+                        if c == "last_commit_seq" else pa.string())
+            for c in cdc.FINAL_STATE_COLS}))
+        return commit_state(empty_state, root, watermark=wm)
     new_wm = int(fresh.max("commit_seq"))
     touched = sorted({r["bucket"] for r in
                       fresh.groupby("bucket").count().take_all()})
@@ -355,13 +370,16 @@ def apply_incremental_bucketed(root: str, events: "ray.data.Dataset", *,
     return man2
 
 
-def gc_versions(root: str, *, keep_last: int = 2) -> list[int]:
+def gc_versions(root: str, *, keep_last: int = 2,
+                stage_min_age_s: float = 3600.0) -> list[int]:
     """Expire old state versions (a lake 'vacuum'): delete version dirs
     older than the newest ``keep_last``, never CURRENT. Safe with the
     bucketed layout's hardlinks — deleting an old version only drops
     link counts; files shared with surviving versions remain. Leftover
-    ``_stage_*`` dirs from crashed writers are removed too. Returns the
-    deleted version numbers."""
+    ``_stage_*`` dirs from crashed writers are removed too — but ONLY
+    when older than ``stage_min_age_s`` (a young stage may belong to a
+    concurrently running commit; deleting it mid-write would corrupt
+    that commit). Returns the deleted version numbers."""
     cur = current_version(root)
     if cur is None:
         return []
@@ -375,9 +393,12 @@ def gc_versions(root: str, *, keep_last: int = 2) -> list[int]:
         if v < cutoff and v != cur:
             shutil.rmtree(_version_dir(root, v))
             deleted.append(v)
+    now = time.time()
     for n in os.listdir(root):
-        if n.startswith("_stage_"):
-            shutil.rmtree(os.path.join(root, n), ignore_errors=True)
+        p = os.path.join(root, n)
+        if n.startswith("_stage_") and \
+                now - os.path.getmtime(p) >= stage_min_age_s:
+            shutil.rmtree(p, ignore_errors=True)
     return deleted
 
 

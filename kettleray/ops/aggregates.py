@@ -177,6 +177,8 @@ def top_k_per_group(ds, group: Sequence[str], order: str, k: int, *,
         from kettleray.ops.cdc import _col_np, _composite_key_codes
         codes = _composite_key_codes(t, group)
         val = _col_np(t, order)
+        if np.issubdtype(val.dtype, np.unsignedinteger):
+            val = val.astype(np.int64)     # negation-safe
         sortable = -val if descending and np.issubdtype(
             val.dtype, np.number) else val
         if descending and not np.issubdtype(val.dtype, np.number):

@@ -222,7 +222,9 @@ def _metaphone(s: str | None, max_len: int = 4) -> str | None:
             else:
                 out.append("S")
         elif c == "T":
-            if nxt == "H":
+            if nxt == "C" and nxt2 == "H":
+                pass                    # silent T in TCH (watch -> WX)
+            elif nxt == "H":
                 out.append("0")
                 i += 1
             elif nxt == "I" and nxt2 in "OA":
@@ -423,13 +425,10 @@ def _eval(t: pa.Table, op: CalcOp):
     if f == "left":
         return pc.utf8_slice_codeunits(A, start=0, stop=int(B))
     if f == "right":
-        import numpy as np
-        ln = pc.utf8_length(A)
-        k = int(B)
-        # slice per row from len-k: use reverse trick (vectorized)
+        # slice per row from len-k: reverse trick (vectorized)
         rev = pc.utf8_reverse(A)
         return pc.utf8_reverse(
-            pc.utf8_slice_codeunits(rev, start=0, stop=k))
+            pc.utf8_slice_codeunits(rev, start=0, stop=int(B)))
     if f == "remove_cr":
         return pc.replace_substring(A, pattern="\r", replacement="")
     if f == "remove_lf":
@@ -563,17 +562,21 @@ def _eval(t: pa.Table, op: CalcOp):
         return pc.milliseconds_between(B, A)   # A - B in ms
     if f == "date_working_diff":
         # ≙ CALC_DATE_WORKING_DIFF: weekday count in (B, A], vectorized:
-        # full weeks x 5 + weekday-indexed remainder lookup
+        # full weeks x 5 + weekday-indexed remainder lookup. Nulls in
+        # either date propagate to null like every other date op.
         import numpy as np
         days = pc.days_between(B, A)
-        d = days.combine_chunks().to_numpy(zero_copy_only=False) \
-            if isinstance(days, pa.ChunkedArray) else \
-            days.to_numpy(zero_copy_only=False)
+        if isinstance(days, pa.ChunkedArray):
+            days = days.combine_chunks()
+        valid = pc.is_valid(days).to_numpy(zero_copy_only=False)
+        d = pc.fill_null(days, 0).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
         if isinstance(B, (pa.Array, pa.ChunkedArray)):
-            dowB = pc.day_of_week(B)             # Monday=0
+            dowB = pc.fill_null(pc.day_of_week(B), 0)    # Monday=0
             wb = dowB.combine_chunks().to_numpy(zero_copy_only=False) \
                 if isinstance(dowB, pa.ChunkedArray) else \
                 dowB.to_numpy(zero_copy_only=False)
+            wb = wb.astype(np.int64)
         else:                                    # scalar constant date
             wb = np.full(len(d), B.weekday(), dtype=np.int64)
         sign = np.sign(d)
@@ -585,7 +588,8 @@ def _eval(t: pa.Table, op: CalcOp):
         wk = (offs < 5).cumsum(axis=1)
         extra = np.where(rem > 0, wk[np.arange(len(rem)),
                                      np.maximum(rem - 1, 0)], 0)
-        return pa.array((sign * (full * 5 + extra)).astype(np.int64))
+        return pa.array((sign * (full * 5 + extra)).astype(np.int64),
+                        mask=~valid)
     if f == "round_even":          # ROUND_STD: banker's rounding
         return pc.round(A, ndigits=int(B or 0), round_mode="half_to_even")
     if f == "combination_linear":  # CALC_COMBINATION_1: A*K + B

@@ -606,8 +606,9 @@ def embedding_cosine_dups(ds, id_col: str, vec_col: str, *,
             order = np.argsort(bkt, kind="stable")
             mat = _to_matrix(t[vec_col])
             mat = mat[order]
-            mat /= np.maximum(
+            mat = mat / np.maximum(        # out-of-place: _to_matrix
                 np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            # may return a read-only zero-copy view
             ids = ids[order]
             sb = bkt[order]
             begins = np.nonzero(np.concatenate(
@@ -653,7 +654,7 @@ def embedding_cosine_dups(ds, id_col: str, vec_col: str, *,
     from kettleray.ops.similarity import _to_matrix
     ids_all = np.asarray(t[id_col].to_pylist())
     mat = _to_matrix(t[vec_col])
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     ref = ray.put((ids_all, mat))
 
     class _Cos:
@@ -664,8 +665,8 @@ def embedding_cosine_dups(ds, id_col: str, vec_col: str, *,
             from kettleray.ops.similarity import _to_matrix
             ids = np.asarray(batch[id_col].to_pylist())
             vecs = _to_matrix(batch[vec_col])
-            vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True),
-                               1e-12)
+            vecs = vecs / np.maximum(
+                np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
             sims = vecs @ self.mat.T
             ai, bj = np.nonzero(sims >= threshold)
             a = ids[ai]

@@ -5,6 +5,11 @@
 Double-Metaphone mode (fuzzymatch/FuzzyMatch.java). Public-domain
 algorithm, reimplemented from the published description; max code length
 4 (the commons-codec default).
+
+Known scope limit: normalization strips non-letters INCLUDING spaces, so
+the reference's multi-word rules ("VAN ", "VON ", "SAN ", word-boundary
+lookaheads) apply per single word here — single-token name encoding (the
+fuzzy-match use case) matches the reference on the tested vectors.
 """
 
 from __future__ import annotations
@@ -91,8 +96,9 @@ def double_metaphone(value: str, max_len: int = 4) -> tuple[str, str]:
                       _at(w, i - 2, 6, "ORCHES", "ARCHIT", "ORCHID") or
                       _at(w, i + 2, 1, "T", "S") or
                       ((_at(w, i - 1, 1, "A", "O", "U", "E") or i == 0)
-                       and _at(w, i + 2, 1, "L", "R", "N", "M", "B",
-                               "H", "F", "V", "W", " "))):
+                       and (_at(w, i + 2, 1, "L", "R", "N", "M", "B",
+                                "H", "F", "V", "W", " ")
+                            or i + 1 == n - 1))):   # CH at end of word
                     add("K")
                 else:
                     if i > 0:
@@ -236,8 +242,10 @@ def double_metaphone(value: str, max_len: int = 4) -> tuple[str, str]:
             continue
         if c == "J":
             if _at(w, i, 4, "JOSE") or _at(w, 0, 4, "SAN "):
-                if (i == 0 and w[i + 4:i + 5] == " ") or \
-                        _at(w, 0, 4, "SAN "):
+                # normalization strips spaces, so the reference's
+                # "JOSE " / "SAN " checks become: word-final JOSE (the
+                # whole word is '...JOSE'/'JOSE') -> H
+                if (i == 0 and i + 4 == n) or _at(w, 0, 4, "SAN "):
                     add("H")
                 else:
                     add("J", "H")

@@ -34,9 +34,10 @@ def _to_matrix(tbl_col) -> np.ndarray:
         offs = col.offsets.to_numpy(zero_copy_only=False)
         lens = np.diff(offs)
         if col.null_count == 0 and len(lens) and (lens == lens[0]).all():
+            # flatten() already compensates slice offsets — do NOT
+            # re-slice by offs (that double-compensates on sliced
+            # arrays and crashes/corrupts)
             flat = col.flatten().to_numpy(zero_copy_only=False)
-            # offsets may not start at 0 on sliced arrays
-            flat = flat[offs[0]:offs[-1]]
             return flat.reshape(len(col), int(lens[0])) \
                 .astype(np.float64, copy=False)
     return np.asarray(col.to_pylist(), dtype=np.float64)

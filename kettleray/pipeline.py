@@ -88,12 +88,15 @@ def _substitute(node: Any, variables: Mapping[str, Any]) -> Any:
     """Recursive ${VAR} substitution over a JSON-shaped spec. Unknown
     variables raise KeyError (fail loudly, like Kettle's strict mode)."""
     import re
-    import string
     if isinstance(node, str):
         m = re.fullmatch(r"\$\{([A-Za-z_][A-Za-z0-9_]*)\}", node)
         if m:                      # whole-string ref: keep native type
             return variables[m.group(1)]
-        return string.Template(node).substitute(variables)
+        # ONLY ${VAR} is special (Kettle syntax): literal '$' (regexes,
+        # currency text) and bare $NAME pass through untouched; unknown
+        # ${VAR} still raises KeyError (strict mode)
+        return re.sub(r"\$\{([A-Za-z_][A-Za-z0-9_]*)\}",
+                      lambda mm: str(variables[mm.group(1)]), node)
     if isinstance(node, Mapping):
         return {k: _substitute(v, variables) for k, v in node.items()}
     if isinstance(node, (list, tuple)):

@@ -108,6 +108,11 @@ def test_bucketed_first_commit_empty_batch(tmp_path):
     man = sink.apply_incremental_bucketed(root, empty, num_buckets=4)
     assert man.version == 1
     assert man.watermark == -1
+    state = sink.read_state(root)
+    assert state.count() == 0
+    assert set(state.schema().names) >= {"repo", "path", "content",
+                                         "content_sha256",
+                                         "last_commit_seq"}
 
 
 def test_gc_versions_keeps_current_and_hardlinked_files(tmp_path):
