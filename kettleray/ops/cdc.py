@@ -171,30 +171,37 @@ def _composite_key_codes_strjoin(t: pa.Table, keys: Sequence[str]
     return codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
 
 
-def stable_key_buckets(t: pa.Table, keys: Sequence[str],
-                       num_buckets: int) -> np.ndarray:
-    """Process-stable bucket id per row: crc32 of the \\x00-joined
-    composite key, modulo ``num_buckets``. crc32, NOT hash(): Python's
-    str hash is per-process salted, which would route the same key to
-    different buckets from different worker processes.
+def key_crc32(t: pa.Table, keys: Sequence[str]) -> np.ndarray:
+    """Per-row crc32 of the \\x00-joined composite key (uint64 array).
+    crc32, NOT hash(): Python's str hash is per-process salted, which
+    would route the same key differently from different workers.
 
     Vectorization: dictionary-encode the composite key and crc32 each
     UNIQUE key once, then scatter via the dictionary indices — per-row
     Python cost collapses to per-unique-key cost (keys repeat heavily in
-    event streams)."""
+    event streams). Null key parts are folded to a sentinel (a null key
+    is still a routable key, never a dropped row)."""
     import zlib
     cols = [t[k].combine_chunks() if isinstance(t[k], pa.ChunkedArray)
             else t[k] for k in keys]
     key = pc.binary_join_element_wise(*cols, "\x00")
+    key = pc.fill_null(key, "\x00<null-key>")
     enc = pc.dictionary_encode(key)
     if isinstance(enc, pa.ChunkedArray):
         enc = enc.combine_chunks()
     uniq = enc.dictionary.to_pylist()
     if not uniq:
-        return np.empty(0, dtype=np.int64)
-    uh = np.fromiter((zlib.crc32(u.encode()) % num_buckets for u in uniq),
-                     dtype=np.int64, count=len(uniq))
+        return np.empty(0, dtype=np.uint64)
+    uh = np.fromiter((zlib.crc32(u.encode()) for u in uniq),
+                     dtype=np.uint64, count=len(uniq))
     return uh[enc.indices.to_numpy(zero_copy_only=False)]
+
+
+def stable_key_buckets(t: pa.Table, keys: Sequence[str],
+                       num_buckets: int) -> np.ndarray:
+    """Process-stable bucket id per row: key_crc32 % num_buckets."""
+    return (key_crc32(t, keys) % np.uint64(num_buckets)) \
+        .astype(np.int64)
 
 
 def _col_np(t: pa.Table, name: str) -> np.ndarray:
@@ -305,21 +312,12 @@ def _winner_hash64(t: pa.Table, seq_col: str) -> np.ndarray:
     (dictionary encode) and mixed with the full-entropy commit_seq via a
     murmur-style finalizer — vectorized, process-stable, 8 B per key.
     Collisions only admit FALSE POSITIVES into the pass-2 filter (the
-    true winner's exact hash is always present) and the final per-key
-    LWW reduce removes them, so the compaction is correctness-free."""
-    import zlib
-    cols = [t[k].combine_chunks() if isinstance(t[k], pa.ChunkedArray)
-            else t[k] for k in KEY_COLS]
-    key = pc.binary_join_element_wise(*cols, "\x00")
-    enc = pc.dictionary_encode(key)
-    if isinstance(enc, pa.ChunkedArray):
-        enc = enc.combine_chunks()
-    uniq = enc.dictionary.to_pylist()
-    if not uniq:
-        return np.empty(0, dtype=np.uint64)
-    uh = np.fromiter((zlib.crc32(u.encode()) for u in uniq),
-                     dtype=np.uint64, count=len(uniq))
-    kc = uh[enc.indices.to_numpy(zero_copy_only=False)]
+    true winner's exact hash is always present — INCLUDING tombstone
+    winners, see replay_lww_twopass) and the final per-key LWW reduce
+    removes them, so the compaction is correctness-free."""
+    kc = key_crc32(t, KEY_COLS)
+    if len(kc) == 0:
+        return kc
     seq = _col_np(t, seq_col).astype(np.uint64)
     with np.errstate(over="ignore"):
         x = (kc * np.uint64(0x9E3779B97F4A7C15)) ^ \
@@ -381,8 +379,13 @@ def replay_lww_twopass(events_factory, *, num_partitions: int = 64,
     slim = src1.map_batches(_slim, batch_format="pyarrow",
                             zero_copy_batch=True,
                             batch_size=None)
+    # pass 1 ALWAYS keeps tombstones internally: a deleted key's true
+    # winner (the delete) must be in the hash set, otherwise a hash
+    # false positive for that key could pass the pass-2 filter with no
+    # true winner to beat it in the final reduce — resurrecting stale
+    # content. Tombstones are dropped (or kept) at _finish instead.
     winners = replay_lww(slim, num_partitions=num_partitions,
-                         keep_tombstones=keep_tombstones, with_sha=False)
+                         keep_tombstones=True, with_sha=False)
 
     def _hash_only(t: pa.Table) -> pa.Table:
         return pa.table({"__wh": pa.array(
@@ -390,11 +393,19 @@ def replay_lww_twopass(events_factory, *, num_partitions: int = 64,
 
     hashed = winners.map_batches(_hash_only, batch_format="pyarrow",
                                  batch_size=None, zero_copy_batch=True)
-    # the driver pulls ONLY the 8-byte hash column of each block
+    # the driver pulls ONLY the 8-byte hash column of each block; keep
+    # the transient at ~2x of the final set (free the per-block parts
+    # before the in-place sort, dedup via a boolean slice)
     parts = [p["__wh"].combine_chunks().to_numpy(zero_copy_only=False)
              for p in ray.get(hashed.to_arrow_refs())]
-    wh = np.unique(np.concatenate(parts)) if parts \
-        else np.empty(0, dtype=np.uint64)
+    wh = np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64)
+    del parts
+    wh.sort()
+    if len(wh):
+        keep_mask = np.empty(len(wh), dtype=bool)
+        keep_mask[0] = True
+        np.not_equal(wh[1:], wh[:-1], out=keep_mask[1:])
+        wh = wh[keep_mask]
     win_ref = ray.put(wh)
 
     def _filter_winners(t: pa.Table) -> pa.Table:

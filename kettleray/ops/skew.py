@@ -129,7 +129,8 @@ def _add_salt(events, hot_keys: pa.Table, *,
 def replay_lww_salted(events, *, num_partitions: int = 64,
                       salt_factor: int = 8,
                       hot_keys: pa.Table | None = None,
-                      hot_top_k: int = 16, hot_min_count: int = 10_000):
+                      hot_top_k: int = 16, hot_min_count: int = 10_000,
+                      detect_sample_rate: float = 0.05):
     """LWW replay with explicit hot-key salting + reconciliation reduce.
 
     Stage 1: salt hot keys -> hash repartition on (key, salt) ->
@@ -141,7 +142,7 @@ def replay_lww_salted(events, *, num_partitions: int = 64,
     if hot_keys is None:
         hot_keys = detect_hot_keys(events, top_k=hot_top_k,
                                    min_count=hot_min_count,
-                                   sample_rate=0.05)
+                                   sample_rate=detect_sample_rate)
     salted = _add_salt(events, hot_keys, salt_factor=salt_factor)
     combined = salted.map_batches(
         lambda t: cdc.lww_reduce_table(t, keys=list(KEY_COLS) + ["__salt"]),
@@ -174,7 +175,8 @@ def replay_lww_salted(events, *, num_partitions: int = 64,
 def scd2_history_salted(events, *, num_partitions: int = 64,
                         hot_keys: pa.Table | None = None,
                         window: int = 1 << 20,
-                        hot_top_k: int = 16, hot_min_count: int = 10_000):
+                        hot_top_k: int = 16, hot_min_count: int = 10_000,
+                        detect_sample_rate: float = 0.05):
     """SCD2 with range-salted hot keys + boundary-stitch reconciliation.
 
     Hot keys are split by commit_seq windows (order-preserving), each
@@ -185,9 +187,12 @@ def scd2_history_salted(events, *, num_partitions: int = 64,
     boundary table is tiny (hot keys × windows), so reconciliation is a
     broadcast, not a shuffle."""
     if hot_keys is None:
+        # sampled by default (cheap); pass detect_sample_rate=1.0 for
+        # exact detection when marginal hot keys matter more than the
+        # extra scan
         hot_keys = detect_hot_keys(events, top_k=hot_top_k,
                                    min_count=hot_min_count,
-                                   sample_rate=0.05)
+                                   sample_rate=detect_sample_rate)
     if hot_keys.num_rows == 0:
         # adaptive: no skew detected -> the salt/stitch machinery is pure
         # overhead; run the plain one-shuffle SCD2 (cost of salting on
@@ -292,9 +297,9 @@ def scd2_history_salted(events, *, num_partitions: int = 64,
 
     hist = combined.map_batches(_only("h"), batch_format="pyarrow",
                                 batch_size=None, zero_copy_batch=True)
-    bounds_rows = [r for r in combined.map_batches(
+    bounds_rows = combined.map_batches(
         _only("b"), batch_format="pyarrow", batch_size=None,
-        zero_copy_batch=True).take_all()]
+        zero_copy_batch=True).take_all()
 
     # ---- reconciliation (tiny): per key ordered by salt, compute version
     # offsets and the closing seq for each salt's open tail. The stitch

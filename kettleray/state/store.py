@@ -35,23 +35,16 @@ class KeyStateStore:
         self.applied = 0
 
     def apply_table(self, t: pa.Table) -> None:
-        """Vectorized pre-reduce: per-batch LWW winners (max (commit_seq,
-        commit) per key, numpy lexsort) BEFORE touching the dict — the
-        Python loop runs once per unique key per batch, not once per
-        event."""
+        """Vectorized pre-reduce with cdc.lww_reduce_table (per-batch
+        per-key max-seq winner — redelivered duplicates are byte-
+        identical per the log contract, so no in-batch commit tiebreak
+        is needed) BEFORE touching the dict: the Python loop runs once
+        per unique key per batch, not once per event."""
         n = t.num_rows
         if n == 0:
             return
-        from kettleray.ops.cdc import _col_np, _composite_key_codes
-        codes = _composite_key_codes(t, ("repo", "path"))
-        seq_np = _col_np(t, "commit_seq")
-        commit_np = _col_np(t, "commit")
-        order = np.lexsort((commit_np, seq_np, codes))
-        sk = codes[order]
-        last = np.empty(len(sk), dtype=bool)
-        last[:-1] = sk[1:] != sk[:-1]
-        last[-1] = True
-        win = t.take(pa.array(order[last], type=pa.int64()))
+        from kettleray.ops.cdc import lww_reduce_table
+        win = lww_reduce_table(t)
         repo = win["repo"].to_pylist()
         path = win["path"].to_pylist()
         seq = win["commit_seq"].to_pylist()
@@ -63,10 +56,13 @@ class KeyStateStore:
         for i in range(win.num_rows):
             k = (repo[i], path[i])
             cur = st.get(k)
-            if cur is None or (seq[i], commit[i]) > (cur[0], cur[1]):
+            # cross-batch LWW by (seq, commit); null-safe commit compare
+            if cur is None or seq[i] > cur[0] or (
+                    seq[i] == cur[0]
+                    and (commit[i] or "") > (cur[1] or "")):
                 st[k] = (seq[i], commit[i], op[i], lang[i], content[i])
         self.applied += n
-        self.watermark = max(self.watermark, int(seq_np.max()))
+        self.watermark = max(self.watermark, max(seq))
 
     def snapshot(self, *, include_tombstones: bool = False) -> pa.Table:
         import hashlib

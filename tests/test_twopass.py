@@ -39,3 +39,37 @@ def test_twopass_equals_onepass():
                lambda: ray.data.from_arrow(events),
                num_partitions=8).take_all()}
     assert one == two
+
+
+def test_twopass_tombstones_and_collision_absorption(monkeypatch):
+    """(1) keep_tombstones=True surfaces deleted keys as tombstone rows;
+    (2) with a deliberately COARSE winner hash (mod 7 — massive false
+    positives, including stale rows of deleted keys) the result is still
+    exact: tombstone winners are in the set and the final per-key LWW
+    reduce absorbs every false positive."""
+    import numpy as np
+    import kettleray.ops.cdc as cdc_mod
+
+    ev = generate_events_local(CFG)
+    want = replay_oracle(ev)
+
+    orig = cdc_mod._winner_hash64
+    monkeypatch.setattr(cdc_mod, "_winner_hash64",
+                        lambda t, s: orig(t, s) % np.uint64(7))
+    got = {(r["repo"], r["path"]): r for r in cdc_mod.replay_lww_twopass(
+        lambda columns=None: ray.data.from_arrow(
+            ev.select(columns) if columns else ev),
+        num_partitions=4).take_all()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["content_sha256"] == want[k]["content_sha256"]
+
+    monkeypatch.setattr(cdc_mod, "_winner_hash64", orig)
+    with_tomb = cdc_mod.replay_lww_twopass(
+        lambda columns=None: ray.data.from_arrow(
+            ev.select(columns) if columns else ev),
+        num_partitions=4, keep_tombstones=True).take_all()
+    ops = {(r["repo"], r["path"]): r["op"] for r in with_tomb}
+    assert "delete" in set(ops.values())      # tombstones surfaced
+    live = {k for k, o in ops.items() if o != "delete"}
+    assert live == set(want)
