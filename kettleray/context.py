@@ -35,6 +35,20 @@ def configure_ray_data(
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     ctx.target_max_block_size = target_max_block_size
     ctx.execution_options.preserve_order = False
+    # Size the hash-shuffle defaults to the ACTUAL cluster. Ray's
+    # defaults (parallelism=200, up to 64 aggregator actors) assume a
+    # large cluster; on a small session every default-partition groupby
+    # pays a ~30-60 s aggregator-actor spawn storm. 2 partitions/core
+    # keeps partition blocks bounded while aggregators ≈ cores avoids
+    # oversubscription; both grow automatically with cluster size.
+    try:
+        import ray
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            ctx.default_hash_shuffle_parallelism = max(2 * cpus, 8)
+            ctx.max_hash_shuffle_aggregators = max(cpus, 4)
+    except Exception:
+        pass
     if quiet:
         ctx.enable_progress_bars = False
         ctx.execution_options.verbose_progress = False

@@ -284,8 +284,13 @@ def apply_incremental_bucketed(root: str, events: "ray.data.Dataset", *,
             for c in cdc.FINAL_STATE_COLS}))
         return commit_state(empty_state, root, watermark=wm)
     new_wm = int(fresh.max("commit_seq"))
-    touched = sorted({r["bucket"] for r in
-                      fresh.groupby("bucket").count().take_all()})
+    # Touched-bucket set: per-block unique + driver union — a map-only
+    # stage over ≤num_buckets ints per block. (A groupby here would pay a
+    # full hash-shuffle + aggregator-actor spawn just to list ≤B values.)
+    touched = sorted({r["bucket"] for r in fresh.map_batches(
+        lambda t: pa.table({"bucket": pc.unique(t["bucket"])}),
+        batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True).take_all()})
 
     prev_v = current_version(root)
     v = 1 if prev_v is None else prev_v + 1
