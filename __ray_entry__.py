@@ -206,6 +206,26 @@ def q_cdc_streaming_state(sf_dir: str):
         ing.shutdown()
 
 
+def q_cdc_envelope_roundtrip(sf_dir: str):
+    """Binlog/WAL-tail ingestion: canonical events encoded as
+    Debezium-style JSON envelopes, re-ingested via the envelope source,
+    replayed to final state. Oracle = plain final-state replay, so any
+    encode/decode drift (op mapping, before/after images, LSN → seq)
+    fails the value-hash compare."""
+    import hashlib
+    import os
+    import shutil
+    from kettleray.io import source
+    out = "/tmp/kettleray_envelopes_" + hashlib.md5(
+        sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    source.write_cdc_envelope(_events(sf_dir), out)
+    ev = source.read_cdc_envelope(out + "/")
+    return cdc.replay_lww(cdc.parse_validate(ev),
+                          num_partitions=_NUM_PARTITIONS)
+
+
 def q_cdc_schema_evolution(sf_dir: str):
     import pyarrow as pa
     target = pa.schema([
@@ -259,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_streaming_state": q_cdc_streaming_state,
         "cdc_sync_roundtrip": q_cdc_sync_roundtrip,
         "cdc_shuffled_arrival": q_cdc_shuffled_arrival,
+        "cdc_envelope_roundtrip": q_cdc_envelope_roundtrip,
     }
     out.update(PARITY_QUERIES)
     out.update(TRAINING_QUERIES)
@@ -272,6 +293,8 @@ def oracle_sql() -> dict[str, str]:
     out = {
         "cdc_events": f"WITH {ev} SELECT * FROM ev",
         "cdc_replay_final_state":
+            f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
+        "cdc_envelope_roundtrip":
             f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
         "cdc_insert_update": (
             f"WITH {ev}, ev2 AS (SELECT * FROM ev WHERE op <> 'delete'), "

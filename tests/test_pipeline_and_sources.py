@@ -258,3 +258,46 @@ def test_output_writers_roundtrip(tmp_path):
         con.execute(s)
     got = con.execute("SELECT k, s FROM tgt ORDER BY k").fetchall()
     assert got == [(1, "a"), (2, "b'c"), (3, None)]
+
+
+def test_cdc_envelope_roundtrip(tmp_path):
+    """Debezium-envelope encode -> decode is lossless, including an
+    all-insert file (JSON infers `before` as null type) and deletes
+    (row image carried in `before`)."""
+    import pyarrow as pa
+    import ray.data
+    from kettleray.io import source
+    ev = pa.table({
+        "repo": ["r1", "r1", "r2", "r2"],
+        "path": ["a", "a", "b", "b"],
+        "commit": ["c1", "c2", "c3", "c4"],
+        "lang": ["py", "py", None, "go"],
+        "content": ["x", "", "y", "z"],
+        "op": ["insert", "delete", "insert", "update"],
+        "commit_seq": pa.array([1, 2, 3, 4], type=pa.int64()),
+    })
+    out = str(tmp_path / "env")
+    # two single-block writes: one all-insert file, one with the delete
+    source.write_cdc_envelope(
+        ray.data.from_arrow(ev.slice(2, 2)), out)
+    source.write_cdc_envelope(
+        ray.data.from_arrow(ev.slice(0, 2)), out)
+    back = sorted(source.read_cdc_envelope(out + "/").take_all(),
+                  key=lambda r: r["commit_seq"])
+    orig = sorted(ev.to_pylist(), key=lambda r: r["commit_seq"])
+    assert back == orig
+
+
+def test_cdc_envelope_rejects_unknown_op(tmp_path):
+    import json
+    import pytest
+    import ray.data
+    from kettleray.io import source
+    p = tmp_path / "bad.json"
+    p.write_text(json.dumps({"payload": {
+        "before": None, "after": {"repo": "r", "path": "p",
+                                  "commit": "c", "lang": "l",
+                                  "content": "x"},
+        "op": "t", "ts_ms": 1, "source": {"lsn": 1}}}) + "\n")
+    with pytest.raises(Exception, match="unknown envelope op"):
+        source.read_cdc_envelope(str(p)).take_all()
