@@ -493,9 +493,15 @@ def dedup_corpus(docs, id_col: str, text_col: str, *,
 
 
 def simhash(ds, id_col: str, text_col: str, *, seed: int = 42,
+            hash_name: str = "blake2b",
             concurrency=(1, 8)):
     """64-bit SimHash per document + 4 16-bit band keys (hamming<=3
-    near-dup candidates share >=1 band by pigeonhole)."""
+    near-dup candidates share >=1 band by pigeonhole).
+
+    ``hash_name``: per-token 64-bit hash. "blake2b" (default, fastest
+    mixing) or "md5" (high 8 bytes big-endian — reproducible in DuckDB
+    SQL as ``('0x'||substr(md5(w),1,16))::UBIGINT``, which is what the
+    driver oracle for ``simhash_fingerprints`` uses)."""
 
     class _SimHash:
         """Vectorized signer (the MinHasher vocab-dedup trick): Arrow
@@ -522,11 +528,18 @@ def simhash(ds, id_col: str, text_col: str, *, seed: int = 42,
             if isinstance(enc, pa.ChunkedArray):
                 enc = enc.combine_chunks()
             vocab = enc.dictionary.to_pylist()
-            vh = np.fromiter(
-                (int.from_bytes(hashlib.blake2b(w.encode("utf-8"),
-                                                digest_size=8).digest(),
-                                "little") for w in vocab),
-                dtype=np.uint64, count=len(vocab))
+            if hash_name == "md5":
+                vh = np.fromiter(
+                    (int.from_bytes(hashlib.md5(
+                        w.encode("utf-8")).digest()[:8], "big")
+                     for w in vocab),
+                    dtype=np.uint64, count=len(vocab))
+            else:
+                vh = np.fromiter(
+                    (int.from_bytes(hashlib.blake2b(w.encode("utf-8"),
+                                                    digest_size=8).digest(),
+                                    "little") for w in vocab),
+                    dtype=np.uint64, count=len(vocab))
             # ±1 contribution matrix per UNIQUE token: (n_vocab, 64)
             pm = (((vh[:, None] >> self.shifts[None, :]) & 1)
                   .astype(np.int32) * 2 - 1).astype(np.int32)

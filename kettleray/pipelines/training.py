@@ -140,8 +140,10 @@ def q_dedup_corpus(sf_dir):
 
 
 def q_simhash(sf_dir):
+    """md5 token hash so the DuckDB oracle can recompute the full
+    SimHash (tokenize -> ±1 bit sums -> 64-bit pack -> 4 band keys)."""
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
-    return dedup.simhash(docs, "doc_id", "text")
+    return dedup.simhash(docs, "doc_id", "text", hash_name="md5")
 
 
 def q_lang_id(sf_dir):
@@ -382,3 +384,31 @@ ORACLES = {
 }
 
 ORACLES["lang_id"] = lang_id_oracle_sql()
+
+# Full SimHash recomputation in SQL: same tokenization (lower, trim,
+# whitespace split), same md5-high-8-bytes token hash, same ±1 bit
+# sums, bit pack, and 16-bit band extraction as dedup.simhash(md5).
+ORACLES["simhash_fingerprints"] = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(
+      trim(coalesce(lower(text), '')), '\s+')) AS w
+  FROM documents),
+hv AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h
+       FROM tok WHERE w <> ''),
+s AS (SELECT doc_id, j,
+             sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM hv CROSS JOIN (SELECT unnest(range(64))::INTEGER AS j) bits
+      GROUP BY doc_id, j),
+fpb AS (SELECT doc_id,
+               sum(CASE WHEN s > 0 THEN (1::UBIGINT << j)::HUGEINT
+                   ELSE 0 END)::UBIGINT AS fp
+        FROM s GROUP BY doc_id),
+fp AS (SELECT d.doc_id, coalesce(f.fp, 0::UBIGINT) AS fp
+       FROM documents d LEFT JOIN fpb f USING (doc_id))
+SELECT doc_id, lpad(lower(to_hex(fp)), 16, '0') AS simhash,
+       CAST(fp & 65535 AS INTEGER) AS band0,
+       CAST((fp >> 16) & 65535 AS INTEGER) AS band1,
+       CAST((fp >> 32) & 65535 AS INTEGER) AS band2,
+       CAST((fp >> 48) & 65535 AS INTEGER) AS band3
+FROM fp
+"""
