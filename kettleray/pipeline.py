@@ -153,6 +153,15 @@ def _register_builtins() -> None:
     register("top_k_per_group", ag.top_k_per_group)
     from kettleray.ops.formula import formula
     register("formula", formula)
+    register("sub_pipeline", _sub_pipeline)
+
+
+def _sub_pipeline(ds, steps, variables=None):
+    """≙ Mapping (reusable sub-transformation) / Trans-Executor: run a
+    nested pipeline spec inline, with its own optional ``${VAR}``
+    bindings. Nesting composes arbitrarily (a sub-spec may itself
+    contain sub_pipeline steps)."""
+    return Pipeline.from_config(steps, variables=variables).run(ds)
 
 
 def _calculator_from_spec(ds, ops):

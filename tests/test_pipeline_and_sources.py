@@ -301,3 +301,26 @@ def test_cdc_envelope_rejects_unknown_op(tmp_path):
         "op": "t", "ts_ms": 1, "source": {"lsn": 1}}}) + "\n")
     with pytest.raises(Exception, match="unknown envelope op"):
         source.read_cdc_envelope(str(p)).take_all()
+
+
+def test_sub_pipeline_nested_spec():
+    """sub_pipeline (≙ Mapping / Trans-Executor): nested spec with its
+    own ${VAR} bindings, nested two levels deep."""
+    from kettleray.ops.rowops import Cond
+    t = pa.table({"a": [1, 2, 3, 4, 5], "b": ["x", "y", "x", "z", "x"]})
+    pipe = Pipeline.from_config([
+        {"op": "filter_rows", "condition": Cond("a", ">", 1)},
+        {"op": "sub_pipeline",
+         "steps": [
+             {"op": "value_mapper", "field": "b",
+              "mapping": {"x": "${X_OUT}"}, "target_field": "b2"},
+             {"op": "sub_pipeline",
+              "steps": [{"op": "filter_rows",
+                         "condition": Cond("b2", "<>", "z")}]},
+         ],
+         "variables": {"X_OUT": "ex"}},
+    ])
+    out = sorted(pipe.run(ray.data.from_arrow(t)).take_all(),
+                 key=lambda r: r["a"])
+    assert [r["a"] for r in out] == [2, 3, 5]
+    assert [r["b2"] for r in out] == ["y", "ex", "ex"]
