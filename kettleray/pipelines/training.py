@@ -146,6 +146,26 @@ def q_simhash(sf_dir):
     return dedup.simhash(docs, "doc_id", "text", hash_name="md5")
 
 
+def q_connected_components(sf_dir):
+    """Distributed min-label-propagation CC over a deterministic
+    quadratic-residue edge set derived from doc_id (non-trivial: ~38
+    components at sf0.01, largest ~50 nodes). Oracle = recursive-CTE
+    reachability in DuckDB, so the distributed iteration is value-
+    checked against exact transitive closure."""
+    docs = _t(sf_dir, "documents", ["doc_id"])
+
+    def _edges(t):
+        a = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = a[a % 3 != 0]
+        return pa.table({"doc_a": pa.array(a),
+                         "doc_b": pa.array((a * a) % 500)})
+
+    pairs = docs.map_batches(_edges, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return dedup.connected_components(pairs, max_iters=64,
+                                      num_partitions=8)
+
+
 def q_lang_id(sf_dir):
     docs = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
     return textstats.lang_id(docs, "text")
@@ -279,6 +299,7 @@ QUERIES = {
     "text_scrub_normalize": q_text_scrub_normalize,
     "vocab_counts": q_vocab_counts,
     "simhash_fingerprints": q_simhash,
+    "connected_components": q_connected_components,
     "lang_id": q_lang_id,
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -384,6 +405,21 @@ ORACLES = {
 }
 
 ORACLES["lang_id"] = lang_id_oracle_sql()
+
+# Exact transitive closure via recursive CTE — the oracle for the
+# distributed min-label-propagation connected_components.
+ORACLES["connected_components"] = """
+WITH RECURSIVE e AS (
+  SELECT doc_id::BIGINT AS a, ((doc_id * doc_id) % 500)::BIGINT AS b
+  FROM documents WHERE doc_id % 3 <> 0),
+und AS (SELECT a, b FROM e UNION SELECT b, a FROM e
+        UNION SELECT a, a FROM e UNION SELECT b, b FROM e),
+reach(node, label) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT u.b, r.label FROM reach r JOIN und u ON u.a = r.node)
+SELECT node, min(label) AS component FROM reach GROUP BY node
+"""
 
 # Full SimHash recomputation in SQL: same tokenization (lower, trim,
 # whitespace split), same md5-high-8-bytes token hash, same ±1 bit
