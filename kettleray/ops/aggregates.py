@@ -217,6 +217,24 @@ def top_k_per_group(ds, group: Sequence[str], order: str, k: int, *,
                                 batch_size=None, zero_copy_batch=True)
 
 
+def stratified_sample(ds, group: Sequence[str], key: Sequence[str],
+                      k: int, *, num_partitions: int = 32):
+    """Deterministic per-stratum k-sample (training-data mix balancing):
+    rows ranked inside each ``group`` stratum by md5 of the row ``key``
+    — a uniform, arrival-order-independent pseudo-random order that any
+    engine can reproduce — keeping the first k. ONE hash shuffle on the
+    stratum key, then top_k_per_group's vectorized per-block selection.
+    SQL-equivalent: ``row_number() OVER (PARTITION BY group ORDER BY
+    md5(key)) <= k``."""
+    from kettleray.ops.rowops import checksum
+    tagged = checksum(ds, list(key), algo="md5",
+                      out_col="__strat_order", sep="|")
+    out = top_k_per_group(tagged, group, "__strat_order", k,
+                          descending=False,
+                          num_partitions=num_partitions, rank_col=None)
+    return out.drop_columns(["__strat_order"])
+
+
 def append_streams(*datasets):
     """≙ Append streams / Prioritize streams: ordered concatenation.
     Row order beyond stream order is not guaranteed (document ordering

@@ -166,6 +166,30 @@ def q_connected_components(sf_dir):
                                       num_partitions=8)
 
 
+def q_kmeans_assign(sf_dir):
+    """Nearest-centroid assignment (the per-pass kernel of distributed
+    k-means / SemDeDup-style cluster-prune): centroids = the 8
+    lowest-vec_id embeddings (deterministic), broadcast once via
+    ray.put; assignment vectorized per batch. Oracle recomputes the
+    L2 argmin with list_distance in DuckDB (lowest-id tie-break)."""
+    from kettleray.ops import clustering
+    seed = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", 8)]).sort_by("vec_id")
+    cents = np.array(seed["embedding"].to_pylist(), dtype=np.float64)
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return clustering.kmeans_assign(emb, "embedding", cents) \
+        .select_columns(["vec_id", "cluster"])
+
+
+def q_stratified_sample(sf_dir):
+    """Balanced training-data mix: 20 docs per language stratum,
+    deterministically sampled by md5(doc_id) order."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return ag.stratified_sample(docs, ["lang"], ["doc_id"], 20,
+                                num_partitions=8)
+
+
 def q_lang_id(sf_dir):
     docs = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
     return textstats.lang_id(docs, "text")
@@ -300,6 +324,8 @@ QUERIES = {
     "vocab_counts": q_vocab_counts,
     "simhash_fingerprints": q_simhash,
     "connected_components": q_connected_components,
+    "stratified_sample": q_stratified_sample,
+    "kmeans_assign": q_kmeans_assign,
     "lang_id": q_lang_id,
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -405,6 +431,24 @@ ORACLES = {
 }
 
 ORACLES["lang_id"] = lang_id_oracle_sql()
+
+ORACLES["kmeans_assign"] = """
+WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+           FROM embeddings WHERE vec_id < 8)
+SELECT vec_id, cluster FROM (
+  SELECT e.vec_id, CAST(c.cid AS INTEGER) AS cluster, row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY list_distance(e.embedding::DOUBLE[], c.cvec::DOUBLE[]),
+             c.cid) AS rn
+  FROM embeddings e CROSS JOIN c) WHERE rn = 1
+"""
+
+ORACLES["stratified_sample"] = """
+SELECT doc_id, text, lang FROM (
+  SELECT doc_id, text, lang, row_number() OVER (
+    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+  FROM documents) WHERE rn <= 20
+"""
 
 # Exact transitive closure via recursive CTE — the oracle for the
 # distributed min-label-propagation connected_components.

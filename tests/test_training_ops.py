@@ -240,3 +240,41 @@ def test_ann_index_partition_pruned_query(tmp_path):
     assert set(ids[:2]) == {7, 350}        # query vec + planted dup
     assert 0 < n_read < n_total           # pruning actually happened
     assert meta["dim"] == 16
+
+
+def test_kmeans_fit_matches_numpy_reference():
+    """Distributed Lloyd's (per-block partial sums, no shuffle) ==
+    single-process numpy Lloyd's with the same deterministic init,
+    regardless of block layout."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from kettleray.ops import clustering
+
+    rng = np.random.RandomState(7)
+    blobs = np.concatenate([
+        rng.randn(40, 6) + c for c in (0, 8, -8)])
+    ids = np.arange(len(blobs))
+    t = pa.table({"vid": pa.array(ids),
+                  "v": pa.array(list(blobs.astype(np.float64)))})
+    ds = ray.data.from_arrow(t).repartition(5)
+    got = clustering.kmeans_fit(ds, "v", 3, n_iter=8, id_col="vid")
+
+    # numpy reference: same init (3 lowest ids), same empty-cluster rule
+    cents = blobs[:3].astype(np.float64)
+    for _ in range(8):
+        d2 = -2 * blobs @ cents.T + (cents * cents).sum(1)[None, :]
+        a = np.argmin(d2, axis=1)
+        new = cents.copy()
+        for j in range(3):
+            if (a == j).any():
+                new[j] = blobs[a == j].mean(axis=0)
+        cents = new
+    assert np.allclose(got, cents, atol=1e-9)
+
+    # assignment stage agrees with the fitted centroids
+    out = clustering.kmeans_assign(ds, "v", got, out_col="c").take_all()
+    by_id = {r["vid"]: r["c"] for r in out}
+    d2 = -2 * blobs @ got.T + (got * got).sum(1)[None, :]
+    ref = np.argmin(d2, axis=1)
+    assert all(by_id[i] == ref[i] for i in ids)
