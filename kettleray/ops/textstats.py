@@ -248,3 +248,68 @@ def lang_id(ds, text_col: str = "text", *, concurrency=(1, 8),
                           zero_copy_batch=True, batch_size=batch_size,
                           concurrency=concurrency,
                           fn_constructor_args=(text_col,))
+
+
+def tfidf(docs, id_col: str, text_col: str, *, num_partitions: int = 16,
+          round_digits: int = 6):
+    """Distributed TF-IDF: (doc, word, tf, df, tfidf) rows for every
+    distinct (doc, word) — the scoring core of quality filtering /
+    keyword extraction over a training corpus.
+
+    Scale shape: per-batch tokenization emits PARTIAL (doc, word, tf)
+    rows (map-side combine via np.unique over doc x word codes — one
+    row per distinct pair per block, never one per token); df is a
+    word-keyed groupby over those rows; tf joins df with a hash join on
+    word. Two word-keyed shuffles total, both over pair rows (bounded
+    by distinct pairs, not token count). N (corpus size) is a metadata
+    count. tfidf = tf * ln(N / df), rounded so a SQL oracle can
+    value-compare."""
+    import numpy as np
+
+    n_docs = float(docs.count())
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(pc.utf8_trim_whitespace(texts), "")
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+        counts = pc.list_value_length(toks) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        vocab = enc.dictionary
+        widx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        keep = pc.not_equal(vocab, "").to_numpy(zero_copy_only=False)
+        mask = keep[widx] if len(widx) else np.zeros(0, bool)
+        codes = doc_of[mask] * len(vocab) + widx[mask]
+        uniq, cnt = np.unique(codes, return_counts=True)
+        di = (uniq // max(len(vocab), 1)).astype(np.int64)
+        wi = (uniq % max(len(vocab), 1)).astype(np.int64)
+        return pa.table({
+            id_col: t[id_col].combine_chunks().take(pa.array(di)),
+            "word": vocab.take(pa.array(wi)),
+            "tf": pa.array(cnt.astype(np.int64)),
+        })
+
+    pairs = docs.map_batches(_pairs, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    df = pairs.groupby("word", num_partitions=num_partitions).count()
+    df = df.map_batches(
+        lambda t: pa.table({"word": t["word"],
+                            "df": pc.cast(t["count()"], pa.int64())}),
+        batch_format="pyarrow")
+    joined = pairs.join(df, join_type="inner", on=("word",),
+                        num_partitions=num_partitions)
+
+    def _score(t: pa.Table) -> pa.Table:
+        tfv = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        score = np.round(tfv * np.log(n_docs / dfv), round_digits)
+        return t.append_column("tfidf", pa.array(score))
+
+    return joined.map_batches(_score, batch_format="pyarrow",
+                              zero_copy_batch=True)

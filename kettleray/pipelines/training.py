@@ -166,6 +166,13 @@ def q_connected_components(sf_dir):
                                       num_partitions=8)
 
 
+def q_tfidf(sf_dir):
+    """Distributed TF-IDF over the corpus (map-side pair combine, df
+    groupby + hash join on word); oracle recomputes it relationally."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return textstats.tfidf(docs, "doc_id", "text", num_partitions=8)
+
+
 def q_kmeans_assign(sf_dir):
     """Nearest-centroid assignment (the per-pass kernel of distributed
     k-means / SemDeDup-style cluster-prune): centroids = the 8
@@ -326,6 +333,7 @@ QUERIES = {
     "connected_components": q_connected_components,
     "stratified_sample": q_stratified_sample,
     "kmeans_assign": q_kmeans_assign,
+    "tfidf": q_tfidf,
     "lang_id": q_lang_id,
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -431,6 +439,20 @@ ORACLES = {
 }
 
 ORACLES["lang_id"] = lang_id_oracle_sql()
+
+ORACLES["tfidf"] = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(
+      trim(coalesce(lower(text), '')), '\s+')) AS w
+  FROM documents),
+tc AS (SELECT doc_id, w AS word, count(*)::BIGINT AS tf
+       FROM tok WHERE w <> '' GROUP BY doc_id, w),
+dft AS (SELECT word, count(*)::BIGINT AS df FROM tc GROUP BY word),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+SELECT tc.doc_id, tc.word, tc.tf, dft.df,
+       ROUND(tc.tf * ln(n.n / dft.df), 6) AS tfidf
+FROM tc JOIN dft USING (word) CROSS JOIN n
+"""
 
 ORACLES["kmeans_assign"] = """
 WITH c AS (SELECT vec_id AS cid, embedding AS cvec
