@@ -72,8 +72,8 @@ def test_compaction_merges_fragmented_buckets(tmp_path):
     root = str(tmp_path / "state")
     events = generate_events_local(CFG)
     # several small commits to fragment buckets
-    step = CFG.n_events // 5
-    for i in range(5):
+    step = CFG.n_events // 3
+    for i in range(3):
         b = events.filter(pa.compute.and_(
             pa.compute.greater_equal(events["commit_seq"], i * step),
             pa.compute.less(events["commit_seq"], (i + 1) * step)))

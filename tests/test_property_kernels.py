@@ -142,7 +142,7 @@ def test_sync_after_merge_roundtrip_property(t):
 @given(st.lists(st.tuples(st.integers(0, 5), st.floats(
     allow_nan=False, allow_infinity=False, width=32)),
     min_size=1, max_size=60))
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=10, deadline=None)
 def test_top_k_per_group_matches_pandas(rows):
     import pandas as pd
     import ray.data
