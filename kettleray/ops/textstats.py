@@ -313,3 +313,75 @@ def tfidf(docs, id_col: str, text_col: str, *, num_partitions: int = 16,
 
     return joined.map_batches(_score, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def ngram_counts(ds, text_col: str, n: int = 2, *, lowercase: bool = True,
+                 sep: str = " ", num_partitions: int = 16):
+    """Distributed word n-gram counting (LM/data-quality staple).
+
+    Same scale shape as ``word_counts``: per-batch PARTIAL n-gram counts
+    (rolling join over the flat token stream — Arrow slices +
+    binary_join_element_wise, a same-document mask kills grams that
+    span documents; then value_counts as the map-side combiner), then
+    ONE n-gram-hash shuffle summing partials. Shuffle volume is bounded
+    by distinct n-grams per block, never by token count."""
+    import numpy as np
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if n == 1:
+        return word_counts(ds, text_col, lowercase=lowercase,
+                           num_partitions=num_partitions) \
+            .map_batches(lambda t: t.rename_columns(["ngram", "n"]),
+                         batch_format="pyarrow", zero_copy_batch=True)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        if lowercase:
+            col = pc.utf8_lower(col)
+        toks = pc.utf8_split_whitespace(
+            pc.fill_null(pc.utf8_trim_whitespace(col), ""))
+        counts = pc.list_value_length(toks) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        m = len(flat) - n + 1
+        empty = pa.table({"ngram": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64())})
+        if m <= 0:
+            return empty
+        parts = [flat.slice(j, m) for j in range(n)]
+        grams = pc.binary_join_element_wise(*parts, sep)
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        same_doc = doc_of[:m] == doc_of[n - 1:]
+        grams = grams.filter(pa.array(same_doc))
+        if len(grams) == 0:
+            return empty
+        vc = grams.value_counts()
+        return pa.table({"ngram": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    shuffled = partials.repartition(num_partitions, keys=["ngram"])
+
+    def _sum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        import numpy as np
+        from kettleray.ops.cdc import _col_np, _composite_key_codes
+        codes = _composite_key_codes(t, ["ngram"])
+        cnt = _col_np(t, "n")
+        order = np.argsort(codes, kind="stable")
+        sk = codes[order]
+        run_start = np.empty(len(sk), dtype=bool)
+        run_start[0] = True
+        run_start[1:] = sk[1:] != sk[:-1]
+        starts = np.nonzero(run_start)[0]
+        sums = np.add.reduceat(cnt[order], starts)
+        reps = t.take(pa.array(order[starts], type=pa.int64()))
+        return pa.table({"ngram": reps["ngram"],
+                         "n": pa.array(sums, type=pa.int64())})
+
+    return shuffled.map_batches(_sum, batch_format="pyarrow",
+                                batch_size=None, zero_copy_batch=True)

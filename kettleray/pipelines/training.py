@@ -166,6 +166,13 @@ def q_connected_components(sf_dir):
                                       num_partitions=8)
 
 
+def q_bigram_counts(sf_dir):
+    """Distributed bigram counting (rolling join over the token stream,
+    map-side combine, one ngram-hash shuffle)."""
+    docs = _t(sf_dir, "documents", ["text"])
+    return textstats.ngram_counts(docs, "text", n=2, num_partitions=8)
+
+
 def q_tfidf(sf_dir):
     """Distributed TF-IDF over the corpus (map-side pair combine, df
     groupby + hash join on word); oracle recomputes it relationally."""
@@ -334,6 +341,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "kmeans_assign": q_kmeans_assign,
     "tfidf": q_tfidf,
+    "bigram_counts": q_bigram_counts,
     "lang_id": q_lang_id,
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -439,6 +447,16 @@ ORACLES = {
 }
 
 ORACLES["lang_id"] = lang_id_oracle_sql()
+
+ORACLES["bigram_counts"] = r"""
+WITH ws AS (SELECT regexp_split_to_array(
+                trim(coalesce(lower(text), '')), '\s+') AS w
+            FROM documents),
+g AS (SELECT unnest(list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i + 1])) AS ngram
+      FROM ws WHERE len(w) >= 2)
+SELECT ngram, count(*)::BIGINT AS n FROM g GROUP BY ngram
+"""
 
 ORACLES["tfidf"] = r"""
 WITH tok AS (

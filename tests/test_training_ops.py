@@ -278,3 +278,21 @@ def test_kmeans_fit_matches_numpy_reference():
     d2 = -2 * blobs @ got.T + (got * got).sum(1)[None, :]
     ref = np.argmin(d2, axis=1)
     assert all(by_id[i] == ref[i] for i in ids)
+
+
+def test_ngram_counts_doc_boundaries_and_n3():
+    """Trigram rolling join never crosses document boundaries; n=1
+    delegates to word_counts."""
+    import pyarrow as pa
+    import ray.data
+    from kettleray.ops import textstats
+    t = pa.table({"text": ["a b c d", "c d e", "", "  ", None, "x"]})
+    ds = ray.data.from_arrow(t)
+    got = {r["ngram"]: r["n"]
+           for r in textstats.ngram_counts(ds, "text", n=3,
+                                           num_partitions=2).take_all()}
+    assert got == {"a b c": 1, "b c d": 1, "c d e": 1}
+    uni = {r["ngram"]: r["n"]
+           for r in textstats.ngram_counts(ds, "text", n=1,
+                                           num_partitions=2).take_all()}
+    assert uni["c"] == 2 and uni["x"] == 1 and "" not in uni
