@@ -331,3 +331,116 @@ def closure_generator(pairs, parent_col: str, child_col: str, *,
             rows.append({parent_col: p, child_col: c, "depth": depth})
             node = p
     return ray.data.from_items(rows)
+
+
+def asof_join(left, right, *, by: Sequence[str], on: str,
+              right_cols: Sequence[str], num_partitions: int = 32,
+              strict: bool = False, suffix: str = "_r"):
+    """As-of join (backward): each left row picks the LATEST right row
+    with the same ``by`` key and ``right.on <= left.on`` (``strict``:
+    ``<``). The canonical stream-enrichment operator (attach the most
+    recent rate / profile / state to each event) — Ray Data has no
+    native equivalent, so it is composed as:
+
+      tag + schema-align both sides -> ONE hash shuffle on ``by``
+      -> per-partition vectorized sorted sweep (lexsort + segmented
+      running-maximum over right-row indices; no Python row loop).
+
+    Partitioning assumption (documented per SURVEY §2.5): the keyed
+    ``repartition(keys=by)`` co-locates ALL rows of a key in one block —
+    the same invariant every per-key reduce in this engine relies on.
+    Right rows that tie on (key, on) are resolved by the later one in
+    block order; pre-dedupe the right side per (by, on) for a fully
+    deterministic result. Unmatched left rows keep nulls (left-outer
+    semantics, like DuckDB's ASOF LEFT JOIN)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from kettleray.ops.cdc import _composite_key_codes
+
+    by = list(by)
+    right_cols = [c for c in right_cols if c not in by and c != on]
+    left_schema = left.schema().base_schema
+    right_schema = right.schema().base_schema
+    left_names = left_schema.names
+    out_right = [(c, c + suffix if (c in left_names) else c)
+                 for c in right_cols]
+
+    def _align_left(t: pa.Table) -> pa.Table:
+        for c, _ in out_right:
+            t = t.append_column(
+                "__r_" + c, pa.nulls(t.num_rows,
+                                     type=right_schema.field(c).type))
+        return t.append_column("__src",
+                               pa.array(np.ones(t.num_rows, np.int8)))
+
+    def _align_right(t: pa.Table) -> pa.Table:
+        cols = {}
+        for c in by:
+            cols[c] = t[c]
+        cols[on] = t[on]
+        out = pa.table(cols)
+        for c in left_names:
+            if c in by or c == on:
+                continue
+            out = out.append_column(
+                c, pa.nulls(t.num_rows, type=left_schema.field(c).type))
+        out = out.select([c for c in left_names])
+        for c, _ in out_right:
+            out = out.append_column("__r_" + c, t[c])
+        return out.append_column(
+            "__src", pa.array(np.zeros(t.num_rows, np.int8)))
+
+    u = left.map_batches(_align_left, batch_format="pyarrow",
+                         zero_copy_batch=True).union(
+        right.map_batches(_align_right, batch_format="pyarrow",
+                          zero_copy_batch=True))
+    shuffled = u.repartition(num_partitions, keys=by)
+
+    def _sweep(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            cols = {c: pa.array([], type=left_schema.field(c).type)
+                    for c in left_names}
+            for c, oname in out_right:
+                cols[oname] = pa.array(
+                    [], type=right_schema.field(c).type)
+            return pa.table(cols)
+        codes = _composite_key_codes(t, by)
+        onv = t[on].to_numpy(zero_copy_only=False)
+        src = t["__src"].to_numpy(zero_copy_only=False)
+        # sort: key, then on; at equal (key, on) right before left for
+        # non-strict (so equality matches), left before right for strict
+        tie = src if not strict else (1 - src)
+        order = np.lexsort((tie, onv, codes))
+        sk = codes[order]
+        s_src = src[order]
+        seg_start = np.empty(n, dtype=bool)
+        seg_start[0] = True
+        seg_start[1:] = sk[1:] != sk[:-1]
+        seg = np.cumsum(seg_start) - 1
+        val = np.where(s_src == 0, np.arange(n, dtype=np.int64), -1)
+        biased = seg.astype(np.int64) * n + val
+        acc = np.maximum.accumulate(biased)
+        match = acc - seg.astype(np.int64) * n   # -1 => no right row yet
+        is_left = s_src == 1
+        left_sorted_idx = np.nonzero(is_left)[0]
+        m = match[left_sorted_idx]
+        has = m >= 0
+        sorted_t = t.take(pa.array(order, type=pa.int64()))
+        left_rows = sorted_t.filter(pa.array(is_left))
+        out = {}
+        for c in left_names:
+            out[c] = left_rows[c]
+        # gather matched right values (index 0 placeholder where none)
+        gather = np.where(has, m, 0)
+        for c, oname in out_right:
+            col = sorted_t["__r_" + c].take(
+                pa.array(gather, type=pa.int64()))
+            if not has.all():
+                col = pc.if_else(pa.array(has), col,
+                                 pa.nulls(len(has), type=col.type))
+            out[oname] = col
+        return pa.table(out)
+
+    return shuffled.map_batches(_sweep, batch_format="pyarrow",
+                                batch_size=None, zero_copy_batch=True)

@@ -295,6 +295,22 @@ def q_merge_join_right(sf_dir):
                              "o_totalprice"])
 
 
+def q_asof_join(sf_dir):
+    """As-of (backward) join: every event enriched with the user's most
+    recent purchase value at-or-before its timestamp. One hash shuffle
+    on user_id + per-partition vectorized sorted sweep; oracle =
+    DuckDB's native ASOF LEFT JOIN."""
+    ev = _t(sf_dir, "events",
+            ["event_id", "user_id", "ts", "event_type", "value"])
+    right = ev.filter(expr="event_type == 'purchase'").map_batches(
+        lambda t: t.select(["user_id", "ts", "value"]).rename_columns(
+            ["user_id", "ts", "purchase_value"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return joins.asof_join(ev, right, by=["user_id"], on="ts",
+                           right_cols=["purchase_value"],
+                           num_partitions=8)
+
+
 def q_merge_join_full(sf_dir):
     """≙ Merge join FULL OUTER: misses on both sides survive with the
     key column coalesced."""
@@ -562,6 +578,7 @@ QUERIES = {
     "merge_join_left": q_merge_join_left,
     "merge_join_right": q_merge_join_right,
     "merge_join_full": q_merge_join_full,
+    "asof_join": q_asof_join,
     "fuzzy_match_jw": q_fuzzy_match_jw,
     "stream_lookup": q_stream_lookup,
     "anti_join": q_anti_join,
@@ -713,6 +730,12 @@ ORACLES = {
         "(SELECT * FROM orders WHERE o_totalprice > 150000) o "
         "FULL OUTER JOIN (SELECT c_custkey, c_name FROM customer WHERE "
         "c_acctbal < 1000) c ON o.o_custkey = c.c_custkey",
+    "asof_join":
+        "SELECT e.event_id, e.user_id, e.ts, e.event_type, e.value, "
+        "p.value AS purchase_value FROM events e ASOF LEFT JOIN "
+        "(SELECT user_id, ts, value FROM events "
+        "WHERE event_type = 'purchase') p "
+        "ON e.user_id = p.user_id AND e.ts >= p.ts",
     "fuzzy_match_jw":
         "SELECT n_nationkey, n_name, "
         "(SELECT r_name FROM region ORDER BY "

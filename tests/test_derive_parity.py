@@ -47,3 +47,27 @@ def test_closure_generator_distributed_matches_driver():
                                       num_partitions=4).take_all()
     key = lambda r: (r["parent"], r["child"], r["depth"])
     assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+def test_asof_join_strict_and_tie_semantics():
+    """Non-strict: a right row at EXACTLY left.on matches; strict: it
+    does not. Unmatched left rows keep nulls."""
+    import pyarrow as pa
+    import ray.data
+    from kettleray.ops import joins
+    left = ray.data.from_arrow(pa.table({
+        "k": ["a", "a", "a", "b"],
+        "t": pa.array([5, 10, 20, 7], type=pa.int64()),
+        "lv": ["l1", "l2", "l3", "l4"]}))
+    right = ray.data.from_arrow(pa.table({
+        "k": ["a", "a", "b"],
+        "t": pa.array([10, 15, 99], type=pa.int64()),
+        "rv": ["r10", "r15", "r99"]}))
+    out = {r["lv"]: r["rv"] for r in joins.asof_join(
+        left, right, by=["k"], on="t", right_cols=["rv"],
+        num_partitions=2).take_all()}
+    assert out == {"l1": None, "l2": "r10", "l3": "r15", "l4": None}
+    strict = {r["lv"]: r["rv"] for r in joins.asof_join(
+        left, right, by=["k"], on="t", right_cols=["rv"],
+        num_partitions=2, strict=True).take_all()}
+    assert strict == {"l1": None, "l2": None, "l3": "r15", "l4": None}
