@@ -217,6 +217,39 @@ def top_k_per_group(ds, group: Sequence[str], order: str, k: int, *,
                                 batch_size=None, zero_copy_batch=True)
 
 
+def hopping_window(ds, ts_col: str, *, size_us: int, hop_us: int,
+                   keys: Sequence[str] = (), aggs: Sequence["Agg"],
+                   out_col: str = "window_start",
+                   num_partitions: int = 32):
+    """Hopping (sliding) window aggregate: windows of ``size_us`` every
+    ``hop_us`` (size must be a multiple of hop). Each event is expanded
+    to its size/hop overlapping windows VECTORIZED (np.repeat + window
+    arithmetic — window membership is data, like the tumbling variant;
+    Ray Data needs no watermark because commit order is explicit), then
+    ONE keyed groupby over (keys, window_start). Expansion factor is
+    size/hop, so shuffle volume scales with overlap — pre-aggregation
+    still applies through group_by's native partial+merge."""
+    import numpy as np
+    if size_us % hop_us:
+        raise ValueError("size_us must be a multiple of hop_us")
+    r = size_us // hop_us
+
+    def _expand(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = t.num_rows
+        ts = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        idx = np.repeat(np.arange(n, dtype=np.int64), r)
+        j = np.tile(np.arange(r, dtype=np.int64), n)
+        start = (ts[idx] // hop_us - j) * hop_us
+        out = t.take(pa.array(idx))
+        return out.append_column(out_col, pa.array(start))
+
+    expanded = ds.map_batches(_expand, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return group_by(expanded, list(keys) + [out_col], list(aggs),
+                    num_partitions=num_partitions)
+
+
 def stratified_sample(ds, group: Sequence[str], key: Sequence[str],
                       k: int, *, num_partitions: int = 32):
     """Deterministic per-stratum k-sample (training-data mix balancing):

@@ -444,3 +444,52 @@ def asof_join(left, right, *, by: Sequence[str], on: str,
 
     return shuffled.map_batches(_sweep, batch_format="pyarrow",
                                 batch_size=None, zero_copy_batch=True)
+
+
+def range_join(left, bands, *, value_col: str,
+               lo_col: str = "lo", hi_col: str = "hi",
+               band_cols: Sequence[str], suffix: str = "_b",
+               concurrency=(1, 8)):
+    """Range (interval) join: each left row matched to the band row with
+    ``lo <= value < hi``. Bands are DIMENSION-sized (price bands, score
+    buckets, time buckets): materialized once on the driver, broadcast
+    via ``ray.put`` once, probed per batch with ``np.searchsorted`` —
+    no shuffle at all. Bands must be non-overlapping (validated);
+    unmatched left rows keep nulls (left-outer semantics)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    bt = pa.Table.from_pylist(bands.take_all()).sort_by(lo_col)
+    lo = bt[lo_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    hi = bt[hi_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    if (hi < lo).any() or (len(lo) > 1 and (lo[1:] < hi[:-1]).any()):
+        raise ValueError("bands must be non-overlapping with lo <= hi")
+    keep = [c for c in band_cols if c in bt.column_names]
+    payload = bt.select(keep)
+    ref = ray.put((lo, hi, payload))
+    left_names = left.schema().base_schema.names
+
+    class _Probe:
+        def __init__(self):
+            self.lo, self.hi, self.payload = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = pc.cast(t[value_col], pa.float64()) \
+                .to_numpy(zero_copy_only=False)
+            i = np.searchsorted(self.lo, v, side="right") - 1
+            ok = (i >= 0) & np.isfinite(v)
+            ok[ok] &= v[ok] < self.hi[i[ok]]
+            gather = np.where(ok, i, 0)
+            oka = pa.array(ok)
+            for c in self.payload.column_names:
+                col = self.payload[c].take(
+                    pa.array(gather, type=pa.int64()))
+                if not ok.all():
+                    col = pc.if_else(oka, col,
+                                     pa.nulls(len(ok), type=col.type))
+                name = c + suffix if c in left_names else c
+                t = t.append_column(name, col)
+            return t
+
+    return left.map_batches(_Probe, batch_format="pyarrow",
+                            zero_copy_batch=True, concurrency=concurrency)

@@ -311,6 +311,25 @@ def q_asof_join(sf_dir):
                            num_partitions=8)
 
 
+def q_range_join(sf_dir):
+    """Range (interval) join: events.value banded against a broadcast
+    interval table derived from region (5 bands of width 100). No
+    shuffle — bands broadcast once, np.searchsorted per batch."""
+    ev = _t(sf_dir, "events", ["event_id", "value"])
+    reg = _t(sf_dir, "region", ["r_regionkey", "r_name"])
+
+    def _bands(t):
+        import pyarrow.compute as pc
+        lo = pc.multiply(pc.cast(t["r_regionkey"], pa.float64()), 100.0)
+        return pa.table({"lo": lo, "hi": pc.add(lo, 100.0),
+                         "band_name": t["r_name"]})
+
+    bands = reg.map_batches(_bands, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return joins.range_join(ev, bands, value_col="value",
+                            band_cols=["band_name"])
+
+
 def q_merge_join_full(sf_dir):
     """≙ Merge join FULL OUTER: misses on both sides survive with the
     key column coalesced."""
@@ -579,6 +598,7 @@ QUERIES = {
     "merge_join_right": q_merge_join_right,
     "merge_join_full": q_merge_join_full,
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "fuzzy_match_jw": q_fuzzy_match_jw,
     "stream_lookup": q_stream_lookup,
     "anti_join": q_anti_join,
@@ -730,6 +750,11 @@ ORACLES = {
         "(SELECT * FROM orders WHERE o_totalprice > 150000) o "
         "FULL OUTER JOIN (SELECT c_custkey, c_name FROM customer WHERE "
         "c_acctbal < 1000) c ON o.o_custkey = c.c_custkey",
+    "range_join":
+        "SELECT e.event_id, e.value, b.band_name FROM events e "
+        "LEFT JOIN (SELECT r_regionkey * 100.0 AS lo, "
+        "r_regionkey * 100.0 + 100.0 AS hi, r_name AS band_name "
+        "FROM region) b ON e.value >= b.lo AND e.value < b.hi",
     "asof_join":
         "SELECT e.event_id, e.user_id, e.ts, e.event_type, e.value, "
         "p.value AS purchase_value FROM events e ASOF LEFT JOIN "

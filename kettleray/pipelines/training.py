@@ -77,6 +77,20 @@ def q_events_window(sf_dir):
         calc.CalcOp("sum_value", "round", a="sum_value", const_b=4)])
 
 
+def q_events_hopping_window(sf_dir):
+    """1h windows hopping every 30min (overlap 2x) per user."""
+    ds = _t(sf_dir, "events", ["user_id", "ts", "value"])
+    out = ag.hopping_window(
+        ds, "ts", size_us=3_600_000_000, hop_us=1_800_000_000,
+        keys=["user_id"],
+        aggs=[ag.Agg(None, "count", "n_events"),
+              ag.Agg("value", "sum", "sum_value")],
+        num_partitions=8)
+    from kettleray.ops import calculator as calc
+    return calc.calculator(out, [
+        calc.CalcOp("sum_value", "round", a="sum_value", const_b=4)])
+
+
 def q_events_sessionize(sf_dir):
     """Session windows on the events stream: 30-minute inactivity gap."""
     ds = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
@@ -331,6 +345,7 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "ann_cosine_scores": q_ann_cosine_scores,
     "events_window": q_events_window,
+    "events_hopping_window": q_events_hopping_window,
     "events_sessionize": q_events_sessionize,
     "minhash_neardup": q_minhash_neardup,
     "dedup_corpus": q_dedup_corpus,
@@ -374,6 +389,12 @@ ORACLES = {
         "SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS "
         "window_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS "
         "sum_value FROM events GROUP BY user_id, window_id",
+    "events_hopping_window":
+        "SELECT user_id, window_start, COUNT(*) AS n_events, "
+        "ROUND(SUM(value), 4) AS sum_value FROM ("
+        "SELECT user_id, value, (epoch_us(ts) // 1800000000 - j) "
+        "* 1800000000 AS window_start FROM events CROSS JOIN "
+        "(SELECT unnest(range(2)) AS j)) GROUP BY user_id, window_start",
     "events_sessionize": (
         "WITH g AS (SELECT event_id, user_id, ts, CASE WHEN "
         "lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > "
