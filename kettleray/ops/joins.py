@@ -359,6 +359,16 @@ def asof_join(left, right, *, by: Sequence[str], on: str,
 
     by = list(by)
     right_cols = [c for c in right_cols if c not in by and c != on]
+
+    def _id(t: pa.Table) -> pa.Table:
+        return t
+
+    # normalize to Arrow blocks so base_schema is a pa.Schema even for
+    # pandas-block inputs (from_pandas)
+    left = left.map_batches(_id, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    right = right.map_batches(_id, batch_format="pyarrow",
+                              zero_copy_batch=True)
     left_schema = left.schema().base_schema
     right_schema = right.schema().base_schema
     left_names = left_schema.names

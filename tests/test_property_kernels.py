@@ -168,3 +168,36 @@ def test_hash_hex_md5_buffer_path(vals):
     got = hash_hex_array(arr, "md5").to_pylist()
     want = [hashlib.md5(v.encode("utf-8")).hexdigest() for v in vals]
     assert got == want
+
+
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)),
+                min_size=1, max_size=40),
+       st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)),
+                min_size=1, max_size=40),
+       st.booleans())
+@settings(max_examples=10, deadline=None)
+def test_asof_join_matches_pandas_merge_asof(lrows, rrows, strict):
+    """asof_join == pandas merge_asof (backward) for random keyed data,
+    both strict and non-strict, under distributed partitioning."""
+    import pandas as pd
+    import ray.data
+    from kettleray.ops.joins import asof_join
+    ldf = pd.DataFrame(lrows, columns=["k", "t"]).drop_duplicates()
+    ldf["lid"] = range(len(ldf))
+    # unique (k, t) on the right so the match is well-defined
+    rdf = pd.DataFrame(rrows, columns=["k", "t"]).drop_duplicates(["k", "t"])
+    rdf["rv"] = rdf["k"] * 1000 + rdf["t"]
+    got = asof_join(
+        ray.data.from_pandas(ldf).repartition(3),
+        ray.data.from_pandas(rdf).repartition(2),
+        by=["k"], on="t", right_cols=["rv"], num_partitions=2,
+        strict=strict).take_all()
+    want = pd.merge_asof(
+        ldf.sort_values("t", kind="stable"),
+        rdf.sort_values("t", kind="stable"),
+        on="t", by="k", direction="backward",
+        allow_exact_matches=not strict)
+    wmap = {r.lid: (None if pd.isna(r.rv) else int(r.rv))
+            for r in want.itertuples()}
+    gmap = {r["lid"]: r["rv"] for r in got}
+    assert gmap == wmap
