@@ -144,3 +144,62 @@ def synthetic_media_table(n: int, *, seed: int = 42) -> pa.Table:
         "payload": pa.array(payloads, type=pa.large_binary()),
         "meta_json": pa.array(["{}"] * n, type=pa.string()),
     })
+
+
+class VideoFrameSample:
+    """≙ a video frame-sampling stage (decode container -> sample k
+    frames uniformly -> emit one ROW PER FRAME). The 1->N expansion
+    shape matters for scale: output batches are frame rows, so the
+    executor's backpressure sees the true (k x) volume instead of one
+    opaque blob per video.
+
+    Real path would use ffmpeg/imageio (absent in this container —
+    ``mode='strict'`` raises NotImplementedError). ``mode='fake'``:
+    frame count and frame bytes derived deterministically from the
+    payload hash, plumbing (schema, expansion, batch sizing) real."""
+
+    def __init__(self, payload_col: str = "payload", k: int = 4,
+                 mode: str = "fake"):
+        self.payload_col, self.k, self.mode = payload_col, k, mode
+        try:
+            import imageio_ffmpeg               # noqa: F401
+            self.ffmpeg = imageio_ffmpeg
+        except ImportError:
+            self.ffmpeg = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self.ffmpeg is None and self.mode == "strict":
+            raise NotImplementedError(
+                "no ffmpeg in this environment; use mode='fake' to "
+                "exercise the pipeline plumbing")
+        ids, fidx, ts, frames = [], [], [], []
+        for mid, payload in zip(t["media_id"].to_pylist(),
+                                t[self.payload_col].to_pylist()):
+            h = hashlib.blake2b(payload, digest_size=16).digest()
+            n_frames = 8 + h[0] % 56          # fake container length
+            fps = 8.0 + h[1] % 23
+            step = max(n_frames // self.k, 1)
+            for j, fr in enumerate(range(0, n_frames, step)[:self.k]):
+                ids.append(mid)
+                fidx.append(fr)
+                ts.append(round(fr / fps, 4))
+                frames.append(hashlib.blake2b(
+                    payload + fr.to_bytes(4, "little"),
+                    digest_size=32).digest())
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "frame_idx": pa.array(fidx, type=pa.int64()),
+            "ts_s": pa.array(ts, type=pa.float64()),
+            "frame_payload": pa.array(frames, type=pa.large_binary()),
+        })
+
+
+def sample_video_frames(ds, *, payload_col: str = "payload", k: int = 4,
+                        mode: str = "fake", concurrency=(1, 4),
+                        batch_size: int = DEFAULT_MEDIA_BATCH_SIZE):
+    """Actor-pool frame sampling; byte-bounded batches (video payloads
+    are the widest media rows — keep batch_size small)."""
+    return ds.map_batches(VideoFrameSample, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size,
+                          concurrency=concurrency,
+                          fn_constructor_args=(payload_col, k, mode))

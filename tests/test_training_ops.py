@@ -296,3 +296,29 @@ def test_ngram_counts_doc_boundaries_and_n3():
            for r in textstats.ngram_counts(ds, "text", n=1,
                                            num_partitions=2).take_all()}
     assert uni["c"] == 2 and uni["x"] == 1 and "" not in uni
+
+
+def test_video_frame_sample_plumbing():
+    """1->N frame expansion: deterministic fake decode, k rows per
+    video, stable frame bytes; strict mode raises without ffmpeg."""
+    import pytest
+    import ray.data
+    from kettleray.ops import multimodal as mm
+    t = mm.synthetic_media_table(6)
+    ds = ray.data.from_arrow(t)
+    out = mm.sample_video_frames(ds, k=3).take_all()
+    assert len(out) == 18
+    per = {}
+    for r in out:
+        per.setdefault(r["media_id"], []).append(r)
+    for mid, rows in per.items():
+        assert len(rows) == 3
+        assert all(isinstance(r["frame_payload"], bytes)
+                   and len(r["frame_payload"]) == 32 for r in rows)
+        assert [r["frame_idx"] for r in rows] == \
+            sorted(r["frame_idx"] for r in rows)
+    out2 = mm.sample_video_frames(ds, k=3).take_all()
+    assert sorted((r["media_id"], r["frame_idx"]) for r in out2) == \
+        sorted((r["media_id"], r["frame_idx"]) for r in out)
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        mm.sample_video_frames(ds, k=2, mode="strict").take_all()
