@@ -493,6 +493,12 @@ def _eval(t: pa.Table, op: CalcOp):
                                   binascii.crc32(v.encode())),
                         type=pa.int64())
     # --- date/time (Arrow timestamp kernels) ---
+    if f == "date_format":
+        # mask in const_b (strftime syntax, same masks DuckDB strftime
+        # understands) — Kettle's "format with mask" conversion
+        return pc.strftime(A, format=str(op.const_b))
+    if f == "date_parse":
+        return pc.strptime(A, format=str(op.const_b), unit="us")
     if f == "year":
         return pc.year(A)
     if f == "month":

@@ -438,7 +438,12 @@ def q_date_calculator(sf_dir):
         calc.CalcOp("workdays_since_95", "date_working_diff",
                     a="o_orderdate",
                     const_b=datetime.datetime(1995, 1, 1)),
+        calc.CalcOp("date_str", "date_format", a="o_orderdate",
+                    const_b="%Y/%m/%d"),
     ])
+    out = calc.calculator(out, [
+        calc.CalcOp("reparsed", "date_parse", a="date_str",
+                    const_b="%Y/%m/%d")])
     # align dow with SQL isodow (Mon=1..Sun=7; Arrow gives Mon=0..Sun=6)
     out = calc.calculator(out, [
         calc.CalcOp("dow", "add", a="dow", const_b=1)])
@@ -446,7 +451,8 @@ def q_date_calculator(sf_dir):
                                "days_since_95", "month_start", "doy",
                                "iso_year", "next_month", "next_year",
                                "month_end", "plus_36h",
-                               "workdays_since_95"])
+                               "workdays_since_95", "date_str",
+                               "reparsed"])
 
 
 def q_multiway_join(sf_dir):
@@ -810,7 +816,10 @@ ORACLES = {
         "CAST((SELECT count(*) FROM UNNEST(generate_series("
         "DATE '1995-01-02', CAST(o_orderdate AS DATE), "
         "INTERVAL 1 DAY)) AS t(d) WHERE isodow(CAST(d AS DATE)) <= 5) "
-        "AS BIGINT) AS workdays_since_95 FROM orders",
+        "AS BIGINT) AS workdays_since_95, "
+        "strftime(o_orderdate, '%Y/%m/%d') AS date_str, "
+        "strptime(strftime(o_orderdate, '%Y/%m/%d'), '%Y/%m/%d') "
+        "AS reparsed FROM orders",
     "multiway_join":
         "SELECT l_orderkey, l_linenumber, l_quantity, c_custkey, c_name "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
