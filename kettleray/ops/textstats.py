@@ -295,8 +295,12 @@ def tfidf(docs, id_col: str, text_col: str, *, num_partitions: int = 16,
             "tf": pa.array(cnt.astype(np.int64)),
         })
 
+    # materialize once: BOTH the df groupby and the tf join consume the
+    # pair table; without this the tokenize stage runs twice (Ray Data
+    # re-executes shared lazy upstreams per consumer). Size is bounded
+    # by distinct (doc, word) pairs — far below the token stream.
     pairs = docs.map_batches(_pairs, batch_format="pyarrow",
-                             zero_copy_batch=True)
+                             zero_copy_batch=True).materialize()
     df = pairs.groupby("word", num_partitions=num_partitions).count()
     df = df.map_batches(
         lambda t: pa.table({"word": t["word"],
