@@ -250,23 +250,12 @@ def lang_id(ds, text_col: str = "text", *, concurrency=(1, 8),
                           fn_constructor_args=(text_col,))
 
 
-def tfidf(docs, id_col: str, text_col: str, *, num_partitions: int = 16,
-          round_digits: int = 6):
-    """Distributed TF-IDF: (doc, word, tf, df, tfidf) rows for every
-    distinct (doc, word) — the scoring core of quality filtering /
-    keyword extraction over a training corpus.
-
-    Scale shape: per-batch tokenization emits PARTIAL (doc, word, tf)
-    rows (map-side combine via np.unique over doc x word codes — one
-    row per distinct pair per block, never one per token); df is a
-    word-keyed groupby over those rows; tf joins df with a hash join on
-    word. Two word-keyed shuffles total, both over pair rows (bounded
-    by distinct pairs, not token count). N (corpus size) is a metadata
-    count. tfidf = tf * ln(N / df), rounded so a SQL oracle can
-    value-compare."""
+def doc_word_pairs(docs, id_col: str, text_col: str):
+    """Partial (doc, word, tf) posting rows per batch: Arrow tokenize ->
+    dictionary-encode -> np.unique over doc x word codes — the map-side
+    combiner shared by tfidf and the inverted index (one row per
+    distinct pair per block, never one per token)."""
     import numpy as np
-
-    n_docs = float(docs.count())
 
     def _pairs(t: pa.Table) -> pa.Table:
         texts = t[text_col]
@@ -295,12 +284,33 @@ def tfidf(docs, id_col: str, text_col: str, *, num_partitions: int = 16,
             "tf": pa.array(cnt.astype(np.int64)),
         })
 
+    return docs.map_batches(_pairs, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def tfidf(docs, id_col: str, text_col: str, *, num_partitions: int = 16,
+          round_digits: int = 6):
+    """Distributed TF-IDF: (doc, word, tf, df, tfidf) rows for every
+    distinct (doc, word) — the scoring core of quality filtering /
+    keyword extraction over a training corpus.
+
+    Scale shape: per-batch tokenization emits PARTIAL (doc, word, tf)
+    rows (map-side combine via np.unique over doc x word codes — one
+    row per distinct pair per block, never one per token); df is a
+    word-keyed groupby over those rows; tf joins df with a hash join on
+    word. Two word-keyed shuffles total, both over pair rows (bounded
+    by distinct pairs, not token count). N (corpus size) is a metadata
+    count. tfidf = tf * ln(N / df), rounded so a SQL oracle can
+    value-compare."""
+    import numpy as np
+
+    n_docs = float(docs.count())
+
     # materialize once: BOTH the df groupby and the tf join consume the
     # pair table; without this the tokenize stage runs twice (Ray Data
     # re-executes shared lazy upstreams per consumer). Size is bounded
     # by distinct (doc, word) pairs — far below the token stream.
-    pairs = docs.map_batches(_pairs, batch_format="pyarrow",
-                             zero_copy_batch=True).materialize()
+    pairs = doc_word_pairs(docs, id_col, text_col).materialize()
     df = pairs.groupby("word", num_partitions=num_partitions).count()
     df = df.map_batches(
         lambda t: pa.table({"word": t["word"],

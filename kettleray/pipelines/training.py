@@ -194,6 +194,24 @@ def q_tfidf(sf_dir):
     return textstats.tfidf(docs, "doc_id", "text", num_partitions=8)
 
 
+def q_inverted_index(sf_dir):
+    """Build a shard-partitioned inverted index, then answer an AND
+    term query reading only the terms' shards (partition pruning at the
+    storage layer). Oracle recomputes the posting match relationally."""
+    import hashlib
+    import shutil
+    from kettleray.ops import invindex
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    root = "/tmp/kettleray_invindex_" + hashlib.md5(
+        sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(root, ignore_errors=True)
+    invindex.write_inverted_index(docs, root, "doc_id", "text",
+                                  num_shards=16)
+    res, _, _ = invindex.query_inverted_index(root, ["merge", "sort"],
+                                              mode="and")
+    return res
+
+
 def q_kmeans_assign(sf_dir):
     """Nearest-centroid assignment (the per-pass kernel of distributed
     k-means / SemDeDup-style cluster-prune): centroids = the 8
@@ -355,6 +373,7 @@ QUERIES = {
     "connected_components": q_connected_components,
     "stratified_sample": q_stratified_sample,
     "kmeans_assign": q_kmeans_assign,
+    "inverted_index": q_inverted_index,
     "tfidf": q_tfidf,
     "bigram_counts": q_bigram_counts,
     "lang_id": q_lang_id,
@@ -491,6 +510,19 @@ n AS (SELECT count(*)::DOUBLE AS n FROM documents)
 SELECT tc.doc_id, tc.word, tc.tf, dft.df,
        ROUND(tc.tf * ln(n.n / dft.df), 6) AS tfidf
 FROM tc JOIN dft USING (word) CROSS JOIN n
+"""
+
+ORACLES["inverted_index"] = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(
+      trim(coalesce(lower(text), '')), '\s+')) AS w
+  FROM documents),
+tc AS (SELECT doc_id, w, count(*)::BIGINT AS tf
+       FROM tok WHERE w <> '' GROUP BY doc_id, w)
+SELECT doc_id, n_terms, sum_tf FROM (
+  SELECT doc_id, count(*)::BIGINT AS n_terms, sum(tf)::BIGINT AS sum_tf
+  FROM tc WHERE w IN ('merge', 'sort') GROUP BY doc_id)
+WHERE n_terms = 2
 """
 
 ORACLES["kmeans_assign"] = """

@@ -322,3 +322,27 @@ def test_video_frame_sample_plumbing():
         sorted((r["media_id"], r["frame_idx"]) for r in out)
     with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
         mm.sample_video_frames(ds, k=2, mode="strict").take_all()
+
+
+def test_inverted_index_partition_pruning(tmp_path):
+    """AND/OR term queries read only the terms' shard files."""
+    import pyarrow as pa
+    import ray.data
+    from kettleray.ops import invindex
+    t = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                  "text": ["alpha beta gamma", "beta gamma", "alpha"]})
+    root = str(tmp_path / "inv")
+    invindex.write_inverted_index(ray.data.from_arrow(t), root,
+                                  "doc_id", "text", num_shards=8)
+    res, nread, ntotal = invindex.query_inverted_index(
+        root, ["ALPHA", "beta"], mode="and")
+    rows = {r["doc_id"]: (r["n_terms"], r["sum_tf"])
+            for r in res.take_all()}
+    assert rows == {1: (2, 2)}
+    assert 0 < nread <= ntotal
+    res_or, nread_or, _ = invindex.query_inverted_index(
+        root, ["alpha", "beta"], mode="or")
+    assert {r["doc_id"] for r in res_or.take_all()} == {1, 2, 3}
+    res_none, _, _ = invindex.query_inverted_index(
+        root, ["zzz_not_there"])
+    assert res_none.take_all() == []
