@@ -73,3 +73,40 @@ def test_manifest_lineage_totals(tmp_path):
     assert m.metrics["total_rows"] == sum(f["rows"] for f in m.files)
     assert m.metrics["total_rows"] == sink.read_state(root).count()
     assert "schema" in m.__dict__ and "content_sha256" in m.schema
+
+
+def test_commit_state_rename_race_discards_stage(tmp_path, monkeypatch):
+    """Two writers computing the same next version: the loser's rename
+    fails (target exists) and it must discard its stage and return the
+    WINNER's manifest instead of raising."""
+    import os
+    import pyarrow as pa
+    import ray.data
+    from kettleray.io import sink
+    root = str(tmp_path / "race")
+    t = pa.table({"repo": ["r"], "path": ["p"], "commit": ["c"],
+                  "lang": ["py"], "content": ["x"],
+                  "content_sha256": ["s"],
+                  "last_commit_seq": pa.array([1], pa.int64())})
+    real_rename = os.rename
+    state = {"fired": False}
+
+    def racing_rename(src, dst):
+        # first version-dir rename: simulate the concurrent winner
+        # landing v0001 right before our rename
+        if dst.endswith("v0001") and not state["fired"]:
+            state["fired"] = True
+            winner_stage = dst + ".winner"
+            os.makedirs(winner_stage, exist_ok=True)
+            with open(os.path.join(winner_stage, "manifest.json"),
+                      "w") as f:
+                f.write(sink.Manifest(version=1, watermark=7, schema="",
+                                      files=[], metrics={}).to_json())
+            real_rename(winner_stage, dst)
+            return real_rename(src, dst)     # raises ENOTEMPTY
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(sink.os, "rename", racing_rename)
+    man = sink.commit_state(ray.data.from_arrow(t), root, watermark=99)
+    assert man.version == 1 and man.watermark == 7   # the winner's
+    assert not any(n.startswith("_stage_") for n in os.listdir(root))
