@@ -29,10 +29,87 @@ class KeyStateStore:
     WITHIN the open window; events below the committed watermark are
     filtered upstream)."""
 
-    def __init__(self):
+    def __init__(self, *, max_keys: int | None = None,
+                 segment_dir: str | None = None):
+        """Bounded-memory LSM mode: pass ``max_keys`` + ``segment_dir``
+        and the memtable (dict) is flushed to a numbered Parquet segment
+        whenever it exceeds ``max_keys`` (classic memtable -> SSTable);
+        ``snapshot()`` LWW-merges all segments + the memtable (merge-on-
+        read). Actor heap is then bounded by max_keys rows regardless of
+        shard key cardinality (SURVEY.md §7.4 watch item 5). On
+        construction, existing ``seg_*.parquet`` under segment_dir are
+        re-registered (restart resumes from the flushed position without
+        loading rows into memory)."""
         self.state: dict[tuple[str, str], tuple] = {}
         self.watermark = -1
         self.applied = 0
+        self.max_keys = max_keys
+        self.segment_dir = segment_dir
+        self.segments: list[str] = []
+        self._next_seg = 0
+        if segment_dir:
+            import glob
+            os.makedirs(segment_dir, exist_ok=True)
+            for p in sorted(glob.glob(
+                    os.path.join(segment_dir, "seg_*.parquet"))):
+                self._register_segment(p)
+
+    def _register_segment(self, path: str) -> None:
+        self.segments.append(path)
+        try:
+            idx = int(os.path.basename(path)[4:8])
+            self._next_seg = max(self._next_seg, idx + 1)
+        except ValueError:
+            pass
+        meta = pq.read_schema(path).metadata or {}
+        if b"kettleray.watermark" in meta:
+            self.watermark = max(self.watermark,
+                                 int(meta[b"kettleray.watermark"]))
+            self.applied = max(self.applied,
+                               int(meta.get(b"kettleray.applied", b"0")))
+
+    def flush_now(self) -> str | None:
+        """Flush the memtable to the next numbered segment (no-op when
+        empty). Atomic: staged .tmp + rename."""
+        if self.segment_dir is None or not self.state:
+            return None
+        path = os.path.join(self.segment_dir,
+                            f"seg_{self._next_seg:04d}.parquet")
+        self._next_seg += 1
+        self.flush_segment(path + ".tmp")
+        os.rename(path + ".tmp", path)
+        self.segments.append(path)
+        return path
+
+    def _maybe_flush(self) -> None:
+        if self.max_keys is not None and self.segment_dir is not None \
+                and len(self.state) >= self.max_keys:
+            self.flush_now()
+
+    def compact_segments(self) -> int:
+        """Merge all segments + memtable into ONE segment (keeps
+        merge-on-read cost flat for long-running ingest — the LSM
+        compaction step, run out-of-band like the sink's). Tombstones
+        are RETAINED (a compacted segment must still shadow older
+        re-deliveries). Returns the number of segments replaced."""
+        if self.segment_dir is None or not self.segments:
+            return 0
+        merged = self.snapshot(include_tombstones=True)
+        n_old = len(self.segments)
+        path = os.path.join(self.segment_dir,
+                            f"seg_{self._next_seg:04d}.parquet")
+        self._next_seg += 1
+        meta = dict(merged.schema.metadata or {})
+        meta[b"kettleray.watermark"] = str(self.watermark).encode()
+        meta[b"kettleray.applied"] = str(self.applied).encode()
+        pq.write_table(merged.replace_schema_metadata(meta),
+                       path + ".tmp")
+        os.rename(path + ".tmp", path)
+        for p in self.segments:
+            os.remove(p)
+        self.segments = [path]
+        self.state.clear()
+        return n_old
 
     def apply_table(self, t: pa.Table) -> None:
         """Vectorized pre-reduce with cdc.lww_reduce_table (per-batch
@@ -63,8 +140,41 @@ class KeyStateStore:
                 st[k] = (seq[i], commit[i], op[i], lang[i], content[i])
         self.applied += n
         self.watermark = max(self.watermark, max(seq))
+        self._maybe_flush()
 
     def snapshot(self, *, include_tombstones: bool = False) -> pa.Table:
+        """Current LWW state. With flushed segments, merge-on-read:
+        segments + memtable concatenated as event-shaped rows and
+        reduced with the same vectorized LWW kernel the batch replay
+        uses (cross-segment winners resolved by (seq, commit))."""
+        import pyarrow.compute as pc
+        mem = self._memtable_table(include_tombstones=True)
+        if not self.segments:
+            out = mem if include_tombstones else mem.filter(
+                pc.not_equal(mem["op"], "delete"))
+            return out if include_tombstones else out.drop_columns(["op"])
+        from kettleray.ops.cdc import (finalize_state_table,
+                                       lww_reduce_table)
+        parts = []
+        for t in [pq.read_table(p) for p in self.segments] + [mem]:
+            if t.num_rows == 0:
+                continue
+            ops = t["op"] if "op" in t.column_names \
+                else pa.array(["insert"] * t.num_rows)
+            parts.append(pa.table({
+                "repo": t["repo"], "path": t["path"],
+                "commit": t["commit"], "lang": t["lang"],
+                "content": t["content"], "op": ops,
+                "commit_seq": t["last_commit_seq"]}))
+        if not parts:
+            out = mem if include_tombstones else mem.drop_columns(["op"])
+            return out
+        merged = lww_reduce_table(pa.concat_tables(parts))
+        return finalize_state_table(merged,
+                                    keep_tombstones=include_tombstones)
+
+    def _memtable_table(self, *, include_tombstones: bool = False
+                        ) -> pa.Table:
         import hashlib
         rows = {"repo": [], "path": [], "commit": [], "lang": [],
                 "content": [], "content_sha256": [], "last_commit_seq": []}
@@ -83,7 +193,9 @@ class KeyStateStore:
             rows["last_commit_seq"].append(seq)
             if include_tombstones:
                 rows["op"].append(op)
-        return pa.table(rows) if rows["repo"] else pa.table({
+        if rows["repo"]:
+            return pa.table(rows)
+        empty = {
             "repo": pa.array([], pa.string()),
             "path": pa.array([], pa.string()),
             "commit": pa.array([], pa.string()),
@@ -91,14 +203,17 @@ class KeyStateStore:
             "content": pa.array([], pa.string()),
             "content_sha256": pa.array([], pa.string()),
             "last_commit_seq": pa.array([], pa.int64()),
-        })
+        }
+        if include_tombstones:
+            empty["op"] = pa.array([], pa.string())
+        return pa.table(empty)
 
     def flush_segment(self, path: str) -> int:
         """LSM flush: persist current state as a Parquet segment and drop
         the in-memory dict (bounds actor heap for hot shards). Watermark
         and applied-count ride along as Parquet key-value metadata so a
         restarted shard restores its full position, not just its rows."""
-        snap = self.snapshot(include_tombstones=True)
+        snap = self._memtable_table(include_tombstones=True)
         meta = dict(snap.schema.metadata or {})
         meta[b"kettleray.watermark"] = str(self.watermark).encode()
         meta[b"kettleray.applied"] = str(self.applied).encode()
@@ -134,15 +249,25 @@ class KeyStateStore:
 class StateShardActor:
     """One hash shard of the streaming merge-apply stage."""
 
-    def __init__(self, shard_id: int, spill_dir: str | None = None):
+    def __init__(self, shard_id: int, spill_dir: str | None = None,
+                 max_keys: int | None = None):
         self.shard_id = shard_id
-        self.store = KeyStateStore()
         self.spill_dir = spill_dir
-        if spill_dir:
-            os.makedirs(spill_dir, exist_ok=True)
-            seg = os.path.join(spill_dir, f"shard_{shard_id}.parquet")
-            if os.path.exists(seg):
-                self.store.load_segment(seg)
+        if spill_dir and max_keys:
+            # bounded-memory LSM mode: numbered segments under a per-
+            # shard dir; restart re-registers them without loading rows
+            self.store = KeyStateStore(
+                max_keys=max_keys,
+                segment_dir=os.path.join(spill_dir,
+                                         f"shard_{shard_id}_segs"))
+        else:
+            self.store = KeyStateStore()
+            if spill_dir:
+                os.makedirs(spill_dir, exist_ok=True)
+                seg = os.path.join(spill_dir,
+                                   f"shard_{shard_id}.parquet")
+                if os.path.exists(seg):
+                    self.store.load_segment(seg)
 
     def apply(self, t: pa.Table) -> int:
         self.store.apply_table(t)
@@ -152,7 +277,9 @@ class StateShardActor:
         return self.store.snapshot(include_tombstones=include_tombstones)
 
     def checkpoint(self) -> tuple[int, int]:
-        if self.spill_dir:
+        if self.store.segment_dir:           # bounded LSM mode
+            self.store.flush_now()
+        elif self.spill_dir:
             seg = os.path.join(self.spill_dir,
                                f"shard_{self.shard_id}.parquet")
             self.store.flush_segment(seg + ".tmp")
@@ -160,8 +287,12 @@ class StateShardActor:
             self.store.load_segment(seg)
         return self.shard_id, self.store.watermark
 
+    def compact(self) -> int:
+        return self.store.compact_segments()
+
     def stats(self) -> dict:
         return {"shard": self.shard_id, "keys": len(self.store.state),
+                "segments": len(self.store.segments),
                 "watermark": self.store.watermark,
                 "applied": self.store.applied}
 
@@ -171,9 +302,10 @@ class StreamingIngestor:
     hash(repo, path) % P inside a side-effecting map_batches pass (the
     data never flows through the driver)."""
 
-    def __init__(self, num_shards: int = 8, spill_dir: str | None = None):
+    def __init__(self, num_shards: int = 8, spill_dir: str | None = None,
+                 max_keys: int | None = None):
         self.num_shards = num_shards
-        self.actors = [StateShardActor.remote(i, spill_dir)
+        self.actors = [StateShardActor.remote(i, spill_dir, max_keys)
                        for i in range(num_shards)]
 
     def ingest(self, events) -> int:
@@ -204,6 +336,9 @@ class StreamingIngestor:
 
     def checkpoint(self) -> dict[int, int]:
         return dict(ray.get([a.checkpoint.remote() for a in self.actors]))
+
+    def compact(self) -> list[int]:
+        return ray.get([a.compact.remote() for a in self.actors])
 
     def stats(self) -> list[dict]:
         return ray.get([a.stats.remote() for a in self.actors])

@@ -79,3 +79,49 @@ def test_restored_shard_reports_watermark(tmp_path):
         assert all(s["watermark"] >= 0 for s in stats)
     finally:
         ing2.shutdown()
+
+
+def test_bounded_memory_lsm_mode_matches_oracle(tmp_path):
+    """max_keys bounds each shard's memtable: overflow flushes to
+    numbered Parquet segments, snapshot() LWW-merges segments +
+    memtable, restart re-registers segments WITHOUT loading rows."""
+    events = generate_events_local(CFG)
+    spill = str(tmp_path / "spill_lsm")
+    ing = StreamingIngestor(num_shards=3, spill_dir=spill, max_keys=20)
+    try:
+        third = CFG.n_events // 3
+        for lo, hi in ((0, third), (third, 2 * third),
+                       (2 * third, CFG.n_events)):
+            mb = events.filter(pc.and_(
+                pc.greater_equal(events["commit_seq"], lo),
+                pc.less(events["commit_seq"], hi)))
+            ing.ingest(ray.data.from_arrow(mb))
+        stats = ing.stats()
+        assert all(s["keys"] < 20 + 20 for s in stats)  # bounded
+        assert any(s["segments"] > 0 for s in stats)    # actually spilled
+        got = {(r["repo"], r["path"]): r["content_sha256"]
+               for r in ing.snapshot().to_pylist()}
+        want = {k: v["content_sha256"]
+                for k, v in replay_oracle(events).items()}
+        assert got == want
+        ing.checkpoint()
+    finally:
+        ing.shutdown()
+    # restart: segments re-registered, memtables empty, state intact
+    ing2 = StreamingIngestor(num_shards=3, spill_dir=spill, max_keys=20)
+    try:
+        stats2 = ing2.stats()
+        assert all(s["keys"] == 0 for s in stats2)
+        assert max(s["watermark"] for s in stats2) == CFG.n_events - 1
+        got2 = {(r["repo"], r["path"]): r["content_sha256"]
+                for r in ing2.snapshot().to_pylist()}
+        assert got2 == want
+        # compaction: segments merge to one per shard, state unchanged
+        ing2.compact()
+        stats3 = ing2.stats()
+        assert all(s["segments"] <= 1 for s in stats3)
+        got3 = {(r["repo"], r["path"]): r["content_sha256"]
+                for r in ing2.snapshot().to_pylist()}
+        assert got3 == want
+    finally:
+        ing2.shutdown()
