@@ -330,7 +330,8 @@ def _winner_hash64(t: pa.Table, seq_col: str) -> np.ndarray:
 
 def replay_lww_twopass(events_factory, *, num_partitions: int = 64,
                        keep_tombstones: bool = False,
-                       with_sha: bool = True) -> "ray.data.Dataset":
+                       with_sha: bool = True,
+                       driver_set_limit: int = 50_000_000) -> "ray.data.Dataset":
     """Shuffle-light LWW replay for wide payloads.
 
     ``replay_lww`` shuffles every surviving event's full row (content
@@ -359,9 +360,15 @@ def replay_lww_twopass(events_factory, *, num_partitions: int = 64,
 
     ``events_factory``: zero-arg callable returning the events Dataset
     (called twice — Datasets re-execute per consumption, so a factory
-    makes the two-scan structure explicit). The broadcast winner set
-    costs 8 B x live keys (e.g. 0.8 GB at 100M live keys); beyond ~1B
-    live keys fall back to replay_lww.
+    makes the two-scan structure explicit). The winner set costs 8 B x
+    live keys (e.g. 0.8 GB at 100M live keys). Up to ``driver_set_limit``
+    live keys it is driver-sorted and broadcast as one object; above the
+    limit it is built distributed (scatter by top hash bits -> per-shard
+    sort/dedup tasks) so the driver holds only refs and no single object
+    exceeds ~driver_set_limit/2 keys — per NODE the probe still
+    materializes one full 8 B/key copy in plasma (shared, spillable),
+    which is the same bound as the broadcast path without the driver
+    ceiling.
     """
     import inspect
     slim_cols = list(KEY_COLS) + [SEQ_COL, "op"]
@@ -393,29 +400,106 @@ def replay_lww_twopass(events_factory, *, num_partitions: int = 64,
 
     hashed = winners.map_batches(_hash_only, batch_format="pyarrow",
                                  batch_size=None, zero_copy_batch=True)
-    # the driver pulls ONLY the 8-byte hash column of each block; keep
-    # the transient at ~2x of the final set (free the per-block parts
-    # before the in-place sort, dedup via a boolean slice)
-    parts = [p["__wh"].combine_chunks().to_numpy(zero_copy_only=False)
-             for p in ray.get(hashed.to_arrow_refs())]
-    wh = np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64)
-    del parts
-    wh.sort()
-    if len(wh):
-        keep_mask = np.empty(len(wh), dtype=bool)
-        keep_mask[0] = True
-        np.not_equal(wh[1:], wh[:-1], out=keep_mask[1:])
-        wh = wh[keep_mask]
-    win_ref = ray.put(wh)
+    # Materialize the compact hash column (8 B/key — tiny next to the
+    # source) so the live-key count is free metadata and the blocks can
+    # be consumed by refs without re-executing the winner shuffle.
+    hashed = hashed.materialize()
+    n_live = hashed.count()
 
-    def _filter_winners(t: pa.Table) -> pa.Table:
-        ws = ray.get(win_ref)
-        if len(ws) == 0 or t.num_rows == 0:
-            return t.slice(0, 0)
-        h = _winner_hash64(t, SEQ_COL)
-        pos = np.searchsorted(ws, h)
-        pos[pos == len(ws)] = 0
-        return t.filter(pa.array(ws[pos] == h))
+    if n_live <= driver_set_limit:
+        # Small/medium sets: driver-sorted single broadcast object.
+        # Pull ONLY the 8-byte hash column of each block; keep the
+        # transient at ~2x of the final set (free the per-block parts
+        # before the in-place sort, dedup via a boolean slice).
+        parts = [p["__wh"].combine_chunks().to_numpy(zero_copy_only=False)
+                 for p in ray.get(hashed.to_arrow_refs())]
+        wh = np.concatenate(parts) if parts else np.empty(0, np.uint64)
+        del parts
+        wh.sort()
+        if len(wh):
+            keep_mask = np.empty(len(wh), dtype=bool)
+            keep_mask[0] = True
+            np.not_equal(wh[1:], wh[:-1], out=keep_mask[1:])
+            wh = wh[keep_mask]
+        win_ref = ray.put(wh)
+
+        def _filter_winners(t: pa.Table) -> pa.Table:
+            ws = ray.get(win_ref)
+            if len(ws) == 0 or t.num_rows == 0:
+                return t.slice(0, 0)
+            h = _winner_hash64(t, SEQ_COL)
+            pos = np.searchsorted(ws, h)
+            pos[pos == len(ws)] = 0
+            return t.filter(pa.array(ws[pos] == h))
+    else:
+        # Sharded fallback: beyond driver_set_limit live keys the winner
+        # set is built DISTRIBUTED — the driver never concatenates, never
+        # sorts, and holds only object refs. Hash blocks are scattered by
+        # the top bits of the winner hash (power-of-two shard count, so
+        # shard id == h >> shift), then one gather task per shard sorts
+        # and dedups its slice. Probe tasks searchsorted per shard; each
+        # node materializes each shard once in plasma (zero-copy reads),
+        # so per-node memory is one copy of the 8 B/key set — same bound
+        # as the broadcast path but with no single giant object and no
+        # driver-heap 2x sort transient.
+        per_shard = max(1, driver_set_limit // 2)
+        shard_bits = min(10, max(3, int(np.ceil(np.log2(
+            max(1.0, n_live / per_shard))))))
+        n_shards = 1 << shard_bits
+        shift = np.uint64(64 - shard_bits)
+
+        @ray.remote
+        def _scatter(block: pa.Table, n_shards: int, shift: np.uint64):
+            h = block["__wh"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            sid = h >> shift
+            order = np.argsort(sid, kind="stable")
+            h, sid = h[order], sid[order]
+            bounds = np.searchsorted(sid, np.arange(n_shards + 1),
+                                     side="left")
+            return tuple(h[bounds[s]:bounds[s + 1]]
+                         for s in range(n_shards))
+
+        @ray.remote
+        def _gather(*parts: np.ndarray) -> np.ndarray:
+            a = np.concatenate(parts) if parts else np.empty(0, np.uint64)
+            a.sort()
+            if len(a):
+                keep = np.empty(len(a), dtype=bool)
+                keep[0] = True
+                np.not_equal(a[1:], a[:-1], out=keep[1:])
+                a = a[keep]
+            return a
+
+        block_refs = hashed.to_arrow_refs()
+        scat = [_scatter.options(num_returns=n_shards).remote(
+            r, n_shards, shift) for r in block_refs]
+        shard_refs = [_gather.remote(*[s[i] for s in scat])
+                      for i in range(n_shards)]
+
+        def _filter_winners(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t.slice(0, 0)
+            shards = ray.get(shard_refs)  # plasma-cached per node
+            h = _winner_hash64(t, SEQ_COL)
+            sid = h >> shift
+            order = np.argsort(sid, kind="stable")
+            keep = np.zeros(len(h), dtype=bool)
+            bounds = np.searchsorted(sid[order],
+                                     np.arange(n_shards + 1), side="left")
+            for s in range(n_shards):
+                lo, hi = bounds[s], bounds[s + 1]
+                if lo == hi:
+                    continue
+                arr = shards[s]
+                if len(arr) == 0:
+                    continue
+                idx = order[lo:hi]
+                hs = h[idx]
+                pos = np.searchsorted(arr, hs)
+                pos[pos == len(arr)] = 0
+                keep[idx] = arr[pos] == hs
+            return t.filter(pa.array(keep))
 
     picked = events_factory().map_batches(_filter_winners,
                                           batch_format="pyarrow",

@@ -73,3 +73,31 @@ def test_twopass_tombstones_and_collision_absorption(monkeypatch):
     assert "delete" in set(ops.values())      # tombstones surfaced
     live = {k for k, o in ops.items() if o != "delete"}
     assert live == set(want)
+
+def test_twopass_sharded_winner_set_equals_driver_path():
+    """driver_set_limit=0 forces the distributed sharded winner-set
+    build (scatter by top hash bits -> per-shard sort/dedup); result
+    must be byte-identical to the driver-broadcast path and the oracle."""
+    events = generate_events_local(CFG)
+
+    def factory(columns=None):
+        return ray.data.from_arrow(
+            events.select(columns) if columns else events)
+
+    sharded = {(r["repo"], r["path"]): r
+               for r in cdc.replay_lww_twopass(
+                   factory, num_partitions=8,
+                   driver_set_limit=0).take_all()}
+    want = replay_oracle(events)
+    assert set(sharded) == set(want)
+    for k in want:
+        assert sharded[k]["content_sha256"] == want[k]["content_sha256"], k
+        assert sharded[k]["last_commit_seq"] == want[k]["last_commit_seq"], k
+
+    # tombstone surfacing works through the sharded probe too
+    with_tomb = cdc.replay_lww_twopass(
+        factory, num_partitions=4, keep_tombstones=True,
+        driver_set_limit=0).take_all()
+    ops = {(r["repo"], r["path"]): r["op"] for r in with_tomb}
+    assert "delete" in set(ops.values())
+    assert {k for k, o in ops.items() if o != "delete"} == set(want)
