@@ -303,8 +303,46 @@ def q_multimodal_image(sf_dir):
     imgs = media.map_batches(
         lambda t: t.filter(pc.equal(t["kind"], "image")),
         batch_format="pyarrow", zero_copy_batch=True)
-    return multimodal.extract_image_features(imgs, mode="fake") \
+    feats = multimodal.extract_image_features(imgs, mode="fake") \
         .select_columns(["media_id", "width", "height", "mean_intensity"])
+
+    def _canon(t: "pa.Table") -> "pa.Table":
+        # int64 widths to match the BIGINT golden-oracle schema
+        return pa.table({
+            "media_id": t["media_id"],
+            "width": t["width"].cast(pa.int64()),
+            "height": t["height"].cast(pa.int64()),
+            "mean_intensity": t["mean_intensity"],
+        })
+
+    return feats.map_batches(_canon, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+def multimodal_oracle_sql() -> str:
+    """Golden oracle for the fake-decode image pipeline: recompute the
+    deterministic features LOCALLY (sequential, no Ray) over the same
+    synthetic media table and embed the expected rows as a VALUES
+    literal, so the driver value-checks the Ray-side plumbing (actor
+    batching, kind filter, column layout) against a local evaluation.
+    Float literals use repr() — shortest-round-trip decimal — so DuckDB
+    parses back the bit-identical double."""
+    from kettleray.ops import multimodal
+    t = multimodal.synthetic_media_table(200)
+    rows = []
+    for mid, kind, p in zip(t["media_id"].to_pylist(),
+                            t["kind"].to_pylist(),
+                            t["payload"].to_pylist()):
+        if kind != "image":
+            continue
+        w, h, m = multimodal._fake_dims(p)
+        rows.append(f"({mid}, {w}, {h}, {m!r})")
+    return ("SELECT CAST(media_id AS BIGINT) AS media_id, "
+            "CAST(width AS BIGINT) AS width, "
+            "CAST(height AS BIGINT) AS height, "
+            "CAST(mean_intensity AS DOUBLE) AS mean_intensity "
+            "FROM (VALUES " + ", ".join(rows) +
+            ") AS t(media_id, width, height, mean_intensity)")
 
 
 def lang_id_oracle_sql() -> str:
@@ -487,6 +525,7 @@ ORACLES = {
 }
 
 ORACLES["lang_id"] = lang_id_oracle_sql()
+ORACLES["multimodal_image_features"] = multimodal_oracle_sql()
 
 ORACLES["bigram_counts"] = r"""
 WITH ws AS (SELECT regexp_split_to_array(
