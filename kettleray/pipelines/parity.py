@@ -573,6 +573,23 @@ def q_deterministic_sample(sf_dir):
     return ag.top_k(h, "__h", 20, descending=False)
 
 
+def q_add_constants_set_value(sf_dir):
+    """≙ Add constants + Set field value chained (constant/Constant.java,
+    setvaluefield/SetValueField.java)."""
+    ds = _t(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    ds = ro.add_constants(ds, {"source_system": "kettleray",
+                               "batch_id": 42})
+    return ro.set_value_field(ds, target="n_regionkey",
+                              source="n_nationkey")
+
+
+def q_metadata_structure(sf_dir):
+    """≙ Metadata structure of stream: one row per field (position, name,
+    type) of the lineitem schema — oracled via duckdb_columns() with a
+    DuckDB→Arrow type-name map."""
+    return ro.metadata_structure(_t(sf_dir, "lineitem"))
+
+
 QUERIES = {
     "select_values": q_select_values,
     "filter_rows": q_filter_rows,
@@ -583,6 +600,8 @@ QUERIES = {
     "value_mapper": q_value_mapper,
     "null_handling": q_null_handling,
     "number_range": q_number_range,
+    "add_constants_set_value": q_add_constants_set_value,
+    "metadata_structure": q_metadata_structure,
     "checksum_md5": q_checksum,
     "switch_case": q_switch_case,
     "clone_row": q_clone_row,
@@ -663,6 +682,18 @@ ORACLES = {
     "null_handling":
         "SELECT o_orderkey, COALESCE(NULLIF(o_orderstatus, 'O'), 'X') "
         "AS o_orderstatus FROM orders",
+    "add_constants_set_value":
+        "SELECT n_nationkey, n_name, n_nationkey AS n_regionkey, "
+        "'kettleray' AS source_system, CAST(42 AS BIGINT) AS batch_id "
+        "FROM nation",
+    "metadata_structure":
+        "SELECT CAST(column_index AS BIGINT) AS position, "
+        "column_name AS fieldname, CASE data_type "
+        "WHEN 'BIGINT' THEN 'int64' WHEN 'INTEGER' THEN 'int32' "
+        "WHEN 'DOUBLE' THEN 'double' WHEN 'FLOAT' THEN 'float' "
+        "WHEN 'VARCHAR' THEN 'string' WHEN 'TIMESTAMP' THEN "
+        "'timestamp[us]' ELSE data_type END AS type "
+        "FROM duckdb_columns() WHERE table_name = 'lineitem'",
     "number_range":
         "SELECT o_orderkey, o_totalprice, CASE "
         "WHEN o_totalprice >= 0 AND o_totalprice < 50000 THEN 'small' "
