@@ -12,14 +12,32 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def token_count(ds, text_col: str, out_col: str = "n_tokens"):
-    """Whitespace token count, fully vectorized."""
+# GPT-2-style pre-tokenizer shape, RE2-compatible (no lookahead — RE2
+# doesn't support it, and both pyarrow and DuckDB run RE2, which is what
+# makes the count oracle-able end-to-end): contractions, letter runs,
+# digit runs, punctuation runs, whitespace runs.
+BPE_TOKEN_PATTERN = (r"'(?:[sdmt]|ll|ve|re)"
+                     r"| ?\p{L}+| ?\p{N}+"
+                     r"| ?[^\s\p{L}\p{N}]+"
+                     r"|\s+")
+
+
+def token_count(ds, text_col: str, out_col: str = "n_tokens",
+                mode: str = "whitespace"):
+    """Token count, fully vectorized. ``mode='whitespace'`` counts
+    whitespace-separated words; ``mode='bpe'`` counts matches of a
+    BPE-ish GPT-2-style pre-tokenizer regex (contraction suffixes,
+    letter/digit/punctuation runs) — a deterministic proxy for LLM
+    token budgeting with no tokenizer model in the loop."""
     def _fn(t: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(t[text_col])
-        parts = pc.split_pattern_regex(trimmed, pattern=r"\s+")
-        return t.append_column(out_col,
-                               pc.cast(pc.list_value_length(parts),
-                                       pa.int64()))
+        if mode == "bpe":
+            n = pc.count_substring_regex(t[text_col],
+                                         pattern=BPE_TOKEN_PATTERN)
+        else:
+            trimmed = pc.utf8_trim_whitespace(t[text_col])
+            parts = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+            n = pc.list_value_length(parts)
+        return t.append_column(out_col, pc.cast(n, pa.int64()))
     return ds.map_batches(_fn, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=None)
 

@@ -25,8 +25,10 @@ def _t(sf_dir, name, columns=None):
 
 def q_token_count(sf_dir):
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
-    return textstats.token_count(ds, "text").select_columns(
-        ["doc_id", "n_tokens"])
+    ds = textstats.token_count(ds, "text")
+    ds = textstats.token_count(ds, "text", out_col="n_bpe_tokens",
+                               mode="bpe")
+    return ds.select_columns(["doc_id", "n_tokens", "n_bpe_tokens"])
 
 
 def q_text_quality(sf_dir):
@@ -423,7 +425,11 @@ QUERIES = {
 ORACLES = {
     "token_count":
         "SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), "
-        "'\\s+')) AS BIGINT) AS n_tokens FROM documents",
+        "'\\s+')) AS BIGINT) AS n_tokens, "
+        "CAST(len(regexp_extract_all(text, "
+        "'''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+"
+        "| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS BIGINT) AS n_bpe_tokens "
+        "FROM documents",
     "text_quality":
         "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc, "
         "ROUND(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 "
