@@ -8,6 +8,7 @@ pyarrow.compute.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -91,6 +92,67 @@ def doc_fingerprint(ds, text_col: str, out_col: str = "fingerprint"):
         fp = [None if v is None else
               hashlib.md5(v.encode("utf-8")).hexdigest() for v in vals]
         return t.append_column(out_col, pa.array(fp, type=pa.string()))
+    return ds.map_batches(_fn, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+
+
+def winnowing_fingerprints(ds, text_col: str, id_col: str = "doc_id",
+                           *, k: int = 8, w: int = 4):
+    """MOSS-style winnowing fingerprints (rolling-hash doc signatures):
+    polynomial k-gram hashes over the codepoint stream, then the min of
+    each window of ``w`` consecutive hashes (frame truncated at the doc
+    tail, matching SQL window semantics), distinct per doc. Emits one
+    (id, fingerprint) row per selected hash — the near-dup/plagiarism
+    signature set.
+
+    Hashes are EXACT small integers (base 31, k<=8 keeps the sum under
+    2^53), so a DuckDB oracle recomputes them bit-identically with plain
+    BIGINT arithmetic — no custom UDF. Per-batch work is vectorized: one
+    utf-32 encode of the concatenated batch text -> numpy codepoints,
+    sliding-window polynomial hash over the flat stream, per-doc slicing
+    (windows crossing doc boundaries are never read)."""
+    BASE = 31
+    assert k <= 8, "k>8 overflows the exact-integer (2^53) hash bound"
+    powers = (BASE ** np.arange(k - 1, -1, -1)).astype(np.uint64)
+    sentinel = np.iinfo(np.uint64).max
+
+    def _fn(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        if not texts:
+            return pa.table({id_col: pa.array([], t[id_col].type),
+                             "fingerprint": pa.array([], pa.int64())})
+        codes = np.frombuffer("".join(texts).encode("utf-32-le"),
+                              dtype=np.uint32).astype(np.uint64)
+        lens = np.fromiter((len(s) for s in texts), dtype=np.int64,
+                           count=len(texts))
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        h_all = None
+        if len(codes) >= k:
+            wins = np.lib.stride_tricks.sliding_window_view(codes, k)
+            h_all = (wins * powers).sum(axis=1)   # exact, < 2^53
+        out_ids, out_fp = [], []
+        pad = np.full(w - 1, sentinel, np.uint64)
+        for i in range(len(texts)):
+            L = int(lens[i])
+            if L < k or h_all is None:
+                continue
+            h = h_all[offs[i]: offs[i] + L - k + 1]
+            hp = np.concatenate([h, pad])
+            mins = np.lib.stride_tricks.sliding_window_view(
+                hp, w).min(axis=1)
+            fps = np.unique(mins)
+            out_fp.append(fps.astype(np.int64))
+            out_ids.append(np.full(len(fps), ids[i], dtype=np.int64))
+        if not out_fp:
+            return pa.table({id_col: pa.array([], t[id_col].type),
+                             "fingerprint": pa.array([], pa.int64())})
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_ids)).cast(t[id_col].type),
+            "fingerprint": pa.array(np.concatenate(out_fp),
+                                    type=pa.int64()),
+        })
+
     return ds.map_batches(_fn, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=None)
 

@@ -23,6 +23,14 @@ def _t(sf_dir, name, columns=None):
                                  columns=columns)
 
 
+def q_winnowing(sf_dir):
+    """MOSS-style winnowing fingerprints (k=8 char-grams, window 4) —
+    the rolling-hash document-signature operator; oracle recomputes the
+    exact-integer polynomial hashes + window-min in plain SQL."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return textstats.winnowing_fingerprints(ds, "text", "doc_id")
+
+
 def q_token_count(sf_dir):
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
     ds = textstats.token_count(ds, "text")
@@ -398,6 +406,7 @@ _DEDUP_PAIRS_CTE = (
 
 QUERIES = {
     "token_count": q_token_count,
+    "winnowing_fingerprints": q_winnowing,
     "text_quality": q_text_quality,
     "doc_fingerprint": q_doc_fingerprint,
     "exact_dedup": q_exact_dedup,
@@ -423,6 +432,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    "winnowing_fingerprints":
+        # exact-integer polynomial k-gram hash (base 31, k=8) + window
+        # min (frame truncated at partition tail) + distinct per doc —
+        # mirrors winnowing_fingerprints bit-for-bit
+        "WITH pos AS (SELECT doc_id, text, "
+        "unnest(range(1, length(text) - 6)) AS p FROM documents "
+        "WHERE length(text) >= 8), "
+        "hashes AS (SELECT doc_id, p, "
+        "CAST(list_sum(list_transform(range(8), j -> "
+        "ascii(substr(text, CAST(p + j AS INTEGER), 1)) * "
+        "CAST(pow(31, 7 - j) AS BIGINT))) AS BIGINT) AS h FROM pos), "
+        "wmins AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id "
+        "ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS "
+        "fingerprint FROM hashes) "
+        "SELECT DISTINCT doc_id, fingerprint FROM wmins",
     "token_count":
         "SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), "
         "'\\s+')) AS BIGINT) AS n_tokens, "

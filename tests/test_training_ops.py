@@ -346,3 +346,29 @@ def test_inverted_index_partition_pruning(tmp_path):
     res_none, _, _ = invindex.query_inverted_index(
         root, ["zzz_not_there"])
     assert res_none.take_all() == []
+
+
+def test_winnowing_fingerprints():
+    """Identical docs produce identical fingerprint sets; docs shorter
+    than k produce none; a shared substring yields overlapping prints."""
+    import pyarrow as pa
+    import ray.data
+    from kettleray.ops.textstats import winnowing_fingerprints
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy dog",
+            "tiny",                          # < k: no fingerprints
+            "a totally different sentence with the quick brown fox here",
+        ]),
+    })
+    out = winnowing_fingerprints(
+        ray.data.from_arrow(docs), "text", "doc_id").take_all()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[1] == by_doc[2]            # identical docs
+    assert 3 not in by_doc                   # too short
+    assert by_doc[1] & by_doc[4]             # shared k-grams overlap
+    assert len(by_doc[1]) < 44               # winnowing compresses
