@@ -694,3 +694,54 @@ def embedding_cosine_dups(ds, id_col: str, vec_col: str, *,
 
     return ds.map_batches(_Cos, batch_format="pyarrow",
                           batch_size=block_rows, concurrency=(1, 8))
+
+
+def winnowing_neardup(ds, text_col: str, id_col: str = "doc_id", *,
+                      k: int = 8, w: int = 4, min_shared: int = 40,
+                      max_bucket: int = 64, num_partitions: int = 16):
+    """Rolling-hash near-dup detection via winnowing fingerprints
+    (≙ MOSS): sign each doc with window-min k-gram hashes, hash-partition
+    on fingerprint, emit within-bucket pairs (hot fingerprints above
+    ``max_bucket`` docs dropped — boilerplate), then count shared
+    fingerprints per pair with a map-side combine + ONE pair-keyed
+    shuffle. Pairs sharing >= ``min_shared`` prints are near-dups.
+
+    Scale shape: two narrow shuffles (8 B fingerprint rows; pair rows),
+    no doc text ever moves after signing; bucket cap bounds the pair
+    explosion exactly like minhash_lsh_pairs."""
+    from kettleray.ops.textstats import winnowing_fingerprints
+
+    fps = winnowing_fingerprints(ds, text_col, id_col, k=k, w=w)
+    part = fps.repartition(num_partitions, keys=["fingerprint"])
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        return _bucket_pairs_table(t, ["fingerprint"], id_col, max_bucket)
+
+    pairs = part.map_batches(_pairs, batch_format="pyarrow",
+                             batch_size=None, zero_copy_batch=True)
+
+    def _local_count(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "shared": pa.array([], pa.int64())})
+        g = t.group_by(["doc_a", "doc_b"]).aggregate([("doc_a", "count")])
+        return g.rename_columns(["doc_a", "doc_b", "shared"])
+
+    pre = pairs.map_batches(_local_count, batch_format="pyarrow",
+                            batch_size=None, zero_copy_batch=True)
+    shuf = pre.repartition(max(8, num_partitions // 2),
+                           keys=["doc_a", "doc_b"])
+
+    def _final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "shared": pa.array([], pa.int64())})
+        g = t.group_by(["doc_a", "doc_b"]).aggregate([("shared", "sum")])
+        g = g.rename_columns(["doc_a", "doc_b", "shared"])
+        g = g.set_column(2, "shared", g["shared"].cast(pa.int64()))
+        return g.filter(pc.greater_equal(g["shared"], min_shared))
+
+    return shuf.map_batches(_final, batch_format="pyarrow",
+                            batch_size=None, zero_copy_batch=True)

@@ -31,6 +31,15 @@ def q_winnowing(sf_dir):
     return textstats.winnowing_fingerprints(ds, "text", "doc_id")
 
 
+def q_winnowing_neardup(sf_dir):
+    """Near-dup pairs by shared winnowing fingerprints (>=40 shared
+    window-min hashes, hot fingerprints >64 docs dropped on BOTH
+    sides)."""
+    from kettleray.ops import dedup
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.winnowing_neardup(ds, "text", "doc_id")
+
+
 def q_token_count(sf_dir):
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
     ds = textstats.token_count(ds, "text")
@@ -407,6 +416,7 @@ _DEDUP_PAIRS_CTE = (
 QUERIES = {
     "token_count": q_token_count,
     "winnowing_fingerprints": q_winnowing,
+    "winnowing_neardup": q_winnowing_neardup,
     "text_quality": q_text_quality,
     "doc_fingerprint": q_doc_fingerprint,
     "exact_dedup": q_exact_dedup,
@@ -447,6 +457,28 @@ ORACLES = {
         "ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS "
         "fingerprint FROM hashes) "
         "SELECT DISTINCT doc_id, fingerprint FROM wmins",
+    "winnowing_neardup":
+        # same hash CTE as winnowing_fingerprints, then: bucket cap
+        # (HAVING <= 64 docs), fingerprint self-join, shared-count >= 40
+        "WITH pos AS (SELECT doc_id, text, "
+        "unnest(range(1, length(text) - 6)) AS p FROM documents "
+        "WHERE length(text) >= 8), "
+        "hashes AS (SELECT doc_id, p, "
+        "CAST(list_sum(list_transform(range(8), j -> "
+        "ascii(substr(text, CAST(p + j AS INTEGER), 1)) * "
+        "CAST(pow(31, 7 - j) AS BIGINT))) AS BIGINT) AS h FROM pos), "
+        "wmins AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id "
+        "ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS "
+        "fingerprint FROM hashes), "
+        "fps AS (SELECT DISTINCT doc_id, fingerprint FROM wmins), "
+        "keep AS (SELECT fingerprint FROM fps GROUP BY fingerprint "
+        "HAVING count(*) <= 64), "
+        "fpk AS (SELECT * FROM fps WHERE fingerprint IN "
+        "(SELECT fingerprint FROM keep)) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(count(*) AS BIGINT) AS shared FROM fpk a JOIN fpk b "
+        "ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2 HAVING count(*) >= 40",
     "token_count":
         "SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), "
         "'\\s+')) AS BIGINT) AS n_tokens, "
