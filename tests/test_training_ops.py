@@ -372,3 +372,25 @@ def test_winnowing_fingerprints():
     assert 3 not in by_doc                   # too short
     assert by_doc[1] & by_doc[4]             # shared k-grams overlap
     assert len(by_doc[1]) < 44               # winnowing compresses
+
+
+def test_winnowing_neardup_finds_planted_pair():
+    import pyarrow as pa
+    import ray.data
+    from kettleray.ops.dedup import winnowing_neardup
+    base = ("def compute(rows): return [transform(r) for r in rows if "
+            "r.valid and r.score > threshold] # shared helper body")
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            base + " alpha tail",
+            base + " beta tail",                      # near-dup of 1
+            "completely unrelated content about weather patterns and "
+            "ocean currents in the southern hemisphere today",
+        ]),
+    })
+    out = winnowing_neardup(ray.data.from_arrow(docs), "text", "doc_id",
+                            min_shared=10, num_partitions=4).take_all()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
