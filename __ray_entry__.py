@@ -281,9 +281,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_shuffled_arrival": q_cdc_shuffled_arrival,
         "cdc_envelope_roundtrip": q_cdc_envelope_roundtrip,
     }
-    out.update(PARITY_QUERIES)
+    # Order matters: the driver snapshots the FIRST 50 entries into
+    # CORRECTNESS_r{N}.json. 16 CDC + 25 training-data pipelines + the 9
+    # parity queries with the deepest kernels fill the snapshot; the
+    # long-green parity row-ops tail still runs under tools/check_queries.
     out.update(TRAINING_QUERIES)
+    for name in _PRIORITY_PARITY:
+        out[name] = PARITY_QUERIES[name]
+    out.update(PARITY_QUERIES)
     return out
+
+
+_PRIORITY_PARITY = [
+    "group_by_q1", "group_by_holistic", "unique_rows", "merge_join_full",
+    "multiway_join", "asof_join", "fuzzy_match", "string_distance",
+    "formula",
+]
 
 
 def oracle_sql() -> dict[str, str]:
