@@ -76,40 +76,152 @@ def group_by(ds, keys: Sequence[str], aggs: Sequence[Agg], *,
                               num_partitions=num_partitions or 32)
 
 
+def _holistic_agg_type(a: Agg, src: pa.DataType | None) -> pa.DataType:
+    if a.fn in ("avg", "std", "median", "percentile"):
+        return pa.float64()
+    if a.fn in ("count", "count_distinct"):
+        return pa.int64()
+    if a.fn == "sum":
+        return src if pa.types.is_integer(src) else pa.float64()
+    if a.fn in ("concat_comma", "concat_string"):
+        return pa.string()
+    return src                                  # min/max/first/last
+
+
 def _holistic_group_by(ds, keys, aggs, *, num_partitions: int):
+    """Arrow/numpy-native holistic path: ONE key-hash shuffle, then per
+    co-located block a composite-key-code lexsort and np.*.reduceat
+    kernels per aggregate — no pandas detour (the pandas groupby cost
+    2-3x memory + boxing for identical results and lost the Arrow
+    schema on empty blocks)."""
     keys = list(keys)
     shuffled = ds.repartition(num_partitions, keys=keys)
 
-    def _per_block(df: pd.DataFrame) -> pd.DataFrame:
-        order_cols = {a.order_col for a in aggs if a.order_col}
-        for oc in order_cols:
-            df = df.sort_values(oc, kind="mergesort")
-        g = df.groupby(keys, sort=False)
-        out = {}
-        for a in aggs:
-            if a.fn in ("sum", "avg", "min", "max", "std", "median"):
-                fn = {"sum": "sum", "avg": "mean", "min": "min",
-                      "max": "max", "std": "std", "median": "median"}[a.fn]
-                out[a.alias] = g[a.col].agg(fn)
-            elif a.fn == "count":
-                out[a.alias] = g[a.col].count() if a.col else g.size()
-            elif a.fn == "count_distinct":
-                out[a.alias] = g[a.col].nunique()
-            elif a.fn == "percentile":
-                out[a.alias] = g[a.col].quantile(a.q)
-            elif a.fn == "first":
-                out[a.alias] = g[a.col].first()
-            elif a.fn == "last":
-                out[a.alias] = g[a.col].last()
-            elif a.fn in ("concat_comma", "concat_string"):
-                out[a.alias] = g[a.col].agg(
-                    lambda s, sep=a.sep: sep.join(s.astype(str)))
-            else:
-                raise ValueError(a.fn)
-        return pd.DataFrame(out).reset_index()
+    def _per_block(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        from kettleray.ops.cdc import _col_np, _composite_key_codes
+        if t.num_columns == 0:
+            return t        # Ray hash shuffle emits schema-less empties
+        if t.num_rows == 0:
+            cols = {k: t[k] for k in keys}
+            for a in aggs:
+                src = t.schema.field(a.col).type if a.col else None
+                cols[a.alias] = pa.array(
+                    [], type=_holistic_agg_type(a, src))
+            return pa.table(cols)
+        codes = _composite_key_codes(t, keys)
+        base = np.argsort(codes, kind="stable")
+        sk = codes[base]
+        n = len(sk)
+        run_start = np.empty(n, dtype=bool)
+        run_start[0] = True
+        run_start[1:] = sk[1:] != sk[:-1]
+        begins = np.nonzero(run_start)[0]
+        ends = np.append(begins[1:], n)
+        counts = ends - begins
+        key_rows = pa.array(base[begins], type=pa.int64())
+        out = {k: (t[k].combine_chunks()
+                   if isinstance(t[k], pa.ChunkedArray) else t[k])
+               .take(key_rows) for k in keys}
 
-    return shuffled.map_batches(_per_block, batch_format="pandas",
-                                batch_size=None)
+        def _arrow_col(name):
+            c = t[name]
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) \
+                else c
+
+        for a in aggs:
+            if a.fn in ("first", "last"):
+                # first/last BY ORDER: lexsort (order_col within group);
+                # run boundaries are identical since codes are primary
+                ocol = _col_np(t, a.order_col) if a.order_col else None
+                perm = np.lexsort((ocol, codes)) if ocol is not None \
+                    else base
+                idx = perm[begins] if a.fn == "first" else perm[ends - 1]
+                out[a.alias] = _arrow_col(a.col).take(
+                    pa.array(idx, type=pa.int64()))
+            elif a.fn == "count" and not a.col:
+                out[a.alias] = pa.array(counts, type=pa.int64())
+            elif a.fn == "count":
+                nn = pc.is_valid(_arrow_col(a.col)) \
+                    .to_numpy(zero_copy_only=False)[base].astype(np.int64)
+                out[a.alias] = pa.array(np.add.reduceat(nn, begins),
+                                        type=pa.int64())
+            elif a.fn == "count_distinct":
+                col = _arrow_col(a.col)
+                enc = pc.dictionary_encode(col)
+                if isinstance(enc, pa.ChunkedArray):
+                    enc = enc.combine_chunks()
+                vc = enc.indices.to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+                g, v = codes[valid], vc[valid]
+                perm = np.lexsort((v, g))
+                gs, vs = g[perm], v[perm]
+                if len(gs):
+                    new_pair = np.empty(len(gs), dtype=bool)
+                    new_pair[0] = True
+                    new_pair[1:] = (gs[1:] != gs[:-1]) | (vs[1:] != vs[:-1])
+                else:
+                    new_pair = np.empty(0, dtype=bool)
+                # map group code -> dense run index for bincount
+                pos = np.searchsorted(sk[begins], gs[new_pair]) \
+                    if len(gs) else np.empty(0, np.int64)
+                out[a.alias] = pa.array(
+                    np.bincount(pos, minlength=len(begins))
+                    .astype(np.int64), type=pa.int64())
+            elif a.fn in ("concat_comma", "concat_string"):
+                col = pc.cast(_arrow_col(a.col), pa.string())
+                sorted_vals = col.take(pa.array(base, type=pa.int64()))
+                offsets = pa.array(np.append(begins, n).astype(np.int32))
+                la = pa.ListArray.from_arrays(offsets, sorted_vals)
+                out[a.alias] = pc.binary_join(la, a.sep)
+            elif a.fn in ("min", "max"):
+                # order-by-value lexsort; group first/last takes preserve
+                # the source Arrow type exactly (strings included)
+                v = _col_np(t, a.col)
+                perm = np.lexsort((v, codes))
+                idx = perm[begins] if a.fn == "min" else perm[ends - 1]
+                out[a.alias] = _arrow_col(a.col).take(
+                    pa.array(idx, type=pa.int64()))
+            else:                       # numeric reduceat family
+                vals = _col_np(t, a.col).astype(np.float64)[base]
+                if a.fn == "sum":
+                    s = np.add.reduceat(vals, begins)
+                    src = t.schema.field(a.col).type
+                    if pa.types.is_integer(src):
+                        out[a.alias] = pa.array(s.astype(np.int64),
+                                                type=src)
+                    else:
+                        out[a.alias] = pa.array(s, type=pa.float64())
+                elif a.fn == "avg":
+                    out[a.alias] = pa.array(
+                        np.add.reduceat(vals, begins) / counts,
+                        type=pa.float64())
+                elif a.fn == "std":
+                    mean = np.add.reduceat(vals, begins) / counts
+                    sq = (vals - np.repeat(mean, counts)) ** 2
+                    var = np.add.reduceat(sq, begins) / \
+                        np.maximum(counts - 1, 1)
+                    var = np.where(counts < 2, np.nan, var)
+                    out[a.alias] = pa.array(np.sqrt(var),
+                                            type=pa.float64())
+                elif a.fn in ("median", "percentile"):
+                    q = 0.5 if a.fn == "median" else a.q
+                    perm = np.lexsort((vals, sk))
+                    sv = vals[perm]
+                    pos = begins + q * (counts - 1)
+                    lo = np.floor(pos).astype(np.int64)
+                    hi = np.ceil(pos).astype(np.int64)
+                    frac = pos - lo
+                    out[a.alias] = pa.array(
+                        sv[lo] * (1 - frac) + sv[hi] * frac,
+                        type=pa.float64())
+                else:
+                    raise ValueError(a.fn)
+        return pa.table(out)
+
+    return shuffled.map_batches(_per_block, batch_format="pyarrow",
+                                batch_size=None, zero_copy_batch=True)
 
 
 def unique_rows(ds, cols: Sequence[str], *, count_col: str | None = None,
@@ -120,13 +232,36 @@ def unique_rows(ds, cols: Sequence[str], *, count_col: str | None = None,
     cols = list(cols)
     shuffled = ds.repartition(num_partitions, keys=cols)
 
-    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+    def _fn(t: pa.Table) -> pa.Table:
+        # Arrow-native (no pandas): composite key codes -> stable argsort
+        # -> run boundaries = first occurrence per key (+ run length as
+        # the duplicate count). Keeps the exact input schema on empty
+        # blocks — the pandas path lost it, poisoning downstream joins.
+        from kettleray.ops.cdc import _composite_key_codes
+        if t.num_columns == 0:
+            return t        # Ray hash shuffle emits schema-less empties
+        if t.num_rows == 0:
+            if count_col:
+                return t.select(cols).append_column(
+                    count_col, pa.array([], type=pa.int64()))
+            return t
+        codes = _composite_key_codes(t, cols)
+        order = np.argsort(codes, kind="stable")
+        sk = codes[order]
+        n = len(sk)
+        run_start = np.empty(n, dtype=bool)
+        run_start[0] = True
+        run_start[1:] = sk[1:] != sk[:-1]
+        begins = np.nonzero(run_start)[0]
+        sel = pa.array(order[begins], type=pa.int64())
         if count_col:
-            out = df.groupby(cols, sort=False).size().rename(count_col)
-            return out.reset_index()
-        return df.drop_duplicates(subset=cols)
+            counts = np.diff(np.append(begins, n))
+            return t.select(cols).take(sel).append_column(
+                count_col, pa.array(counts, type=pa.int64()))
+        return t.take(sel)
 
-    return shuffled.map_batches(_fn, batch_format="pandas", batch_size=None)
+    return shuffled.map_batches(_fn, batch_format="pyarrow",
+                                batch_size=None, zero_copy_batch=True)
 
 
 def sort_rows(ds, keys: Sequence[str], *, descending=False):

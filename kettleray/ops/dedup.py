@@ -284,10 +284,11 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str, *,
 
 def jaccard_verify(pairs, docs, id_col: str, text_col: str, *,
                    shingle_k: int = 3, threshold: float = 0.7,
-                   method: str = "broadcast", num_partitions: int = 16):
+                   method: str = "auto", num_partitions: int = 16,
+                   broadcast_limit: int = 100_000):
     """Exact n-gram Jaccard on candidate pairs.
 
-    ``method='broadcast'`` (default, small candidate sets): only the
+    ``method='broadcast'`` (small candidate sets): only the
     texts of docs that APPEAR in a candidate pair are broadcast (the
     pair set, not the corpus, bounds memory) and shingled lazily per
     actor.
@@ -295,8 +296,17 @@ def jaccard_verify(pairs, docs, id_col: str, text_col: str, *,
     ``method='join'`` (scale path, unbounded candidate sets): two
     hash-partitioned ``Dataset.join``s attach text_a / text_b to each
     pair — nothing is ever materialized on the driver; memory per task
-    is one partition of pairs + texts."""
+    is one partition of pairs + texts.
+
+    ``method='auto'`` (default): counts the (materialized) pair set and
+    picks broadcast below ``broadcast_limit`` pairs, join above it — a
+    web-scale candidate stream can never silently fall into the
+    driver-materializing path."""
     import ray
+    if method == "auto":
+        pairs = pairs.materialize()
+        method = ("broadcast" if pairs.count() <= broadcast_limit
+                  else "join")
     if method == "join":
         return _jaccard_verify_join(pairs, docs, id_col, text_col,
                                     shingle_k=shingle_k,
@@ -356,6 +366,15 @@ def _jaccard_verify_join(pairs, docs, id_col: str, text_col: str, *,
                          num_partitions: int):
     """Distributed verify: pairs ⋈ texts twice (hash-partitioned), then
     a per-batch vectorized-shingle Jaccard. No driver materialization."""
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        # guard: Ray 2.49's hash-shuffle join drops the schema of a
+        # fully-empty side; an empty candidate set verifies to nothing
+        import ray.data as _rd
+        return _rd.from_arrow(pa.table({
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+            "jaccard": pa.array([], type=pa.float64())}))
     texts = docs.select_columns([id_col, text_col])
     ta = texts.rename_columns({id_col: "doc_a", text_col: "__text_a"})
     tb = texts.rename_columns({id_col: "doc_b", text_col: "__text_b"})
@@ -458,16 +477,18 @@ def dedup_corpus(docs, id_col: str, text_col: str, *,
                  num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
                  threshold: float = 0.7, num_partitions: int = 16,
                  max_bucket: int = 64, cc_iters: int = 10,
-                 verify_method: str = "broadcast"):
+                 verify_method: str = "join"):
     """End-to-end near-dup corpus dedup — THE flagship LLM-training-data
     pipeline: MinHash sign -> LSH band buckets -> capped candidate pairs
     -> exact-Jaccard verify -> distributed connected components ->
     keep the min-id representative per component, drop other members.
 
-    Every stage is a Dataset transform (one shuffle per stage, no driver
-    materialization except the verified pair set, which is bounded by
-    the near-dup rate, not the corpus). Returns the SURVIVING documents
-    with their original columns."""
+    Every stage is a Dataset transform with NO driver materialization:
+    the verify default is the hash-partitioned join path and the final
+    representative filter is Ray's native ``left_anti`` join — the
+    dropped-id set (which scales with corpus size, not near-dup rate)
+    never leaves the object store. Returns the SURVIVING documents with
+    their original columns."""
     pairs = minhash_lsh_pairs(docs, id_col, text_col, num_perm=num_perm,
                               bands=bands, shingle_k=shingle_k,
                               num_partitions=num_partitions,
@@ -489,7 +510,8 @@ def dedup_corpus(docs, id_col: str, text_col: str, *,
     dropped = comps.map_batches(_drops, batch_format="pyarrow",
                                 zero_copy_batch=True)
     from kettleray.ops.joins import semi_join
-    return semi_join(docs, dropped, [id_col], anti=True)
+    return semi_join(docs, dropped, [id_col], anti=True, method="join",
+                     num_partitions=num_partitions)
 
 
 def simhash(ds, id_col: str, text_col: str, *, seed: int = 42,

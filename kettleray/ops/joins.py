@@ -82,9 +82,38 @@ def stream_lookup(main, lookup, on: Sequence[str],
                              "left outer"))
 
 
-def semi_join(main, lookup, on: Sequence[str], *, anti: bool = False):
-    """Semi/anti join via broadcast key set filter inside map_batches."""
+def semi_join(main, lookup, on: Sequence[str], *, anti: bool = False,
+              method: str = "auto", num_partitions: int = 32,
+              broadcast_limit: int = 2_000_000):
+    """Semi/anti join.
+
+    ``method='broadcast'``: key set pulled to the driver once, shipped via
+    ``ray.put``, filtered inside map_batches — right when the lookup side
+    is small (a dimension table, a blocklist).
+
+    ``method='join'``: hash-partitioned ``Dataset.join`` with Ray's native
+    ``left_semi`` / ``left_anti`` — the scale path: the key set never
+    touches the driver, memory per task is one co-partitioned shard.
+
+    ``method='auto'`` (default): materializes the lookup keys (distributed,
+    object store) and picks broadcast below ``broadcast_limit`` keys,
+    join above it.
+    """
     keys = list(on)
+    if method == "auto":
+        lookup = lookup.materialize()
+        method = ("broadcast" if lookup.count() <= broadcast_limit
+                  else "join")
+    if method == "join":
+        lookup = lookup.materialize()
+        if lookup.count() == 0:
+            # guard: Ray 2.49's hash-shuffle join drops the schema of a
+            # fully-empty side (zero-column partitions -> ArrowInvalid)
+            return main if anti else main.limit(0)
+        return main.join(
+            lookup.select_columns(keys),
+            join_type="left_anti" if anti else "left_semi",
+            on=tuple(keys), num_partitions=num_partitions)
     # tolerate empty/zero-column blocks (e.g. a fully-filtered stage can
     # emit schema-less empties); empty lookup: anti keeps all, semi none
     tables = [t for t in ray.get(lookup.to_arrow_refs())

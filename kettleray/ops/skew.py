@@ -66,17 +66,10 @@ def detect_hot_keys(events, *, keys: Sequence[str] = KEY_COLS,
     partials = events.select_columns(keys).map_batches(
         _partial, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None)
-    if sample_rate < 1.0:
-        # sampled partials are small by construction: finish on the driver
-        # (a distributed groupby would cost more than the whole scan)
-        t = pa.Table.from_pylist(partials.take_all())
-        if t.num_rows == 0:
-            return t
-        df = t.to_pandas().groupby(keys, sort=False)["__cnt"].sum() \
-            .rename("n_events").reset_index()
-        df = df.sort_values("n_events", ascending=False).head(top_k)
-        df = df[df["n_events"] >= min_count]
-        return pa.Table.from_pandas(df, preserve_index=False)
+    # Same distributed finish for BOTH paths (sampled included): the
+    # partial count set scales with unique-keys-in-sample x blocks, which
+    # at 10^10 events is far beyond driver comfort — only the top-k rows
+    # (a handful) ever reach the driver.
     from ray.data.aggregate import Sum
     counts = partials.groupby(keys).aggregate(
         Sum("__cnt", alias_name="n_events"))

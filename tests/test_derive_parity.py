@@ -71,3 +71,72 @@ def test_asof_join_strict_and_tie_semantics():
         left, right, by=["k"], on="t", right_cols=["rv"],
         num_partitions=2, strict=True).take_all()}
     assert strict == {"l1": None, "l2": None, "l3": "r15", "l4": None}
+
+
+def test_holistic_group_by_kernels_match_pandas():
+    """Arrow-native holistic path vs a pandas reference on every fn."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from kettleray.ops import aggregates as ag
+
+    rng = np.random.RandomState(7)
+    n = 500
+    df = pd.DataFrame({
+        "g": rng.randint(0, 13, n),
+        "o": rng.permutation(n),
+        "x": rng.randn(n) * 10,
+        "s": [f"s{v}" for v in rng.randint(0, 5, n)],
+    })
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df))
+    out = ag.group_by(ds, ["g"], [
+        ag.Agg("x", "first", "f", order_col="o"),
+        ag.Agg("x", "last", "l", order_col="o"),
+        ag.Agg("s", "count_distinct", "nd"),
+        ag.Agg("x", "sum", "sm"),
+        ag.Agg("x", "avg", "av"),
+        ag.Agg("x", "min", "mn"),
+        ag.Agg("x", "max", "mx"),
+        ag.Agg("x", "std", "sd"),
+        ag.Agg("x", "median", "md"),
+        ag.Agg("x", "percentile", "p90", q=0.9),
+        ag.Agg("s", "min", "smin"),
+        ag.Agg(None, "count", "cnt"),
+    ], num_partitions=3).take_all()
+    got = pd.DataFrame(out).set_index("g").sort_index()
+
+    sdf = df.sort_values("o", kind="mergesort")
+    g = sdf.groupby("g")
+    ref = pd.DataFrame({
+        "f": g["x"].first(), "l": g["x"].last(),
+        "nd": g["s"].nunique(), "sm": g["x"].sum(), "av": g["x"].mean(),
+        "mn": g["x"].min(), "mx": g["x"].max(), "sd": g["x"].std(),
+        "md": g["x"].median(), "p90": g["x"].quantile(0.9),
+        "smin": g["s"].min(), "cnt": g.size(),
+    }).sort_index()
+    for c in ref.columns:
+        if ref[c].dtype.kind == "f":
+            assert np.allclose(got[c].to_numpy(), ref[c].to_numpy(),
+                               rtol=1e-9, atol=1e-9), c
+        else:
+            assert (got[c].to_numpy() == ref[c].to_numpy()).all(), c
+
+
+def test_holistic_concat_and_empty_block_schema():
+    import pyarrow as pa
+    import ray.data
+    from kettleray.ops import aggregates as ag
+    t = pa.table({"g": [1, 1, 2], "v": ["a", "b", "c"]})
+    out = ag._holistic_group_by(
+        ray.data.from_arrow(t), ["g"],
+        [ag.Agg("v", "concat_comma", "cat")], num_partitions=4).take_all()
+    m = {r["g"]: r["cat"] for r in out}
+    assert m == {1: "a,b", 2: "c"}
+    # fully-empty input flows through without raising (Ray's hash
+    # shuffle erases the schema of empty datasets — a Ray 2.49 quirk
+    # guarded at the join call sites; here we only require no crash)
+    empty = ray.data.from_arrow(t.slice(0, 0))
+    assert ag._holistic_group_by(
+        empty, ["g"], [ag.Agg("v", "concat_comma", "cat")],
+        num_partitions=2).count() == 0

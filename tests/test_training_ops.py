@@ -394,3 +394,56 @@ def test_winnowing_neardup_finds_planted_pair():
     pairs = {(r["doc_a"], r["doc_b"]) for r in out}
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_semi_join_join_method_matches_broadcast():
+    from kettleray.ops.joins import semi_join
+    main = ray.data.from_arrow(pa.table({
+        "k": list(range(20)), "v": [f"v{i}" for i in range(20)]}))
+    lk = ray.data.from_arrow(pa.table({"k": [3, 5, 5, 7, 99]}))
+    for anti in (False, True):
+        bc = semi_join(main, lk, ["k"], anti=anti,
+                       method="broadcast").take_all()
+        jn = semi_join(main, lk, ["k"], anti=anti, method="join",
+                       num_partitions=3).take_all()
+        key = lambda r: (r["k"], r["v"])
+        assert sorted(map(key, bc)) == sorted(map(key, jn))
+        # duplicate lookup keys must NOT duplicate main rows
+        assert len({r["k"] for r in jn}) == len(jn)
+
+
+def test_dedup_corpus_distributed_tail_no_driver_pull(monkeypatch):
+    """dedup_corpus's representative filter and verify must stay on the
+    hash-partitioned join path: poison to_arrow_refs (the only driver-
+    materialization door for Datasets in this repo) and run end-to-end."""
+    import ray.data.dataset as dsmod
+
+    base = ("one two three four five six seven eight nine ten eleven "
+            "twelve thirteen fourteen fifteen sixteen")
+    texts = [base, base.replace("ten", "zzz"),
+             "totally unrelated words about graphs and shuffles here",
+             base.replace("two", "yyy"), "short odd text"]
+    docs = ray.data.from_arrow(pa.table(
+        {"doc_id": list(range(5)), "text": texts}))
+
+    def _boom(self, *a, **k):
+        raise AssertionError("driver materialization in dedup_corpus")
+
+    monkeypatch.setattr(dsmod.Dataset, "to_arrow_refs", _boom)
+    out = dedup.dedup_corpus(docs, "doc_id", "text", num_perm=64,
+                             bands=32, shingle_k=2, threshold=0.5,
+                             num_partitions=2).take_all()
+    ids = sorted(r["doc_id"] for r in out)
+    assert 0 in ids and 2 in ids and 4 in ids       # representatives kept
+    assert 1 not in ids and 3 not in ids            # near-dups dropped
+
+
+def test_dedup_corpus_no_dups_returns_all():
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["alpha beta gamma delta", "epsilon zeta eta theta",
+                 "iota kappa lambda mu"]}))
+    out = dedup.dedup_corpus(docs, "doc_id", "text", num_perm=32,
+                             bands=16, shingle_k=2, threshold=0.5,
+                             num_partitions=2).take_all()
+    assert sorted(r["doc_id"] for r in out) == [1, 2, 3]
