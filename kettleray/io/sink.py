@@ -433,8 +433,23 @@ def compact_state(root: str, *, max_files_per_bucket: int = 4) -> Manifest:
         os.makedirs(dst, exist_ok=True)
         frags = _parquet_files(src)
         if len(frags) > max_files_per_bucket:
-            table = pa.concat_tables([pq.read_table(f) for f in frags])
-            pq.write_table(table, os.path.join(dst, "compacted-0.parquet"))
+            # streaming merge: copy row groups fragment-by-fragment into
+            # one ParquetWriter — peak memory is ONE row group, not the
+            # whole bucket (a hot bucket can exceed worker heap at scale)
+            writer = None
+            try:
+                for f in frags:
+                    pf = pq.ParquetFile(f)
+                    for rg in range(pf.num_row_groups):
+                        t = pf.read_row_group(rg)
+                        if writer is None:
+                            writer = pq.ParquetWriter(
+                                os.path.join(dst, "compacted-0.parquet"),
+                                t.schema)
+                        writer.write_table(t)
+            finally:
+                if writer is not None:
+                    writer.close()
             compacted += 1
         else:
             for f in frags:

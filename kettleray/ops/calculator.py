@@ -48,6 +48,30 @@ def _levenshtein(x: str | None, y: str | None) -> int | None:
     return prev[-1]
 
 
+def _levenshtein_capped(x: str, y: str, cap: int) -> int:
+    """Levenshtein with early exit: returns cap+1 as soon as every cell
+    of a DP row exceeds ``cap`` (Ukkonen-style cutoff — the fuzzy-match
+    candidate scan rejects most candidates in O(len) instead of
+    O(len^2))."""
+    if abs(len(x) - len(y)) > cap:
+        return cap + 1
+    if len(x) < len(y):
+        x, y = y, x
+    prev = list(range(len(y) + 1))
+    for i, cx in enumerate(x, 1):
+        cur = [i]
+        row_min = i
+        for j, cy in enumerate(y, 1):
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cx != cy))
+            cur.append(v)
+            if v < row_min:
+                row_min = v
+        if row_min > cap:
+            return cap + 1
+        prev = cur
+    return prev[-1]
+
+
 def _jaro(x: str | None, y: str | None) -> float | None:
     """Standard Jaro similarity (matches DuckDB jaro_similarity and
     commons-codec)."""
@@ -120,6 +144,46 @@ def _damerau_osa(x: str | None, y: str | None) -> int | None:
                 cur[j] = min(cur[j], prev2[j - 2] + 1)
         prev2, prev = prev, cur
     return prev[ly]
+
+
+def _needleman_wunsch(x: str | None, y: str | None, *, match: int = 0,
+                      mismatch: int = -1, gap: int = -1) -> int | None:
+    """Global-alignment score (≙ Kettle FuzzyMatch/Calculator
+    Needleman-Wunsch mode: unit-penalty global alignment). With the
+    default scoring (match 0, mismatch/gap -1) the score is exactly
+    -levenshtein(x, y); custom match/mismatch/gap give the general
+    NW similarity."""
+    if x is None or y is None:
+        return None
+    prev = [j * gap for j in range(len(y) + 1)]
+    for i, cx in enumerate(x, 1):
+        cur = [i * gap]
+        for j, cy in enumerate(y, 1):
+            cur.append(max(prev[j] + gap, cur[j - 1] + gap,
+                           prev[j - 1] + (match if cx == cy
+                                          else mismatch)))
+        prev = cur
+    return prev[-1]
+
+
+def _letter_pairs(s: str) -> list[str]:
+    return [w[i:i + 2] for w in s.split() for i in range(len(w) - 1)]
+
+
+def _pair_similarity(x: str | None, y: str | None) -> float | None:
+    """Letter-pair (bigram Dice / Simon White) similarity — Kettle
+    FuzzyMatch 'Pair letters similarity' mode: 2*|shared word-bigram
+    multiset| / (|pairs(x)| + |pairs(y)|)."""
+    if x is None or y is None:
+        return None
+    px, py = _letter_pairs(x), _letter_pairs(y)
+    total = len(px) + len(py)
+    if total == 0:
+        return 1.0 if x == y else 0.0
+    from collections import Counter
+    cx = Counter(px)
+    inter = sum(min(n, cx[p]) for p, n in Counter(py).items())
+    return 2.0 * inter / total
 
 
 _METAPHONE_VOWELS = "AEIOU"
@@ -394,16 +458,30 @@ def _eval(t: pa.Table, op: CalcOp):
         return pc.find_substring(A, pattern=B)
     if f == "reverse":
         return pc.utf8_reverse(A)
-    if f in ("levenshtein", "jaro", "jaro_winkler", "damerau_levenshtein"):
+    if f in ("levenshtein", "jaro", "jaro_winkler", "damerau_levenshtein",
+             "needleman_wunsch", "pair_similarity"):
         av = _apply_py(A, lambda v: v)
         bv = [B] * len(av) if isinstance(B, str) else \
             _apply_py(B, lambda v: v)
         fn = {"levenshtein": _levenshtein, "jaro": _jaro,
               "jaro_winkler": _jaro_winkler,
-              "damerau_levenshtein": _damerau_osa}[f]
-        typ = pa.int64() if f in ("levenshtein",
-                                  "damerau_levenshtein") else pa.float64()
-        return pa.array([fn(x, y) for x, y in zip(av, bv)], type=typ)
+              "damerau_levenshtein": _damerau_osa,
+              "needleman_wunsch": _needleman_wunsch,
+              "pair_similarity": _pair_similarity}[f]
+        typ = pa.int64() if f in ("levenshtein", "damerau_levenshtein",
+                                  "needleman_wunsch") else pa.float64()
+        # compute once per UNIQUE operand pair (operands repeat heavily
+        # in real columns; the O(len^2) DP is the cost, not the lookup)
+        cache: dict = {}
+        out = []
+        for x, y in zip(av, bv):
+            key = (x, y)
+            r = cache.get(key, cache)
+            if r is cache:
+                r = fn(x, y)
+                cache[key] = r
+            out.append(r)
+        return pa.array(out, type=typ)
     if f == "soundex":
         return pa.array(_apply_py(A, _soundex), type=pa.string())
     if f == "refined_soundex":
@@ -469,6 +547,16 @@ def _eval(t: pa.Table, op: CalcOp):
         import binascii
         return pa.array(_apply_py(A, lambda v: None if v is None else
                                   binascii.unhexlify(v).decode()),
+                        type=pa.string())
+    if f == "base64_encode":
+        import base64
+        return pa.array(_apply_py(A, lambda v: None if v is None else
+                                  base64.b64encode(v.encode()).decode()),
+                        type=pa.string())
+    if f == "base64_decode":
+        import base64
+        return pa.array(_apply_py(A, lambda v: None if v is None else
+                                  base64.b64decode(v).decode()),
                         type=pa.string())
     if f == "urlencode":
         from urllib.parse import quote

@@ -95,6 +95,83 @@ def compile_formula(expr: str):
     return run
 
 
+def compile_script(script: str):
+    """Multi-statement row script (≙ scriptvalues_mod/ScriptValuesMod.java
+    and UserDefinedJavaClass — the config-driven 'write code over fields'
+    step). Statements are restricted to ``name = expression`` with the
+    same AST whitelist as :func:`compile_formula`; each assigned name is
+    visible to later statements and becomes an output column. Returns
+    (run, targets) where run(cols_dict) -> dict of assigned arrays."""
+    tree = ast.parse(script, mode="exec")
+    targets: list[str] = []
+    new_body = []
+    for stmt in tree.body:
+        if not (isinstance(stmt, ast.Assign) and len(stmt.targets) == 1
+                and isinstance(stmt.targets[0], ast.Name)):
+            raise ValueError(
+                "script: only simple `name = expression` statements "
+                f"allowed, got {type(stmt).__name__}")
+        for node in ast.walk(stmt.value):
+            if not isinstance(node, _ALLOWED_NODES):
+                raise ValueError(
+                    f"script: disallowed syntax {type(node).__name__!r}")
+        value = ast.fix_missing_locations(_Vectorize().visit(stmt.value))
+        for node in ast.walk(value):
+            if isinstance(node, ast.Call):
+                if not (isinstance(node.func, ast.Name)
+                        and node.func.id in _ALLOWED_FUNCS):
+                    raise ValueError(
+                        f"script: only {sorted(_ALLOWED_FUNCS)} callable")
+        new_body.append(ast.Assign(targets=stmt.targets, value=value))
+        if stmt.targets[0].id not in targets:
+            targets.append(stmt.targets[0].id)
+    mod = ast.fix_missing_locations(ast.Module(body=new_body,
+                                               type_ignores=[]))
+    code = compile(mod, "<script>", "exec")
+
+    def run(cols: dict) -> dict:
+        env = {**_ALLOWED_FUNCS, **cols}
+        exec(code, {"__builtins__": {}}, env)   # noqa: S102 — safe:
+        # ast-whitelisted assign-only statements, empty builtins
+        return {t: np.asarray(env[t]) for t in targets}
+
+    return run, targets
+
+
+def script_step(ds, script: str, *, outputs: list[str] | None = None):
+    """≙ Script values step: run a whitelisted multi-statement script
+    over each batch; every assigned variable is appended as a column
+    (``outputs`` restricts which). Compiled once per worker closure,
+    vectorized numpy per batch — never a per-row interpreter loop."""
+    run, targets = compile_script(script)
+    keep = targets if outputs is None else list(outputs)
+    missing = set(keep) - set(targets)
+    if missing:
+        raise ValueError(f"script never assigns {sorted(missing)}")
+    names = {n.id for n in ast.walk(ast.parse(script, mode="exec"))
+             if isinstance(n, ast.Name) and isinstance(n.ctx, ast.Load)
+             and n.id not in _ALLOWED_FUNCS}
+
+    def _fn(t: pa.Table) -> pa.Table:
+        cols = {}
+        for name in names & set(t.column_names):
+            col = t[name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            cols[name] = col.to_numpy(zero_copy_only=False)
+        out = run(cols)
+        for name in keep:
+            arr = pa.array(out[name])
+            if name in t.column_names:
+                t = t.set_column(t.column_names.index(name), name, arr)
+            else:
+                t = t.append_column(name, arr)
+        return t
+
+    return ds.map_batches(_fn, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+
+
 def formula(ds, out_col: str, expr: str, *, round_to: int | None = None):
     """Append ``out_col`` = vectorized evaluation of ``expr`` over the
     row's fields (≙ Formula step). Expression compiled once per worker

@@ -153,6 +153,85 @@ def semi_join(main, lookup, on: Sequence[str], *, anti: bool = False,
                             zero_copy_batch=True, concurrency=(1, 8))
 
 
+def multiway_merge_join(inputs, on: Sequence[str], *, how: str = "inner",
+                        num_partitions: int = 32):
+    """True N-way merge join on a SHARED key in ONE exchange
+    (≙ multimerge/MultiMergeJoin.java: N sorted streams, one pass).
+
+    Instead of chaining N-1 two-way joins (which re-shuffles the growing
+    intermediate N-2 times), every input is tagged with a source id,
+    null-padded to the superset schema, unioned, and hash-partitioned
+    ONCE on the key; inside each co-located block the N sides are split
+    back out and joined with Arrow's in-memory C++ join — total shuffle
+    volume is exactly sum(inputs), independent of N.
+
+    ``how``: 'inner' or 'full' (Kettle's MultiMergeJoin modes).
+    Non-key column names must be unique across inputs (rename first —
+    Kettle's UI enforces the same)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    on = list(on)
+    if how not in ("inner", "full"):
+        raise ValueError("multiway_merge_join supports how='inner'|'full'")
+    schemas = [ds.schema() for ds in inputs]
+    own_cols: list[list[str]] = []      # non-key columns per input
+    field_types: dict[str, pa.DataType] = {}
+    for k in on:
+        field_types[k] = schemas[0].base_schema.field(k).type
+    for i, sch in enumerate(schemas):
+        base = sch.base_schema
+        cols = [n for n in base.names if n not in on]
+        for n in cols:
+            if n in field_types:
+                raise ValueError(
+                    f"duplicate non-key column {n!r} across inputs")
+            field_types[n] = base.field(n).type
+        own_cols.append(cols)
+    all_names = list(field_types)
+
+    def _pad(i):
+        def _fn(t: pa.Table) -> pa.Table:
+            cols = {}
+            for n in all_names:
+                if n in t.column_names:
+                    cols[n] = t[n]
+                else:
+                    cols[n] = pa.nulls(t.num_rows, type=field_types[n])
+            cols["__src"] = pa.array(
+                np.full(t.num_rows, i, dtype=np.int8))
+            return pa.table(cols)
+        return _fn
+
+    u = inputs[0].map_batches(_pad(0), batch_format="pyarrow",
+                              zero_copy_batch=True)
+    for i, ds in enumerate(inputs[1:], 1):
+        u = u.union(ds.map_batches(_pad(i), batch_format="pyarrow",
+                                   zero_copy_batch=True))
+    shuffled = u.repartition(num_partitions, keys=on)
+    jt = "inner" if how == "inner" else "full outer"
+    n_inputs = len(inputs)
+
+    def _merge(t: pa.Table) -> pa.Table:
+        empty = pa.table({n: pa.array([], type=field_types[n])
+                          for n in all_names})
+        if t.num_columns == 0 or t.num_rows == 0:
+            return empty
+        src = t["__src"]
+        out = None
+        for i in range(n_inputs):
+            side = t.filter(pc.equal(src, i)).select(on + own_cols[i])
+            if out is None:
+                out = side
+            else:
+                out = out.join(side, keys=on, join_type=jt)
+            if out.num_rows == 0 and how == "inner":
+                return empty
+        return out.select(all_names)
+
+    return shuffled.map_batches(_merge, batch_format="pyarrow",
+                                batch_size=None, zero_copy_batch=True)
+
+
 def join_rows_cartesian(main, small, *, suffix: str = "_r",
                         condition=None):
     """≙ Join rows: cross join against a broadcast-small side; optional
@@ -185,7 +264,8 @@ def join_rows_cartesian(main, small, *, suffix: str = "_r",
 
 
 _FUZZY_DISTANCE = ("levenshtein", "damerau_levenshtein")
-_FUZZY_SIMILARITY = ("jaro", "jaro_winkler")
+_FUZZY_SIMILARITY = ("jaro", "jaro_winkler", "needleman_wunsch",
+                     "pair_similarity")
 _FUZZY_PHONETIC = ("soundex", "refined_soundex", "metaphone",
                    "double_metaphone")
 
@@ -202,7 +282,11 @@ def fuzzy_match(main, lookup, main_field: str, lookup_field: str, *,
     Algorithms (Kettle's matching modes):
     - levenshtein / damerau_levenshtein: min edit distance
       (<= max_distance), tie broken by candidate value;
-    - jaro / jaro_winkler: max similarity (>= min_similarity);
+    - jaro / jaro_winkler / pair_similarity: max similarity
+      (>= min_similarity);
+    - needleman_wunsch: max global-alignment score; scores are <= 0
+      under the default unit penalties, so pass a negative
+      min_similarity (e.g. -max_distance);
     - soundex / refined_soundex / metaphone / double_metaphone: first
       candidate whose phonetic code equals the input's (score = code).
     Lookup side must be broadcast-small (same constraint as Kettle's
@@ -220,7 +304,9 @@ def fuzzy_match(main, lookup, main_field: str, lookup_field: str, *,
                            "damerau_levenshtein": calc._damerau_osa}[algo]
             elif algo in _FUZZY_SIMILARITY:
                 self.fn = {"jaro": calc._jaro,
-                           "jaro_winkler": calc._jaro_winkler}[algo]
+                           "jaro_winkler": calc._jaro_winkler,
+                           "needleman_wunsch": calc._needleman_wunsch,
+                           "pair_similarity": calc._pair_similarity}[algo]
             elif algo in _FUZZY_PHONETIC:
                 enc = {"soundex": calc._soundex,
                        "refined_soundex": calc._refined_soundex,
@@ -233,36 +319,53 @@ def fuzzy_match(main, lookup, main_field: str, lookup_field: str, *,
             else:
                 raise ValueError(f"unknown fuzzy algorithm {algo!r}")
 
+        def _best(self, v):
+            from kettleray.ops import calculator as calc
+            bm, bs = None, None
+            if algo in _FUZZY_DISTANCE:
+                capped = (calc._levenshtein_capped
+                          if algo == "levenshtein" else None)
+                for c in self.cands:
+                    if abs(len(c) - len(v)) > max_distance:
+                        continue
+                    # early-exit DP: rejects most candidates in O(len)
+                    d = capped(v, c, max_distance) if capped \
+                        else self.fn(v, c)
+                    if d <= max_distance and (
+                            bs is None or d < bs
+                            or (d == bs and c < bm)):
+                        bm, bs = c, d
+            elif algo in _FUZZY_SIMILARITY:
+                for c in self.cands:
+                    s = self.fn(v, c)
+                    if s >= min_similarity and (
+                            bs is None or s > bs
+                            or (s == bs and c < bm)):
+                        bm, bs = c, s
+            else:
+                code = self.enc(v)
+                for c, ccode in self.codes:
+                    if ccode == code:
+                        bm, bs = c, code
+                        break
+            return bm, bs
+
         def __call__(self, t: pa.Table) -> pa.Table:
             vals = t[main_field].combine_chunks().to_pylist() \
                 if isinstance(t[main_field], pa.ChunkedArray) \
                 else t[main_field].to_pylist()
             best_m, best_s = [], []
+            cache: dict = {}    # scan once per UNIQUE input value
             for v in vals:
-                bm, bs = None, None
-                if v is not None:
-                    if algo in _FUZZY_DISTANCE:
-                        for c in self.cands:
-                            if abs(len(c) - len(v)) > max_distance:
-                                continue
-                            d = self.fn(v, c)
-                            if d <= max_distance and (
-                                    bs is None or d < bs
-                                    or (d == bs and c < bm)):
-                                bm, bs = c, d
-                    elif algo in _FUZZY_SIMILARITY:
-                        for c in self.cands:
-                            s = self.fn(v, c)
-                            if s >= min_similarity and (
-                                    bs is None or s > bs
-                                    or (s == bs and c < bm)):
-                                bm, bs = c, s
-                    else:
-                        code = self.enc(v)
-                        for c, ccode in self.codes:
-                            if ccode == code:
-                                bm, bs = c, code
-                                break
+                if v is None:
+                    best_m.append(None)
+                    best_s.append(None)
+                    continue
+                r = cache.get(v)
+                if r is None:
+                    r = self._best(v)
+                    cache[v] = r
+                bm, bs = r
                 best_m.append(bm)
                 best_s.append(bs)
             t = t.append_column(out_match, pa.array(best_m,

@@ -107,7 +107,10 @@ def _substitute(node: Any, variables: Mapping[str, Any]) -> Any:
 def _register_builtins() -> None:
     from kettleray.ops import aggregates as ag
     from kettleray.ops import cdc, dedup, rowops, skew, strings, textstats
+    from kettleray.ops.formula import formula, script_step
 
+    register("formula", formula)
+    register("script_values", script_step)
     register("parse_validate", cdc.parse_validate)
     register("replay_lww", cdc.replay_lww)
     register("scd2_history", cdc.scd2_history)

@@ -501,6 +501,7 @@ def q_string_distance(sf_dir):
         calc.CalcOp("dam", "damerau_levenshtein", a="c_name", const_b=ref),
         calc.CalcOp("jaro", "jaro", a="c_name", const_b=ref),
         calc.CalcOp("jw", "jaro_winkler", a="c_name", const_b=ref),
+        calc.CalcOp("nw", "needleman_wunsch", a="c_name", const_b=ref),
     ])
     return calc.calculator(out, [
         calc.CalcOp("jaro", "round", a="jaro", const_b=6),
@@ -590,6 +591,38 @@ def q_metadata_structure(sf_dir):
     return ro.metadata_structure(_t(sf_dir, "lineitem"))
 
 
+def q_multiway_merge_join(sf_dir):
+    """True N-way single-exchange merge join on one shared key
+    (≙ multimerge/MultiMergeJoin.java): lineitem + orders + a per-order
+    aggregate, all keyed by orderkey, shuffled ONCE."""
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber",
+                                 "l_quantity"])
+    o = ro.select_values(_t(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+                         rename={"o_orderkey": "l_orderkey"})
+    agg = ag.group_by(_t(sf_dir, "lineitem", ["l_orderkey"]),
+                      ["l_orderkey"], [ag.Agg(None, "count", "n_lines")],
+                      num_partitions=8)
+    out = joins.multiway_merge_join([li, o, agg], ["l_orderkey"],
+                                    how="inner", num_partitions=8)
+    return out
+
+
+def q_script_values(sf_dir):
+    """≙ Script values step (scriptvalues_mod/ScriptValuesMod.java):
+    multi-statement whitelisted row script, compiled once, vectorized
+    numpy per batch."""
+    from kettleray.ops.formula import script_step
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber",
+                                 "l_extendedprice", "l_discount", "l_tax"])
+    out = script_step(ds, (
+        "net = l_extendedprice * (1 - l_discount)\n"
+        "taxed = net * (1 + l_tax)\n"
+        "big = taxed > 2000\n"
+        "bucket = floor(net / 500)\n"))
+    return out.select_columns(["l_orderkey", "l_linenumber", "net",
+                               "taxed", "big", "bucket"])
+
+
 QUERIES = {
     "select_values": q_select_values,
     "filter_rows": q_filter_rows,
@@ -634,6 +667,8 @@ QUERIES = {
     "row_denormaliser": q_row_denormaliser,
     "date_calculator": q_date_calculator,
     "multiway_join": q_multiway_join,
+    "multiway_merge_join": q_multiway_merge_join,
+    "script_values": q_script_values,
     "combination_lookup": q_combination_lookup,
     "fuzzy_match": q_fuzzy_match,
     "string_distance": q_string_distance,
@@ -855,6 +890,19 @@ ORACLES = {
         "SELECT l_orderkey, l_linenumber, l_quantity, c_custkey, c_name "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
         "JOIN customer ON o_custkey = c_custkey",
+    "multiway_merge_join":
+        "SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_custkey, "
+        "a.n_lines FROM lineitem l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN (SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem "
+        "GROUP BY l_orderkey) a ON a.l_orderkey = l.l_orderkey",
+    "script_values":
+        "SELECT l_orderkey, l_linenumber, "
+        "l_extendedprice * (1 - l_discount) AS net, "
+        "l_extendedprice * (1 - l_discount) * (1 + l_tax) AS taxed, "
+        "l_extendedprice * (1 - l_discount) * (1 + l_tax) > 2000 AS big, "
+        "FLOOR(l_extendedprice * (1 - l_discount) / 500) AS bucket "
+        "FROM lineitem",
     "combination_lookup":
         "SELECT l_returnflag, l_linestatus, "
         "md5(l_returnflag || '|' || l_linestatus) AS combo_key "
@@ -871,7 +919,9 @@ ORACLES = {
         "damerau_levenshtein(c_name, 'Customer#000000001') AS dam, "
         "ROUND(jaro_similarity(c_name, 'Customer#000000001'), 6) AS jaro, "
         "ROUND(jaro_winkler_similarity(c_name, 'Customer#000000001'), 6) "
-        "AS jw FROM customer",
+        "AS jw, "
+        # unit-penalty Needleman-Wunsch global alignment == -levenshtein
+        "-levenshtein(c_name, 'Customer#000000001') AS nw FROM customer",
     "string_cleanup":
         "SELECT c_custkey, "
         "regexp_replace(c_name, '[^0-9]', '', 'g') AS digits, "

@@ -137,3 +137,29 @@ def test_gc_versions_keeps_current_and_hardlinked_files(tmp_path):
              for r in sink.read_state(root).take_all()}
     assert after == before
     assert not os.path.isdir(os.path.join(root, "v0001"))
+
+
+def test_compaction_many_fragments_streaming(tmp_path):
+    """Many small commits -> many fragments per bucket; the streaming
+    row-group merge must preserve exact state and multi-row-group files
+    (peak memory = one row group, never the whole bucket)."""
+    root = str(tmp_path / "state")
+    events = generate_events_local(CFG)
+    step = CFG.n_events // 10
+    for i in range(10):
+        b = events.filter(pa.compute.and_(
+            pa.compute.greater_equal(events["commit_seq"], i * step),
+            pa.compute.less(events["commit_seq"],
+                            (i + 1) * step if i < 9 else CFG.n_events)))
+        sink.apply_incremental_bucketed(root, ray.data.from_arrow(b),
+                                        num_buckets=2, num_partitions=4)
+    before = _state(root)
+    m = sink.compact_state(root, max_files_per_bucket=1)
+    assert m.metrics["compacted_buckets"] == 2
+    assert _state(root) == before
+    vdir = os.path.join(root, f"v{m.version:04d}")
+    n_files = sum(
+        1 for name in os.listdir(vdir) if name.startswith("bucket=")
+        for f in os.listdir(os.path.join(vdir, name))
+        if f.endswith(".parquet"))
+    assert n_files == 2

@@ -140,3 +140,37 @@ def test_holistic_concat_and_empty_block_schema():
     assert ag._holistic_group_by(
         empty, ["g"], [ag.Agg("v", "concat_comma", "cat")],
         num_partitions=2).count() == 0
+
+
+def test_levenshtein_capped_matches_full():
+    from kettleray.ops.calculator import _levenshtein, _levenshtein_capped
+    words = ["kitten", "sitting", "flaw", "lawn", "abcdef", "", "a",
+             "identical", "identical", "xyzzy"]
+    for x in words:
+        for y in words:
+            full = _levenshtein(x, y)
+            for cap in (0, 1, 2, 3, 10):
+                got = _levenshtein_capped(x, y, cap)
+                if full <= cap:
+                    assert got == full, (x, y, cap)
+                else:
+                    assert got > cap, (x, y, cap)
+
+
+def test_multiway_merge_join_inner_and_full():
+    import pyarrow as pa
+    import ray.data
+    from kettleray.ops.joins import multiway_merge_join
+    a = ray.data.from_arrow(pa.table({"k": [1, 2, 3], "a": ["a1", "a2", "a3"]}))
+    b = ray.data.from_arrow(pa.table({"k": [2, 3, 4], "b": ["b2", "b3", "b4"]}))
+    c = ray.data.from_arrow(pa.table({"k": [3, 4, 5], "c": ["c3", "c4", "c5"]}))
+    inner = multiway_merge_join([a, b, c], ["k"], how="inner",
+                                num_partitions=3).take_all()
+    assert [(r["k"], r["a"], r["b"], r["c"]) for r in inner] == \
+        [(3, "a3", "b3", "c3")]
+    full = multiway_merge_join([a, b, c], ["k"], how="full",
+                               num_partitions=3).take_all()
+    got = {r["k"]: (r["a"], r["b"], r["c"]) for r in full}
+    assert got == {1: ("a1", None, None), 2: ("a2", "b2", None),
+                   3: ("a3", "b3", "c3"), 4: (None, "b4", "c4"),
+                   5: (None, None, "c5")}

@@ -201,3 +201,49 @@ def test_asof_join_matches_pandas_merge_asof(lrows, rrows, strict):
             for r in want.itertuples()}
     gmap = {r["lid"]: r["rv"] for r in got}
     assert gmap == wmap
+
+
+def test_needleman_wunsch_and_pair_similarity():
+    from kettleray.ops.calculator import (_levenshtein, _needleman_wunsch,
+                                          _pair_similarity)
+    # default unit penalties: NW score == -levenshtein
+    for x, y in [("kitten", "sitting"), ("", "abc"), ("same", "same"),
+                 ("flaw", "lawn")]:
+        assert _needleman_wunsch(x, y) == -_levenshtein(x, y)
+    # custom scoring: classic textbook case
+    assert _needleman_wunsch("GATTACA", "GATTACA",
+                             match=1, mismatch=-1, gap=-2) == 7
+    assert _needleman_wunsch(None, "x") is None
+    # Simon White letter pairs: FRANCE vs FRENCH = 2*2/(5+5) = 0.4
+    assert abs(_pair_similarity("FRANCE", "FRENCH") - 0.4) < 1e-12
+    assert _pair_similarity("a", "a") == 1.0       # no pairs, equal
+    assert _pair_similarity("a", "b") == 0.0
+    assert _pair_similarity("x", None) is None
+
+
+def test_script_step_rejects_unsafe_syntax():
+    import pytest
+    from kettleray.ops.formula import compile_script
+    for bad in ("import os", "__import__('os')", "open('/etc/passwd')",
+                "x = (1).__class__", "for i in [1]: x = i",
+                "x = [r for r in rows]", "def f(): pass"):
+        with pytest.raises(ValueError):
+            compile_script(bad)
+    run, targets = compile_script("a = x + 1\nb = a * 2\n")
+    import numpy as np
+    out = run({"x": np.array([1, 2])})
+    assert targets == ["a", "b"]
+    assert out["b"].tolist() == [4, 6]
+
+
+def test_calculator_base64_roundtrip():
+    import pyarrow as pa
+    import ray.data
+    from kettleray.ops import calculator as calc
+    ds = ray.data.from_arrow(pa.table({"s": ["hello", "wörld", None]}))
+    out = calc.calculator(ds, [
+        calc.CalcOp("enc", "base64_encode", a="s"),
+        calc.CalcOp("dec", "base64_decode", a="enc"),
+    ]).take_all()
+    assert [r["dec"] for r in out] == ["hello", "wörld", None]
+    assert out[0]["enc"] == "aGVsbG8="
