@@ -66,17 +66,42 @@ def detect_hot_keys(events, *, keys: Sequence[str] = KEY_COLS,
     partials = events.select_columns(keys).map_batches(
         _partial, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None)
-    # Same distributed finish for BOTH paths (sampled included): the
-    # partial count set scales with unique-keys-in-sample x blocks, which
-    # at 10^10 events is far beyond driver comfort — only the top-k rows
-    # (a handful) ever reach the driver.
-    from ray.data.aggregate import Sum
-    counts = partials.groupby(keys).aggregate(
-        Sum("__cnt", alias_name="n_events"))
-    top = counts.sort("n_events", descending=True).limit(top_k)
-    t = pa.Table.from_pylist(top.take_all())
-    if t.num_rows == 0:
-        return t
+    # Distributed finish for BOTH paths (sampled included): the partial
+    # count set scales with unique-keys-in-sample x blocks — at 10^10
+    # events far beyond driver comfort. ONE key-hash exchange co-locates
+    # every key's partials; each partition sums and keeps its local
+    # top-k, so the driver merge is bounded at partitions x top_k rows
+    # (exact: a key lives wholly in one partition).
+    part = partials.repartition(16, keys=keys)
+
+    def _sum_topk(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table({**{k: pa.array([], type=pa.string())
+                                for k in keys},
+                             "n_events": pa.array([], type=pa.int64())})
+        codes = cdc._composite_key_codes(t, keys)
+        order = np.argsort(codes, kind="stable")
+        sk = codes[order]
+        cnt = cdc._col_np(t, "__cnt")[order]
+        start = np.empty(len(sk), dtype=bool)
+        start[0] = True
+        start[1:] = sk[1:] != sk[:-1]
+        begins = np.nonzero(start)[0]
+        sums = np.add.reduceat(cnt, begins)
+        kk = min(top_k, len(sums))
+        top_idx = np.argpartition(sums, -kk)[-kk:]
+        sel = pa.array(order[begins[top_idx]], type=pa.int64())
+        out = t.select(keys).take(sel)
+        return out.append_column(
+            "n_events", pa.array(sums[top_idx], type=pa.int64()))
+
+    cand = pa.Table.from_pylist(
+        part.map_batches(_sum_topk, batch_format="pyarrow",
+                         batch_size=None,
+                         zero_copy_batch=True).take_all())
+    if cand.num_rows == 0:
+        return cand
+    t = cand.sort_by([("n_events", "descending")]).slice(0, top_k)
     return t.filter(pc.greater_equal(t["n_events"], min_count))
 
 

@@ -131,25 +131,41 @@ def winnowing_fingerprints(ds, text_col: str, id_col: str = "doc_id",
         if len(codes) >= k:
             wins = np.lib.stride_tricks.sliding_window_view(codes, k)
             h_all = (wins * powers).sum(axis=1)   # exact, < 2^53
-        out_ids, out_fp = [], []
-        pad = np.full(w - 1, sentinel, np.uint64)
-        for i in range(len(texts)):
-            L = int(lens[i])
-            if L < k or h_all is None:
-                continue
-            h = h_all[offs[i]: offs[i] + L - k + 1]
-            hp = np.concatenate([h, pad])
-            mins = np.lib.stride_tricks.sliding_window_view(
-                hp, w).min(axis=1)
-            fps = np.unique(mins)
-            out_fp.append(fps.astype(np.int64))
-            out_ids.append(np.full(len(fps), ids[i], dtype=np.int64))
-        if not out_fp:
+        # Fully vectorized window-min (no per-doc Python loop): scatter
+        # every doc's hash span into one flat stream with (w-1) sentinel
+        # pads after each doc, so a w-window starting inside a doc can
+        # only see that doc's hashes + its own pad — identical to the
+        # per-doc truncated-frame semantics.
+        ok = lens >= k
+        if h_all is None or not ok.any():
             return pa.table({id_col: pa.array([], t[id_col].type),
                              "fingerprint": pa.array([], pa.int64())})
+        m = (lens[ok] - k + 1).astype(np.int64)       # hashes per doc
+        doc_idx = np.nonzero(ok)[0]
+        total = int(m.sum())
+        starts = np.concatenate([[0], np.cumsum(m + w - 1)])
+        padded = np.full(int(starts[-1]), sentinel, np.uint64)
+        span_of = np.repeat(np.arange(len(m)), m)
+        within = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(m)[:-1]]), m)
+        pos = starts[span_of] + within
+        src = np.repeat(offs[:-1][ok], m) + within
+        padded[pos] = h_all[src]
+        sw_min = np.lib.stride_tricks.sliding_window_view(
+            np.concatenate([padded,
+                            np.full(w - 1, sentinel, np.uint64)]),
+            w).min(axis=1)
+        mins = sw_min[pos]
+        # distinct (doc, fingerprint): lexsort + run boundaries
+        order = np.lexsort((mins, span_of))
+        sd, sm = span_of[order], mins[order]
+        first = np.empty(total, dtype=bool)
+        first[0] = True
+        first[1:] = (sd[1:] != sd[:-1]) | (sm[1:] != sm[:-1])
         return pa.table({
-            id_col: pa.array(np.concatenate(out_ids)).cast(t[id_col].type),
-            "fingerprint": pa.array(np.concatenate(out_fp),
+            id_col: pa.array(ids[doc_idx[sd[first]]].astype(np.int64))
+            .cast(t[id_col].type),
+            "fingerprint": pa.array(sm[first].astype(np.int64),
                                     type=pa.int64()),
         })
 
