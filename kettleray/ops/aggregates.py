@@ -171,7 +171,11 @@ def _holistic_group_by(ds, keys, aggs, *, num_partitions: int):
                     .astype(np.int64), type=pa.int64())
             elif a.fn in ("concat_comma", "concat_string"):
                 col = pc.cast(_arrow_col(a.col), pa.string())
-                sorted_vals = col.take(pa.array(base, type=pa.int64()))
+                # order_col gives a deterministic in-group concat order
+                # (group runs are identical: codes stay the primary key)
+                perm = np.lexsort((_col_np(t, a.order_col), codes)) \
+                    if a.order_col else base
+                sorted_vals = col.take(pa.array(perm, type=pa.int64()))
                 offsets = pa.array(np.append(begins, n).astype(np.int32))
                 la = pa.ListArray.from_arrays(offsets, sorted_vals)
                 out[a.alias] = pc.binary_join(la, a.sep)

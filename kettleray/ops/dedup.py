@@ -514,6 +514,116 @@ def dedup_corpus(docs, id_col: str, text_col: str, *,
                      num_partitions=num_partitions)
 
 
+def split_paragraphs(ds, text_col: str, id_col: str = "doc_id", *,
+                     sep: str = "\n\n", tokens_per_para: int | None = None):
+    """Explode documents into (id, para_idx, para) rows — the unit for
+    paragraph-level dedup (the RefinedWeb-style pass below exact/fuzzy
+    doc dedup). Split on ``sep``, or chunk the whitespace token stream
+    into ``tokens_per_para``-token paragraphs when the corpus has no
+    separator convention. Vectorized: one Arrow split + a ListArray
+    re-offsetting — no per-doc Python loop."""
+
+    def _fn(t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(t[text_col], "")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        ids = t[id_col].combine_chunks() if isinstance(
+            t[id_col], pa.ChunkedArray) else t[id_col]
+        if tokens_per_para is None:
+            parts = pc.split_pattern(texts, pattern=sep)
+            counts = pc.list_value_length(parts) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            paras = pc.list_flatten(parts)
+        else:
+            trimmed = pc.utf8_trim_whitespace(texts)
+            toks = pc.utf8_split_whitespace(trimmed)
+            ntok = pc.list_value_length(toks) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = pc.list_flatten(toks)
+            if isinstance(flat, pa.ChunkedArray):
+                flat = flat.combine_chunks()
+            # empty docs split to [''] — zero tokens, zero paragraphs
+            is_empty = pc.equal(trimmed, "") \
+                .to_numpy(zero_copy_only=False)
+            if is_empty.any():
+                ntok = np.where(is_empty, 0, ntok)
+                flat = flat.filter(pc.not_equal(flat, ""))
+            counts = -(-ntok // tokens_per_para)       # ceil div
+            offs = np.concatenate([[0], np.cumsum(ntok)])
+            # paragraph boundaries: off_d + j*tokens_per_para, plus the
+            # doc end — built vectorized with repeat/cumsum arithmetic
+            m = counts
+            starts_within = (np.arange(int(m.sum())) - np.repeat(
+                np.concatenate([[0], np.cumsum(m)[:-1]]), m)) \
+                * tokens_per_para
+            bounds = np.repeat(offs[:-1], m) + starts_within
+            ends = np.minimum(bounds + tokens_per_para,
+                              np.repeat(offs[1:], m))
+            # paragraphs tile each doc's token range contiguously, so the
+            # flat token stream IS the paragraph-value stream — only the
+            # list offsets (para lengths) need computing
+            lens = ends - bounds
+            offs2 = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+            la = pa.ListArray.from_arrays(pa.array(offs2), flat)
+            paras = pc.binary_join(la, " ")
+        ndocs = len(counts)
+        doc_rep = np.repeat(np.arange(ndocs), counts)
+        idx_within = np.arange(int(counts.sum())) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+        out_ids = ids.take(pa.array(doc_rep, type=pa.int64()))
+        if isinstance(paras, pa.ChunkedArray):
+            paras = paras.combine_chunks()
+        return pa.table({
+            id_col: out_ids,
+            "para_idx": pa.array(idx_within, type=pa.int64()),
+            "para": paras,
+        })
+
+    return ds.map_batches(_fn, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+
+
+def paragraph_dedup(ds, text_col: str, id_col: str = "doc_id", *,
+                    sep: str = "\n\n", tokens_per_para: int | None = None,
+                    joiner: str = "\n", num_partitions: int = 16):
+    """Corpus-wide paragraph-level dedup (RefinedWeb-style): explode to
+    paragraphs, keep only the FIRST occurrence of each distinct
+    paragraph (ordered by (doc_id, para_idx)), reassemble documents from
+    their surviving paragraphs in order. Docs whose every paragraph was
+    seen earlier disappear.
+
+    Scale shape: one hash exchange on the paragraph text to pick
+    winners, one doc-keyed exchange to reassemble — paragraphs never
+    touch the driver."""
+    paras = split_paragraphs(ds, text_col, id_col, sep=sep,
+                             tokens_per_para=tokens_per_para)
+    shuffled = paras.repartition(num_partitions, keys=["para"])
+
+    def _winners(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return t
+        from kettleray.ops.cdc import _col_np, _composite_key_codes
+        codes = _composite_key_codes(t, ["para"])
+        d = _col_np(t, id_col)
+        i = _col_np(t, "para_idx")
+        order = np.lexsort((i, d, codes))
+        sk = codes[order]
+        first = np.empty(len(sk), dtype=bool)
+        first[0] = True
+        first[1:] = sk[1:] != sk[:-1]
+        return t.take(pa.array(order[first], type=pa.int64()))
+
+    winners = shuffled.map_batches(_winners, batch_format="pyarrow",
+                                   batch_size=None, zero_copy_batch=True)
+    from kettleray.ops.aggregates import Agg, _holistic_group_by
+    out = _holistic_group_by(
+        winners, [id_col],
+        [Agg("para", "concat_string", text_col, order_col="para_idx",
+             sep=joiner)],
+        num_partitions=max(4, num_partitions // 2))
+    return out
+
+
 def simhash(ds, id_col: str, text_col: str, *, seed: int = 42,
             hash_name: str = "blake2b",
             concurrency=(1, 8)):

@@ -78,6 +78,104 @@ def text_quality(ds, text_col: str):
                           zero_copy_batch=True, batch_size=None)
 
 
+def repetition_stats(ds, text_col: str, id_col: str = "doc_id"):
+    """In-document repetition signals (the Gopher/C4-style quality
+    filters for LLM training data): per doc, the duplicate-token ratio
+    (1 - distinct/total), the most-frequent-token share, and the
+    duplicate word-2-gram / 3-gram ratios. Empty docs get n_tokens=0 and
+    null ratios.
+
+    Vectorized per batch (the MinHasher flat-stream pattern): Arrow
+    lowercase+trim+whitespace split -> dictionary-encoded token codes
+    over the flat stream -> per-doc distinct/top counts via lexsort +
+    run-length kernels; n-gram distincts are code-tuple lexsorts (exact,
+    no hashing). Pure map — no shuffle."""
+
+    def _fn(t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(
+            pc.utf8_trim_whitespace(pc.utf8_lower(t[text_col])), "")
+        toks = pc.utf8_split_whitespace(texts)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        raw_counts = pc.list_value_length(toks) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ndocs = len(raw_counts)
+        doc_of = np.repeat(np.arange(ndocs), raw_counts)
+        # empty/whitespace-only docs split to [''] — drop those tokens
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(flat.filter(pa.array(nonempty)))
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_of = doc_of[nonempty]
+        n = np.bincount(doc_of, minlength=ndocs).astype(np.int64)
+
+        def _distinct_per_doc(keys: tuple) -> np.ndarray:
+            """#distinct key tuples per doc; keys are same-length int
+            arrays, first is doc id."""
+            if len(keys[0]) == 0:
+                return np.zeros(ndocs, np.int64)
+            perm = np.lexsort(keys[::-1])
+            stacked = [k[perm] for k in keys]
+            first = np.zeros(len(perm), dtype=bool)
+            first[0] = True
+            for sk in stacked:
+                first[1:] |= sk[1:] != sk[:-1]
+            return np.bincount(stacked[0][first], minlength=ndocs) \
+                .astype(np.int64)
+
+        nd = _distinct_per_doc((doc_of, codes))
+        # top-token count per doc: run lengths of (doc, code), max per doc
+        top = np.zeros(ndocs, np.int64)
+        if len(codes):
+            perm = np.lexsort((codes, doc_of))
+            sd, sc = doc_of[perm], codes[perm]
+            rs = np.zeros(len(sd), dtype=bool)
+            rs[0] = True
+            rs[1:] = (sd[1:] != sd[:-1]) | (sc[1:] != sc[:-1])
+            begins = np.nonzero(rs)[0]
+            rl = np.diff(np.append(begins, len(sd)))
+            run_doc = sd[begins]
+            drs = np.zeros(len(run_doc), dtype=bool)
+            drs[0] = True
+            drs[1:] = run_doc[1:] != run_doc[:-1]
+            top_vals = np.maximum.reduceat(rl, np.nonzero(drs)[0])
+            top[run_doc[np.nonzero(drs)[0]]] = top_vals
+        # n-gram distincts over adjacent code pairs/triples within a doc
+        same2 = doc_of[:-1] == doc_of[1:] if len(codes) > 1 else \
+            np.zeros(0, bool)
+        nd2 = _distinct_per_doc((doc_of[:-1][same2], codes[:-1][same2],
+                                 codes[1:][same2])) \
+            if same2.any() else np.zeros(ndocs, np.int64)
+        same3 = same2[:-1] & same2[1:] if len(codes) > 2 else \
+            np.zeros(0, bool)
+        nd3 = _distinct_per_doc((doc_of[:-2][same3], codes[:-2][same3],
+                                 codes[1:-1][same3], codes[2:][same3])) \
+            if same3.any() else np.zeros(ndocs, np.int64)
+
+        def _ratio(num, den, min_n):
+            val = pa.array(np.where(n >= min_n, num, np.nan) /
+                           np.maximum(den, 1), type=pa.float64())
+            val = pc.round(val, ndigits=6,
+                           round_mode="half_towards_infinity")
+            return pc.if_else(pa.array(n >= min_n), val,
+                              pa.nulls(ndocs, pa.float64()))
+
+        out = t.select([id_col])
+        out = out.append_column("n_tokens", pa.array(n, type=pa.int64()))
+        out = out.append_column("dup_token_ratio", _ratio(n - nd, n, 1))
+        out = out.append_column("top_token_ratio", _ratio(top, n, 1))
+        out = out.append_column("dup_2gram_ratio",
+                                _ratio((n - 1) - nd2, n - 1, 2))
+        out = out.append_column("dup_3gram_ratio",
+                                _ratio((n - 2) - nd3, n - 2, 3))
+        return out
+
+    return ds.map_batches(_fn, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+
+
 def doc_fingerprint(ds, text_col: str, out_col: str = "fingerprint"):
     """Normalization fingerprint: md5 of lowercased, whitespace-collapsed
     text — the cheap canonical-form dedup key."""

@@ -413,8 +413,29 @@ _DEDUP_PAIRS_CTE = (
 )
 
 
+def q_repetition_stats(sf_dir):
+    """Gopher/C4-style in-document repetition quality filters:
+    dup-token / top-token / dup-2gram / dup-3gram ratios per doc,
+    fully vectorized, zero shuffle."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return textstats.repetition_stats(docs, "text", "doc_id")
+
+
+def q_paragraph_dedup(sf_dir):
+    """Corpus-wide paragraph-level dedup (RefinedWeb-style): docs
+    chunked into 10-token paragraphs (the fixture has no separator
+    convention), first occurrence of each distinct paragraph kept by
+    (doc_id, para_idx), docs reassembled from survivors in order."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.paragraph_dedup(docs, "text", "doc_id",
+                                 tokens_per_para=10, joiner="\n",
+                                 num_partitions=8)
+
+
 QUERIES = {
     "token_count": q_token_count,
+    "repetition_stats": q_repetition_stats,
+    "paragraph_dedup": q_paragraph_dedup,
     "winnowing_fingerprints": q_winnowing,
     "winnowing_neardup": q_winnowing_neardup,
     "text_quality": q_text_quality,
@@ -685,4 +706,67 @@ SELECT doc_id, lpad(lower(to_hex(fp)), 16, '0') AS simhash,
        CAST((fp >> 32) & 65535 AS INTEGER) AS band2,
        CAST((fp >> 48) & 65535 AS INTEGER) AS band3
 FROM fp
+"""
+
+ORACLES["repetition_stats"] = r"""
+WITH a AS (
+  SELECT doc_id,
+         CASE WHEN trim(coalesce(lower(text), '')) = ''
+              THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(
+                  trim(coalesce(lower(text), '')), '\s+')
+         END AS arr
+  FROM documents),
+s AS (
+  SELECT doc_id, len(arr) AS n, arr,
+         list_transform(range(1, len(arr)),
+                        i -> arr[i] || ' ' || arr[i + 1]) AS g2,
+         list_transform(range(1, len(arr) - 1),
+                        i -> arr[i] || ' ' || arr[i + 1] || ' '
+                             || arr[i + 2]) AS g3
+  FROM a),
+topc AS (
+  SELECT doc_id, max(c)::BIGINT AS maxc FROM (
+    SELECT doc_id, w, count(*) AS c
+    FROM (SELECT doc_id, unnest(arr) AS w FROM a) GROUP BY doc_id, w)
+  GROUP BY doc_id)
+SELECT s.doc_id, CAST(s.n AS BIGINT) AS n_tokens,
+  CASE WHEN s.n >= 1 THEN
+    ROUND((s.n - len(list_distinct(s.arr))) / s.n::DOUBLE, 6)
+  END AS dup_token_ratio,
+  CASE WHEN s.n >= 1 THEN ROUND(topc.maxc / s.n::DOUBLE, 6)
+  END AS top_token_ratio,
+  CASE WHEN s.n >= 2 THEN
+    ROUND((s.n - 1 - len(list_distinct(s.g2))) / (s.n - 1)::DOUBLE, 6)
+  END AS dup_2gram_ratio,
+  CASE WHEN s.n >= 3 THEN
+    ROUND((s.n - 2 - len(list_distinct(s.g3))) / (s.n - 2)::DOUBLE, 6)
+  END AS dup_3gram_ratio
+FROM s LEFT JOIN topc USING (doc_id)
+"""
+
+ORACLES["paragraph_dedup"] = r"""
+WITH a AS (
+  SELECT doc_id,
+         CASE WHEN trim(coalesce(text, '')) = ''
+              THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(coalesce(text, '')), '\s+')
+         END AS arr
+  FROM documents),
+p AS (
+  SELECT doc_id,
+         list_transform(range(0, CAST(ceil(len(arr) / 10.0) AS INT)),
+             j -> struct_pack(i := j,
+                 p := array_to_string(arr[j*10+1 : j*10+10], ' '))) AS ps
+  FROM a),
+inst AS (
+  SELECT doc_id, u.i AS para_idx, u.p AS para
+  FROM (SELECT doc_id, unnest(ps) AS u FROM p)),
+keep AS (
+  SELECT doc_id, para_idx, para FROM (
+    SELECT *, row_number() OVER (PARTITION BY para
+                                 ORDER BY doc_id, para_idx) AS rn
+    FROM inst) WHERE rn = 1)
+SELECT doc_id, string_agg(para, chr(10) ORDER BY para_idx) AS text
+FROM keep GROUP BY doc_id
 """

@@ -447,3 +447,50 @@ def test_dedup_corpus_no_dups_returns_all():
                              bands=16, shingle_k=2, threshold=0.5,
                              num_partitions=2).take_all()
     assert sorted(r["doc_id"] for r in out) == [1, 2, 3]
+
+
+def test_repetition_stats_edge_cases():
+    t = pa.table({"doc_id": [0, 1, 2, 3],
+                  "text": ["a a a a",              # one token repeated
+                           "w x y z",              # all distinct
+                           "",                     # empty
+                           "p q p q p q"]})        # repeated bigrams
+    out = {r["doc_id"]: r for r in textstats.repetition_stats(
+        ray.data.from_arrow(t), "text").take_all()}
+    assert out[0]["n_tokens"] == 4
+    assert out[0]["dup_token_ratio"] == 0.75     # 4 tokens, 1 distinct
+    assert out[0]["top_token_ratio"] == 1.0
+    # "a a a a": 3 bigrams, 1 distinct -> ratio 2/3
+    assert abs(out[0]["dup_2gram_ratio"] - 2/3) < 1e-6
+    assert out[1]["dup_token_ratio"] == 0.0
+    assert out[1]["top_token_ratio"] == 0.25
+    assert out[1]["dup_2gram_ratio"] == 0.0
+    assert out[2]["n_tokens"] == 0
+    assert out[2]["dup_token_ratio"] is None
+    # "p q p q p q": 6 tokens 2 distinct; 5 bigrams 2 distinct;
+    # 4 trigrams 2 distinct
+    assert abs(out[3]["dup_token_ratio"] - 4/6) < 1e-6
+    assert abs(out[3]["dup_2gram_ratio"] - 3/5) < 1e-6
+    assert abs(out[3]["dup_3gram_ratio"] - 2/4) < 1e-6
+
+
+def test_paragraph_dedup_separator_mode():
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["A B\n\nC D\n\nE F",       # all novel
+                 "C D\n\nG H",              # "C D" seen in doc 1
+                 "A B\n\nC D"]}))           # nothing novel -> doc gone
+    out = {r["doc_id"]: r["text"] for r in dedup.paragraph_dedup(
+        docs, "text", "doc_id", sep="\n\n", joiner="\n",
+        num_partitions=2).take_all()}
+    assert out == {1: "A B\nC D\nE F", 2: "G H"}
+
+
+def test_split_paragraphs_token_chunks():
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": [7, 8],
+        "text": ["t0 t1 t2 t3 t4", ""]}))    # 5 tokens -> 2+0 paras (k=3)
+    rows = dedup.split_paragraphs(docs, "text", "doc_id",
+                                  tokens_per_para=3).take_all()
+    got = sorted((r["doc_id"], r["para_idx"], r["para"]) for r in rows)
+    assert got == [(7, 0, "t0 t1 t2"), (7, 1, "t3 t4")]
