@@ -624,6 +624,112 @@ def paragraph_dedup(ds, text_col: str, id_col: str = "doc_id", *,
     return out
 
 
+def doc_ngrams_distinct(ds, text_col: str, id_col: str = "doc_id", *,
+                        n: int = 8, lowercase: bool = True):
+    """Per-doc DISTINCT word n-grams as (id, gram) rows — the unit for
+    train/eval contamination checks. Vectorized flat-stream build (Arrow
+    slices + binary_join_element_wise, doc-boundary mask) + in-batch
+    (doc, gram) dedup; docs shorter than n tokens emit nothing."""
+
+    def _fn(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        if lowercase:
+            col = pc.utf8_lower(col)
+        toks = pc.utf8_split_whitespace(
+            pc.fill_null(pc.utf8_trim_whitespace(col), ""))
+        counts = pc.list_value_length(toks) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        m = len(flat) - n + 1
+        ids = t[id_col].combine_chunks() if isinstance(
+            t[id_col], pa.ChunkedArray) else t[id_col]
+        empty = pa.table({id_col: pa.array([], type=ids.type),
+                          "gram": pa.array([], type=pa.string())})
+        if m <= 0:
+            return empty
+        parts = [flat.slice(j, m) for j in range(n)]
+        grams = pc.binary_join_element_wise(*parts, " ")
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        same_doc = doc_of[:m] == doc_of[n - 1:]
+        grams = grams.filter(pa.array(same_doc))
+        gdoc = doc_of[:m][same_doc]
+        if len(grams) == 0:
+            return empty
+        enc = pc.dictionary_encode(grams)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        gc = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        perm = np.lexsort((gc, gdoc))
+        sd, sg = gdoc[perm], gc[perm]
+        first = np.empty(len(sd), dtype=bool)
+        first[0] = True
+        first[1:] = (sd[1:] != sd[:-1]) | (sg[1:] != sg[:-1])
+        sel = pa.array(perm[first], type=pa.int64())
+        return pa.table({
+            id_col: ids.take(pa.array(sd[first], type=pa.int64())),
+            "gram": grams.take(sel),
+        })
+
+    return ds.map_batches(_fn, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+
+
+def decontaminate(train, eval_ds, text_col: str, id_col: str = "doc_id",
+                  *, n: int = 8, threshold: float = 0.5,
+                  lowercase: bool = True, num_partitions: int = 16):
+    """Train/eval contamination check (the decontamination pass every
+    LLM data pipeline needs): for each eval doc, the fraction of its
+    DISTINCT word n-grams that occur anywhere in the train corpus, plus
+    a contaminated flag at ``threshold``.
+
+    Scale shape: eval and train gram sets meet in ONE hash-partitioned
+    ``left_semi`` join on the gram (train-side duplicates are free —
+    semi join semantics); per-doc totals/hits are native partial+merge
+    counts; nothing touches the driver. Eval docs shorter than n tokens
+    emit no grams and are absent from the output (no grams — nothing to
+    check)."""
+    from kettleray.ops.joins import semi_join
+    ev = doc_ngrams_distinct(eval_ds, text_col, id_col, n=n,
+                             lowercase=lowercase)
+    tr = doc_ngrams_distinct(train, text_col, id_col, n=n,
+                             lowercase=lowercase) \
+        .select_columns(["gram"])
+    matched = semi_join(ev, tr, ["gram"], method="join",
+                        num_partitions=num_partitions)
+    from ray.data.aggregate import Count
+    totals = ev.groupby(id_col).aggregate(Count(alias_name="n_grams"))
+    hits = matched.groupby(id_col).aggregate(Count(alias_name="n_matched"))
+    j = totals.join(hits, join_type="left_outer", on=(id_col,),
+                    num_partitions=max(4, num_partitions // 2))
+
+    def _score(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "n_grams": pa.array([], type=pa.int64()),
+                "n_matched": pa.array([], type=pa.int64()),
+                "contamination": pa.array([], type=pa.float64()),
+                "contaminated": pa.array([], type=pa.bool_())})
+        tot = t["n_grams"].combine_chunks() if isinstance(
+            t["n_grams"], pa.ChunkedArray) else t["n_grams"]
+        hit = pc.fill_null(t["n_matched"], 0)
+        score = pc.divide(pc.cast(hit, pa.float64()),
+                          pc.cast(tot, pa.float64()))
+        out = t.set_column(t.column_names.index("n_matched"), "n_matched",
+                           pc.cast(hit, pa.int64()))
+        out = out.append_column(
+            "contamination",
+            pc.round(score, ndigits=6,
+                     round_mode="half_towards_infinity"))
+        return out.append_column("contaminated",
+                                 pc.greater_equal(score, threshold))
+
+    return j.map_batches(_score, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True)
+
+
 def simhash(ds, id_col: str, text_col: str, *, seed: int = 42,
             hash_name: str = "blake2b",
             concurrency=(1, 8)):

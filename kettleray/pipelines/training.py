@@ -432,10 +432,28 @@ def q_paragraph_dedup(sf_dir):
                                  num_partitions=8)
 
 
+def q_decontaminate(sf_dir):
+    """Train/eval decontamination: documents split by doc_id parity
+    (even = train, odd = eval); per eval doc the share of its distinct
+    word-5-grams seen anywhere in train, flagged at 0.5 — the standard
+    benchmark-leakage gate for LLM training data."""
+    import pyarrow.compute as _pc
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    train = docs.map_batches(
+        lambda b: b.filter(_pc.equal(_pc.bit_wise_and(b["doc_id"], 1), 0)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    ev = docs.map_batches(
+        lambda b: b.filter(_pc.equal(_pc.bit_wise_and(b["doc_id"], 1), 1)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return dedup.decontaminate(train, ev, "text", "doc_id", n=5,
+                               threshold=0.5, num_partitions=8)
+
+
 QUERIES = {
     "token_count": q_token_count,
     "repetition_stats": q_repetition_stats,
     "paragraph_dedup": q_paragraph_dedup,
+    "decontaminate": q_decontaminate,
     "winnowing_fingerprints": q_winnowing,
     "winnowing_neardup": q_winnowing_neardup,
     "text_quality": q_text_quality,
@@ -769,4 +787,27 @@ keep AS (
     FROM inst) WHERE rn = 1)
 SELECT doc_id, string_agg(para, chr(10) ORDER BY para_idx) AS text
 FROM keep GROUP BY doc_id
+"""
+
+ORACLES["decontaminate"] = r"""
+WITH a AS (
+  SELECT doc_id,
+         CASE WHEN trim(coalesce(lower(text), '')) = ''
+              THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(
+                  trim(coalesce(lower(text), '')), '\s+')
+         END AS arr
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(arr) - 3),
+             i -> array_to_string(arr[i:i+4], ' '))) AS gs
+  FROM a WHERE len(arr) >= 5),
+tr AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 2 = 0),
+ev AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 2 = 1)
+SELECT ev.doc_id, count(*)::BIGINT AS n_grams,
+       count(tr.gram)::BIGINT AS n_matched,
+       ROUND(count(tr.gram) / count(*)::DOUBLE, 6) AS contamination,
+       count(tr.gram) / count(*)::DOUBLE >= 0.5 AS contaminated
+FROM ev LEFT JOIN tr USING (gram) GROUP BY ev.doc_id
 """

@@ -494,3 +494,25 @@ def test_split_paragraphs_token_chunks():
                                   tokens_per_para=3).take_all()
     got = sorted((r["doc_id"], r["para_idx"], r["para"]) for r in rows)
     assert got == [(7, 0, "t0 t1 t2"), (7, 1, "t3 t4")]
+
+
+def test_decontaminate_flags_leaked_eval_doc():
+    train = ray.data.from_arrow(pa.table({
+        "doc_id": [0, 2],
+        "text": ["alpha beta gamma delta epsilon zeta eta theta",
+                 "one two three four five six"]}))
+    ev = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 3, 5],
+        # doc 1: verbatim copy of train doc 0 -> contamination 1.0
+        "text": ["alpha beta gamma delta epsilon zeta eta theta",
+                 # doc 3: fully novel
+                 "red green blue cyan magenta yellow black white",
+                 # doc 5: too short for 5-grams -> absent from output
+                 "tiny doc"]}))
+    out = {r["doc_id"]: r for r in dedup.decontaminate(
+        train, ev, "text", "doc_id", n=5, threshold=0.5,
+        num_partitions=2).take_all()}
+    assert set(out) == {1, 3}
+    assert out[1]["contamination"] == 1.0 and out[1]["contaminated"]
+    assert out[3]["contamination"] == 0.0 and not out[3]["contaminated"]
+    assert out[1]["n_grams"] == 4 and out[1]["n_matched"] == 4
