@@ -37,15 +37,36 @@ def sql_statements(ds, table: str, *, columns: Sequence[str] | None = None):
     """Rows -> a Dataset of INSERT statements (SQLFileOutput semantics).
     Consume with ``.write_csv``/iteration or feed to a DB shell."""
 
+    def _literal_array(col: pa.Array) -> pa.Array:
+        """Vectorized SQL-literal rendering of one column."""
+        import pyarrow.compute as pc
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_boolean(col.type):
+            lit = pc.if_else(col, "TRUE", "FALSE")
+        elif pa.types.is_integer(col.type) or \
+                pa.types.is_floating(col.type):
+            lit = pc.cast(col, pa.string())
+        else:
+            esc = pc.replace_substring(pc.cast(col, pa.string()),
+                                       "'", "''")
+            lit = pc.binary_join_element_wise("'", esc, "'", "")
+        return pc.coalesce(lit, "NULL")
+
     def _fmt(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         cols = list(columns) if columns else t.column_names
         col_list = ", ".join(cols)
-        stmts = []
-        for row in t.select(cols).to_pylist():
-            vals = ", ".join(_sql_literal(row[c]) for c in cols)
-            stmts.append(f"INSERT INTO {table} ({col_list}) "
-                         f"VALUES ({vals});")
-        return pa.table({"statement": pa.array(stmts, type=pa.string())})
+        prefix = f"INSERT INTO {table} ({col_list}) VALUES ("
+        lits = [_literal_array(t[c]) for c in cols]
+        parts: list = [prefix]
+        for i, la in enumerate(lits):
+            if i:
+                parts.append(", ")
+            parts.append(la)
+        parts.append(");")
+        stmts = pc.binary_join_element_wise(*parts, "")
+        return pa.table({"statement": stmts})
 
     return ds.map_batches(_fmt, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=None)

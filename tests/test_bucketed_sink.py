@@ -163,3 +163,43 @@ def test_compaction_many_fragments_streaming(tmp_path):
         for f in os.listdir(os.path.join(vdir, name))
         if f.endswith(".parquet"))
     assert n_files == 2
+
+
+def test_crashed_stage_dir_is_invisible_and_recoverable(tmp_path):
+    """Exactly-once under a simulated crash: a writer that died after
+    staging (before the atomic rename) must leave committed state
+    untouched, not block the next commit, and be GC-able."""
+    import time as _time
+    root = str(tmp_path / "state")
+    events = generate_events_local(CFG)
+    half = CFG.n_events // 2
+    b1 = events.filter(pa.compute.less(events["commit_seq"], half))
+    sink.apply_incremental_bucketed(root, ray.data.from_arrow(b1),
+                                    num_buckets=8, num_partitions=4)
+    before = _state(root)
+    v = sink.current_version(root)
+    # simulate a crashed writer: stale stage dir with partial junk
+    crash = os.path.join(root, f"_stage_v{v + 1:04d}")
+    os.makedirs(os.path.join(crash, "bucket=00000"))
+    with open(os.path.join(crash, "bucket=00000", "part-0.parquet"),
+              "wb") as f:
+        f.write(b"not a real parquet file")
+    # committed state unaffected by the stale stage
+    assert sink.current_version(root) == v
+    assert _state(root) == before
+    # the next commit proceeds (reuses/overwrites the stage path)
+    b2 = events.filter(pa.compute.greater_equal(events["commit_seq"], half))
+    m2 = sink.apply_incremental_bucketed(root, ray.data.from_arrow(b2),
+                                         num_buckets=8, num_partitions=4)
+    assert m2.version == v + 1
+    full = sink.apply_incremental_bucketed(
+        str(tmp_path / "ref"), ray.data.from_arrow(events),
+        num_buckets=8, num_partitions=4)
+    assert _state(root) == _state(str(tmp_path / "ref"))
+    # any stale stage left behind is GC-able once old enough
+    stale = os.path.join(root, "_stage_v9999")
+    os.makedirs(stale)
+    old = _time.time() - 7200
+    os.utime(stale, (old, old))
+    sink.gc_versions(root, keep_last=10, stage_min_age_s=3600)
+    assert not os.path.exists(stale)
