@@ -293,9 +293,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 _PRIORITY_PARITY = [
-    "group_by_q1", "group_by_holistic", "unique_rows", "merge_join_full",
-    "multiway_join", "asof_join", "fuzzy_match", "string_distance",
-    "formula",
+    "group_by_q1", "group_by_holistic", "unique_rows",
+    "multiway_merge_join", "script_values", "merge_join_full",
+    "asof_join", "fuzzy_match", "string_distance", "formula",
 ]
 
 
