@@ -129,16 +129,48 @@ def _holistic_group_by(ds, keys, aggs, *, num_partitions: int):
             return c.combine_chunks() if isinstance(c, pa.ChunkedArray) \
                 else c
 
+        G = len(begins)
+
+        def _sub_runs(g_sorted):
+            """Run boundaries of a group-sorted subset -> (begins, ends,
+            dense group positions via searchsorted on the full key set)."""
+            m = len(g_sorted)
+            if m == 0:
+                e = np.empty(0, np.int64)
+                return e, e, e
+            rs = np.empty(m, dtype=bool)
+            rs[0] = True
+            rs[1:] = g_sorted[1:] != g_sorted[:-1]
+            b = np.nonzero(rs)[0]
+            e = np.append(b[1:], m)
+            gpos = np.searchsorted(sk[begins], g_sorted[b])
+            return b, e, gpos
+
+        def _scatter_pick(col, row_idx, gpos):
+            """Arrow array of len G: col[row_idx[i]] at group gpos[i],
+            null elsewhere (groups whose values are all null)."""
+            take = np.zeros(G, dtype=np.int64)
+            present = np.zeros(G, dtype=bool)
+            take[gpos] = row_idx
+            present[gpos] = True
+            picked = col.take(pa.array(take, type=pa.int64()))
+            return pc.if_else(pa.array(present), picked,
+                              pa.nulls(G, col.type))
+
         for a in aggs:
             if a.fn in ("first", "last"):
-                # first/last BY ORDER: lexsort (order_col within group);
-                # run boundaries are identical since codes are primary
-                ocol = _col_np(t, a.order_col) if a.order_col else None
-                perm = np.lexsort((ocol, codes)) if ocol is not None \
-                    else base
-                idx = perm[begins] if a.fn == "first" else perm[ends - 1]
-                out[a.alias] = _arrow_col(a.col).take(
-                    pa.array(idx, type=pa.int64()))
+                # first/last non-null BY ORDER (pandas/DuckDB skipna
+                # semantics): lexsort the valid subset by (order, group)
+                col = _arrow_col(a.col)
+                valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+                rows = np.nonzero(valid)[0]
+                g_sub = codes[rows]
+                o_sub = _col_np(t, a.order_col)[rows] if a.order_col \
+                    else rows
+                perm = np.lexsort((o_sub, g_sub))
+                b, e, gpos = _sub_runs(g_sub[perm])
+                pick = perm[b] if a.fn == "first" else perm[e - 1]
+                out[a.alias] = _scatter_pick(col, rows[pick], gpos)
             elif a.fn == "count" and not a.col:
                 out[a.alias] = pa.array(counts, type=pa.int64())
             elif a.fn == "count":
@@ -170,56 +202,100 @@ def _holistic_group_by(ds, keys, aggs, *, num_partitions: int):
                     np.bincount(pos, minlength=len(begins))
                     .astype(np.int64), type=pa.int64())
             elif a.fn in ("concat_comma", "concat_string"):
+                # nulls skipped (DuckDB string_agg semantics); order_col
+                # gives a deterministic in-group concat order
                 col = pc.cast(_arrow_col(a.col), pa.string())
-                # order_col gives a deterministic in-group concat order
-                # (group runs are identical: codes stay the primary key)
-                perm = np.lexsort((_col_np(t, a.order_col), codes)) \
-                    if a.order_col else base
-                sorted_vals = col.take(pa.array(perm, type=pa.int64()))
-                offsets = pa.array(np.append(begins, n).astype(np.int32))
-                la = pa.ListArray.from_arrays(offsets, sorted_vals)
-                out[a.alias] = pc.binary_join(la, a.sep)
+                valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+                rows = np.nonzero(valid)[0]
+                g_sub = codes[rows]
+                o_sub = _col_np(t, a.order_col)[rows] if a.order_col \
+                    else rows
+                perm = np.lexsort((o_sub, g_sub))
+                b, e, gpos = _sub_runs(g_sub[perm])
+                sorted_vals = col.take(
+                    pa.array(rows[perm], type=pa.int64()))
+                offsets = pa.array(np.append(b, len(perm))
+                                   .astype(np.int32))
+                if len(b) == 0:
+                    out[a.alias] = pa.nulls(G, pa.string())
+                else:
+                    joined = pc.binary_join(
+                        pa.ListArray.from_arrays(offsets, sorted_vals),
+                        a.sep)
+                    present = np.zeros(G, dtype=bool)
+                    present[gpos] = True
+                    take = np.zeros(G, dtype=np.int64)
+                    take[gpos] = np.arange(len(b))
+                    out[a.alias] = pc.if_else(
+                        pa.array(present),
+                        joined.take(pa.array(take, type=pa.int64())),
+                        pa.nulls(G, pa.string()))
             elif a.fn in ("min", "max"):
-                # order-by-value lexsort; group first/last takes preserve
-                # the source Arrow type exactly (strings included)
-                v = _col_np(t, a.col)
-                perm = np.lexsort((v, codes))
-                idx = perm[begins] if a.fn == "min" else perm[ends - 1]
-                out[a.alias] = _arrow_col(a.col).take(
-                    pa.array(idx, type=pa.int64()))
-            else:                       # numeric reduceat family
-                vals = _col_np(t, a.col).astype(np.float64)[base]
+                # order-by-value lexsort over the VALID subset (nulls
+                # never win); source Arrow type preserved, strings
+                # included; all-null group -> null
+                col = _arrow_col(a.col)
+                valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+                rows = np.nonzero(valid)[0]
+                g_sub = codes[rows]
+                v_sub = _col_np(t, a.col)[rows]
+                perm = np.lexsort((v_sub, g_sub))
+                b, e, gpos = _sub_runs(g_sub[perm])
+                pick = perm[b] if a.fn == "min" else perm[e - 1]
+                out[a.alias] = _scatter_pick(col, rows[pick], gpos)
+            else:
+                # numeric family over the valid subset (skipna, pandas
+                # semantics: sum of all-null = 0, mean/std/median -> null)
+                col = _arrow_col(a.col)
+                valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+                rows = np.nonzero(valid)[0]
+                g_dense = np.searchsorted(sk[begins], codes[rows])
+                v = _col_np(t, a.col)[rows]
+                nv = np.bincount(g_dense, minlength=G).astype(np.int64)
+                src = t.schema.field(a.col).type
                 if a.fn == "sum":
-                    s = np.add.reduceat(vals, begins)
-                    src = t.schema.field(a.col).type
                     if pa.types.is_integer(src):
-                        out[a.alias] = pa.array(s.astype(np.int64),
-                                                type=src)
+                        acc = np.zeros(G, dtype=np.int64)
+                        np.add.at(acc, g_dense, v.astype(np.int64))
+                        out[a.alias] = pa.array(acc, type=src)
                     else:
+                        s = np.bincount(g_dense,
+                                        weights=v.astype(np.float64),
+                                        minlength=G)
                         out[a.alias] = pa.array(s, type=pa.float64())
                 elif a.fn == "avg":
+                    s = np.bincount(g_dense, weights=v.astype(np.float64),
+                                    minlength=G)
                     out[a.alias] = pa.array(
-                        np.add.reduceat(vals, begins) / counts,
-                        type=pa.float64())
+                        s / np.maximum(nv, 1), type=pa.float64(),
+                        mask=nv == 0)
                 elif a.fn == "std":
-                    mean = np.add.reduceat(vals, begins) / counts
-                    sq = (vals - np.repeat(mean, counts)) ** 2
-                    var = np.add.reduceat(sq, begins) / \
-                        np.maximum(counts - 1, 1)
-                    var = np.where(counts < 2, np.nan, var)
+                    vf = v.astype(np.float64)
+                    s = np.bincount(g_dense, weights=vf, minlength=G)
+                    mean = s / np.maximum(nv, 1)
+                    sq = np.bincount(g_dense,
+                                     weights=(vf - mean[g_dense]) ** 2,
+                                     minlength=G)
+                    var = sq / np.maximum(nv - 1, 1)
                     out[a.alias] = pa.array(np.sqrt(var),
-                                            type=pa.float64())
+                                            type=pa.float64(),
+                                            mask=nv < 2)
                 elif a.fn in ("median", "percentile"):
                     q = 0.5 if a.fn == "median" else a.q
-                    perm = np.lexsort((vals, sk))
-                    sv = vals[perm]
-                    pos = begins + q * (counts - 1)
+                    vf = v.astype(np.float64)
+                    perm = np.lexsort((vf, g_dense))
+                    sv = vf[perm]
+                    b, e, gpos = _sub_runs(g_dense[perm])
+                    cnt = e - b
+                    pos = b + q * (cnt - 1)
                     lo = np.floor(pos).astype(np.int64)
                     hi = np.ceil(pos).astype(np.int64)
                     frac = pos - lo
-                    out[a.alias] = pa.array(
-                        sv[lo] * (1 - frac) + sv[hi] * frac,
-                        type=pa.float64())
+                    vals_g = np.full(G, np.nan)
+                    if len(b):
+                        vals_g[gpos] = sv[lo] * (1 - frac) + sv[hi] * frac
+                    out[a.alias] = pa.array(vals_g, type=pa.float64(),
+                                            mask=nv == 0)
                 else:
                     raise ValueError(a.fn)
         return pa.table(out)

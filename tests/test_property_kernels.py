@@ -247,3 +247,64 @@ def test_calculator_base64_roundtrip():
     ]).take_all()
     assert [r["dec"] for r in out] == ["hello", "wörld", None]
     assert out[0]["enc"] == "aGVsbG8="
+
+
+def test_holistic_group_by_null_semantics_match_pandas():
+    """Null handling parity with pandas skipna groupby (randomized)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from kettleray.ops import aggregates as ag
+
+    for seed in (0, 1, 2):
+        rng = np.random.RandomState(seed)
+        n = 300
+        x = rng.randn(n) * 5
+        x[rng.rand(n) < 0.3] = np.nan
+        s = np.array([f"s{v}" for v in rng.randint(0, 4, n)], dtype=object)
+        s[rng.rand(n) < 0.3] = None
+        df = pd.DataFrame({"g": rng.randint(0, 9, n),
+                           "o": rng.permutation(n),
+                           "x": x, "s": s})
+        # one group entirely null
+        df.loc[df["g"] == 0, "x"] = np.nan
+        df.loc[df["g"] == 1, "s"] = None
+        ds = ray.data.from_arrow(pa.Table.from_pandas(df))
+        got = pd.DataFrame(ag._holistic_group_by(ds, ["g"], [
+            ag.Agg("x", "first", "f", order_col="o"),
+            ag.Agg("x", "last", "l", order_col="o"),
+            ag.Agg("x", "sum", "sm"),
+            ag.Agg("x", "avg", "av"),
+            ag.Agg("x", "std", "sd"),
+            ag.Agg("x", "median", "md"),
+            ag.Agg("x", "min", "mn"),
+            ag.Agg("x", "max", "mx"),
+            ag.Agg("x", "count", "cnt"),
+            ag.Agg("s", "count_distinct", "nd"),
+            ag.Agg("s", "min", "smin"),
+        ], num_partitions=3).take_all()).set_index("g").sort_index()
+        sdf = df.sort_values("o", kind="mergesort")
+        gb = sdf.groupby("g")
+        ref = pd.DataFrame({
+            "f": gb["x"].first(), "l": gb["x"].last(),
+            "sm": gb["x"].sum(), "av": gb["x"].mean(),
+            "sd": gb["x"].std(), "md": gb["x"].median(),
+            "mn": gb["x"].min(), "mx": gb["x"].max(),
+            "cnt": gb["x"].count(), "nd": gb["s"].nunique(),
+            "smin": gb["s"].agg(
+                lambda v: v.dropna().min() if v.notna().any() else None),
+        }).sort_index()
+        for c in ref.columns:
+            a_ = got[c].to_numpy()
+            b_ = ref[c].to_numpy()
+            if ref[c].dtype.kind == "f":
+                both_nan = pd.isna(a_.astype(float)) & pd.isna(
+                    b_.astype(float))
+                ok = both_nan | np.isclose(
+                    a_.astype(float), b_.astype(float),
+                    rtol=1e-9, atol=1e-9, equal_nan=True)
+                assert ok.all(), (seed, c, a_, b_)
+            else:
+                assert all((pd.isna(u) and pd.isna(v)) or u == v
+                           for u, v in zip(a_, b_)), (seed, c, a_, b_)
