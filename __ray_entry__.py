@@ -238,6 +238,56 @@ def q_cdc_schema_evolution(sf_dir: str):
     return cdc.evolve_to_schema(_events(sf_dir), target)
 
 
+def q_cdc_log_compaction(sf_dir: str):
+    """Kafka-style log compaction: the changelog collapsed to the latest
+    event per key, tombstones KEPT (event shape preserved — a compacted
+    log replays to the same state, and deletes still propagate)."""
+    return cdc.compact_changelog(_events(sf_dir),
+                                 num_partitions=_NUM_PARTITIONS)
+
+
+def q_cdc_late_quarantine(sf_dir: str):
+    """Watermark routing: every event tagged fresh/late against the
+    committed watermark 1,500,000 (late = at/below — already covered by
+    state; the sink quarantines instead of re-applying)."""
+    return cdc.split_on_watermark(_events(sf_dir), 1_500_000)
+
+
+def _ivm_chars(t):
+    import pyarrow.compute as pc
+    return pc.cast(pc.utf8_length(t["content"]), "int64")
+
+
+_IVM_AGGS = {"doc_count": ("count", None), "total_chars": ("sum", _ivm_chars)}
+
+
+def q_cdc_incremental_agg(sf_dir: str):
+    """Incremental materialized view: per-lang doc count + total chars
+    maintained across two bucketed commits. Commit 2's maintenance reuses
+    every untouched bucket's cached partial (hardlinked forward) and
+    rescans only touched buckets — the oracle recomputes the aggregate
+    from the fully replayed final state, so any drift in the partial
+    merge fails the value-hash."""
+    import shutil
+    import tempfile
+    import pyarrow.compute as pc
+    from kettleray.gen.derive import SEQ_STRIDE
+    from kettleray.io import sink
+    from kettleray.ops import ivm
+    root = tempfile.mkdtemp(prefix="kr_ivm_state_")
+    shutil.rmtree(root, ignore_errors=True)
+    ev = _events(sf_dir)
+    half1 = ev.map_batches(
+        lambda b: b.filter(pc.less(b["commit_seq"], SEQ_STRIDE)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    sink.apply_incremental_bucketed(root, half1, num_buckets=16,
+                                    num_partitions=_NUM_PARTITIONS)
+    ivm.ensure_partials(root, "by_lang", ["lang"], _IVM_AGGS)
+    sink.apply_incremental_bucketed(root, ev, num_buckets=16,
+                                    num_partitions=_NUM_PARTITIONS)
+    return ivm.read_view(root, "by_lang", ["lang"], _IVM_AGGS)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -280,6 +330,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_sync_roundtrip": q_cdc_sync_roundtrip,
         "cdc_shuffled_arrival": q_cdc_shuffled_arrival,
         "cdc_envelope_roundtrip": q_cdc_envelope_roundtrip,
+        "cdc_log_compaction": q_cdc_log_compaction,
+        "cdc_late_quarantine": q_cdc_late_quarantine,
+        "cdc_incremental_agg": q_cdc_incremental_agg,
     }
     # Order matters: the driver snapshots the FIRST 50 entries into
     # CORRECTNESS_r{N}.json. 16 CDC + 25 training-data pipelines + the 9
@@ -395,6 +448,18 @@ def oracle_sql() -> dict[str, str]:
             '"commit", lang, sha256(content) AS content_sha256, '
             "md5(repo || '|' || path || '|' || CAST(version AS VARCHAR)) "
             "AS dim_key FROM h"),
+        "cdc_log_compaction": (
+            f"WITH {ev}, {_RANKED} "
+            'SELECT repo, path, "commit", lang, content, op, commit_seq '
+            "FROM ranked WHERE rn = 1"),
+        "cdc_late_quarantine": (
+            f"WITH {ev} SELECT *, CASE WHEN commit_seq > 1500000 "
+            "THEN 'fresh' ELSE 'late' END AS route FROM ev"),
+        "cdc_incremental_agg": (
+            f"WITH {ev}, {_RANKED} "
+            "SELECT lang, CAST(count(*) AS BIGINT) AS doc_count, "
+            "CAST(sum(length(content)) AS BIGINT) AS total_chars "
+            "FROM ranked WHERE rn = 1 AND op <> 'delete' GROUP BY lang"),
     }
     out.update(PARITY_ORACLES)
     out.update(TRAINING_ORACLES)

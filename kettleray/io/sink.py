@@ -81,11 +81,48 @@ def _parquet_files(vdir: str) -> list[str]:
     return sorted(out)
 
 
-def read_state(root: str) -> "ray.data.Dataset | None":
-    v = current_version(root)
+def read_state(root: str,
+               version: int | None = None) -> "ray.data.Dataset | None":
+    """Read a committed state version (default CURRENT). Passing an older
+    retained ``version`` is snapshot time travel over the SINK layout —
+    every version is immutable (copy-on-write buckets), so old reads are
+    consistent even while new commits land."""
+    v = version if version is not None else current_version(root)
     if v is None:
         return None
-    return ray.data.read_parquet(_parquet_files(_version_dir(root, v)))
+    vdir = _version_dir(root, v)
+    if not os.path.isdir(vdir):
+        raise FileNotFoundError(
+            f"version {v} not found under {root} (GC'd or never committed)")
+    return ray.data.read_parquet(_parquet_files(vdir))
+
+
+def lookup_state(root: str, repo: str, path: str, *,
+                 version: int | None = None) -> pa.Table:
+    """Point lookup on the bucketed state: route the key to its bucket
+    (same crc32 routing the writer used) and scan ONLY that bucket's
+    files with a parquet predicate — O(one bucket), not O(table). This is
+    the read side of a CDC-ingested serving table; no Ray tasks needed
+    for a single key."""
+    v = version if version is not None else current_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no committed state under {root}")
+    man = read_manifest(root, v)
+    nb = man.metrics.get("num_buckets") if man else None
+    vdir = _version_dir(root, v)
+    if nb is None:
+        # non-bucketed layout: predicate scan over all files
+        files = _parquet_files(vdir)
+    else:
+        key = pa.table({"repo": pa.array([repo]), "path": pa.array([path])})
+        b = int(cdc.stable_key_buckets(key, ("repo", "path"), int(nb))[0])
+        bdir = os.path.join(vdir, f"bucket={b}")
+        files = _parquet_files(bdir) if os.path.isdir(bdir) else []
+    if not files:
+        return pa.table({})
+    import pyarrow.dataset as pads
+    flt = (pads.field("repo") == repo) & (pads.field("path") == path)
+    return pads.dataset(files).to_table(filter=flt)
 
 
 def commit_state(ds: "ray.data.Dataset", root: str, *, watermark: int,
@@ -404,6 +441,20 @@ def gc_versions(root: str, *, keep_last: int = 2,
         if n.startswith("_stage_") and \
                 now - os.path.getmtime(p) >= stage_min_age_s:
             shutil.rmtree(p, ignore_errors=True)
+    # prune view-partial caches (ops.ivm) for expired versions, plus any
+    # stale cache stages — caches are rebuildable, so this is always safe
+    agg_root = os.path.join(root, "_agg")
+    if os.path.isdir(agg_root):
+        for view in os.listdir(agg_root):
+            vd = os.path.join(agg_root, view)
+            for n in os.listdir(vd):
+                p = os.path.join(vd, n)
+                stale_stage = (n.endswith(".stage") and
+                               now - os.path.getmtime(p) >= stage_min_age_s)
+                expired = (n.startswith("v") and n[1:].isdigit()
+                           and int(n[1:]) in deleted)
+                if stale_stage or expired:
+                    shutil.rmtree(p, ignore_errors=True)
     return deleted
 
 

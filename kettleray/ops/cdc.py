@@ -524,6 +524,73 @@ def replay_lww_twopass(events_factory, *, num_partitions: int = 64,
 
 
 # ---------------------------------------------------------------------------
+# Changelog compaction + watermark routing (streaming-lake housekeeping)
+# ---------------------------------------------------------------------------
+
+def compact_changelog(events: "ray.data.Dataset", *,
+                      keys: Sequence[str] = KEY_COLS,
+                      seq_col: str = SEQ_COL,
+                      num_partitions: int = 64) -> "ray.data.Dataset":
+    """Kafka-style log compaction: collapse a change-event log to the
+    single LATEST event per key, tombstones INCLUDED (a consumer replaying
+    the compacted log reaches the same final state as replaying the full
+    log, but a delete must survive compaction so downstream copies drop
+    the key too).
+
+    Unlike :func:`replay_lww` the output keeps the EVENT shape (op +
+    commit_seq ride through unchanged) — it is a changelog, not a state
+    table. Same scale shape: map-side per-key argmax combiner, ONE key
+    hash exchange, per-block vectorized reduce.
+    """
+
+    def _reduce(batch: pa.Table) -> pa.Table:
+        return lww_reduce_table(batch, keys, seq_col)
+
+    combined = events.map_batches(_reduce, batch_format="pyarrow",
+                                  batch_size=None, zero_copy_batch=True)
+    shuffled = combined.repartition(num_partitions, keys=list(keys))
+    return shuffled.map_batches(_reduce, batch_format="pyarrow",
+                                batch_size=None, zero_copy_batch=True)
+
+
+def split_on_watermark(events: "ray.data.Dataset", watermark: int, *,
+                       seq_col: str = SEQ_COL, route_col: str = "route",
+                       ) -> "ray.data.Dataset":
+    """Tag each event against a committed watermark: ``fresh`` (seq above
+    the watermark — eligible for the next apply) vs ``late`` (at/below —
+    already covered by committed state; replaying it could resurrect
+    overwritten rows, so the sink quarantines it for audit instead).
+
+    Map-only (zero shuffle): the watermark is a scalar broadcast in the
+    closure. Pair with ``quarantine_late`` or filter on ``route``.
+    Beyond the reference (Kettle has no event-time watermarks); the
+    semantics match the `_above` guard in io.sink.apply_incremental*.
+    """
+
+    def _tag(t: pa.Table) -> pa.Table:
+        fresh = pc.greater(t[seq_col], watermark)
+        return t.append_column(
+            route_col, pc.if_else(fresh, "fresh", "late"))
+
+    return events.map_batches(_tag, batch_format="pyarrow",
+                              batch_size=None, zero_copy_batch=True)
+
+
+def quarantine_late(events: "ray.data.Dataset", watermark: int, *,
+                    seq_col: str = SEQ_COL,
+                    quarantine_dir: str | None = None,
+                    ) -> "ray.data.Dataset":
+    """Split an incoming batch on the watermark, optionally persisting the
+    late/stale stream as partitioned Parquet for audit, and return the
+    fresh stream (what the sink should apply)."""
+    tagged = split_on_watermark(events, watermark, seq_col=seq_col)
+    late = tagged.filter(expr="route == 'late'").drop_columns(["route"])
+    if quarantine_dir is not None:
+        late.write_parquet(quarantine_dir)
+    return tagged.filter(expr="route == 'fresh'").drop_columns(["route"])
+
+
+# ---------------------------------------------------------------------------
 # Merge Rows (diff): two snapshots -> flagged stream
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,280 @@
+"""Incremental materialized-view maintenance over the bucketed CDC state.
+
+A grouped algebraic aggregate decomposes over the bucket partition:
+``A = merge_b(P_b)`` where ``P_b`` is the partial aggregate of bucket b.
+``io.sink.apply_incremental_bucketed`` rewrites ONLY the buckets a commit
+touches and hardlinks the rest — so view maintenance can reuse every
+untouched bucket's cached partial (hardlinked forward exactly like the
+data files) and recompute only the touched ones. Maintenance cost per
+commit is proportional to the TOUCHED buckets, not the table: the classic
+self-maintainable-view property for count/sum/min/max
+(≙ what Kettle pipelines rebuild with a full Group By after every load;
+ref: engine/.../steps/groupby/GroupBy.java — here the reload becomes an
+incremental delta).
+
+Cache layout (beside the version dirs; a cache, not part of the manifest
+contract — safe to delete, rebuilt on demand; kept OUT of vN/ so
+state readers never confuse partials with data files):
+
+    root/_agg/<view_id>/v000N/spec.json
+    root/_agg/<view_id>/v000N/bucket=<b>/*.parquet   one partial per bucket
+
+Aggregate spec: ``aggs = {out_name: (fn, value)}`` with fn in
+{"count", "sum", "min", "max"} and value = None (count rows) | a column
+name | a callable ``pa.Table -> pa.Array`` (derived value, e.g.
+``lambda t: pc.utf8_length(t["content"])``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Mapping, Sequence
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from kettleray.io import sink as _sink
+
+_PARTIAL_FN = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+_BLOCK_FN = {"count": "count", "sum": "sum", "min": "min", "max": "max"}
+
+
+def _norm_aggs(aggs: Mapping[str, tuple]) -> dict[str, tuple]:
+    out = {}
+    for name, (fn, value) in aggs.items():
+        if fn not in _PARTIAL_FN:
+            raise ValueError(
+                f"unsupported agg fn {fn!r} (self-maintainable fns only: "
+                f"{sorted(_PARTIAL_FN)})")
+        out[name] = (fn, value)
+    return out
+
+
+def _spec_fingerprint(group_cols: Sequence[str],
+                      aggs: Mapping[str, tuple]) -> dict:
+    """Stable description of the view for cache-consistency checks.
+    Callables are fingerprinted by qualified name (the caller owns
+    keeping view_id -> definition stable)."""
+    def _v(value):
+        if value is None:
+            return None
+        if isinstance(value, str):
+            return value
+        return f"<callable {getattr(value, '__qualname__', repr(value))}>"
+    return {"group_cols": list(group_cols),
+            "aggs": {k: [fn, _v(v)] for k, (fn, v) in aggs.items()}}
+
+
+def _derive_values(t: pa.Table, group_cols: Sequence[str],
+                   aggs: Mapping[str, tuple],
+                   extra_cols: Sequence[str] = ()) -> pa.Table:
+    """Project a state block to group cols + one value column per agg."""
+    cols: dict[str, pa.Array | pa.ChunkedArray] = {}
+    for c in (*extra_cols, *group_cols):
+        cols[c] = t[c]
+    for name, (fn, value) in aggs.items():
+        if fn == "count":
+            cols[name] = pa.array([1] * t.num_rows, type=pa.int64())
+        elif isinstance(value, str):
+            cols[name] = t[value]
+        else:
+            cols[name] = value(t)
+    return pa.table(cols)
+
+
+def _group_table(t: pa.Table, group_cols: Sequence[str],
+                 aggs: Mapping[str, tuple], fns: Mapping[str, str]
+                 ) -> pa.Table:
+    """Arrow-native grouped aggregate of a (derived) block; output columns
+    keep the agg's out name."""
+    specs = [(name, fns[fn]) for name, (fn, _) in aggs.items()]
+    g = pa.TableGroupBy(t, list(group_cols)).aggregate(specs)
+    # pyarrow names results "<col>_<fn>"; restore the out names
+    rename = {f"{name}_{fns[fn]}": name for name, (fn, _) in aggs.items()}
+    return g.rename_columns(
+        [rename.get(c, c) for c in g.column_names])
+
+
+def _bucket_dirs(vdir: str) -> dict[str, str]:
+    out = {}
+    for name in sorted(os.listdir(vdir)):
+        if name.startswith("bucket=") and os.path.isdir(
+                os.path.join(vdir, name)):
+            out[name] = os.path.join(vdir, name)
+    return out
+
+
+def _file_identity(d: str) -> list[tuple]:
+    out = []
+    for f in sorted(os.listdir(d)):
+        if f.endswith(".parquet"):
+            st = os.stat(os.path.join(d, f))
+            out.append((f, st.st_dev, st.st_ino))
+    return out
+
+
+def _cache_dir(root: str, view_id: str, v: int) -> str:
+    return os.path.join(root, "_agg", view_id, f"v{v:04d}")
+
+
+def _prev_cached_version(root: str, view_id: str, v: int) -> int | None:
+    for pv in range(v - 1, 0, -1):
+        if not os.path.isdir(_sink._version_dir(root, pv)):
+            continue
+        if os.path.isdir(_cache_dir(root, view_id, pv)):
+            return pv
+    return None
+
+
+def ensure_partials(root: str, view_id: str, group_cols: Sequence[str],
+                    aggs: Mapping[str, tuple], *,
+                    version: int | None = None,
+                    num_partitions: int = 8) -> str:
+    """Build (or reuse) the per-bucket partial-aggregate cache for a state
+    version. Buckets whose data files are byte-identical to the previous
+    cached version (hardlink inode check — exactly the untouched set) get
+    their partials HARDLINKED forward; only changed buckets are scanned,
+    in ONE distributed pass. Returns the cache dir. Idempotent (atomic
+    staged rename; a concurrent loser discards its stage)."""
+    aggs = _norm_aggs(aggs)
+    v = version if version is not None else _sink.current_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no committed state under {root}")
+    vdir = _sink._version_dir(root, v)
+    cache = _cache_dir(root, view_id, v)
+    spec = _spec_fingerprint(group_cols, aggs)
+    if os.path.isdir(cache):
+        with open(os.path.join(cache, "spec.json")) as f:
+            if json.load(f) != spec:
+                raise ValueError(
+                    f"view_id {view_id!r} already cached with a different "
+                    "spec — pick a distinct view_id per definition")
+        return cache
+
+    stage = cache + ".stage"
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+
+    buckets = _bucket_dirs(vdir)
+    pv = _prev_cached_version(root, view_id, v)
+    prev_vdir = _sink._version_dir(root, pv) if pv is not None else None
+    prev_cache = (_cache_dir(root, view_id, pv)
+                  if pv is not None else None)
+    if prev_cache is not None:
+        with open(os.path.join(prev_cache, "spec.json")) as f:
+            if json.load(f) != spec:
+                prev_cache = prev_vdir = None
+
+    changed_files: list[str] = []
+    reused = 0
+    for bname, bdir in buckets.items():
+        prev_bdir = (os.path.join(prev_vdir, bname)
+                     if prev_vdir is not None else None)
+        prev_partial = (os.path.join(prev_cache, bname)
+                        if prev_cache is not None else None)
+        if (prev_bdir is not None and os.path.isdir(prev_bdir)
+                and prev_partial is not None
+                and os.path.isdir(prev_partial)
+                and _file_identity(bdir) == _file_identity(prev_bdir)):
+            # untouched bucket: hardlink its cached partial forward
+            os.makedirs(os.path.join(stage, bname))
+            for f in sorted(os.listdir(prev_partial)):
+                os.link(os.path.join(prev_partial, f),
+                        os.path.join(stage, bname, f))
+            reused += 1
+        else:
+            changed_files.extend(
+                os.path.join(bdir, f) for f in sorted(os.listdir(bdir))
+                if f.endswith(".parquet"))
+
+    if changed_files:
+        # one distributed pass over ONLY the changed buckets: per-block
+        # partial (map-side combine), one narrow exchange keyed on the
+        # bucket, per-bucket merge, partition-dir write matching the data
+        # layout. 'bucket' arrives via hive-path inference (string).
+        ds = ray.data.read_parquet(changed_files)
+
+        def _block_partial(t: pa.Table) -> pa.Table:
+            d = _derive_values(t, group_cols, aggs, extra_cols=("bucket",))
+            return _group_table(d, ["bucket", *group_cols], aggs, _BLOCK_FN)
+
+        def _bucket_merge(t: pa.Table) -> pa.Table:
+            return _group_table(t, ["bucket", *group_cols], aggs,
+                                _PARTIAL_FN)
+
+        partials = (ds.map_batches(_block_partial, batch_format="pyarrow",
+                                   batch_size=None, zero_copy_batch=True)
+                    .repartition(min(num_partitions, len(changed_files)),
+                                 keys=["bucket"])
+                    .map_batches(_bucket_merge, batch_format="pyarrow",
+                                 batch_size=None, zero_copy_batch=True))
+        partials.write_parquet(stage, partition_cols=["bucket"])
+
+    with open(os.path.join(stage, "spec.json"), "w") as f:
+        json.dump(spec, f)
+    with open(os.path.join(stage, "_metrics.json"), "w") as f:
+        json.dump({"buckets": len(buckets), "reused_partials": reused,
+                   "scanned_files": len(changed_files)}, f)
+    try:
+        os.rename(stage, cache)
+    except OSError:
+        # concurrent builder won the rename; our stage is redundant
+        shutil.rmtree(stage, ignore_errors=True)
+    return cache
+
+
+def partials_metrics(root: str, view_id: str,
+                     version: int | None = None) -> dict:
+    v = version if version is not None else _sink.current_version(root)
+    p = os.path.join(_cache_dir(root, view_id, v), "_metrics.json")
+    with open(p) as f:
+        return json.load(f)
+
+
+def read_view(root: str, view_id: str, group_cols: Sequence[str],
+              aggs: Mapping[str, tuple], *,
+              version: int | None = None) -> "ray.data.Dataset":
+    """The maintained aggregate: merge the per-bucket partials (ensuring
+    the cache first). The merge input is B×G partial rows — metadata-
+    sized, never data-sized — merged with Ray's native grouped aggregate
+    so nothing lands on the driver."""
+    from ray.data.aggregate import Max, Min, Sum
+    aggs = _norm_aggs(aggs)
+    cache = ensure_partials(root, view_id, group_cols, aggs,
+                            version=version)
+    files = []
+    for bname in sorted(os.listdir(cache)):
+        bdir = os.path.join(cache, bname)
+        if bname.startswith("bucket=") and os.path.isdir(bdir):
+            files.extend(os.path.join(bdir, f)
+                         for f in sorted(os.listdir(bdir))
+                         if f.endswith(".parquet"))
+    ds = ray.data.read_parquet(files).drop_columns(["bucket"])
+    merge_fns = {"sum": Sum, "min": Min, "max": Max}
+    agg_objs = [merge_fns[_PARTIAL_FN[fn]](name, alias_name=name)
+                for name, (fn, _) in aggs.items()]
+    return ds.groupby(list(group_cols)).aggregate(*agg_objs)
+
+
+def recompute_view(root: str, group_cols: Sequence[str],
+                   aggs: Mapping[str, tuple], *,
+                   version: int | None = None) -> "ray.data.Dataset":
+    """Full-scan reference implementation (for tests / cache audits)."""
+    from ray.data.aggregate import Max, Min, Sum
+    aggs = _norm_aggs(aggs)
+    v = version if version is not None else _sink.current_version(root)
+    files = _sink._parquet_files(_sink._version_dir(root, v))
+
+    def _project(t: pa.Table) -> pa.Table:
+        return _derive_values(t, group_cols, aggs)
+
+    ds = ray.data.read_parquet(files).map_batches(
+        _project, batch_format="pyarrow", batch_size=None)
+    merge_fns = {"sum": Sum, "min": Min, "max": Max}
+    agg_objs = [merge_fns[_PARTIAL_FN[fn]](name, alias_name=name)
+                for name, (fn, _) in aggs.items()]
+    return ds.groupby(list(group_cols)).aggregate(*agg_objs)
