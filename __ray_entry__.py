@@ -282,10 +282,12 @@ def q_cdc_incremental_agg(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
     sink.apply_incremental_bucketed(root, half1, num_buckets=16,
                                     num_partitions=_NUM_PARTITIONS)
-    ivm.ensure_partials(root, "by_lang", ["lang"], _IVM_AGGS)
+    ivm.ensure_partials(root, "by_lang", ["lang"], _IVM_AGGS,
+                        read_columns=["content"])
     sink.apply_incremental_bucketed(root, ev, num_buckets=16,
                                     num_partitions=_NUM_PARTITIONS)
-    return ivm.read_view(root, "by_lang", ["lang"], _IVM_AGGS)
+    return ivm.read_view(root, "by_lang", ["lang"], _IVM_AGGS,
+                         read_columns=["content"])
 
 
 # ---------------------------------------------------------------------------

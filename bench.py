@@ -163,6 +163,71 @@ def run_incremental() -> float:
     return time.time() - t0
 
 
+def run_ivm() -> tuple[float, float, float]:
+    """Incremental view maintenance vs full recompute: build a bucketed
+    state (backfill commit + repo-local micro-commit), then time the
+    maintained per-repo aggregate (only the micro-commit's touched
+    buckets are rescanned; every other partial is hardlinked forward)
+    against a full-scan recompute of the same view."""
+    import shutil
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from kettleray.gen.synthetic import EventGenConfig, generate_events
+    from kettleray.io import sink
+    from kettleray.ops import ivm
+    root = "/tmp/kettleray_bench/ivm_state"
+    shutil.rmtree(root, ignore_errors=True)
+    n = max(200_000, N_SYNTH // 4)
+    cfg = EventGenConfig(n_events=n, n_repos=200, n_paths_per_repo=1000,
+                         p_delete=0.05, seed=47)
+    ev = generate_events(cfg, override_num_blocks=max(16, NUM_CPUS * 2))
+    cut = (n * 9) // 10
+    # micro-batch over MID-POPULARITY repos: the realistic CDC tail shape
+    # (a commit touches a few ordinary repos, not the whole-corpus hot
+    # set — touching repo_0..3 under skew=2.0 would rescan ~85% of rows
+    # and measure the hot-key worst case, not incremental maintenance)
+    repos = pa.array([f"repo_{i}" for i in range(100, 104)])
+    b1 = ev.map_batches(lambda b: b.filter(pc.less(b["commit_seq"], cut)),
+                        batch_format="pyarrow")
+    b2 = ev.map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.greater_equal(b["commit_seq"], cut),
+            pc.is_in(b["repo"], value_set=repos))),
+        batch_format="pyarrow")
+    aggs = {"n_files": ("count", None),
+            "total_chars": ("sum", _ivm_bench_chars),
+            "max_seq": ("max", "last_commit_seq")}
+    rc = ["content", "last_commit_seq"]
+    sink.apply_incremental_bucketed(root, b1, num_buckets=64,
+                                    bucket_cols=("repo",),
+                                    num_partitions=_num_partitions())
+    ivm.ensure_partials(root, "by_repo", ["repo"], aggs,
+                        read_columns=rc)   # v1 cache (untimed)
+    sink.apply_incremental_bucketed(root, b2, num_buckets=64,
+                                    bucket_cols=("repo",),
+                                    num_partitions=_num_partitions())
+    t0 = time.time()
+    ivm.read_view(root, "by_repo", ["repo"], aggs,
+                  read_columns=rc).materialize()
+    maintain = time.time() - t0
+    t0 = time.time()
+    ivm.recompute_view(root, ["repo"], aggs,
+                       read_columns=rc).materialize()
+    recompute = time.time() - t0
+    m = ivm.partials_metrics(root, "by_repo")
+    # single-node wall times undersell the asymptotics (page-cache scans
+    # hide IO; two small Ray jobs carry ~1 s fixed latency each) — the
+    # scale signal is the scanned fraction: maintenance reads ONLY the
+    # micro-commit's touched buckets, recompute reads the whole state.
+    frac = round(m["scanned_bytes"] / max(1, m["state_bytes"]), 4)
+    return maintain, recompute, frac
+
+
+def _ivm_bench_chars(t):
+    import pyarrow.compute as pc
+    return pc.cast(pc.utf8_length(t["content"]), "int64")
+
+
 def main() -> None:
     if "--scaling" in sys.argv:
         results = {}
@@ -208,12 +273,16 @@ def main() -> None:
     queries["skew_hotkey_salted"] = round(run_skew(salted=True), 2)
     queries["skew_hotkey_plain"] = round(run_skew(salted=False), 2)
     queries["twopass_wide_payload"] = round(run_twopass(), 2)
+    ivm_maintain, ivm_recompute, ivm_frac = run_ivm()
+    queries["ivm_maintain"] = round(ivm_maintain, 2)
+    queries["ivm_recompute"] = round(ivm_recompute, 2)
     total = round(time.time() - t_all, 2)
     print(json.dumps({
         "metric": "cdc_pipeline_suite_sec",
         "value": total, "unit": "sec", "queries": queries,
         "sf": SF_DIR, "num_cpus": NUM_CPUS,
         "events_per_sec": eps, "n_synthetic_events": n,
+        "ivm_scanned_fraction": ivm_frac,
     }))
     ray.shutdown()
 

@@ -133,7 +133,8 @@ def _prev_cached_version(root: str, view_id: str, v: int) -> int | None:
 def ensure_partials(root: str, view_id: str, group_cols: Sequence[str],
                     aggs: Mapping[str, tuple], *,
                     version: int | None = None,
-                    num_partitions: int = 8) -> str:
+                    num_partitions: int = 8,
+                    read_columns: Sequence[str] | None = None) -> str:
     """Build (or reuse) the per-bucket partial-aggregate cache for a state
     version. Buckets whose data files are byte-identical to the previous
     cached version (hardlink inode check — exactly the untouched set) get
@@ -196,7 +197,21 @@ def ensure_partials(root: str, view_id: str, group_cols: Sequence[str],
         # partial (map-side combine), one narrow exchange keyed on the
         # bucket, per-bucket merge, partition-dir write matching the data
         # layout. 'bucket' arrives via hive-path inference (string).
-        ds = ray.data.read_parquet(changed_files)
+        # read_columns prunes the scan to the view's inputs (derive the
+        # full column set automatically when every value is a plain
+        # column name; callables need the caller to name their inputs —
+        # a wide state column like `content` otherwise dominates the IO).
+        cols = None
+        if read_columns is not None:
+            cols = list(dict.fromkeys([*group_cols, *read_columns]))
+        else:
+            named = [v for _, v in aggs.values() if isinstance(v, str)]
+            if all(v is None or isinstance(v, str)
+                   for _, v in aggs.values()):
+                cols = list(dict.fromkeys([*group_cols, *named]))
+        if cols is not None and "bucket" not in cols:
+            cols.append("bucket")
+        ds = ray.data.read_parquet(changed_files, columns=cols)
 
         def _block_partial(t: pa.Table) -> pa.Table:
             d = _derive_values(t, group_cols, aggs, extra_cols=("bucket",))
@@ -216,9 +231,15 @@ def ensure_partials(root: str, view_id: str, group_cols: Sequence[str],
 
     with open(os.path.join(stage, "spec.json"), "w") as f:
         json.dump(spec, f)
+    scanned_bytes = sum(os.path.getsize(f) for f in changed_files)
+    total_bytes = sum(os.path.getsize(os.path.join(d, f))
+                      for d in buckets.values()
+                      for f in os.listdir(d) if f.endswith(".parquet"))
     with open(os.path.join(stage, "_metrics.json"), "w") as f:
         json.dump({"buckets": len(buckets), "reused_partials": reused,
-                   "scanned_files": len(changed_files)}, f)
+                   "scanned_files": len(changed_files),
+                   "scanned_bytes": scanned_bytes,
+                   "state_bytes": total_bytes}, f)
     try:
         os.rename(stage, cache)
     except OSError:
@@ -235,17 +256,38 @@ def partials_metrics(root: str, view_id: str,
         return json.load(f)
 
 
+def _merge_partials_dataset(ds: "ray.data.Dataset",
+                            group_cols: Sequence[str],
+                            aggs: Mapping[str, tuple]
+                            ) -> "ray.data.Dataset":
+    """Merge partial-aggregate rows: per-block Arrow merge, ONE plain
+    concat repartition (the input is B×G partial rows — metadata-sized),
+    final Arrow merge. Deliberately avoids Ray's hash-aggregate operator:
+    its aggregator-actor pool costs seconds of fixed spawn time, ~100%
+    overhead at this input size."""
+
+    def _merge(t: pa.Table) -> pa.Table:
+        return _group_table(t, group_cols, aggs, _PARTIAL_FN)
+
+    return (ds.map_batches(_merge, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(_merge, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True))
+
+
 def read_view(root: str, view_id: str, group_cols: Sequence[str],
               aggs: Mapping[str, tuple], *,
-              version: int | None = None) -> "ray.data.Dataset":
+              version: int | None = None,
+              read_columns: Sequence[str] | None = None
+              ) -> "ray.data.Dataset":
     """The maintained aggregate: merge the per-bucket partials (ensuring
     the cache first). The merge input is B×G partial rows — metadata-
-    sized, never data-sized — merged with Ray's native grouped aggregate
-    so nothing lands on the driver."""
-    from ray.data.aggregate import Max, Min, Sum
+    sized, never data-sized — merged distributed (map-side merge + one
+    concat exchange) so nothing lands on the driver."""
     aggs = _norm_aggs(aggs)
     cache = ensure_partials(root, view_id, group_cols, aggs,
-                            version=version)
+                            version=version, read_columns=read_columns)
     files = []
     for bname in sorted(os.listdir(cache)):
         bdir = os.path.join(cache, bname)
@@ -254,27 +296,35 @@ def read_view(root: str, view_id: str, group_cols: Sequence[str],
                          for f in sorted(os.listdir(bdir))
                          if f.endswith(".parquet"))
     ds = ray.data.read_parquet(files).drop_columns(["bucket"])
-    merge_fns = {"sum": Sum, "min": Min, "max": Max}
-    agg_objs = [merge_fns[_PARTIAL_FN[fn]](name, alias_name=name)
-                for name, (fn, _) in aggs.items()]
-    return ds.groupby(list(group_cols)).aggregate(*agg_objs)
+    return _merge_partials_dataset(ds, group_cols, aggs)
 
 
 def recompute_view(root: str, group_cols: Sequence[str],
                    aggs: Mapping[str, tuple], *,
-                   version: int | None = None) -> "ray.data.Dataset":
-    """Full-scan reference implementation (for tests / cache audits)."""
-    from ray.data.aggregate import Max, Min, Sum
+                   version: int | None = None,
+                   read_columns: Sequence[str] | None = None
+                   ) -> "ray.data.Dataset":
+    """Full-scan reference implementation (for tests / cache audits).
+    Applies the same column pruning as the incremental path; the
+    aggregate itself is map-side per-block combine + the same tiny merge
+    (group count is view-sized, so no hash-aggregate pool is needed)."""
     aggs = _norm_aggs(aggs)
     v = version if version is not None else _sink.current_version(root)
     files = _sink._parquet_files(_sink._version_dir(root, v))
+    cols = None
+    if read_columns is not None:
+        cols = list(dict.fromkeys([*group_cols, *read_columns]))
+    elif all(v_ is None or isinstance(v_, str) for _, v_ in aggs.values()):
+        cols = list(dict.fromkeys(
+            [*group_cols, *(v_ for _, v_ in aggs.values()
+                            if isinstance(v_, str))]))
 
     def _project(t: pa.Table) -> pa.Table:
         return _derive_values(t, group_cols, aggs)
 
-    ds = ray.data.read_parquet(files).map_batches(
-        _project, batch_format="pyarrow", batch_size=None)
-    merge_fns = {"sum": Sum, "min": Min, "max": Max}
-    agg_objs = [merge_fns[_PARTIAL_FN[fn]](name, alias_name=name)
-                for name, (fn, _) in aggs.items()]
-    return ds.groupby(list(group_cols)).aggregate(*agg_objs)
+    def _block_partial(t: pa.Table) -> pa.Table:
+        return _group_table(_project(t), group_cols, aggs, _BLOCK_FN)
+
+    ds = ray.data.read_parquet(files, columns=cols).map_batches(
+        _block_partial, batch_format="pyarrow", batch_size=None)
+    return _merge_partials_dataset(ds, group_cols, aggs)
