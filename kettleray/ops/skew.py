@@ -186,7 +186,17 @@ def replay_lww_salted(events, *, num_partitions: int = 64,
                               batch_size=None, zero_copy_batch=True)
     hot = stage1.map_batches(_hot_partials, batch_format="pyarrow",
                              batch_size=None, zero_copy_batch=True)
-    hot_final = cdc.replay_lww(hot, num_partitions=8)
+
+    # Reconciliation input is bounded at hot_keys × salt_factor rows
+    # (stage 1 left ONE row per (key, salt)) — metadata-sized, so a plain
+    # single-partition concat + reduce beats a keyed hash exchange (whose
+    # aggregator-actor spawn costs seconds on tiny input).
+    def _hot_finish(t: pa.Table) -> pa.Table:
+        return cdc.finalize_state_table(cdc.lww_reduce_table(t))
+
+    hot_final = hot.repartition(1).map_batches(
+        _hot_finish, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True)
     return cold.union(hot_final)
 
 
