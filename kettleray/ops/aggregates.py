@@ -483,6 +483,59 @@ def stratified_sample(ds, group: Sequence[str], key: Sequence[str],
     return out.drop_columns(["__strat_order"])
 
 
+def mixture_sample(ds, group_col: str, key: Sequence[str],
+                   quotas: dict, *, num_partitions: int = 32):
+    """Domain-weighted mixture sampling (training-data mixing): each
+    ``group_col`` value gets its own row quota (e.g. target mixture
+    weight × token budget), rows chosen deterministically by md5 of the
+    row ``key`` within the group — reproducible by any engine, immune to
+    arrival order. Groups absent from ``quotas`` contribute nothing.
+    ONE hash shuffle on the group column, then a vectorized per-block
+    rank-vs-quota selection (the quota table is broadcast in the
+    closure — it is mixture-spec-sized, not data-sized).
+    SQL-equivalent: ``row_number() OVER (PARTITION BY g ORDER BY
+    md5(key)) <= quota[g]``."""
+    import numpy as np
+    from kettleray.ops.rowops import checksum
+    tagged = checksum(ds, list(key), algo="md5",
+                      out_col="__mix_order", sep="|")
+    shuffled = tagged.repartition(num_partitions, keys=[group_col])
+
+    def _fn(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if t.num_rows == 0:
+            return t.drop_columns(["__mix_order"])
+        g = t[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        enc = pc.dictionary_encode(g)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        quota_by_code = np.array(
+            [int(quotas.get(v, 0)) for v in enc.dictionary.to_pylist()],
+            dtype=np.int64)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order_val = t["__mix_order"]
+        if isinstance(order_val, pa.ChunkedArray):
+            order_val = order_val.combine_chunks()
+        order_idx = np.lexsort(
+            (order_val.to_numpy(zero_copy_only=False), codes))
+        sk = codes[order_idx]
+        run_start = np.empty(len(sk), dtype=bool)
+        run_start[0] = True
+        run_start[1:] = sk[1:] != sk[:-1]
+        run_id = np.cumsum(run_start) - 1
+        run_len = np.bincount(run_id)
+        rank = np.arange(len(sk)) - np.repeat(
+            np.concatenate([[0], np.cumsum(run_len)[:-1]]), run_len) + 1
+        keep = rank <= quota_by_code[sk]
+        out = t.take(pa.array(order_idx[keep], type=pa.int64()))
+        return out.drop_columns(["__mix_order"])
+
+    return shuffled.map_batches(_fn, batch_format="pyarrow",
+                                batch_size=None, zero_copy_batch=True)
+
+
 def append_streams(*datasets):
     """≙ Append streams / Prioritize streams: ordered concatenation.
     Row order beyond stream order is not guaranteed (document ordering

@@ -154,6 +154,10 @@ def _register_builtins() -> None:
     register("simhash", dedup.simhash)
     register("calculator", _calculator_from_spec)
     register("top_k_per_group", ag.top_k_per_group)
+    register("mixture_sample", ag.mixture_sample)
+    register("stratified_sample", ag.stratified_sample)
+    register("compact_changelog", cdc.compact_changelog)
+    register("split_on_watermark", cdc.split_on_watermark)
     from kettleray.ops.formula import formula
     register("formula", formula)
     register("sub_pipeline", _sub_pipeline)

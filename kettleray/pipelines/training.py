@@ -255,6 +255,18 @@ def q_stratified_sample(sf_dir):
                                 num_partitions=8)
 
 
+_MIX_QUOTAS = {"src0": 15, "src1": 10, "src2": 5, "src3": 3, "src4": 1}
+
+
+def q_mixture_sample(sf_dir):
+    """Domain-weighted data mixing: per-source row quotas (a mixture
+    spec), rows picked deterministically by md5(doc_id) order within
+    each source; unlisted sources are excluded entirely."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "source"])
+    return ag.mixture_sample(docs, "source", ["doc_id"], _MIX_QUOTAS,
+                             num_partitions=8)
+
+
 def q_lang_id(sf_dir):
     docs = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
     return textstats.lang_id(docs, "text")
@@ -470,6 +482,7 @@ QUERIES = {
     "simhash_fingerprints": q_simhash,
     "connected_components": q_connected_components,
     "stratified_sample": q_stratified_sample,
+    "mixture_sample": q_mixture_sample,
     "kmeans_assign": q_kmeans_assign,
     "inverted_index": q_inverted_index,
     "tfidf": q_tfidf,
@@ -674,6 +687,16 @@ SELECT vec_id, cluster FROM (
     ORDER BY list_distance(e.embedding::DOUBLE[], c.cvec::DOUBLE[]),
              c.cid) AS rn
   FROM embeddings e CROSS JOIN c) WHERE rn = 1
+"""
+
+ORACLES["mixture_sample"] = """
+SELECT doc_id, text, source FROM (
+  SELECT doc_id, text, source, row_number() OVER (
+    PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+  FROM documents)
+WHERE rn <= CASE source WHEN 'src0' THEN 15 WHEN 'src1' THEN 10
+            WHEN 'src2' THEN 5 WHEN 'src3' THEN 3 WHEN 'src4' THEN 1
+            ELSE 0 END
 """
 
 ORACLES["stratified_sample"] = """
