@@ -182,6 +182,58 @@ class TestStateReads:
             _sorted(ivm.recompute_view(root, ["repo"], AGGS))
 
 
+class TestRandomizedCommitSequence:
+    def test_view_tracks_recompute_across_random_commits(self, tmp_path):
+        """Seeded-random micro-commit sequence (inserts/updates/deletes
+        over a 40-key space): after EVERY commit the maintained view must
+        equal the full recompute — catches stale-partial reuse, delete
+        accounting, and multi-version cache chains."""
+        import random
+        rng = random.Random(7)
+        root = str(tmp_path / "state")
+        seq = 0
+        keyspace = [(f"r{i % 5}", f"f{i}") for i in range(40)]
+        for commit in range(4):
+            batch = []
+            for _ in range(rng.randint(3, 25)):
+                repo, path = rng.choice(keyspace)
+                seq += 1
+                op = rng.choice(
+                    ["insert", "update", "update", "delete"])
+                batch.append(_row(repo, path, seq, op=op,
+                                  content=f"c{seq}" * rng.randint(1, 4)))
+            sink.apply_incremental_bucketed(root, _ev(batch),
+                                            num_buckets=8,
+                                            num_partitions=2)
+            got = _sorted(ivm.read_view(root, "v", ["repo"], AGGS))
+            ref = _sorted(ivm.recompute_view(root, ["repo"], AGGS))
+            assert got == ref, f"diverged at commit {commit}"
+
+
+class TestMixtureSample:
+    def test_deterministic_and_quota_bounded(self):
+        from kettleray.ops import aggregates as ag
+        rows = [{"src": f"s{i % 5}", "id": i, "payload": f"p{i}"}
+                for i in range(200)]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+        quotas = {"s0": 7, "s1": 3, "s2": 0, "s3": 999}
+        a = sorted(r["id"] for r in ag.mixture_sample(
+            ds, "src", ["id"], quotas, num_partitions=2).take_all())
+        # partitioning and arrival order must not change the sample
+        b = sorted(r["id"] for r in ag.mixture_sample(
+            ds.random_shuffle(seed=3).repartition(7), "src", ["id"],
+            quotas, num_partitions=5).take_all())
+        assert a == b
+        got = ag.mixture_sample(ds, "src", ["id"], quotas,
+                                num_partitions=2).take_all()
+        by_src = {}
+        for r in got:
+            by_src.setdefault(r["src"], []).append(r["id"])
+        assert len(by_src["s0"]) == 7 and len(by_src["s1"]) == 3
+        assert "s2" not in by_src and "s4" not in by_src
+        assert len(by_src["s3"]) == 40  # quota above group size -> all
+
+
 class TestWatermarkRouting:
     def test_split_and_quarantine(self, tmp_path):
         log = [_row("r", "a", 5), _row("r", "a", 15), _row("r", "b", 10),

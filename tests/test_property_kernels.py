@@ -308,3 +308,28 @@ def test_holistic_group_by_null_semantics_match_pandas():
             else:
                 assert all((pd.isna(u) and pd.isna(v)) or u == v
                            for u, v in zip(a_, b_)), (seed, c, a_, b_)
+
+
+class TestCompactChangelogProperty:
+    """Log-compaction invariants on random little logs (pure kernel:
+    compact == lww_reduce keeping event shape)."""
+
+    @given(event_logs())
+    @settings(max_examples=40, deadline=None)
+    def test_latest_event_per_key_tombstones_kept(self, t):
+        compacted = cdc.lww_reduce_table(t)
+        # oracle: latest event per key by (commit_seq, commit)
+        rows = sorted(t.to_pylist(),
+                      key=lambda r: (r["commit_seq"], r["commit"]))
+        latest = {}
+        for r in rows:
+            latest[(r["repo"], r["path"])] = r
+        got = {(r["repo"], r["path"]): r for r in compacted.to_pylist()}
+        assert set(got) == set(latest)
+        for k, r in latest.items():
+            assert got[k]["op"] == r["op"]
+            assert got[k]["commit_seq"] == r["commit_seq"]
+        # replay(compacted) == replay(full): surviving non-delete rows
+        full = replay_oracle(t)
+        via = replay_oracle(compacted)
+        assert via == full
