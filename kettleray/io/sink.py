@@ -4,8 +4,10 @@
 commit) re-expressed for a lake: there is no transactional layer over
 plain Parquet, so exactly-once is built from
 
-  1. staged directory writes  (write to ``_stage_vN``, fsync-free atomic
-     ``rename`` to ``vN`` — a crashed writer leaves only garbage stages),
+  1. staged directory writes (write to a writer-unique ``_stage_vN.<id>``
+     dir, fsync-free atomic ``rename`` to ``vN`` — a crashed writer leaves
+     only garbage stages, and concurrent writers can never touch each
+     other's stage),
   2. a JSON manifest per committed version: high-watermark commit offset,
      schema, per-file lineage (rows/bytes), metrics,
   3. a CURRENT pointer file updated by atomic rename,
@@ -25,6 +27,7 @@ import json
 import os
 import shutil
 import time
+import uuid
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -139,9 +142,7 @@ def commit_state(ds: "ray.data.Dataset", root: str, *, watermark: int,
     final_dir = _version_dir(root, v)
     if os.path.exists(final_dir):
         return read_manifest(root, v)
-    stage = os.path.join(root, f"_stage_v{v:04d}")
-    if os.path.exists(stage):       # leftover from a crashed writer
-        shutil.rmtree(stage)
+    stage = os.path.join(root, f"_stage_v{v:04d}.{uuid.uuid4().hex[:8]}")
     t0 = time.time()
     ds.write_parquet(stage)
     os.makedirs(stage, exist_ok=True)   # empty ds writes no files at all
@@ -332,9 +333,7 @@ def apply_incremental_bucketed(root: str, events: "ray.data.Dataset", *,
     prev_v = current_version(root)
     v = 1 if prev_v is None else prev_v + 1
     os.makedirs(root, exist_ok=True)
-    stage = os.path.join(root, f"_stage_v{v:04d}")
-    if os.path.exists(stage):
-        shutil.rmtree(stage)
+    stage = os.path.join(root, f"_stage_v{v:04d}.{uuid.uuid4().hex[:8]}")
     os.makedirs(stage)
 
     t0 = time.time()
@@ -407,7 +406,22 @@ def apply_incremental_bucketed(root: str, events: "ray.data.Dataset", *,
                  "prev_watermark": wm})
     with open(os.path.join(stage, "manifest.json"), "w") as f:
         f.write(man2.to_json())
-    os.rename(stage, _version_dir(root, v))
+    try:
+        os.rename(stage, _version_dir(root, v))
+    except OSError:
+        if os.path.isdir(_version_dir(root, v)):
+            # Concurrent writer committed this version first. Unlike
+            # commit_state (identical-input retries), our batch may hold
+            # DIFFERENT events than the winner's — discard the stage and
+            # re-apply against the new CURRENT: the watermark filter
+            # keeps exactly the not-yet-applied suffix, so the retry is
+            # exactly-once (a same-batch retry no-ops to the winner's
+            # manifest).
+            shutil.rmtree(stage, ignore_errors=True)
+            return apply_incremental_bucketed(
+                root, events, num_buckets=num_buckets,
+                num_partitions=num_partitions, bucket_cols=bucket_cols)
+        raise
     _write_current(root, v)
     return man2
 
@@ -470,9 +484,7 @@ def compact_state(root: str, *, max_files_per_bucket: int = 4) -> Manifest:
     man = read_manifest(root, v)
     prev_dir = _version_dir(root, v)
     nv = v + 1
-    stage = os.path.join(root, f"_stage_v{nv:04d}")
-    if os.path.exists(stage):
-        shutil.rmtree(stage)
+    stage = os.path.join(root, f"_stage_v{nv:04d}.{uuid.uuid4().hex[:8]}")
     os.makedirs(stage)
     t0 = time.time()
     compacted = linked = 0

@@ -203,3 +203,53 @@ def test_crashed_stage_dir_is_invisible_and_recoverable(tmp_path):
     os.utime(stale, (old, old))
     sink.gc_versions(root, keep_last=10, stage_min_age_s=3600)
     assert not os.path.exists(stale)
+
+
+def test_concurrent_commit_rename_race_reapplies_loser(tmp_path,
+                                                       monkeypatch):
+    """Two writers race for the same next version: stages are
+    writer-unique (neither can touch the other's files) and the rename
+    loser re-applies against the winner's CURRENT — both batches land,
+    exactly once. Simulated by having a full winner commit run inside
+    the loser's rename step."""
+    import pyarrow as pa
+
+    def _batch(lo, n):
+        return pa.table({
+            "repo": [f"r{i % 3}" for i in range(lo, lo + n)],
+            "path": [f"f{i}" for i in range(lo, lo + n)],
+            "commit": [f"c{i}" for i in range(lo, lo + n)],
+            "lang": ["py"] * n, "content": [f"body{i}" for i in
+                                            range(lo, lo + n)],
+            "op": ["insert"] * n,
+            "commit_seq": pa.array(range(lo, lo + n), type=pa.int64()),
+        })
+
+    root = str(tmp_path / "state")
+    sink.apply_incremental_bucketed(root, ray.data.from_arrow(_batch(0, 10)),
+                                    num_buckets=4, num_partitions=2)
+    winner = _batch(100, 5)
+    loser = _batch(200, 5)
+    real_rename = os.rename
+    fired = {"done": False}
+
+    def racy(src, dst):
+        if not fired["done"] and os.path.basename(dst) == "v0002":
+            fired["done"] = True    # nested winner commit passes through
+            sink.apply_incremental_bucketed(
+                root, ray.data.from_arrow(winner),
+                num_buckets=4, num_partitions=2)
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", racy)
+    man = sink.apply_incremental_bucketed(
+        root, ray.data.from_arrow(loser), num_buckets=4, num_partitions=2)
+    monkeypatch.undo()
+    assert fired["done"]
+    assert man.version == 3                     # loser re-applied on top
+    assert sink.current_version(root) == 3
+    got = {(r["repo"], r["path"]): r["last_commit_seq"]
+           for r in sink.read_state(root).take_all()}
+    assert len(got) == 20                       # 10 base + 5 + 5
+    assert all((f"r{i % 3}", f"f{i}") in got for i in range(100, 105))
+    assert all((f"r{i % 3}", f"f{i}") in got for i in range(200, 205))

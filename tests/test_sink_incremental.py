@@ -51,18 +51,24 @@ def test_reapply_below_watermark_is_noop(tmp_path):
     assert _state_dict(sink.read_state(root)) == before
 
 
-def test_crashed_stage_dir_is_cleaned_and_resumed(tmp_path):
+def test_crashed_stage_dir_is_invisible_and_gc_cleaned(tmp_path):
+    """A crashed writer's stage (stages are writer-unique, so a live
+    commit never touches it) must not affect commits or reads, and
+    gc_versions removes it once old enough."""
     root = str(tmp_path / "state")
-    os.makedirs(os.path.join(root, "_stage_v0001"))
-    with open(os.path.join(root, "_stage_v0001", "junk.parquet"), "w") as f:
+    crash = os.path.join(root, "_stage_v0001.deadbeef")
+    os.makedirs(crash)
+    with open(os.path.join(crash, "junk.parquet"), "w") as f:
         f.write("partial garbage")
     events = generate_events_local(CFG)
     m = sink.apply_incremental(root, ray.data.from_arrow(events),
                                num_partitions=4)
     assert m.version == 1
-    assert not os.path.exists(os.path.join(root, "_stage_v0001"))
+    assert os.path.exists(crash)          # untouched by the live commit
     want = {k: v["content_sha256"] for k, v in replay_oracle(events).items()}
     assert _state_dict(sink.read_state(root)) == want
+    sink.gc_versions(root, keep_last=2, stage_min_age_s=0.0)
+    assert not os.path.exists(crash)
 
 
 def test_manifest_lineage_totals(tmp_path):

@@ -107,7 +107,8 @@ def main() -> int:
             failed.append(name)
         else:
             print(f"PASS {name}: rows={len(ray_df)}")
-    print(f"\n{len(qs) - len(failed)}/{len(qs) if not only else len(only)} passed")
+    ran = len([n for n in qs if not only or n in only])
+    print(f"\n{ran - len(failed)}/{ran} passed")
     return 1 if failed else 0
 
 
