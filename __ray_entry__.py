@@ -185,6 +185,31 @@ def q_cdc_bucketed_state(sf_dir: str):
     return sink.read_state(root).drop_columns(["bucket"])
 
 
+def q_cdc_mor_state(sf_dir: str):
+    """Merge-on-read incremental path under the driver gate: three
+    micro-commits append per-bucket DELTA files (no bucket rewrites
+    after the first base), read back through the delta-merging reader.
+    Oracle = the plain LWW replay SQL, so any drift in the delta append
+    / read-merge / tombstone handling fails the value-hash."""
+    import shutil
+    import tempfile
+    import pyarrow.compute as pc
+    from kettleray.io import sink
+    root = tempfile.mkdtemp(prefix="kr_mor_state_")
+    shutil.rmtree(root, ignore_errors=True)
+    ev = _events(sf_dir)
+    for lo, hi in ((0, 1_000_000), (1_000_000, 2_000_000),
+                   (2_000_000, 1 << 62)):
+        w = ev.map_batches(
+            lambda b, lo=lo, hi=hi: b.filter(pc.and_(
+                pc.greater_equal(b["commit_seq"], lo),
+                pc.less(b["commit_seq"], hi))),
+            batch_format="pyarrow", zero_copy_batch=True)
+        sink.apply_incremental_mor(root, w, num_buckets=16,
+                                   num_partitions=_NUM_PARTITIONS)
+    return sink.read_state(root).drop_columns(["bucket"])
+
+
 def q_cdc_streaming_state(sf_dir: str):
     """Micro-batch streaming ingest (shard actors, hash-routed) over
     three event windows; the snapshot must equal batch replay."""
@@ -328,6 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_scd2_asof_lookup": q_cdc_scd2_asof_lookup,
         "cdc_scd2_surrogate": q_cdc_scd2_surrogate,
         "cdc_bucketed_state": q_cdc_bucketed_state,
+        "cdc_mor_state": q_cdc_mor_state,
         "cdc_streaming_state": q_cdc_streaming_state,
         "cdc_sync_roundtrip": q_cdc_sync_roundtrip,
         "cdc_shuffled_arrival": q_cdc_shuffled_arrival,
@@ -411,6 +437,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_twopass":
             f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
         "cdc_bucketed_state":
+            f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
+        "cdc_mor_state":
             f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
         "cdc_streaming_state":
             f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",

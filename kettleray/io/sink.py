@@ -75,6 +75,16 @@ def read_manifest(root: str, version: int | None = None) -> Manifest | None:
         return Manifest.from_json(f.read())
 
 
+def _state_rows_as_events(b: pa.Table) -> pa.Table:
+    """Re-shape committed state rows as pseudo insert events so they can
+    union with a fresh event batch ahead of an LWW replay."""
+    b = b.drop_columns([c for c in ("content_sha256", "bucket")
+                        if c in b.column_names])
+    b = b.rename_columns([c if c != "last_commit_seq" else "commit_seq"
+                          for c in b.column_names])
+    return b.append_column("op", pa.array(["insert"] * b.num_rows))
+
+
 def _parquet_files(vdir: str) -> list[str]:
     out = []
     for base, _, names in os.walk(vdir):
@@ -84,12 +94,27 @@ def _parquet_files(vdir: str) -> list[str]:
     return sorted(out)
 
 
-def read_state(root: str,
-               version: int | None = None) -> "ray.data.Dataset | None":
+def _split_base_delta(vdir: str) -> tuple[list[str], list[str]]:
+    """Partition a version dir's parquet files into (base, delta): delta
+    files live under the ``delta/`` subtree (merge-on-read layout)."""
+    delta_root = os.path.join(vdir, "delta")
+    base, delta = [], []
+    for f in _parquet_files(vdir):
+        (delta if f.startswith(delta_root + os.sep) else base).append(f)
+    return base, delta
+
+
+def read_state(root: str, version: int | None = None, *,
+               num_partitions: int = 16) -> "ray.data.Dataset | None":
     """Read a committed state version (default CURRENT). Passing an older
     retained ``version`` is snapshot time travel over the SINK layout —
-    every version is immutable (copy-on-write buckets), so old reads are
-    consistent even while new commits land."""
+    every version is immutable (copy-on-write buckets / append-only
+    deltas), so old reads are consistent even while new commits land.
+
+    Transparent over both layouts: a version holding merge-on-read delta
+    files (``apply_incremental_mor``) is merged at read via the same
+    distributed LWW replay the writer would have run — callers see final
+    state rows either way."""
     v = version if version is not None else current_version(root)
     if v is None:
         return None
@@ -97,7 +122,30 @@ def read_state(root: str,
     if not os.path.isdir(vdir):
         raise FileNotFoundError(
             f"version {v} not found under {root} (GC'd or never committed)")
-    return ray.data.read_parquet(_parquet_files(vdir))
+    base_files, delta_files = _split_base_delta(vdir)
+    if not delta_files:
+        return ray.data.read_parquet(_parquet_files(vdir))
+    man = read_manifest(root, v)
+    nb = int(man.metrics.get("num_buckets", 64)) if man else 64
+    base = ray.data.read_parquet(base_files) if base_files else None
+    deltas = ray.data.read_parquet(delta_files).map_batches(
+        lambda b: b.drop_columns(
+            [c for c in ("bucket",) if c in b.column_names]),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    if base is not None:
+        pseudo = base.map_batches(_state_rows_as_events,
+                                  batch_format="pyarrow", batch_size=None)
+        from kettleray.ops.cdc import evolve_to_schema, unify_event_schemas
+        target = unify_event_schemas(
+            [pseudo.schema().base_schema, deltas.schema().base_schema])
+        merged = evolve_to_schema(pseudo, target).union(
+            evolve_to_schema(deltas, target))
+    else:
+        merged = deltas
+    final = cdc.replay_lww(merged, num_partitions=num_partitions)
+    bc = tuple(man.metrics.get("bucket_cols", ("repo", "path"))) \
+        if man else ("repo", "path")
+    return add_bucket_column(final, nb, bucket_cols=bc)
 
 
 def lookup_state(root: str, repo: str, path: str, *,
@@ -113,6 +161,7 @@ def lookup_state(root: str, repo: str, path: str, *,
     man = read_manifest(root, v)
     nb = man.metrics.get("num_buckets") if man else None
     vdir = _version_dir(root, v)
+    delta_files: list[str] = []
     if nb is None:
         # non-bucketed layout: predicate scan over all files
         files = _parquet_files(vdir)
@@ -121,11 +170,31 @@ def lookup_state(root: str, repo: str, path: str, *,
         b = int(cdc.stable_key_buckets(key, ("repo", "path"), int(nb))[0])
         bdir = os.path.join(vdir, f"bucket={b}")
         files = _parquet_files(bdir) if os.path.isdir(bdir) else []
-    if not files:
-        return pa.table({})
+        ddir = os.path.join(vdir, "delta", f"bucket={b}")
+        delta_files = _parquet_files(ddir) if os.path.isdir(ddir) else []
     import pyarrow.dataset as pads
     flt = (pads.field("repo") == repo) & (pads.field("path") == path)
-    return pads.dataset(files).to_table(filter=flt)
+    base_t = pads.dataset(files).to_table(filter=flt) if files \
+        else pa.table({})
+    if not delta_files:
+        return base_t
+    # merge-on-read: fold this key's delta events over its base row
+    # locally (a handful of rows — no Ray tasks for a point lookup)
+    delta_t = pads.dataset(delta_files).to_table(filter=flt)
+    if "bucket" in delta_t.column_names:
+        delta_t = delta_t.drop_columns(["bucket"])
+    ev = [delta_t]
+    if base_t.num_rows:
+        ev.append(_state_rows_as_events(
+            base_t.drop_columns([c for c in ("bucket",)
+                                 if c in base_t.column_names])))
+    merged = pa.concat_tables(ev, promote_options="permissive")
+    win = cdc.finalize_state_table(cdc.lww_reduce_table(merged))
+    if win.num_rows and nb is not None:
+        bc = tuple(man.metrics.get("bucket_cols", ("repo", "path")))
+        win = win.append_column(
+            "bucket", pa.array(cdc.stable_key_buckets(win, bc, int(nb))))
+    return win
 
 
 def commit_state(ds: "ray.data.Dataset", root: str, *, watermark: int,
@@ -232,15 +301,8 @@ def apply_incremental(root: str, events: "ray.data.Dataset", *,
 
     state = read_state(root)
     if state is not None:
-        def _state_as_events(b):
-            b = b.drop_columns([c for c in ("content_sha256",)
-                                if c in b.column_names])
-            b = b.rename_columns(
-                [c if c != "last_commit_seq" else "commit_seq"
-                 for c in b.column_names])
-            return b.append_column(
-                "op", pa.array(["insert"] * b.num_rows))
-        pseudo = state.map_batches(_state_as_events, batch_format="pyarrow")
+        pseudo = state.map_batches(_state_rows_as_events,
+                                   batch_format="pyarrow")
         # schema evolution across generations: additive columns backfill
         # null, widening casts apply, on BOTH sides before the union
         target = unify_event_schemas(
@@ -358,18 +420,8 @@ def apply_incremental_bucketed(root: str, events: "ray.data.Dataset", *,
         old_files = [f for d in touched_dirs for f in _parquet_files(d)]
         if old_files:
             old = ray.data.read_parquet(old_files)
-
-            def _as_events(b):
-                b = b.drop_columns(
-                    [c for c in ("content_sha256", "bucket")
-                     if c in b.column_names])
-                b = b.rename_columns(
-                    [c if c != "last_commit_seq" else "commit_seq"
-                     for c in b.column_names])
-                return b.append_column("op",
-                                       pa.array(["insert"] * b.num_rows))
-
-            pseudo = old.map_batches(_as_events, batch_format="pyarrow",
+            pseudo = old.map_batches(_state_rows_as_events,
+                                     batch_format="pyarrow",
                                      batch_size=None)
             from kettleray.ops.cdc import (evolve_to_schema,
                                            unify_event_schemas)
@@ -403,6 +455,7 @@ def apply_incremental_bucketed(root: str, events: "ray.data.Dataset", *,
                  "total_rows": sum(f["rows"] for f in files),
                  "touched_buckets": len(touched),
                  "num_buckets": num_buckets,
+                 "bucket_cols": list(bucket_cols),
                  "prev_watermark": wm})
     with open(os.path.join(stage, "manifest.json"), "w") as f:
         f.write(man2.to_json())
@@ -423,6 +476,258 @@ def apply_incremental_bucketed(root: str, events: "ray.data.Dataset", *,
                 num_partitions=num_partitions, bucket_cols=bucket_cols)
         raise
     _write_current(root, v)
+    return man2
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read state (deletion-vector-style deltas): a commit APPENDS
+# per-bucket delta files instead of rewriting touched buckets — commit IO
+# is proportional to the BATCH, not to the touched buckets' size. Reads
+# merge base + deltas with the same distributed LWW replay the writer
+# would have run; compact_mor folds deltas into the base out-of-band.
+# ---------------------------------------------------------------------------
+
+def apply_incremental_mor(root: str, events: "ray.data.Dataset", *,
+                          num_buckets: int = 64,
+                          num_partitions: int = 16,
+                          bucket_cols: tuple = ("repo", "path"),
+                          ) -> Manifest:
+    """Merge-on-read incremental upsert (≙ Iceberg v2 / Hudi MOR).
+
+    The copy-on-write path (``apply_incremental_bucketed``) re-replays and
+    rewrites every touched bucket per commit — right when commits are
+    large relative to buckets, wasteful for trickle micro-batches where a
+    10-row commit rewrites a multi-GB bucket. Here the batch is map-side
+    LWW-combined (no shuffle), written as per-bucket DELTA files under
+    ``vN/delta/bucket=K/``, and every prior base + delta file is
+    hardlinked forward (O(1) per file). ``read_state`` transparently
+    merges deltas at read; ``compact_mor`` folds them back into the base.
+
+    Deltas keep the raw event shape (op + commit_seq), so tombstones are
+    first-class: a delete costs one delta row, never a bucket rewrite.
+    Delta files must stay schema-uniform for a single ``read_parquet`` —
+    a batch arriving with a DIFFERENT event schema triggers an automatic
+    ``compact_mor`` first (clearing old-schema deltas), then commits.
+    """
+    import pyarrow.compute as pc
+
+    from kettleray.ops.cdc import lww_reduce_table
+
+    man = read_manifest(root)
+    wm = man.watermark if man else -1
+
+    fresh = events.map_batches(
+        lambda b: lww_reduce_table(b.filter(pc.greater(b["commit_seq"],
+                                                       wm))),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    fresh = add_bucket_column(fresh, num_buckets,
+                              bucket_cols=bucket_cols).materialize()
+    if fresh.count() == 0:
+        if man is not None:
+            return man
+        empty_state = ray.data.from_arrow(pa.table({
+            c: pa.array([], type=pa.int64()
+                        if c == "last_commit_seq" else pa.string())
+            for c in cdc.FINAL_STATE_COLS}))
+        return commit_state(empty_state, root, watermark=wm)
+    new_wm = int(fresh.max("commit_seq"))
+
+    prev_v = current_version(root)
+    if prev_v is None:
+        # first commit: write a plain base (no deltas to merge yet)
+        final = cdc.replay_lww(fresh.drop_columns(["bucket"]),
+                               num_partitions=num_partitions)
+        final = add_bucket_column(final, num_buckets,
+                                  bucket_cols=bucket_cols)
+        return _commit_mor_stage(
+            root, 1, final, watermark=new_wm,
+            num_buckets=num_buckets, bucket_cols=bucket_cols,
+            delta_rows=0, prev_watermark=wm)
+
+    event_schema = str(fresh.drop_columns(["bucket"]).schema().base_schema)
+    stored = (man.metrics or {}).get("event_schema")
+    _, prev_deltas = _split_base_delta(_version_dir(root, prev_v))
+    if prev_deltas and stored and stored != event_schema:
+        compact_mor(root, num_partitions=num_partitions)
+        prev_v = current_version(root)
+
+    v = prev_v + 1
+    stage = os.path.join(root, f"_stage_v{v:04d}.{uuid.uuid4().hex[:8]}")
+    os.makedirs(stage)
+    t0 = time.time()
+    prev_dir = _version_dir(root, prev_v)
+    for base, _, names in os.walk(prev_dir):      # hardlink EVERYTHING
+        rel = os.path.relpath(base, prev_dir)
+        for n in names:
+            if not n.endswith(".parquet"):
+                continue
+            dst_dir = os.path.join(stage, rel) if rel != "." else stage
+            os.makedirs(dst_dir, exist_ok=True)
+            os.link(os.path.join(base, n), os.path.join(dst_dir, n))
+    # fresh deltas: write bucket-partitioned, then move under delta/ with
+    # version-stamped names (so fragments stay attributable per commit)
+    tmp = os.path.join(stage, "_fresh")
+    fresh.write_parquet(tmp, partition_cols=["bucket"])
+    delta_rows = 0
+    for name in sorted(os.listdir(tmp)):
+        if not name.startswith("bucket="):
+            continue
+        dst_dir = os.path.join(stage, "delta", name)
+        os.makedirs(dst_dir, exist_ok=True)
+        for i, f in enumerate(sorted(os.listdir(os.path.join(tmp, name)))):
+            src = os.path.join(tmp, name, f)
+            delta_rows += pq.read_metadata(src).num_rows
+            os.rename(src, os.path.join(
+                dst_dir, f"delta-v{v:04d}-{i}.{uuid.uuid4().hex[:6]}"
+                         f".parquet"))
+    shutil.rmtree(tmp)
+
+    files = []
+    for fp in _parquet_files(stage):
+        md = pq.read_metadata(fp)
+        files.append({"file": os.path.relpath(fp, stage),
+                      "rows": md.num_rows, "bytes": os.path.getsize(fp)})
+    base_files, delta_files = _split_base_delta(stage)
+    man2 = Manifest(
+        version=v, watermark=new_wm,
+        schema=str(pq.read_schema(base_files[0])) if base_files else "",
+        files=files,
+        metrics={"write_sec": round(time.time() - t0, 3),
+                 "mode": "mor", "num_buckets": num_buckets,
+                 "bucket_cols": list(bucket_cols),
+                 "event_schema": event_schema,
+                 "delta_rows": delta_rows,
+                 "delta_files": len(delta_files),
+                 "total_rows": sum(f["rows"] for f in files),
+                 "prev_watermark": wm})
+    with open(os.path.join(stage, "manifest.json"), "w") as f:
+        f.write(man2.to_json())
+    try:
+        os.rename(stage, _version_dir(root, v))
+    except OSError:
+        if os.path.isdir(_version_dir(root, v)):
+            # lost the rename race — same exactly-once retry as the COW
+            # path: the watermark filter keeps only the unapplied suffix
+            shutil.rmtree(stage, ignore_errors=True)
+            return apply_incremental_mor(
+                root, events, num_buckets=num_buckets,
+                num_partitions=num_partitions, bucket_cols=bucket_cols)
+        raise
+    _write_current(root, v)
+    return man2
+
+
+def _commit_mor_stage(root: str, v: int, state_ds: "ray.data.Dataset",
+                      *, watermark: int,
+                      num_buckets: int, bucket_cols: tuple,
+                      delta_rows: int, prev_watermark: int,
+                      extra_metrics: dict | None = None) -> Manifest:
+    """Write ``state_ds`` (bucket column included) as version ``v``'s
+    base with no deltas, committing atomically (MOR first-commit and
+    compaction both land here)."""
+    stage = os.path.join(root, f"_stage_v{v:04d}.{uuid.uuid4().hex[:8]}")
+    os.makedirs(stage)
+    t0 = time.time()
+    state_ds.write_parquet(stage, partition_cols=["bucket"])
+    files = []
+    for fp in _parquet_files(stage):
+        md = pq.read_metadata(fp)
+        files.append({"file": os.path.relpath(fp, stage),
+                      "rows": md.num_rows, "bytes": os.path.getsize(fp)})
+    man = Manifest(
+        version=v, watermark=watermark,
+        schema=str(pq.read_schema(_parquet_files(stage)[0]))
+        if files else "",
+        files=files,
+        metrics={"write_sec": round(time.time() - t0, 3),
+                 "mode": "mor", "num_buckets": num_buckets,
+                 "bucket_cols": list(bucket_cols),
+                 "delta_rows": delta_rows, "delta_files": 0,
+                 "total_rows": sum(f["rows"] for f in files),
+                 "prev_watermark": prev_watermark,
+                 **(extra_metrics or {})})
+    with open(os.path.join(stage, "manifest.json"), "w") as f:
+        f.write(man.to_json())
+    os.rename(stage, _version_dir(root, v))
+    _write_current(root, v)
+    return man
+
+
+def compact_mor(root: str, *, num_partitions: int = 16) -> Manifest:
+    """Fold merge-on-read deltas into the base: buckets WITH delta files
+    are re-replayed (base-as-events ∪ deltas → LWW) and rewritten; every
+    delta-free bucket is hardlinked forward untouched. Commits a new
+    version with zero deltas — the out-of-band table service that bounds
+    read amplification."""
+    v = current_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no committed state under {root}")
+    man = read_manifest(root, v)
+    vdir = _version_dir(root, v)
+    base_files, delta_files = _split_base_delta(vdir)
+    if not delta_files:
+        return man
+    nb = int(man.metrics.get("num_buckets", 64))
+    bc = tuple(man.metrics.get("bucket_cols", ("repo", "path")))
+    delta_buckets = {os.path.basename(os.path.dirname(f))
+                     for f in delta_files}
+    touched_base = [f for f in base_files
+                    if os.path.basename(os.path.dirname(f)) in
+                    delta_buckets]
+
+    deltas = ray.data.read_parquet(delta_files).map_batches(
+        lambda b: b.drop_columns(
+            [c for c in ("bucket",) if c in b.column_names]),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    if touched_base:
+        pseudo = ray.data.read_parquet(touched_base).map_batches(
+            _state_rows_as_events, batch_format="pyarrow", batch_size=None)
+        from kettleray.ops.cdc import evolve_to_schema, unify_event_schemas
+        target = unify_event_schemas(
+            [pseudo.schema().base_schema, deltas.schema().base_schema])
+        merged = evolve_to_schema(pseudo, target).union(
+            evolve_to_schema(deltas, target))
+    else:
+        merged = deltas
+    final = cdc.replay_lww(merged, num_partitions=num_partitions)
+    final = add_bucket_column(final, nb, bucket_cols=bc)
+
+    nv = v + 1
+    stage = os.path.join(root, f"_stage_v{nv:04d}.{uuid.uuid4().hex[:8]}")
+    os.makedirs(stage)
+    t0 = time.time()
+    linked = 0
+    for f in base_files:                       # delta-free buckets ride
+        name = os.path.basename(os.path.dirname(f))
+        if name in delta_buckets:
+            continue
+        dst = os.path.join(stage, name)
+        os.makedirs(dst, exist_ok=True)
+        os.link(f, os.path.join(dst, os.path.basename(f)))
+        linked += 1
+    final.write_parquet(stage, partition_cols=["bucket"])
+    files = []
+    for fp in _parquet_files(stage):
+        md = pq.read_metadata(fp)
+        files.append({"file": os.path.relpath(fp, stage),
+                      "rows": md.num_rows, "bytes": os.path.getsize(fp)})
+    man2 = Manifest(
+        version=nv, watermark=man.watermark,
+        schema=str(pq.read_schema(_parquet_files(stage)[0]))
+        if files else "",
+        files=files,
+        metrics={"write_sec": round(time.time() - t0, 3),
+                 "mode": "mor", "num_buckets": nb,
+                 "bucket_cols": list(bc),
+                 "delta_rows": 0, "delta_files": 0,
+                 "compacted_buckets": len(delta_buckets),
+                 "linked_files": linked,
+                 "total_rows": sum(f["rows"] for f in files),
+                 "compaction_of": v})
+    with open(os.path.join(stage, "manifest.json"), "w") as f:
+        f.write(man2.to_json())
+    os.rename(stage, _version_dir(root, nv))
+    _write_current(root, nv)
     return man2
 
 
@@ -483,6 +788,11 @@ def compact_state(root: str, *, max_files_per_bucket: int = 4) -> Manifest:
         raise FileNotFoundError(f"no committed state under {root}")
     man = read_manifest(root, v)
     prev_dir = _version_dir(root, v)
+    if _split_base_delta(prev_dir)[1]:
+        raise ValueError(
+            "current version holds merge-on-read delta files — run "
+            "compact_mor() (compact_state only walks base buckets and "
+            "would drop the deltas)")
     nv = v + 1
     stage = os.path.join(root, f"_stage_v{nv:04d}.{uuid.uuid4().hex[:8]}")
     os.makedirs(stage)

@@ -1,0 +1,163 @@
+"""Merge-on-read state sink: commits append per-bucket delta files
+(commit IO ∝ batch, not touched-bucket size); reads merge base + deltas
+via the distributed LWW replay; compact_mor folds deltas into the base."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from kettleray.gen.oracle import replay_oracle
+from kettleray.gen.synthetic import EventGenConfig, generate_events_local
+from kettleray.io import sink
+
+CFG = EventGenConfig(n_events=3000, n_repos=10, n_paths_per_repo=40,
+                     p_delete=0.08, seed=47)
+
+
+def _state(root, version=None):
+    return {(r["repo"], r["path"]): r["content_sha256"]
+            for r in sink.read_state(root, version).take_all()}
+
+
+def _want(events):
+    return {k: v["content_sha256"] for k, v in replay_oracle(events).items()}
+
+
+def _commit_windows(events, cuts):
+    lo = 0
+    for hi in cuts:
+        yield events.filter(pc.and_(pc.greater_equal(events["commit_seq"],
+                                                     lo),
+                                    pc.less(events["commit_seq"], hi)))
+        lo = hi
+
+
+def test_mor_multi_commit_matches_oracle_and_links_everything(tmp_path):
+    root = str(tmp_path / "state")
+    events = generate_events_local(CFG)
+    for w in _commit_windows(events, (1000, 2000, CFG.n_events)):
+        m = sink.apply_incremental_mor(root, ray.data.from_arrow(w),
+                                       num_buckets=8, num_partitions=4)
+    assert m.version == 3 and m.metrics["mode"] == "mor"
+    assert m.metrics["delta_rows"] > 0
+    assert _state(root) == _want(events)
+
+    # every file carried from v2 must be a hardlink (no data copied) and
+    # base bucket files must be untouched since v1 (commit IO ∝ batch)
+    v3 = os.path.join(root, "v0003")
+    base_files, delta_files = sink._split_base_delta(v3)
+    assert delta_files, "MOR commits must leave delta files"
+    assert all(os.stat(f).st_nlink >= 2 for f in base_files)
+    v1 = os.path.join(root, "v0001")
+    v1_inodes = {os.path.relpath(f, v1): os.stat(f).st_ino
+                 for f in sink._split_base_delta(v1)[0]}
+    for f in base_files:
+        assert os.stat(f).st_ino == v1_inodes[os.path.relpath(f, v3)]
+
+
+def test_mor_delete_costs_one_delta_row_not_a_bucket_rewrite(tmp_path):
+    root = str(tmp_path / "state")
+    events = generate_events_local(CFG)
+    sink.apply_incremental_mor(root, ray.data.from_arrow(events),
+                               num_buckets=8, num_partitions=4)
+    live = sink.read_state(root).take_all()
+    victim = sorted((r["repo"], r["path"]) for r in live)[0]
+    tomb = pa.table({
+        "repo": [victim[0]], "path": [victim[1]],
+        "commit": ["ctomb"], "lang": ["py"], "content": [""],
+        "op": ["delete"],
+        "commit_seq": pa.array([CFG.n_events + 1], type=pa.int64())})
+    m = sink.apply_incremental_mor(root, ray.data.from_arrow(tomb),
+                                   num_buckets=8, num_partitions=4)
+    assert m.metrics["delta_rows"] == 1
+    got = _state(root)
+    assert victim not in got
+    want = _want(events)
+    want.pop(victim)
+    assert got == want
+    # and the point lookup merges the tombstone too
+    assert sink.lookup_state(root, *victim).num_rows == 0
+    other = sorted(want)[0]
+    hit = sink.lookup_state(root, *other)
+    assert hit.num_rows == 1
+    assert hit.column("content_sha256")[0].as_py() == want[other]
+
+
+def test_mor_compaction_clears_deltas_and_preserves_state(tmp_path):
+    root = str(tmp_path / "state")
+    events = generate_events_local(CFG)
+    for w in _commit_windows(events, (1000, 2000, CFG.n_events)):
+        sink.apply_incremental_mor(root, ray.data.from_arrow(w),
+                                   num_buckets=8, num_partitions=4)
+    before = _state(root)
+    m = sink.compact_mor(root, num_partitions=4)
+    assert m.metrics["delta_files"] == 0 and m.metrics["delta_rows"] == 0
+    assert m.metrics["compacted_buckets"] >= 1
+    assert not sink._split_base_delta(
+        os.path.join(root, f"v{m.version:04d}"))[1]
+    assert _state(root) == before
+    # compacting a delta-free version is a no-op
+    assert sink.compact_mor(root).version == m.version
+    # time travel across the compaction boundary still merges deltas
+    assert _state(root, m.version - 1) == before
+
+
+def test_mor_rerun_is_noop_and_watermark_filters(tmp_path):
+    root = str(tmp_path / "state")
+    events = generate_events_local(CFG)
+    sink.apply_incremental_mor(root, ray.data.from_arrow(events),
+                               num_buckets=8, num_partitions=4)
+    before = _state(root)
+    m = sink.apply_incremental_mor(root, ray.data.from_arrow(events),
+                                   num_buckets=8, num_partitions=4)
+    assert m.version == 1
+    assert _state(root) == before
+
+
+def test_mor_schema_change_autocompacts_then_commits(tmp_path):
+    root = str(tmp_path / "state")
+    events = generate_events_local(CFG)
+    half = pc.less(events["commit_seq"], 1500)
+    sink.apply_incremental_mor(root,
+                               ray.data.from_arrow(events.filter(half)),
+                               num_buckets=8, num_partitions=4)
+    sink.apply_incremental_mor(
+        root,
+        ray.data.from_arrow(events.filter(pc.invert(half)).slice(0, 50)),
+        num_buckets=8, num_partitions=4)
+    assert sink.read_manifest(root).metrics["delta_files"] > 0
+
+    # new batch arrives with an ADDITIVE column: old-schema deltas must be
+    # folded first so the delta tree stays schema-uniform
+    rest = events.filter(pc.invert(half)).slice(50)
+    rest = rest.append_column("author",
+                              pa.array(["a"] * rest.num_rows))
+    m = sink.apply_incremental_mor(root, ray.data.from_arrow(rest),
+                                   num_buckets=8, num_partitions=4)
+    # versions: 1 (base), 2 (deltas), 3 (auto-compaction), 4 (new deltas)
+    assert m.version == 4
+    assert "author" in m.metrics["event_schema"]
+    got = {(r["repo"], r["path"]): (r["content_sha256"], r["author"])
+           for r in sink.read_state(root).take_all()}
+    want = replay_oracle(events)   # the three batches partition `events`
+    rest_keys = set(zip(rest.column("repo").to_pylist(),
+                        rest.column("path").to_pylist(),
+                        rest.column("commit_seq").to_pylist()))
+    for k, v in want.items():
+        author = "a" if (k[0], k[1], v["last_commit_seq"]) in rest_keys \
+            else None
+        assert got[k] == (v["content_sha256"], author)
+    assert set(got) == set(want)
+
+
+def test_compact_state_refuses_mor_layout(tmp_path):
+    import pytest
+    root = str(tmp_path / "state")
+    events = generate_events_local(CFG)
+    for w in _commit_windows(events, (1500, CFG.n_events)):
+        sink.apply_incremental_mor(root, ray.data.from_arrow(w),
+                                   num_buckets=8, num_partitions=4)
+    with pytest.raises(ValueError, match="compact_mor"):
+        sink.compact_state(root)
