@@ -163,6 +163,67 @@ def run_incremental() -> float:
     return time.time() - t0
 
 
+def run_trickle(mode: str) -> tuple[float, int, float]:
+    """Trickle micro-commits: one backfill + 8 tiny repo-local commits,
+    copy-on-write (``bucketed``) vs merge-on-read (``mor``). Returns
+    (commit_sec, fresh_bytes_written, read_sec): COW re-replays + rewrites
+    every touched bucket per commit (write amplification ∝ bucket size),
+    MOR appends event-sized delta files (∝ batch) and pays a merge at
+    read — fresh_bytes is the write-amplification signal, read_sec the
+    read-amplification price."""
+    import shutil
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from kettleray.gen.synthetic import EventGenConfig, generate_events
+    from kettleray.io import sink
+    root = f"/tmp/kettleray_bench/trickle_{mode}"
+    shutil.rmtree(root, ignore_errors=True)
+    n = max(200_000, N_SYNTH // 20)
+    cfg = EventGenConfig(n_events=n, n_repos=200, n_paths_per_repo=1000,
+                         p_delete=0.05, seed=49)
+    ev = generate_events(cfg, override_num_blocks=max(16, NUM_CPUS * 2))
+    cut = (n * 9) // 10
+    repos = pa.array([f"repo_{i}" for i in range(100, 104)])
+    apply_fn = (sink.apply_incremental_mor if mode == "mor"
+                else sink.apply_incremental_bucketed)
+    b1 = ev.map_batches(lambda b: b.filter(pc.less(b["commit_seq"], cut)),
+                        batch_format="pyarrow")
+    apply_fn(root, b1, num_buckets=64, bucket_cols=("repo",),
+             num_partitions=_num_partitions())
+    tail = ev.map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.greater_equal(b["commit_seq"], cut),
+            pc.is_in(b["repo"], value_set=repos))),
+        batch_format="pyarrow").materialize()
+    k = 8
+    step = (n - cut) // k
+    fresh_bytes = 0
+    t0 = time.time()
+    for i in range(k):
+        lo, hi = cut + i * step, (cut + (i + 1) * step if i < k - 1
+                                  else n)
+        w = tail.map_batches(
+            lambda b, lo=lo, hi=hi: b.filter(pc.and_(
+                pc.greater_equal(b["commit_seq"], lo),
+                pc.less(b["commit_seq"], hi))),
+            batch_format="pyarrow")
+        man = apply_fn(root, w, num_buckets=64, bucket_cols=("repo",),
+                       num_partitions=_num_partitions())
+        vdir = os.path.join(root, f"v{man.version:04d}")
+        for base, _, names in os.walk(vdir):
+            for f in names:
+                if not f.endswith(".parquet"):
+                    continue
+                st = os.stat(os.path.join(base, f))
+                if st.st_nlink == 1:        # written, not hardlinked
+                    fresh_bytes += st.st_size
+    commit_sec = time.time() - t0
+    t0 = time.time()
+    sink.read_state(root, num_partitions=_num_partitions()).count()
+    read_sec = time.time() - t0
+    return commit_sec, fresh_bytes, read_sec
+
+
 def run_ivm() -> tuple[float, float, float]:
     """Incremental view maintenance vs full recompute: build a bucketed
     state (backfill commit + repo-local micro-commit), then time the
@@ -276,6 +337,10 @@ def main() -> None:
     ivm_maintain, ivm_recompute, ivm_frac = run_ivm()
     queries["ivm_maintain"] = round(ivm_maintain, 2)
     queries["ivm_recompute"] = round(ivm_recompute, 2)
+    cow_sec, cow_bytes, cow_read = run_trickle("bucketed")
+    mor_sec, mor_bytes, mor_read = run_trickle("mor")
+    queries["trickle_commits_cow"] = round(cow_sec, 2)
+    queries["trickle_commits_mor"] = round(mor_sec, 2)
     total = round(time.time() - t_all, 2)
     print(json.dumps({
         "metric": "cdc_pipeline_suite_sec",
@@ -283,6 +348,10 @@ def main() -> None:
         "sf": SF_DIR, "num_cpus": NUM_CPUS,
         "events_per_sec": eps, "n_synthetic_events": n,
         "ivm_scanned_fraction": ivm_frac,
+        "trickle_fresh_bytes_cow": cow_bytes,
+        "trickle_fresh_bytes_mor": mor_bytes,
+        "trickle_read_sec_cow": round(cow_read, 2),
+        "trickle_read_sec_mor": round(mor_read, 2),
     }))
     ray.shutdown()
 

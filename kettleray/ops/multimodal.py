@@ -131,16 +131,21 @@ def extract_audio_features(ds, *, payload_col: str = "payload",
                           fn_constructor_args=(payload_col, mode))
 
 
-def synthetic_media_table(n: int, *, seed: int = 42) -> pa.Table:
-    """Deterministic fake media corpus for plumbing tests."""
+_KIND_FORMAT = {"image": "png", "audio": "wav", "video": "mp4"}
+
+
+def synthetic_media_table(n: int, *, seed: int = 42,
+                          kinds: tuple = ("image", "audio")) -> pa.Table:
+    """Deterministic fake media corpus for plumbing tests (payload bytes
+    depend only on (seed, row index), never on ``kinds``)."""
     rng = np.random.RandomState(seed)
     payloads = [rng.bytes(128 + int(i) % 512) for i in range(n)]
+    kind = [kinds[i % len(kinds)] for i in range(n)]
     return pa.table({
         "media_id": pa.array(np.arange(n, dtype=np.int64)),
-        "kind": pa.array(["image" if i % 2 == 0 else "audio"
-                          for i in range(n)], type=pa.string()),
-        "format": pa.array(["png" if i % 2 == 0 else "wav"
-                            for i in range(n)], type=pa.string()),
+        "kind": pa.array(kind, type=pa.string()),
+        "format": pa.array([_KIND_FORMAT[k] for k in kind],
+                           type=pa.string()),
         "payload": pa.array(payloads, type=pa.large_binary()),
         "meta_json": pa.array(["{}"] * n, type=pa.string()),
     })

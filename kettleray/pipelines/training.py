@@ -376,6 +376,75 @@ def multimodal_oracle_sql() -> str:
             ") AS t(media_id, width, height, mean_intensity)")
 
 
+def q_multimodal_audio(sf_dir):
+    """Audio branch of the media pipeline: kind-routed actor-pool feature
+    extraction (duration + rms; fake decode — no soundfile/librosa in
+    this container, plumbing real)."""
+    import hashlib  # noqa: F401  (oracle twin below)
+    from kettleray.ops import multimodal
+    configure_ray_data()
+    media = ray.data.from_arrow(multimodal.synthetic_media_table(200))
+    auds = media.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "audio")),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return multimodal.extract_audio_features(auds, mode="fake") \
+        .select_columns(["media_id", "duration_s", "rms"])
+
+
+def multimodal_audio_oracle_sql() -> str:
+    """Golden oracle for the fake-decode audio stage, same scheme as the
+    image one: local sequential recompute embedded as VALUES."""
+    import hashlib
+    from kettleray.ops import multimodal
+    t = multimodal.synthetic_media_table(200)
+    rows = []
+    for mid, kind, p in zip(t["media_id"].to_pylist(),
+                            t["kind"].to_pylist(),
+                            t["payload"].to_pylist()):
+        if kind != "audio":
+            continue
+        h = hashlib.blake2b(p, digest_size=8).digest()
+        rows.append(f"({mid}, {round(0.5 + h[0] / 16.0, 3)!r}, "
+                    f"{round(h[1] / 255.0, 6)!r})")
+    return ("SELECT CAST(media_id AS BIGINT) AS media_id, "
+            "CAST(duration_s AS DOUBLE) AS duration_s, "
+            "CAST(rms AS DOUBLE) AS rms "
+            "FROM (VALUES " + ", ".join(rows) +
+            ") AS t(media_id, duration_s, rms)")
+
+
+def q_multimodal_video_frames(sf_dir):
+    """Video frame sampling: 1→N expansion through a byte-bounded
+    actor pool; the oracle value-checks the expansion (frame indices +
+    timestamps per media_id), leaving the opaque frame bytes out."""
+    from kettleray.ops import multimodal
+    configure_ray_data()
+    media = ray.data.from_arrow(
+        multimodal.synthetic_media_table(120, kinds=("video",)))
+    return multimodal.sample_video_frames(media, k=4, mode="fake") \
+        .select_columns(["media_id", "frame_idx", "ts_s"])
+
+
+def multimodal_video_oracle_sql() -> str:
+    import hashlib
+    from kettleray.ops import multimodal
+    t = multimodal.synthetic_media_table(120, kinds=("video",))
+    rows = []
+    for mid, p in zip(t["media_id"].to_pylist(),
+                      t["payload"].to_pylist()):
+        h = hashlib.blake2b(p, digest_size=16).digest()
+        n_frames = 8 + h[0] % 56
+        fps = 8.0 + h[1] % 23
+        step = max(n_frames // 4, 1)
+        for fr in range(0, n_frames, step)[:4]:
+            rows.append(f"({mid}, {fr}, {round(fr / fps, 4)!r})")
+    return ("SELECT CAST(media_id AS BIGINT) AS media_id, "
+            "CAST(frame_idx AS BIGINT) AS frame_idx, "
+            "CAST(ts_s AS DOUBLE) AS ts_s "
+            "FROM (VALUES " + ", ".join(rows) +
+            ") AS t(media_id, frame_idx, ts_s)")
+
+
 def lang_id_oracle_sql() -> str:
     """Generate the lang_id DuckDB oracle from the SAME stopword table
     and token pattern the LangId actor uses. Voting semantics: languages
@@ -491,6 +560,8 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh_topk": q_ann_lsh_topk,
     "multimodal_image_features": q_multimodal_image,
+    "multimodal_audio_features": q_multimodal_audio,
+    "multimodal_video_frames": q_multimodal_video_frames,
 }
 
 ORACLES = {
@@ -640,6 +711,8 @@ ORACLES = {
 
 ORACLES["lang_id"] = lang_id_oracle_sql()
 ORACLES["multimodal_image_features"] = multimodal_oracle_sql()
+ORACLES["multimodal_audio_features"] = multimodal_audio_oracle_sql()
+ORACLES["multimodal_video_frames"] = multimodal_video_oracle_sql()
 
 ORACLES["bigram_counts"] = r"""
 WITH ws AS (SELECT regexp_split_to_array(
