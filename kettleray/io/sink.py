@@ -75,6 +75,54 @@ def read_manifest(root: str, version: int | None = None) -> Manifest | None:
         return Manifest.from_json(f.read())
 
 
+def _check_layout_stable(man: "Manifest | None", num_buckets: int,
+                         bucket_cols: tuple) -> None:
+    """The bucketed layouts rely on every commit using the SAME bucket
+    function: changing num_buckets or bucket_cols mid-table would make
+    touched-bucket discovery (COW) and the co-partitioned read merge
+    (MOR) silently wrong. Fail loudly instead."""
+    if man is None:
+        return
+    snb = man.metrics.get("num_buckets")
+    if snb is not None and int(snb) != int(num_buckets):
+        raise ValueError(
+            f"state was committed with num_buckets={snb}; re-bucketing to "
+            f"{num_buckets} requires a full rewrite (read_state + fresh "
+            f"root), not an incremental commit")
+    sbc = man.metrics.get("bucket_cols")
+    if sbc is not None and tuple(sbc) != tuple(bucket_cols):
+        raise ValueError(
+            f"state was committed with bucket_cols={tuple(sbc)}; "
+            f"got {tuple(bucket_cols)}")
+
+
+def _fresh_stats(fresh: "ray.data.Dataset",
+                 ) -> tuple[int, int | None, set[int]]:
+    """(row count, max commit_seq, touched bucket set) of a materialized
+    fresh-event dataset in ONE map-only pass — per-block partials pulled
+    to the driver are ≤(1 row + num_buckets ints) per block. The naive
+    alternative (`fresh.count()` + `fresh.max()` + a touched-bucket scan)
+    costs three driver jobs per micro-commit, one with a hash-aggregate
+    actor pool — fixed latency that dominates trickle commits."""
+    import pyarrow.compute as pc
+
+    def _s(t: pa.Table) -> pa.Table:
+        mx = pc.max(t["commit_seq"]).as_py() if t.num_rows else None
+        bk = (pc.unique(t["bucket"]).to_pylist()
+              if "bucket" in t.column_names else [])
+        return pa.table({
+            "n": pa.array([t.num_rows], type=pa.int64()),
+            "mx": pa.array([mx], type=pa.int64()),
+            "buckets": pa.array([bk], type=pa.list_(pa.int64()))})
+
+    rows = fresh.map_batches(_s, batch_format="pyarrow", batch_size=None,
+                             zero_copy_batch=True).take_all()
+    total = sum(r["n"] for r in rows)
+    seqs = [r["mx"] for r in rows if r["mx"] is not None]
+    touched = {b for r in rows for b in (r["buckets"] or [])}
+    return total, (max(seqs) if seqs else None), touched
+
+
 def _state_rows_as_events(b: pa.Table) -> pa.Table:
     """Re-shape committed state rows as pseudo insert events so they can
     union with a fresh event batch ahead of an LWW replay."""
@@ -125,27 +173,74 @@ def read_state(root: str, version: int | None = None, *,
     base_files, delta_files = _split_base_delta(vdir)
     if not delta_files:
         return ray.data.read_parquet(_parquet_files(vdir))
-    man = read_manifest(root, v)
-    nb = int(man.metrics.get("num_buckets", 64)) if man else 64
-    base = ray.data.read_parquet(base_files) if base_files else None
-    deltas = ray.data.read_parquet(delta_files).map_batches(
-        lambda b: b.drop_columns(
-            [c for c in ("bucket",) if c in b.column_names]),
-        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-    if base is not None:
-        pseudo = base.map_batches(_state_rows_as_events,
-                                  batch_format="pyarrow", batch_size=None)
-        from kettleray.ops.cdc import evolve_to_schema, unify_event_schemas
-        target = unify_event_schemas(
-            [pseudo.schema().base_schema, deltas.schema().base_schema])
-        merged = evolve_to_schema(pseudo, target).union(
-            evolve_to_schema(deltas, target))
-    else:
-        merged = deltas
-    final = cdc.replay_lww(merged, num_partitions=num_partitions)
-    bc = tuple(man.metrics.get("bucket_cols", ("repo", "path"))) \
-        if man else ("repo", "path")
-    return add_bucket_column(final, nb, bucket_cols=bc)
+
+    # Merge-on-read: base and deltas were BUCKETED BY THE SAME KEY
+    # FUNCTION (the writers enforce num_buckets/bucket_cols stability),
+    # so every key's base row and delta events live in ONE bucket — the
+    # merge is a zero-shuffle per-bucket map task, never an all-to-all
+    # exchange. num_partitions is unused here (kept for signature
+    # stability); parallelism = one task per bucket.
+    def _bname(f: str) -> str:
+        return os.path.basename(os.path.dirname(f))
+
+    groups: dict[str, dict] = {}
+    for f in base_files:
+        groups.setdefault(_bname(f), {"base": [], "delta": []})[
+            "base"].append(f)
+    for f in delta_files:
+        groups.setdefault(_bname(f), {"base": [], "delta": []})[
+            "delta"].append(f)
+    items = [{"bucket": int(name.split("=", 1)[1]),
+              "base": g["base"], "delta": g["delta"]}
+             for name, g in sorted(groups.items())]
+
+    # one state-target schema across all tasks (delta-holding buckets
+    # gain evolved columns; delta-free buckets must null-backfill them)
+    ev_schemas = []
+    if base_files:
+        ev_schemas.append(_state_rows_as_events(
+            pq.read_schema(base_files[0]).empty_table()).schema)
+    dsch = pq.read_schema(delta_files[0])
+    if dsch.get_field_index("bucket") >= 0:
+        dsch = dsch.remove(dsch.get_field_index("bucket"))
+    ev_schemas.append(dsch)
+    from kettleray.ops.cdc import unify_event_schemas
+    target_ev = unify_event_schemas(ev_schemas)
+    state_sch = cdc.finalize_state_table(
+        target_ev.empty_table()).schema.append(
+        pa.field("bucket", pa.int64()))
+
+    def _merge_bucket(t: pa.Table) -> pa.Table:
+        outs = []
+        for i in range(t.num_rows):
+            bkt = t["bucket"][i].as_py()
+            bf = t["base"][i].as_py()
+            df = t["delta"][i].as_py()
+            base_t = pa.concat_tables(
+                [pq.read_table(f) for f in bf],
+                promote_options="permissive") if bf else None
+            if not df:
+                outs.append(cdc.conform_table(base_t, state_sch))
+                continue
+            parts = []
+            if base_t is not None and base_t.num_rows:
+                parts.append(_state_rows_as_events(base_t))
+            for f in df:
+                dt = pq.read_table(f)
+                if "bucket" in dt.column_names:
+                    dt = dt.drop_columns(["bucket"])
+                parts.append(dt)
+            merged = pa.concat_tables(parts, promote_options="permissive")
+            win = cdc.finalize_state_table(cdc.lww_reduce_table(merged))
+            win = win.append_column(
+                "bucket", pa.array([bkt] * win.num_rows, type=pa.int64()))
+            outs.append(cdc.conform_table(win, state_sch))
+        return pa.concat_tables(outs) if outs \
+            else state_sch.empty_table()
+
+    return ray.data.from_items(
+        items, override_num_blocks=len(items)).map_batches(
+        _merge_bucket, batch_format="pyarrow", batch_size=None)
 
 
 def lookup_state(root: str, repo: str, path: str, *,
@@ -363,6 +458,7 @@ def apply_incremental_bucketed(root: str, events: "ray.data.Dataset", *,
     import pyarrow.compute as pc
 
     man = read_manifest(root)
+    _check_layout_stable(man, num_buckets, bucket_cols)
     wm = man.watermark if man else -1
 
     def _above(b):
@@ -372,7 +468,8 @@ def apply_incremental_bucketed(root: str, events: "ray.data.Dataset", *,
                                batch_size=None, zero_copy_batch=True)
     fresh = add_bucket_column(fresh, num_buckets,
                               bucket_cols=bucket_cols).materialize()
-    if fresh.count() == 0:
+    n_fresh, new_wm, touched_set = _fresh_stats(fresh)
+    if n_fresh == 0:
         if man is not None:
             return man
         # first-ever commit with nothing above the (empty) watermark:
@@ -383,14 +480,7 @@ def apply_incremental_bucketed(root: str, events: "ray.data.Dataset", *,
                         if c == "last_commit_seq" else pa.string())
             for c in cdc.FINAL_STATE_COLS}))
         return commit_state(empty_state, root, watermark=wm)
-    new_wm = int(fresh.max("commit_seq"))
-    # Touched-bucket set: per-block unique + driver union — a map-only
-    # stage over ≤num_buckets ints per block. (A groupby here would pay a
-    # full hash-shuffle + aggregator-actor spawn just to list ≤B values.)
-    touched = sorted({r["bucket"] for r in fresh.map_batches(
-        lambda t: pa.table({"bucket": pc.unique(t["bucket"])}),
-        batch_format="pyarrow", batch_size=None,
-        zero_copy_batch=True).take_all()})
+    touched = sorted(touched_set)
 
     prev_v = current_version(root)
     v = 1 if prev_v is None else prev_v + 1
@@ -514,6 +604,7 @@ def apply_incremental_mor(root: str, events: "ray.data.Dataset", *,
     from kettleray.ops.cdc import lww_reduce_table
 
     man = read_manifest(root)
+    _check_layout_stable(man, num_buckets, bucket_cols)
     wm = man.watermark if man else -1
 
     fresh = events.map_batches(
@@ -522,7 +613,8 @@ def apply_incremental_mor(root: str, events: "ray.data.Dataset", *,
         batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     fresh = add_bucket_column(fresh, num_buckets,
                               bucket_cols=bucket_cols).materialize()
-    if fresh.count() == 0:
+    n_fresh, new_wm, _ = _fresh_stats(fresh)
+    if n_fresh == 0:
         if man is not None:
             return man
         empty_state = ray.data.from_arrow(pa.table({
@@ -530,7 +622,6 @@ def apply_incremental_mor(root: str, events: "ray.data.Dataset", *,
                         if c == "last_commit_seq" else pa.string())
             for c in cdc.FINAL_STATE_COLS}))
         return commit_state(empty_state, root, watermark=wm)
-    new_wm = int(fresh.max("commit_seq"))
 
     prev_v = current_version(root)
     if prev_v is None:

@@ -818,32 +818,34 @@ _WIDENINGS = {
 }
 
 
+def conform_table(batch: pa.Table, target: pa.Schema) -> pa.Table:
+    """Table-level schema conform: missing columns backfilled null
+    (additive evolution), widening casts applied (int→float,
+    string→large_string…). Narrowing or incompatible casts raise."""
+    arrays = []
+    for field in target:
+        if field.name in batch.column_names:
+            col = batch[field.name]
+            if col.type != field.type:
+                if (col.type, field.type) not in _WIDENINGS and not (
+                        pa.types.is_integer(col.type)
+                        and pa.types.is_floating(field.type)):
+                    raise pa.ArrowInvalid(
+                        f"non-widening cast {col.type} -> {field.type} "
+                        f"for column {field.name}")
+                col = pc.cast(col, field.type)
+            arrays.append(col)
+        else:
+            arrays.append(pa.nulls(batch.num_rows, type=field.type))
+    return pa.Table.from_arrays(arrays, schema=target)
+
+
 def evolve_to_schema(ds: "ray.data.Dataset", target: pa.Schema,
                      ) -> "ray.data.Dataset":
     """≙ SelectValues metadata casts + getFields() recomputation: conform
-    batches to ``target`` — missing columns backfilled null (additive
-    evolution), widening casts applied (int→float, string→large_string…).
-    Narrowing or incompatible casts raise."""
-
-    def _conform(batch: pa.Table) -> pa.Table:
-        arrays = []
-        for field in target:
-            if field.name in batch.column_names:
-                col = batch[field.name]
-                if col.type != field.type:
-                    if (col.type, field.type) not in _WIDENINGS and not (
-                            pa.types.is_integer(col.type)
-                            and pa.types.is_floating(field.type)):
-                        raise pa.ArrowInvalid(
-                            f"non-widening cast {col.type} -> {field.type} "
-                            f"for column {field.name}")
-                    col = pc.cast(col, field.type)
-                arrays.append(col)
-            else:
-                arrays.append(pa.nulls(batch.num_rows, type=field.type))
-        return pa.Table.from_arrays(arrays, schema=target)
-
-    return ds.map_batches(_conform, batch_format="pyarrow",
+    batches to ``target`` (see ``conform_table``)."""
+    return ds.map_batches(lambda b: conform_table(b, target),
+                          batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=None)
 
 

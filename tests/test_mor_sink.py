@@ -161,3 +161,19 @@ def test_compact_state_refuses_mor_layout(tmp_path):
                                    num_buckets=8, num_partitions=4)
     with pytest.raises(ValueError, match="compact_mor"):
         sink.compact_state(root)
+
+
+def test_layout_change_across_commits_is_refused(tmp_path):
+    import pytest
+    events = generate_events_local(CFG)
+    for mode, fn in (("mor", sink.apply_incremental_mor),
+                     ("cow", sink.apply_incremental_bucketed)):
+        root = str(tmp_path / mode)
+        fn(root, ray.data.from_arrow(events), num_buckets=8,
+           num_partitions=4)
+        with pytest.raises(ValueError, match="num_buckets"):
+            fn(root, ray.data.from_arrow(events), num_buckets=16,
+               num_partitions=4)
+        with pytest.raises(ValueError, match="bucket_cols"):
+            fn(root, ray.data.from_arrow(events), num_buckets=8,
+               bucket_cols=("repo",), num_partitions=4)
