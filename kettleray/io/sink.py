@@ -133,6 +133,30 @@ def _state_rows_as_events(b: pa.Table) -> pa.Table:
     return b.append_column("op", pa.array(["insert"] * b.num_rows))
 
 
+def merged_bucket_state(base_files: list[str],
+                        delta_files: list[str]) -> pa.Table:
+    """One bucket's merged state rows: base rows LWW-merged with its
+    delta events (merge-on-read), tombstone winners dropped. Runs inside
+    a task — base and deltas are co-partitioned by the bucket function,
+    so no key ever needs another bucket's files. With no deltas the base
+    is returned as-is (bucket column included, if stored)."""
+    base_t = pa.concat_tables(
+        [pq.read_table(f) for f in base_files],
+        promote_options="permissive") if base_files else None
+    if not delta_files:
+        return base_t if base_t is not None else pa.table({})
+    parts = []
+    if base_t is not None and base_t.num_rows:
+        parts.append(_state_rows_as_events(base_t))
+    for f in delta_files:
+        dt = pq.read_table(f)
+        if "bucket" in dt.column_names:
+            dt = dt.drop_columns(["bucket"])
+        parts.append(dt)
+    merged = pa.concat_tables(parts, promote_options="permissive")
+    return cdc.finalize_state_table(cdc.lww_reduce_table(merged))
+
+
 def _parquet_files(vdir: str) -> list[str]:
     out = []
     for base, _, names in os.walk(vdir):
@@ -206,9 +230,11 @@ def read_state(root: str, version: int | None = None, *,
     ev_schemas.append(dsch)
     from kettleray.ops.cdc import unify_event_schemas
     target_ev = unify_event_schemas(ev_schemas)
+    # bucket rides as STRING to match the hive-path inference the plain
+    # (delta-free) read path produces — identical reader schema per layout
     state_sch = cdc.finalize_state_table(
         target_ev.empty_table()).schema.append(
-        pa.field("bucket", pa.int64()))
+        pa.field("bucket", pa.string()))
 
     def _merge_bucket(t: pa.Table) -> pa.Table:
         outs = []
@@ -216,24 +242,11 @@ def read_state(root: str, version: int | None = None, *,
             bkt = t["bucket"][i].as_py()
             bf = t["base"][i].as_py()
             df = t["delta"][i].as_py()
-            base_t = pa.concat_tables(
-                [pq.read_table(f) for f in bf],
-                promote_options="permissive") if bf else None
-            if not df:
-                outs.append(cdc.conform_table(base_t, state_sch))
-                continue
-            parts = []
-            if base_t is not None and base_t.num_rows:
-                parts.append(_state_rows_as_events(base_t))
-            for f in df:
-                dt = pq.read_table(f)
-                if "bucket" in dt.column_names:
-                    dt = dt.drop_columns(["bucket"])
-                parts.append(dt)
-            merged = pa.concat_tables(parts, promote_options="permissive")
-            win = cdc.finalize_state_table(cdc.lww_reduce_table(merged))
-            win = win.append_column(
-                "bucket", pa.array([bkt] * win.num_rows, type=pa.int64()))
+            win = merged_bucket_state(bf, df)
+            if "bucket" not in win.column_names:
+                win = win.append_column(
+                    "bucket",
+                    pa.array([str(bkt)] * win.num_rows, type=pa.string()))
             outs.append(cdc.conform_table(win, state_sch))
         return pa.concat_tables(outs) if outs \
             else state_sch.empty_table()
@@ -284,12 +297,9 @@ def lookup_state(root: str, repo: str, path: str, *,
             base_t.drop_columns([c for c in ("bucket",)
                                  if c in base_t.column_names])))
     merged = pa.concat_tables(ev, promote_options="permissive")
-    win = cdc.finalize_state_table(cdc.lww_reduce_table(merged))
-    if win.num_rows and nb is not None:
-        bc = tuple(man.metrics.get("bucket_cols", ("repo", "path")))
-        win = win.append_column(
-            "bucket", pa.array(cdc.stable_key_buckets(win, bc, int(nb))))
-    return win
+    # no bucket column on purpose: raw-file point reads don't infer the
+    # hive partition either, so both layouts return the same schema
+    return cdc.finalize_state_table(cdc.lww_reduce_table(merged))
 
 
 def commit_state(ds: "ray.data.Dataset", root: str, *, watermark: int,

@@ -5,7 +5,10 @@ A grouped algebraic aggregate decomposes over the bucket partition:
 ``io.sink.apply_incremental_bucketed`` rewrites ONLY the buckets a commit
 touches and hardlinks the rest — so view maintenance can reuse every
 untouched bucket's cached partial (hardlinked forward exactly like the
-data files) and recompute only the touched ones. Maintenance cost per
+data files) and recompute only the touched ones. Merge-on-read layouts
+(``apply_incremental_mor``) work too: a bucket's identity includes its
+delta files, and delta-holding buckets aggregate the MERGED state in one
+co-partitioned task each (same zero-shuffle shape as sink.read_state). Maintenance cost per
 commit is proportional to the TOUCHED buckets, not the table: the classic
 self-maintainable-view property for count/sum/min/max
 (≙ what Kettle pipelines rebuild with a full Group By after every load;
@@ -161,6 +164,8 @@ def ensure_partials(root: str, view_id: str, group_cols: Sequence[str],
     os.makedirs(stage)
 
     buckets = _bucket_dirs(vdir)
+    deltas = (_bucket_dirs(os.path.join(vdir, "delta"))
+              if os.path.isdir(os.path.join(vdir, "delta")) else {})
     pv = _prev_cached_version(root, view_id, v)
     prev_vdir = _sink._version_dir(root, pv) if pv is not None else None
     prev_cache = (_cache_dir(root, view_id, pv)
@@ -170,27 +175,51 @@ def ensure_partials(root: str, view_id: str, group_cols: Sequence[str],
             if json.load(f) != spec:
                 prev_cache = prev_vdir = None
 
+    def _identity(base_vdir, bname):
+        """Combined base+delta file identity of one bucket (merge-on-read
+        deltas count as bucket content: a new delta invalidates the
+        cached partial exactly like a COW rewrite would)."""
+        ident = []
+        bdir = os.path.join(base_vdir, bname)
+        if os.path.isdir(bdir):
+            ident += _file_identity(bdir)
+        ddir = os.path.join(base_vdir, "delta", bname)
+        if os.path.isdir(ddir):
+            ident += [("delta", *e) for e in _file_identity(ddir)]
+        return ident
+
     changed_files: list[str] = []
+    mor_items: list[dict] = []
+    scanned_mor_bytes = 0
     reused = 0
-    for bname, bdir in buckets.items():
-        prev_bdir = (os.path.join(prev_vdir, bname)
-                     if prev_vdir is not None else None)
+    for bname in sorted(set(buckets) | set(deltas)):
         prev_partial = (os.path.join(prev_cache, bname)
                         if prev_cache is not None else None)
-        if (prev_bdir is not None and os.path.isdir(prev_bdir)
-                and prev_partial is not None
+        if (prev_vdir is not None and prev_partial is not None
                 and os.path.isdir(prev_partial)
-                and _file_identity(bdir) == _file_identity(prev_bdir)):
+                and _identity(vdir, bname) == _identity(prev_vdir, bname)):
             # untouched bucket: hardlink its cached partial forward
             os.makedirs(os.path.join(stage, bname))
             for f in sorted(os.listdir(prev_partial)):
                 os.link(os.path.join(prev_partial, f),
                         os.path.join(stage, bname, f))
             reused += 1
-        else:
+        elif bname not in deltas:
+            bdir = buckets[bname]
             changed_files.extend(
                 os.path.join(bdir, f) for f in sorted(os.listdir(bdir))
                 if f.endswith(".parquet"))
+        else:
+            # delta-holding bucket: the partial must aggregate the MERGED
+            # state (base ∪ deltas LWW), one co-partitioned task per
+            # bucket — same zero-shuffle shape as sink.read_state
+            bf = (_sink._parquet_files(buckets[bname])
+                  if bname in buckets else [])
+            df = _sink._parquet_files(deltas[bname])
+            scanned_mor_bytes += sum(os.path.getsize(f)
+                                     for f in (*bf, *df))
+            mor_items.append({"bucket": bname.split("=", 1)[1],
+                              "base": bf, "delta": df})
 
     if changed_files:
         # one distributed pass over ONLY the changed buckets: per-block
@@ -229,11 +258,32 @@ def ensure_partials(root: str, view_id: str, group_cols: Sequence[str],
                                  batch_size=None, zero_copy_batch=True))
         partials.write_parquet(stage, partition_cols=["bucket"])
 
+    if mor_items:
+        def _mor_partial(t: pa.Table) -> pa.Table:
+            outs = []
+            for i in range(t.num_rows):
+                st = _sink.merged_bucket_state(t["base"][i].as_py(),
+                                               t["delta"][i].as_py())
+                st = st.append_column(
+                    "bucket", pa.array([t["bucket"][i].as_py()]
+                                       * st.num_rows, type=pa.string()))
+                d = _derive_values(st, group_cols, aggs,
+                                   extra_cols=("bucket",))
+                outs.append(_group_table(d, ["bucket", *group_cols],
+                                         aggs, _BLOCK_FN))
+            return pa.concat_tables(outs)
+
+        mor_partials = ray.data.from_items(
+            mor_items, override_num_blocks=len(mor_items)).map_batches(
+            _mor_partial, batch_format="pyarrow", batch_size=None)
+        mor_partials.write_parquet(stage, partition_cols=["bucket"])
+
     with open(os.path.join(stage, "spec.json"), "w") as f:
         json.dump(spec, f)
-    scanned_bytes = sum(os.path.getsize(f) for f in changed_files)
+    scanned_bytes = sum(os.path.getsize(f)
+                        for f in changed_files) + scanned_mor_bytes
     total_bytes = sum(os.path.getsize(os.path.join(d, f))
-                      for d in buckets.values()
+                      for d in (*buckets.values(), *deltas.values())
                       for f in os.listdir(d) if f.endswith(".parquet"))
     with open(os.path.join(stage, "_metrics.json"), "w") as f:
         json.dump({"buckets": len(buckets), "reused_partials": reused,
@@ -310,7 +360,8 @@ def recompute_view(root: str, group_cols: Sequence[str],
     (group count is view-sized, so no hash-aggregate pool is needed)."""
     aggs = _norm_aggs(aggs)
     v = version if version is not None else _sink.current_version(root)
-    files = _sink._parquet_files(_sink._version_dir(root, v))
+    vdir = _sink._version_dir(root, v)
+    base_files, delta_files = _sink._split_base_delta(vdir)
     cols = None
     if read_columns is not None:
         cols = list(dict.fromkeys([*group_cols, *read_columns]))
@@ -325,6 +376,13 @@ def recompute_view(root: str, group_cols: Sequence[str],
     def _block_partial(t: pa.Table) -> pa.Table:
         return _group_table(_project(t), group_cols, aggs, _BLOCK_FN)
 
-    ds = ray.data.read_parquet(files, columns=cols).map_batches(
-        _block_partial, batch_format="pyarrow", batch_size=None)
+    if delta_files:
+        # merge-on-read layout: aggregate the MERGED state (raw files
+        # would mix state rows with event-shaped deltas); column pruning
+        # can't push below the merge — acceptable for a reference path
+        ds = _sink.read_state(root, v)
+    else:
+        ds = ray.data.read_parquet(base_files, columns=cols)
+    ds = ds.map_batches(_block_partial, batch_format="pyarrow",
+                        batch_size=None)
     return _merge_partials_dataset(ds, group_cols, aggs)

@@ -248,3 +248,78 @@ class TestWatermarkRouting:
         late = ray.data.read_parquet(qdir)
         assert sorted(r["commit_seq"] for r in late.take_all()) == [5, 10]
         assert "route" not in late.schema().names
+
+
+class TestMorView:
+    def test_view_over_mor_deltas_matches_recompute_and_reuses(
+            self, tmp_path):
+        root = str(tmp_path / "state")
+        base = [_row(f"r{i % 7}", f"f{i}.py", i) for i in range(1, 101)]
+        sink.apply_incremental_mor(root, _ev(base), num_buckets=16,
+                                   num_partitions=4)
+        v1 = _sorted(ivm.read_view(root, "mv", ["repo"], AGGS,
+                                   read_columns=["content",
+                                                 "last_commit_seq"]))
+        assert v1 == _sorted(ivm.recompute_view(
+            root, ["repo"], AGGS,
+            read_columns=["content", "last_commit_seq"]))
+
+        # micro-commit: update 2 keys of one repo + delete one key of
+        # another — lands as DELTA files, no bucket rewrite
+        mb = [_row("r1", "f1.py", 200, content="XXXL"),
+              _row("r1", "f8.py", 201, content="Y"),
+              _row("r2", "f2.py", 202, op="delete")]
+        m = sink.apply_incremental_mor(root, _ev(mb), num_buckets=16,
+                                       num_partitions=4)
+        assert m.metrics["delta_rows"] == 3
+        v2 = _sorted(ivm.read_view(root, "mv", ["repo"], AGGS,
+                                   read_columns=["content",
+                                                 "last_commit_seq"]))
+        r2 = _sorted(ivm.recompute_view(
+            root, ["repo"], AGGS,
+            read_columns=["content", "last_commit_seq"]))
+        assert v2 == r2
+        assert v2 != v1          # the commit changed r1/r2 aggregates
+        met = ivm.partials_metrics(root, "mv")
+        # only the delta-holding buckets were rescanned
+        assert met["reused_partials"] >= 13
+        assert met["scanned_bytes"] < met["state_bytes"]
+
+        # untouched partials are the SAME inodes as v1's cache
+        c1 = ivm._cache_dir(root, "mv", 1)
+        c2 = ivm._cache_dir(root, "mv", 2)
+        shared = 0
+        for bname in os.listdir(c2):
+            if not bname.startswith("bucket="):
+                continue
+            p1 = os.path.join(c1, bname)
+            if not os.path.isdir(p1):
+                continue
+            i1 = {f: os.stat(os.path.join(p1, f)).st_ino
+                  for f in os.listdir(p1)}
+            for f, ino in ((f, os.stat(os.path.join(c2, bname, f)).st_ino)
+                           for f in os.listdir(os.path.join(c2, bname))):
+                if i1.get(f) == ino:
+                    shared += 1
+        assert shared > 0
+
+    def test_view_survives_mor_compaction(self, tmp_path):
+        root = str(tmp_path / "state")
+        base = [_row(f"r{i % 5}", f"f{i}.py", i) for i in range(1, 61)]
+        sink.apply_incremental_mor(root, _ev(base), num_buckets=8,
+                                   num_partitions=4)
+        mb = [_row("r0", "f5.py", 100, content="ZZ"),
+              _row("r3", "f3.py", 101, op="delete")]
+        sink.apply_incremental_mor(root, _ev(mb), num_buckets=8,
+                                   num_partitions=4)
+        before = _sorted(ivm.read_view(root, "cv", ["repo"], AGGS,
+                                       read_columns=["content",
+                                                     "last_commit_seq"]))
+        sink.compact_mor(root, num_partitions=4)
+        after = _sorted(ivm.read_view(root, "cv", ["repo"], AGGS,
+                                      read_columns=["content",
+                                                    "last_commit_seq"]))
+        assert after == before
+        assert after == _sorted(ivm.recompute_view(
+            root, ["repo"], AGGS,
+            read_columns=["content", "last_commit_seq"]))
