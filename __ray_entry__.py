@@ -210,6 +210,31 @@ def q_cdc_mor_state(sf_dir: str):
     return sink.read_state(root).drop_columns(["bucket"])
 
 
+def q_cdc_changefeed(sf_dir: str):
+    """Change data feed (table → binlog direction): two MOR commits,
+    then read_changes(v1, v2) — per-key new/changed/deleted/identical
+    flags derived from the sink's own version history with unchanged
+    buckets skipped by file identity. Oracle = FULL OUTER JOIN of the
+    two replayed snapshots (same shape as cdc_diff_snapshots)."""
+    import shutil
+    import tempfile
+    import pyarrow.compute as pc
+    from kettleray.io import sink
+    root = tempfile.mkdtemp(prefix="kr_cdf_state_")
+    shutil.rmtree(root, ignore_errors=True)
+    ev = _events(sf_dir)
+    cut = 1_500_000
+    b1 = ev.map_batches(lambda b: b.filter(pc.less(b["commit_seq"], cut)),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    sink.apply_incremental_mor(root, b1, num_buckets=16,
+                               num_partitions=_NUM_PARTITIONS)
+    sink.apply_incremental_mor(root, ev, num_buckets=16,
+                               num_partitions=_NUM_PARTITIONS)
+    ch = sink.read_changes(root, 1, 2, include_identical=True)
+    return ch.select_columns(["repo", "path", "content_sha256",
+                              "change_type"])
+
+
 def q_cdc_streaming_state(sf_dir: str):
     """Micro-batch streaming ingest (shard actors, hash-routed) over
     three event windows; the snapshot must equal batch replay."""
@@ -354,6 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_scd2_surrogate": q_cdc_scd2_surrogate,
         "cdc_bucketed_state": q_cdc_bucketed_state,
         "cdc_mor_state": q_cdc_mor_state,
+        "cdc_changefeed": q_cdc_changefeed,
         "cdc_streaming_state": q_cdc_streaming_state,
         "cdc_sync_roundtrip": q_cdc_sync_roundtrip,
         "cdc_shuffled_arrival": q_cdc_shuffled_arrival,
@@ -440,6 +466,25 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
         "cdc_mor_state":
             f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
+        "cdc_changefeed": (
+            f"WITH {ev}, "
+            "r1 AS (SELECT *, row_number() OVER (PARTITION BY repo, path "
+            'ORDER BY commit_seq DESC, "commit" DESC) AS rn FROM ev '
+            "WHERE commit_seq < 1500000), "
+            "s1 AS (SELECT repo, path, sha256(content) AS content_sha256 "
+            "FROM r1 WHERE rn = 1 AND op <> 'delete'), "
+            "r2 AS (SELECT *, row_number() OVER (PARTITION BY repo, path "
+            'ORDER BY commit_seq DESC, "commit" DESC) AS rn FROM ev), '
+            "s2 AS (SELECT repo, path, sha256(content) AS content_sha256 "
+            "FROM r2 WHERE rn = 1 AND op <> 'delete') "
+            "SELECT repo, path, "
+            "COALESCE(s2.content_sha256, s1.content_sha256) AS "
+            "content_sha256, "
+            "CASE WHEN s1.content_sha256 IS NULL THEN 'new' "
+            "WHEN s2.content_sha256 IS NULL THEN 'deleted' "
+            "WHEN s1.content_sha256 = s2.content_sha256 THEN 'identical' "
+            "ELSE 'changed' END AS change_type "
+            "FROM s1 FULL OUTER JOIN s2 USING (repo, path)"),
         "cdc_streaming_state":
             f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
         "cdc_sync_roundtrip":

@@ -832,6 +832,107 @@ def compact_mor(root: str, *, num_partitions: int = 16) -> Manifest:
     return man2
 
 
+def read_changes(root: str, from_version: int,
+                 to_version: int | None = None, *,
+                 include_identical: bool = False) -> "ray.data.Dataset":
+    """Change data feed (the table → binlog direction, ≙ Delta CDF /
+    Merge Rows over the sink's own history): one flagged row per key
+    that differs between two committed versions — 'new' / 'changed'
+    (compare-side row) / 'deleted' (reference-side row).
+
+    Scale shape: both versions share the bucket function, so (1) buckets
+    whose base+delta file identity is UNCHANGED between the versions are
+    skipped without opening a file (hardlink inode equality — the
+    overwhelming majority under trickle commits), and (2) each changed
+    bucket diffs independently in one co-partitioned task — no shuffle.
+    Works across COW and MOR versions (deltas are merged per side first).
+    """
+    v2 = to_version if to_version is not None else current_version(root)
+    if v2 is None:
+        raise FileNotFoundError(f"no committed state under {root}")
+    d1, d2 = _version_dir(root, from_version), _version_dir(root, v2)
+    for d, v in ((d1, from_version), (d2, v2)):
+        if not os.path.isdir(d):
+            raise FileNotFoundError(
+                f"version {v} not found under {root} (GC'd?)")
+
+    def _bfiles(vdir: str) -> dict[str, dict[str, list[str]]]:
+        out: dict[str, dict[str, list[str]]] = {}
+        base, delta = _split_base_delta(vdir)
+        for f in base:
+            name = os.path.basename(os.path.dirname(f))
+            out.setdefault(name, {"base": [], "delta": []})[
+                "base"].append(f)
+        for f in delta:
+            name = os.path.basename(os.path.dirname(f))
+            out.setdefault(name, {"base": [], "delta": []})[
+                "delta"].append(f)
+        return out
+
+    g1, g2 = _bfiles(d1), _bfiles(d2)
+
+    def _ident(g: dict[str, list[str]] | None) -> list[tuple]:
+        if g is None:
+            return []
+        out = []
+        for kind in ("base", "delta"):
+            for f in g[kind]:
+                st = os.stat(f)
+                out.append((kind, os.path.basename(f), st.st_dev,
+                            st.st_ino))
+        return sorted(out)
+
+    items = []
+    for name in sorted(set(g1) | set(g2)):
+        e1, e2 = g1.get(name), g2.get(name)
+        # bucket untouched -> no changes; prunable without opening a
+        # file. include_identical must NOT prune (identical rows of
+        # untouched buckets are part of the requested feed).
+        if not include_identical and _ident(e1) == _ident(e2):
+            continue
+        items.append({
+            "base1": e1["base"] if e1 else [],
+            "delta1": e1["delta"] if e1 else [],
+            "base2": e2["base"] if e2 else [],
+            "delta2": e2["delta"] if e2 else []})
+
+    from kettleray.ops.cdc import classify_tagged_diff
+
+    def _diff_bucket(t: pa.Table) -> pa.Table:
+        outs = []
+        for i in range(t.num_rows):
+            old = merged_bucket_state(t["base1"][i].as_py(),
+                                      t["delta1"][i].as_py())
+            new = merged_bucket_state(t["base2"][i].as_py(),
+                                      t["delta2"][i].as_py())
+            parts = []
+            for side, tbl in ((0, old), (1, new)):
+                if tbl.num_rows:
+                    if "bucket" in tbl.column_names:
+                        tbl = tbl.drop_columns(["bucket"])
+                    parts.append(tbl.append_column(
+                        "__side",
+                        pa.array([side] * tbl.num_rows, type=pa.int8())))
+            if not parts:
+                continue
+            flagged = classify_tagged_diff(
+                pa.concat_tables(parts, promote_options="permissive"))
+            if not include_identical:
+                import pyarrow.compute as pc
+                flagged = flagged.filter(
+                    pc.not_equal(flagged["change_type"], "identical"))
+            outs.append(flagged)
+        if outs:
+            return pa.concat_tables(outs, promote_options="permissive")
+        return pa.table({})
+
+    if not items:
+        items = [{"base1": [], "delta1": [], "base2": [], "delta2": []}]
+    return ray.data.from_items(
+        items, override_num_blocks=len(items)).map_batches(
+        _diff_bucket, batch_format="pyarrow", batch_size=None)
+
+
 def gc_versions(root: str, *, keep_last: int = 2,
                 stage_min_age_s: float = 3600.0) -> list[int]:
     """Expire old state versions (a lake 'vacuum'): delete version dirs

@@ -621,50 +621,62 @@ def diff_snapshots(reference: "ray.data.Dataset", compare: "ray.data.Dataset",
     unioned = ref.union(cmp_).repartition(num_partitions, keys=list(keys))
 
     def _classify(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return (t.drop_columns(["__side"])
-                     .append_column(flag_col, pa.array([], type=pa.string())))
-        codes = _composite_key_codes(t, keys)
-        side = t["__side"].combine_chunks().to_numpy(zero_copy_only=False) \
-            if isinstance(t["__side"], pa.ChunkedArray) else \
-            t["__side"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((side, codes))
-        sk = codes[order]
-        n = len(sk)
-        run_start = np.empty(n, dtype=bool)
-        run_start[0] = True
-        run_start[1:] = sk[1:] != sk[:-1]
-        run_id = np.cumsum(run_start) - 1
-        run_len = np.bincount(run_id)
-        sha = t[value_col].combine_chunks() if isinstance(
-            t[value_col], pa.ChunkedArray) else t[value_col]
-        sha_np = sha.to_numpy(zero_copy_only=False)[order]
-        side_sorted = side[order]
-
-        flags = np.empty(n, dtype=object)
-        keep = np.zeros(n, dtype=bool)
-        lens = run_len[run_id]
-        # singletons: side 0 -> deleted (emit ref row); side 1 -> new.
-        single = lens == 1
-        keep |= single
-        flags[single & (side_sorted == 0)] = FLAG_DELETED
-        flags[single & (side_sorted == 1)] = FLAG_NEW
-        # pairs: compare value col; emit the compare-side (2nd) row.
-        pair_second = (lens == 2) & ~run_start  # second member of each pair
-        pair_first_idx = np.nonzero((lens == 2) & run_start)[0]
-        if len(pair_first_idx):
-            same = sha_np[pair_first_idx] == sha_np[pair_first_idx + 1]
-            keep[pair_first_idx + 1] = True
-            flags[pair_first_idx + 1] = np.where(same, FLAG_IDENTICAL,
-                                                 FLAG_CHANGED)
-        sel = order[keep]
-        out = t.take(pa.array(sel, type=pa.int64()))
-        out = out.append_column(flag_col,
-                                pa.array(flags[keep], type=pa.string()))
-        return out.drop_columns(["__side"])
+        return classify_tagged_diff(t, keys=keys, value_col=value_col,
+                                    flag_col=flag_col)
 
     return unioned.map_batches(_classify, batch_format="pyarrow",
                                batch_size=None, zero_copy_batch=True)
+
+
+def classify_tagged_diff(t: pa.Table, *, keys: Sequence[str] = KEY_COLS,
+                         value_col: str = "content_sha256",
+                         flag_col: str = "change_type") -> pa.Table:
+    """Vectorized diff classifier over a KEY-COMPLETE block of tagged
+    rows (``__side`` 0 = reference, 1 = compare; each key's ≤2 rows must
+    be co-located — after a key shuffle, or per co-partitioned bucket).
+    Emits one row per key flagged identical/changed/new/deleted (the
+    reference row for deletions, the compare row otherwise)."""
+    if t.num_rows == 0:
+        return (t.drop_columns(["__side"])
+                 .append_column(flag_col, pa.array([], type=pa.string())))
+    codes = _composite_key_codes(t, keys)
+    side = t["__side"].combine_chunks().to_numpy(zero_copy_only=False) \
+        if isinstance(t["__side"], pa.ChunkedArray) else \
+        t["__side"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((side, codes))
+    sk = codes[order]
+    n = len(sk)
+    run_start = np.empty(n, dtype=bool)
+    run_start[0] = True
+    run_start[1:] = sk[1:] != sk[:-1]
+    run_id = np.cumsum(run_start) - 1
+    run_len = np.bincount(run_id)
+    sha = t[value_col].combine_chunks() if isinstance(
+        t[value_col], pa.ChunkedArray) else t[value_col]
+    sha_np = sha.to_numpy(zero_copy_only=False)[order]
+    side_sorted = side[order]
+
+    flags = np.empty(n, dtype=object)
+    keep = np.zeros(n, dtype=bool)
+    lens = run_len[run_id]
+    # singletons: side 0 -> deleted (emit ref row); side 1 -> new.
+    single = lens == 1
+    keep |= single
+    flags[single & (side_sorted == 0)] = FLAG_DELETED
+    flags[single & (side_sorted == 1)] = FLAG_NEW
+    # pairs: compare value col; emit the compare-side (2nd) row.
+    pair_second = (lens == 2) & ~run_start  # second member of each pair
+    pair_first_idx = np.nonzero((lens == 2) & run_start)[0]
+    if len(pair_first_idx):
+        same = sha_np[pair_first_idx] == sha_np[pair_first_idx + 1]
+        keep[pair_first_idx + 1] = True
+        flags[pair_first_idx + 1] = np.where(same, FLAG_IDENTICAL,
+                                             FLAG_CHANGED)
+    sel = order[keep]
+    out = t.take(pa.array(sel, type=pa.int64()))
+    out = out.append_column(flag_col,
+                            pa.array(flags[keep], type=pa.string()))
+    return out.drop_columns(["__side"])
 
 
 def sync_after_merge(state: "ray.data.Dataset", flagged: "ray.data.Dataset",

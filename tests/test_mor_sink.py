@@ -177,3 +177,67 @@ def test_layout_change_across_commits_is_refused(tmp_path):
         with pytest.raises(ValueError, match="bucket_cols"):
             fn(root, ray.data.from_arrow(events), num_buckets=8,
                bucket_cols=("repo",), num_partitions=4)
+
+
+def _mk(rows):
+    cols = {k: [r[k] for r in rows]
+            for k in ("repo", "path", "commit", "lang", "content", "op",
+                      "commit_seq")}
+    return pa.table({**cols,
+                     "commit_seq": pa.array(cols["commit_seq"],
+                                            type=pa.int64())})
+
+
+def _r(repo, path, seq, op="insert", content=None):
+    return {"repo": repo, "path": path, "commit": f"c{seq}", "lang": "py",
+            "content": content if content is not None else f"body-{seq}",
+            "op": op, "commit_seq": seq}
+
+
+def test_changefeed_flags_and_untouched_bucket_pruning(tmp_path):
+    root = str(tmp_path / "state")
+    base = [_r(f"r{i % 5}", f"f{i}.py", i) for i in range(1, 41)]
+    sink.apply_incremental_mor(root, ray.data.from_arrow(_mk(base)),
+                               num_buckets=8, num_partitions=4)
+    mb = [_r("r1", "f1.py", 100, content="CHANGED"),     # update
+          _r("r2", "f2.py", 101, op="delete"),           # delete
+          _r("r9", "brand_new.py", 102)]                 # insert
+    sink.apply_incremental_mor(root, ray.data.from_arrow(_mk(mb)),
+                               num_buckets=8, num_partitions=4)
+
+    ch = {(r["repo"], r["path"]): r["change_type"]
+          for r in sink.read_changes(root, 1, 2).take_all()}
+    assert ch == {("r1", "f1.py"): "changed",
+                  ("r2", "f2.py"): "deleted",
+                  ("r9", "brand_new.py"): "new"}
+
+    # include_identical covers the FULL key universe (untouched buckets
+    # included), matching a snapshot FULL OUTER JOIN
+    full = sink.read_changes(root, 1, 2, include_identical=True)
+    rows = full.take_all()
+    assert len(rows) == 41                  # 40 base keys + 1 new key
+    assert sum(r["change_type"] == "identical" for r in rows) == 38
+
+    # pruning proof: corrupt a file in a bucket NEITHER commit touched
+    # (hardlink-shared between v1 and v2). The pruned feed must never
+    # open it — so it still succeeds; the unpruned feed must crash.
+    import pytest
+    touched = set()
+    for t in (mb,):
+        k = pa.table({"repo": [r["repo"] for r in t],
+                      "path": [r["path"] for r in t]})
+        from kettleray.ops import cdc as _cdc
+        touched |= set(_cdc.stable_key_buckets(k, ("repo", "path"),
+                                               8).tolist())
+    victim_bucket = next(b for b in range(8) if b not in touched
+                         and os.path.isdir(
+                             os.path.join(root, "v0002", f"bucket={b}")))
+    vf = sink._parquet_files(
+        os.path.join(root, "v0002", f"bucket={victim_bucket}"))[0]
+    with open(vf, "wb") as f:
+        f.write(b"not parquet anymore")
+    assert {(r["repo"], r["path"]): r["change_type"]
+            for r in sink.read_changes(root, 1, 2).take_all()} == ch
+    with pytest.raises(Exception):
+        sink.read_changes(root, 1, 2,
+                          include_identical=True).take_all()
