@@ -754,6 +754,52 @@ def _commit_mor_stage(root: str, v: int, state_ds: "ray.data.Dataset",
     return man
 
 
+def mor_delta_stats(root: str, version: int | None = None) -> dict:
+    """Read-amplification telemetry of a committed version, from the
+    manifest alone (no file IO): delta rows/bytes vs base, and the worst
+    per-bucket delta file count."""
+    man = read_manifest(root, version)
+    if man is None:
+        raise FileNotFoundError(f"no committed state under {root}")
+    base_rows = delta_rows = delta_bytes = 0
+    per_bucket: dict[str, int] = {}
+    for f in man.files:
+        rel = f["file"]
+        if rel.startswith("delta" + os.sep) or rel.startswith("delta/"):
+            delta_rows += f["rows"]
+            delta_bytes += f["bytes"]
+            b = rel.split(os.sep)[1] if os.sep in rel else \
+                rel.split("/")[1]
+            per_bucket[b] = per_bucket.get(b, 0) + 1
+        else:
+            base_rows += f["rows"]
+    return {"base_rows": base_rows, "delta_rows": delta_rows,
+            "delta_bytes": delta_bytes,
+            "delta_ratio": delta_rows / max(base_rows, 1),
+            "max_delta_files_per_bucket": max(per_bucket.values(),
+                                              default=0)}
+
+
+def maybe_compact_mor(root: str, *, max_delta_ratio: float = 0.2,
+                      max_delta_files_per_bucket: int = 8,
+                      num_partitions: int = 16) -> Manifest | None:
+    """Compaction POLICY for merge-on-read state (the table-service
+    scheduling knob): fold deltas when read amplification crosses either
+    bound — delta rows exceeding ``max_delta_ratio`` of the base, or any
+    bucket accumulating more than ``max_delta_files_per_bucket`` delta
+    fragments (per-file open cost dominates tiny trickle deltas long
+    before row counts do). Returns the compaction manifest, or None when
+    below both bounds. Cheap to call after every commit: the decision
+    reads only the manifest."""
+    s = mor_delta_stats(root)
+    if s["delta_rows"] == 0:
+        return None
+    if (s["delta_ratio"] <= max_delta_ratio and
+            s["max_delta_files_per_bucket"] <= max_delta_files_per_bucket):
+        return None
+    return compact_mor(root, num_partitions=num_partitions)
+
+
 def compact_mor(root: str, *, num_partitions: int = 16) -> Manifest:
     """Fold merge-on-read deltas into the base: buckets WITH delta files
     are re-replayed (base-as-events ∪ deltas → LWW) and rewritten; every

@@ -241,3 +241,37 @@ def test_changefeed_flags_and_untouched_bucket_pruning(tmp_path):
     with pytest.raises(Exception):
         sink.read_changes(root, 1, 2,
                           include_identical=True).take_all()
+
+
+def test_maybe_compact_mor_policy(tmp_path):
+    root = str(tmp_path / "state")
+    base = [_r(f"r{i % 3}", f"f{i}.py", i) for i in range(1, 101)]
+    sink.apply_incremental_mor(root, ray.data.from_arrow(_mk(base)),
+                               num_buckets=4, num_partitions=4)
+    # tiny delta: below both bounds -> no compaction
+    sink.apply_incremental_mor(
+        root, ray.data.from_arrow(_mk([_r("r0", "f3.py", 200)])),
+        num_buckets=4, num_partitions=4)
+    s = sink.mor_delta_stats(root)
+    assert 0 < s["delta_ratio"] < 0.2
+    assert sink.maybe_compact_mor(root) is None
+    # many trickle commits fragment one bucket past the file bound
+    for i in range(9):
+        sink.apply_incremental_mor(
+            root, ray.data.from_arrow(_mk([_r("r0", "f3.py", 300 + i)])),
+            num_buckets=4, num_partitions=4)
+    assert sink.mor_delta_stats(root)["max_delta_files_per_bucket"] > 8
+    before = {(r["repo"], r["path"]): r["content_sha256"]
+              for r in sink.read_state(root).take_all()}
+    man = sink.maybe_compact_mor(root, num_partitions=4)
+    assert man is not None and man.metrics["delta_files"] == 0
+    assert sink.mor_delta_stats(root)["delta_rows"] == 0
+    assert {(r["repo"], r["path"]): r["content_sha256"]
+            for r in sink.read_state(root).take_all()} == before
+    # ratio bound: one bulk delta worth >20% of the base
+    bulk = [_r(f"r{i % 3}", f"f{i}.py", 1000 + i, content="X")
+            for i in range(1, 40)]
+    sink.apply_incremental_mor(root, ray.data.from_arrow(_mk(bulk)),
+                               num_buckets=4, num_partitions=4)
+    assert sink.mor_delta_stats(root)["delta_ratio"] > 0.2
+    assert sink.maybe_compact_mor(root, num_partitions=4) is not None
