@@ -166,7 +166,8 @@ def run_incremental() -> float:
 def run_trickle(mode: str) -> tuple[float, int, float]:
     """Trickle micro-commits: one backfill + 8 tiny repo-local commits,
     copy-on-write (``bucketed``) vs merge-on-read (``mor``). Returns
-    (commit_sec, fresh_bytes_written, read_sec): COW re-replays + rewrites
+    (commit_sec, fresh_bytes_written, read_sec, changefeed_sec): COW
+    re-replays + rewrites
     every touched bucket per commit (write amplification ∝ bucket size),
     MOR appends event-sized delta files (∝ batch) and pays a merge at
     read — fresh_bytes is the write-amplification signal, read_sec the
@@ -221,7 +222,13 @@ def run_trickle(mode: str) -> tuple[float, int, float]:
     t0 = time.time()
     sink.read_state(root, num_partitions=_num_partitions()).count()
     read_sec = time.time() - t0
-    return commit_sec, fresh_bytes, read_sec
+    # change data feed across the last micro-commit: work ∝ touched
+    # buckets (untouched buckets pruned by file identity, no IO)
+    t0 = time.time()
+    v = sink.current_version(root)
+    sink.read_changes(root, v - 1, v).count()
+    cdf_sec = time.time() - t0
+    return commit_sec, fresh_bytes, read_sec, cdf_sec
 
 
 def run_ivm() -> tuple[float, float, float]:
@@ -337,10 +344,12 @@ def main() -> None:
     ivm_maintain, ivm_recompute, ivm_frac = run_ivm()
     queries["ivm_maintain"] = round(ivm_maintain, 2)
     queries["ivm_recompute"] = round(ivm_recompute, 2)
-    cow_sec, cow_bytes, cow_read = run_trickle("bucketed")
-    mor_sec, mor_bytes, mor_read = run_trickle("mor")
+    cow_sec, cow_bytes, cow_read, cow_cdf = run_trickle("bucketed")
+    mor_sec, mor_bytes, mor_read, mor_cdf = run_trickle("mor")
     queries["trickle_commits_cow"] = round(cow_sec, 2)
     queries["trickle_commits_mor"] = round(mor_sec, 2)
+    queries["changefeed_cow"] = round(cow_cdf, 2)
+    queries["changefeed_mor"] = round(mor_cdf, 2)
     total = round(time.time() - t_all, 2)
     print(json.dumps({
         "metric": "cdc_pipeline_suite_sec",

@@ -754,6 +754,62 @@ def _commit_mor_stage(root: str, v: int, state_ds: "ray.data.Dataset",
     return man
 
 
+def rebucket_state(root: str, *, num_buckets: int,
+                   bucket_cols: tuple = ("repo", "path"),
+                   num_partitions: int = 16) -> Manifest:
+    """Layout evolution: rewrite CURRENT into a new version with a
+    DIFFERENT bucket count / bucket columns (the full-rewrite operation
+    the incremental writers' layout guard points at). Merge-on-read
+    deltas are folded in the same pass (the rewrite reads merged state).
+    One shuffle-free read + one bucketed write; commits atomically, so
+    readers switch layouts at a version boundary."""
+    v = current_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no committed state under {root}")
+    man = read_manifest(root, v)
+    state = read_state(root, v)
+    if "bucket" in [f.name for f in state.schema().base_schema]:
+        state = state.drop_columns(["bucket"])
+    state = add_bucket_column(state, num_buckets, bucket_cols=bucket_cols)
+    return _commit_mor_stage(
+        root, v + 1, state, watermark=man.watermark,
+        num_buckets=num_buckets, bucket_cols=bucket_cols,
+        delta_rows=0, prev_watermark=man.watermark,
+        extra_metrics={"rebucket_of": v})
+
+
+def fsck_state(root: str, version: int | None = None, *,
+               check_rows: bool = False) -> dict:
+    """Audit a committed version against its manifest (lake table-service
+    `fsck`): missing files, files on disk the manifest doesn't list,
+    byte-size drift, and (optionally) per-file row-count drift from the
+    parquet footers. Returns a report dict; report["ok"] is the verdict.
+    Never mutates anything."""
+    v = version if version is not None else current_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no committed state under {root}")
+    man = read_manifest(root, v)
+    vdir = _version_dir(root, v)
+    on_disk = {os.path.relpath(f, vdir) for f in _parquet_files(vdir)}
+    listed = {f["file"]: f for f in man.files}
+    missing = sorted(set(listed) - on_disk)
+    unlisted = sorted(on_disk - set(listed))
+    size_drift, row_drift = [], []
+    for rel, entry in listed.items():
+        fp = os.path.join(vdir, rel)
+        if not os.path.exists(fp):
+            continue
+        if os.path.getsize(fp) != entry["bytes"]:
+            size_drift.append(rel)
+        elif check_rows and pq.read_metadata(fp).num_rows != entry["rows"]:
+            row_drift.append(rel)
+    return {"version": v, "files_listed": len(listed),
+            "files_on_disk": len(on_disk), "missing": missing,
+            "unlisted": unlisted, "size_drift": size_drift,
+            "row_drift": row_drift,
+            "ok": not (missing or unlisted or size_drift or row_drift)}
+
+
 def mor_delta_stats(root: str, version: int | None = None) -> dict:
     """Read-amplification telemetry of a committed version, from the
     manifest alone (no file IO): delta rows/bytes vs base, and the worst

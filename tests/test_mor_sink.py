@@ -275,3 +275,54 @@ def test_maybe_compact_mor_policy(tmp_path):
                                num_buckets=4, num_partitions=4)
     assert sink.mor_delta_stats(root)["delta_ratio"] > 0.2
     assert sink.maybe_compact_mor(root, num_partitions=4) is not None
+
+
+def test_rebucket_state_changes_layout_and_preserves_state(tmp_path):
+    import pytest
+    root = str(tmp_path / "state")
+    base = [_r(f"r{i % 5}", f"f{i}.py", i) for i in range(1, 61)]
+    sink.apply_incremental_mor(root, ray.data.from_arrow(_mk(base)),
+                               num_buckets=4, num_partitions=4)
+    sink.apply_incremental_mor(
+        root, ray.data.from_arrow(_mk([_r("r0", "f5.py", 100,
+                                          content="Z")])),
+        num_buckets=4, num_partitions=4)
+    before = {(r["repo"], r["path"]): r["content_sha256"]
+              for r in sink.read_state(root).take_all()}
+    with pytest.raises(ValueError):          # incremental re-bucket refused
+        sink.apply_incremental_mor(
+            root, ray.data.from_arrow(_mk([_r("r0", "f9.py", 101)])),
+            num_buckets=16, num_partitions=4)
+    man = sink.rebucket_state(root, num_buckets=16, num_partitions=4)
+    assert man.metrics["num_buckets"] == 16
+    assert man.metrics["rebucket_of"] == 2
+    assert sink.mor_delta_stats(root)["delta_rows"] == 0   # deltas folded
+    assert {(r["repo"], r["path"]): r["content_sha256"]
+            for r in sink.read_state(root).take_all()} == before
+    # incremental commits resume under the NEW layout
+    m = sink.apply_incremental_mor(
+        root, ray.data.from_arrow(_mk([_r("r0", "f9.py", 101)])),
+        num_buckets=16, num_partitions=4)
+    assert m.metrics["delta_rows"] == 1
+    got = sink.lookup_state(root, "r0", "f9.py")
+    assert got.num_rows == 1
+
+
+def test_fsck_state_detects_missing_and_unlisted(tmp_path):
+    root = str(tmp_path / "state")
+    base = [_r(f"r{i % 3}", f"f{i}.py", i) for i in range(1, 31)]
+    sink.apply_incremental_mor(root, ray.data.from_arrow(_mk(base)),
+                               num_buckets=4, num_partitions=4)
+    rep = sink.fsck_state(root, check_rows=True)
+    assert rep["ok"] and not rep["missing"]
+    vdir = os.path.join(root, "v0001")
+    victim = sink._parquet_files(vdir)[0]
+    os.rename(victim, victim + ".hidden")
+    rep2 = sink.fsck_state(root)
+    assert not rep2["ok"]
+    assert os.path.relpath(victim, vdir) in rep2["missing"]
+    os.rename(victim + ".hidden", victim)
+    with open(os.path.join(vdir, "bucket=0", "rogue.parquet"), "w") as f:
+        f.write("x")
+    rep3 = sink.fsck_state(root)
+    assert not rep3["ok"] and rep3["unlisted"] == ["bucket=0/rogue.parquet"]
