@@ -235,6 +235,42 @@ def q_cdc_changefeed(sf_dir: str):
                               "change_type"])
 
 
+def q_cdc_rebucket(sf_dir: str):
+    """Layout evolution under the gate: MOR commit at 16 buckets +
+    trickle commit, then rebucket to 32 (folds deltas, rewrites layout),
+    then one more incremental commit under the NEW layout. Oracle = the
+    plain LWW replay SQL — any key lost or duplicated across the
+    re-partitioning fails the value-hash."""
+    import shutil
+    import tempfile
+    import pyarrow.compute as pc
+    from kettleray.io import sink
+    root = tempfile.mkdtemp(prefix="kr_rebucket_state_")
+    shutil.rmtree(root, ignore_errors=True)
+    ev = _events(sf_dir)
+    cuts = (1_000_000, 2_000_000)
+    b1 = ev.map_batches(lambda b: b.filter(pc.less(b["commit_seq"],
+                                                   cuts[0])),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    b2 = ev.map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.greater_equal(b["commit_seq"], cuts[0]),
+            pc.less(b["commit_seq"], cuts[1]))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    b3 = ev.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["commit_seq"], cuts[1])),
+        batch_format="pyarrow", zero_copy_batch=True)
+    sink.apply_incremental_mor(root, b1, num_buckets=16,
+                               num_partitions=_NUM_PARTITIONS)
+    sink.apply_incremental_mor(root, b2, num_buckets=16,
+                               num_partitions=_NUM_PARTITIONS)
+    sink.rebucket_state(root, num_buckets=32,
+                        num_partitions=_NUM_PARTITIONS)
+    sink.apply_incremental_mor(root, b3, num_buckets=32,
+                               num_partitions=_NUM_PARTITIONS)
+    return sink.read_state(root).drop_columns(["bucket"])
+
+
 def q_cdc_streaming_state(sf_dir: str):
     """Micro-batch streaming ingest (shard actors, hash-routed) over
     three event windows; the snapshot must equal batch replay."""
@@ -380,6 +416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_bucketed_state": q_cdc_bucketed_state,
         "cdc_mor_state": q_cdc_mor_state,
         "cdc_changefeed": q_cdc_changefeed,
+        "cdc_rebucket": q_cdc_rebucket,
         "cdc_streaming_state": q_cdc_streaming_state,
         "cdc_sync_roundtrip": q_cdc_sync_roundtrip,
         "cdc_shuffled_arrival": q_cdc_shuffled_arrival,
@@ -465,6 +502,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_bucketed_state":
             f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
         "cdc_mor_state":
+            f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
+        "cdc_rebucket":
             f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
         "cdc_changefeed": (
             f"WITH {ev}, "
