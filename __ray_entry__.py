@@ -235,6 +235,31 @@ def q_cdc_changefeed(sf_dir: str):
                               "change_type"])
 
 
+def q_cdc_scd2_incremental(sf_dir: str):
+    """Dimension Lookup/Update maintained INCREMENTALLY: three
+    micro-commits through the SCD2 sink (per-bucket history append,
+    untouched buckets hardlinked). Oracle = the full-log SCD2 window
+    SQL — any drift in version numbering, window closing or is_current
+    across commit boundaries fails the value-hash."""
+    import shutil
+    import tempfile
+    import pyarrow.compute as pc
+    from kettleray.io import sink
+    root = tempfile.mkdtemp(prefix="kr_scd2_state_")
+    shutil.rmtree(root, ignore_errors=True)
+    ev = _events(sf_dir)
+    for lo, hi in ((0, 1_000_000), (1_000_000, 2_000_000),
+                   (2_000_000, 1 << 62)):
+        w = ev.map_batches(
+            lambda b, lo=lo, hi=hi: b.filter(pc.and_(
+                pc.greater_equal(b["commit_seq"], lo),
+                pc.less(b["commit_seq"], hi))),
+            batch_format="pyarrow", zero_copy_batch=True)
+        sink.apply_incremental_scd2(root, w, num_buckets=16,
+                                    num_partitions=_NUM_PARTITIONS)
+    return sink.read_state(root).drop_columns(["bucket"])
+
+
 def q_cdc_rebucket(sf_dir: str):
     """Layout evolution under the gate: MOR commit at 16 buckets +
     trickle commit, then rebucket to 32 (folds deltas, rewrites layout),
@@ -416,6 +441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_bucketed_state": q_cdc_bucketed_state,
         "cdc_mor_state": q_cdc_mor_state,
         "cdc_changefeed": q_cdc_changefeed,
+        "cdc_scd2_incremental": q_cdc_scd2_incremental,
         "cdc_rebucket": q_cdc_rebucket,
         "cdc_streaming_state": q_cdc_streaming_state,
         "cdc_sync_roundtrip": q_cdc_sync_roundtrip,
@@ -505,6 +531,16 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
         "cdc_rebucket":
             f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
+        "cdc_scd2_incremental": (
+            f"WITH {ev}, "
+            "w AS (SELECT *, lead(commit_seq) OVER (PARTITION BY repo, "
+            "path ORDER BY commit_seq) AS valid_to_seq FROM ev), "
+            "h AS (SELECT *, CAST(row_number() OVER (PARTITION BY repo, "
+            "path ORDER BY commit_seq) AS BIGINT) AS version FROM w "
+            "WHERE op <> 'delete') "
+            "SELECT repo, path, version, commit_seq AS valid_from_seq, "
+            "valid_to_seq, (valid_to_seq IS NULL) AS is_current, "
+            '"commit", lang, sha256(content) AS content_sha256 FROM h'),
         "cdc_changefeed": (
             f"WITH {ev}, "
             "r1 AS (SELECT *, row_number() OVER (PARTITION BY repo, path "

@@ -579,6 +579,121 @@ def apply_incremental_bucketed(root: str, events: "ray.data.Dataset", *,
     return man2
 
 
+def apply_incremental_scd2(root: str, events: "ray.data.Dataset", *,
+                           num_buckets: int = 64,
+                           num_partitions: int = 16,
+                           bucket_cols: tuple = ("repo", "path"),
+                           ) -> Manifest:
+    """Incrementally maintained SCD2 dimension table (≙ Dimension
+    Lookup/Update as Kettle actually runs it — per-load history updates,
+    not a full rebuild): each commit APPENDS new versions / closes
+    current rows for exactly the keys in the batch.
+
+    Shape: watermark filter → bucket column → ONE batch-sized hash
+    exchange on the bucket → per-bucket append task (reads its own
+    bucket's history, reconstructs the event skeleton, re-runs the
+    standard SCD2 kernel over skeleton ∪ fresh — ops/cdc.py::
+    scd2_append_table) → bucketed COW write with untouched buckets
+    hardlinked. History IO per commit ∝ touched buckets; shuffle volume
+    ∝ the micro-batch, never the table."""
+    import pyarrow.compute as pc
+
+    man = read_manifest(root)
+    _check_layout_stable(man, num_buckets, bucket_cols)
+    wm = man.watermark if man else -1
+
+    fresh = events.map_batches(
+        lambda b: b.filter(pc.greater(b["commit_seq"], wm)),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    fresh = add_bucket_column(fresh, num_buckets,
+                              bucket_cols=bucket_cols).materialize()
+    n_fresh, new_wm, touched_set = _fresh_stats(fresh)
+    if n_fresh == 0:
+        if man is not None:
+            return man
+        empty_hist = ray.data.from_arrow(pa.table(
+            {c: pa.array([], type=cdc._scd2_type(c))
+             for c in cdc.SCD2_COLS}))
+        return commit_state(empty_hist, root, watermark=wm)
+    touched = sorted(touched_set)
+
+    prev_v = current_version(root)
+    v = 1 if prev_v is None else prev_v + 1
+    os.makedirs(root, exist_ok=True)
+    stage = os.path.join(root, f"_stage_v{v:04d}.{uuid.uuid4().hex[:8]}")
+    os.makedirs(stage)
+    t0 = time.time()
+    old_by_bucket: dict[int, list[str]] = {}
+    if prev_v is not None:
+        prev_dir = _version_dir(root, prev_v)
+        for name in sorted(os.listdir(prev_dir)):
+            if not name.startswith("bucket="):
+                continue
+            b = int(name.split("=", 1)[1])
+            if b in touched_set:
+                old_by_bucket[b] = _parquet_files(
+                    os.path.join(prev_dir, name))
+                continue
+            os.makedirs(os.path.join(stage, name), exist_ok=True)
+            for f in os.listdir(os.path.join(prev_dir, name)):
+                os.link(os.path.join(prev_dir, name, f),
+                        os.path.join(stage, name, f))
+
+    def _append(t: pa.Table) -> pa.Table:
+        outs = []
+        for bkt in pc.unique(t["bucket"]).to_pylist():
+            sub = t.filter(pc.equal(t["bucket"], bkt))
+            old_files = old_by_bucket.get(int(bkt), [])
+            hist = pa.concat_tables(
+                [pq.read_table(f) for f in old_files],
+                promote_options="permissive") if old_files else None
+            h = cdc.scd2_append_table(hist, sub)
+            outs.append(h.append_column(
+                "bucket", pa.array([bkt] * h.num_rows, type=pa.int64())))
+        if outs:
+            return pa.concat_tables(outs)
+        return pa.table({**{c: pa.array([], type=cdc._scd2_type(c))
+                            for c in cdc.SCD2_COLS},
+                         "bucket": pa.array([], type=pa.int64())})
+
+    out = fresh.repartition(
+        min(num_partitions, max(len(touched), 1)),
+        keys=["bucket"]).map_batches(
+        _append, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True)
+    out.write_parquet(stage, partition_cols=["bucket"])
+
+    files = []
+    for fp in _parquet_files(stage):
+        md = pq.read_metadata(fp)
+        files.append({"file": os.path.relpath(fp, stage),
+                      "rows": md.num_rows, "bytes": os.path.getsize(fp)})
+    man2 = Manifest(
+        version=v, watermark=new_wm,
+        schema=str(pq.read_schema(_parquet_files(stage)[0]))
+        if files else "",
+        files=files,
+        metrics={"write_sec": round(time.time() - t0, 3),
+                 "mode": "scd2", "num_buckets": num_buckets,
+                 "bucket_cols": list(bucket_cols),
+                 "touched_buckets": len(touched),
+                 "total_rows": sum(f["rows"] for f in files),
+                 "prev_watermark": wm})
+    with open(os.path.join(stage, "manifest.json"), "w") as f:
+        f.write(man2.to_json())
+    try:
+        os.rename(stage, _version_dir(root, v))
+    except OSError:
+        if os.path.isdir(_version_dir(root, v)):
+            shutil.rmtree(stage, ignore_errors=True)
+            return apply_incremental_scd2(
+                root, events, num_buckets=num_buckets,
+                num_partitions=num_partitions, bucket_cols=bucket_cols)
+        raise
+    _write_current(root, v)
+    return man2
+
+
 # ---------------------------------------------------------------------------
 # Merge-on-read state (deletion-vector-style deltas): a commit APPENDS
 # per-bucket delta files instead of rewriting touched buckets — commit IO

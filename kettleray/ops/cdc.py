@@ -811,6 +811,73 @@ def scd2_history_table(t: pa.Table) -> pa.Table:
     return out.select(SCD2_COLS)
 
 
+def scd2_events_from_history(hist: pa.Table) -> pa.Table:
+    """Reconstruct the event skeleton an SCD2 history encodes, so fresh
+    events can be APPENDED and the standard kernel re-run on the union:
+
+    - every history row becomes an insert event at its valid_from_seq
+      (content is gone — content_sha256 rides along so re-hashing is
+      never needed for old rows),
+    - a DELETE event is re-materialized wherever the validity chain
+      shows one: a row closed at a seq that is NOT the next version's
+      valid_from (mid-chain delete), or a closed final version (trailing
+      delete).
+
+    ``scd2_history_table(scd2_events_from_history(H)) == H`` — version
+    numbering, windows and is_current all round-trip."""
+    cols = {"repo": hist["repo"], "path": hist["path"],
+            "commit": hist["commit"], "lang": hist["lang"],
+            "content_sha256": hist["content_sha256"],
+            "op": pa.array([OP_INSERT] * hist.num_rows),
+            SEQ_COL: hist["valid_from_seq"]}
+    ev = pa.table(cols)
+    if hist.num_rows == 0:
+        return ev
+    codes = _composite_key_codes(hist, KEY_COLS)
+    vf = _col_np(hist, "valid_from_seq")
+    order = np.lexsort((vf, codes))
+    sk, svf = codes[order], vf[order]
+    vt_arr = hist["valid_to_seq"].combine_chunks() if isinstance(
+        hist["valid_to_seq"], pa.ChunkedArray) else hist["valid_to_seq"]
+    closed = ~np.asarray(vt_arr.is_null())[order]
+    svt = vt_arr.fill_null(0).to_numpy(zero_copy_only=False)[order]
+    same_next = np.empty(len(sk), dtype=bool)
+    same_next[:-1] = sk[1:] == sk[:-1]
+    same_next[-1] = False
+    next_vf = np.zeros(len(sk), dtype=np.int64)
+    next_vf[:-1] = svf[1:]
+    # a delete hides wherever the close seq is not the next version's
+    # open seq (or the chain ends closed)
+    del_here = closed & (~same_next | (svt != next_vf))
+    if del_here.any():
+        n_del = int(del_here.sum())
+        sel = hist.take(pa.array(order[del_here], type=pa.int64()))
+        dels = pa.table({
+            "repo": sel["repo"], "path": sel["path"],
+            "commit": pa.array([""] * n_del),
+            "lang": pa.array([""] * n_del),
+            "content_sha256": pa.array([None] * n_del, type=pa.string()),
+            "op": pa.array([OP_DELETE] * n_del),
+            SEQ_COL: pa.array(svt[del_here], type=pa.int64())})
+        ev = pa.concat_tables([ev, dels])
+    return ev
+
+
+def scd2_append_table(hist: pa.Table | None,
+                      fresh: pa.Table) -> pa.Table:
+    """Incremental Dimension Lookup/Update: append a micro-batch of
+    change events to an existing SCD2 history (all rows/events of each
+    key co-located — per bucket). Fresh events must all be ABOVE the
+    history's last seq (the sink's watermark filter guarantees it)."""
+    if "content_sha256" not in fresh.column_names:
+        fresh = add_content_sha256(fresh)
+    parts = [fresh]
+    if hist is not None and hist.num_rows:
+        parts.insert(0, scd2_events_from_history(hist))
+    merged = pa.concat_tables(parts, promote_options="permissive")
+    return scd2_history_table(merged)
+
+
 def _scd2_type(col: str) -> pa.DataType:
     if col in ("version", "valid_from_seq", "valid_to_seq"):
         return pa.int64()
