@@ -333,3 +333,32 @@ class TestCompactChangelogProperty:
         full = replay_oracle(t)
         via = replay_oracle(compacted)
         assert via == full
+
+
+@settings(max_examples=100, deadline=None)
+@given(event_logs(), st.integers(min_value=0, max_value=39),
+       st.integers(min_value=0, max_value=39))
+def test_scd2_incremental_append_matches_batch(t, cut_a, cut_b):
+    """Splitting an event log at arbitrary points and applying the tail
+    pieces via scd2_append_table (history -> event skeleton -> kernel)
+    must equal one batch scd2_history_table over the whole log; the
+    skeleton reconstruction must also round-trip exactly."""
+    import pyarrow.compute as pc
+    lo, hi = sorted((cut_a, cut_b))
+    a = t.filter(pc.less(t["commit_seq"], lo))
+    b = t.filter(pc.and_(pc.greater_equal(t["commit_seq"], lo),
+                         pc.less(t["commit_seq"], hi)))
+    c = t.filter(pc.greater_equal(t["commit_seq"], hi))
+    full = cdc.scd2_history_table(t)
+
+    h = cdc.scd2_history_table(a)
+    rt = cdc.scd2_history_table(cdc.scd2_events_from_history(h))
+    key = [("repo", "ascending"), ("path", "ascending"),
+           ("version", "ascending")]
+    assert rt.sort_by(key).equals(h.sort_by(key))
+
+    for piece in (b, c):
+        if piece.num_rows:
+            h = cdc.scd2_append_table(h, piece)
+    assert h.select(full.column_names).sort_by(key).equals(
+        full.sort_by(key))
