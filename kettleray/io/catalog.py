@@ -1,0 +1,145 @@
+"""Snapshot catalog: atomic multi-table visibility over sink roots.
+
+A CDC ingest rarely maintains ONE table — a replay commit typically
+lands state + a quarantine table + an SCD2 dimension together, and
+readers joining them must not observe half of a batch. Each sink root's
+commit is already atomic, but CROSS-table atomicity needs a level above:
+this catalog pins (table → version) tuples in an immutable snapshot
+file and flips a CURRENT pointer by rename — readers resolve every
+table through one snapshot, so they see all of a batch's commits or
+none (≙ what Iceberg/Nessie catalogs provide over per-table metadata;
+Kettle's analog is a transformation-scoped DB transaction around
+multiple Table Outputs).
+
+Layout:
+    catalog_root/
+      CURRENT              -> {"snapshot": N}
+      snap_0000N.json      -> {"tables": {name: {"root": ..., "version": M}},
+                               "parent": N-1, "note": ...}
+
+Usage:
+    with catalog.transaction(croot) as tx:
+        m1 = sink.apply_incremental_bucketed(state_root, fresh, ...)
+        m2 = sink.apply_incremental_scd2(dim_root, fresh, ...)
+        tx.pin("state", state_root, m1.version)
+        tx.pin("dim", dim_root, m2.version)
+    # readers before the `with` exit keep the old consistent pair
+
+Crash model: per-table commits that happened before a crash are durable
+but INVISIBLE through the catalog until a snapshot pins them; the next
+transaction's watermark filters make re-applying the same batch a
+no-op, so retrying the whole transaction is exactly-once.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from kettleray.io import sink as _sink
+
+
+def _snap_path(root: str, n: int) -> str:
+    return os.path.join(root, f"snap_{n:05d}.json")
+
+
+def current_snapshot_id(root: str) -> int | None:
+    p = os.path.join(root, "CURRENT")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)["snapshot"]
+
+
+def read_snapshot(root: str, snapshot: int | None = None) -> dict:
+    n = snapshot if snapshot is not None else current_snapshot_id(root)
+    if n is None:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    with open(_snap_path(root, n)) as f:
+        return json.load(f)
+
+
+def commit_snapshot(root: str, tables: dict[str, tuple[str, int]], *,
+                    note: str = "") -> int:
+    """Atomically publish a new snapshot pinning ``{name: (table_root,
+    version)}``. Tables absent from ``tables`` carry forward from the
+    parent snapshot (partial updates compose)."""
+    os.makedirs(root, exist_ok=True)
+    parent = current_snapshot_id(root)
+    merged: dict[str, dict] = {}
+    if parent is not None:
+        merged.update(read_snapshot(root, parent)["tables"])
+    for name, (troot, version) in tables.items():
+        merged[name] = {"root": os.path.abspath(troot),
+                        "version": int(version)}
+    n = 1 if parent is None else parent + 1
+    snap = {"snapshot": n, "parent": parent, "tables": merged,
+            "note": note, "ts": time.time()}
+    tmp = _snap_path(root, n) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(snap, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, _snap_path(root, n))
+    cur_tmp = os.path.join(root, "CURRENT.tmp")
+    with open(cur_tmp, "w") as f:
+        json.dump({"snapshot": n}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(cur_tmp, os.path.join(root, "CURRENT"))
+    return n
+
+
+def read_table(root: str, name: str, *, snapshot: int | None = None):
+    """Open one table AT THE SNAPSHOT-PINNED VERSION (never the table
+    root's own CURRENT — that may already be ahead of the snapshot)."""
+    entry = read_snapshot(root, snapshot)["tables"][name]
+    return _sink.read_state(entry["root"], entry["version"])
+
+
+def pinned_versions(root: str, *, keep_last: int = 2
+                    ) -> dict[str, set[int]]:
+    """Versions still referenced by the newest ``keep_last`` snapshots —
+    the set a table-level gc_versions must NOT expire. Feed each table's
+    pins into gc decisions when tables are catalog-managed."""
+    cur = current_snapshot_id(root)
+    if cur is None:
+        return {}
+    out: dict[str, set[int]] = {}
+    for n in range(max(1, cur - keep_last + 1), cur + 1):
+        p = _snap_path(root, n)
+        if not os.path.exists(p):
+            continue
+        for name, e in read_snapshot(root, n)["tables"].items():
+            out.setdefault(e["root"], set()).add(e["version"])
+    return out
+
+
+class _Tx:
+    def __init__(self, root: str, note: str):
+        self.root, self.note = root, note
+        self._pins: dict[str, tuple[str, int]] = {}
+
+    def pin(self, name: str, table_root: str, version: int) -> None:
+        self._pins[name] = (table_root, version)
+
+
+class transaction:
+    """Context manager: per-table commits inside the block stay
+    invisible to catalog readers until the block exits cleanly, at
+    which point ONE snapshot pins them all. On exception nothing is
+    published (the table commits remain durable; the retried
+    transaction's watermark filters no-op them — exactly-once)."""
+
+    def __init__(self, root: str, *, note: str = ""):
+        self._tx = _Tx(root, note)
+
+    def __enter__(self) -> _Tx:
+        return self._tx
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        if exc_type is None and self._tx._pins:
+            commit_snapshot(self._tx.root, self._tx._pins,
+                            note=self._tx.note)
+        return False
