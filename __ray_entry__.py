@@ -235,6 +235,32 @@ def q_cdc_changefeed(sf_dir: str):
                               "change_type"])
 
 
+def q_cdc_quarantine_sink(sf_dir: str):
+    """Sink-integrated late-data handling: commit a prefix, then feed
+    the FULL log through apply_with_quarantine — already-covered events
+    (at/below the committed watermark) land in the append-only
+    quarantine log instead of being silently dropped; the rest upsert.
+    Returned table = the quarantine log; oracle = the events at/below
+    the prefix's max commit_seq."""
+    import shutil
+    import tempfile
+    import pyarrow.compute as pc
+    from kettleray.io import sink
+    sroot = tempfile.mkdtemp(prefix="kr_q_state_")
+    qroot = tempfile.mkdtemp(prefix="kr_q_log_")
+    shutil.rmtree(sroot, ignore_errors=True)
+    shutil.rmtree(qroot, ignore_errors=True)
+    ev = _events(sf_dir)
+    b1 = ev.map_batches(
+        lambda b: b.filter(pc.less(b["commit_seq"], 1_500_000)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    sink.apply_incremental_bucketed(sroot, b1, num_buckets=16,
+                                    num_partitions=_NUM_PARTITIONS)
+    sink.apply_with_quarantine(sroot, qroot, ev, num_buckets=16,
+                               num_partitions=_NUM_PARTITIONS)
+    return sink.read_log(qroot)
+
+
 def q_cdc_scd2_incremental(sf_dir: str):
     """Dimension Lookup/Update maintained INCREMENTALLY: three
     micro-commits through the SCD2 sink (per-bucket history append,
@@ -442,6 +468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_mor_state": q_cdc_mor_state,
         "cdc_changefeed": q_cdc_changefeed,
         "cdc_scd2_incremental": q_cdc_scd2_incremental,
+        "cdc_quarantine_sink": q_cdc_quarantine_sink,
         "cdc_rebucket": q_cdc_rebucket,
         "cdc_streaming_state": q_cdc_streaming_state,
         "cdc_sync_roundtrip": q_cdc_sync_roundtrip,
@@ -605,6 +632,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_late_quarantine": (
             f"WITH {ev} SELECT *, CASE WHEN commit_seq > 1500000 "
             "THEN 'fresh' ELSE 'late' END AS route FROM ev"),
+        "cdc_quarantine_sink": (
+            f"WITH {ev} SELECT * FROM ev WHERE commit_seq <= "
+            "(SELECT max(commit_seq) FROM ev WHERE commit_seq < 1500000)"),
         "cdc_incremental_agg": (
             f"WITH {ev}, {_RANKED} "
             "SELECT lang, CAST(count(*) AS BIGINT) AS doc_count, "

@@ -579,6 +579,75 @@ def apply_incremental_bucketed(root: str, events: "ray.data.Dataset", *,
     return man2
 
 
+def append_log(root: str, ds: "ray.data.Dataset",
+               metrics: dict | None = None) -> Manifest:
+    """Append-only log table: each call commits ONE version holding just
+    this batch (never rewriting prior versions) — read the whole log
+    with ``read_log``. Used for quarantine/audit streams where history
+    must never be compacted away. GC with a large keep_last (or not at
+    all): expiring versions here DROPS ROWS."""
+    try:
+        wm = int(ds.max("commit_seq"))
+    except Exception:
+        wm = -1
+    return commit_state(ds, root, watermark=wm,
+                        metrics={"append_only": True, **(metrics or {})})
+
+
+def read_log(root: str) -> "ray.data.Dataset | None":
+    """Union of every retained version of an append-only log."""
+    cur = current_version(root)
+    if cur is None:
+        return None
+    files = []
+    for n in sorted(os.listdir(root)):
+        if n.startswith("v") and n[1:].isdigit():
+            files.extend(_parquet_files(os.path.join(root, n)))
+    return ray.data.read_parquet(files)
+
+
+def apply_with_quarantine(state_root: str, quarantine_root: str,
+                          events: "ray.data.Dataset", *,
+                          mode: str = "bucketed",
+                          num_buckets: int = 64,
+                          num_partitions: int = 16,
+                          bucket_cols: tuple = ("repo", "path"),
+                          ) -> tuple[Manifest, Manifest | None]:
+    """End-to-end late-data handling: route each event against the
+    state's committed watermark — fresh events upsert through the
+    chosen incremental path, late ones (at/below the watermark: already
+    covered by state; re-applying would be a redelivery) are APPENDED to
+    a quarantine log for audit instead of silently dropped. Returns
+    (state manifest, quarantine manifest or None when nothing was late).
+    """
+    from kettleray.ops import cdc as _cdc
+
+    man = read_manifest(state_root)
+    wm = man.watermark if man else -1
+    routed = _cdc.split_on_watermark(events, wm).materialize()
+    import pyarrow.compute as pc
+    fresh = routed.map_batches(
+        lambda b: b.filter(pc.equal(b["route"], "fresh")).drop_columns(
+            ["route"]),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    late = routed.map_batches(
+        lambda b: b.filter(pc.equal(b["route"], "late")).drop_columns(
+            ["route"]),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    apply_fn = {"bucketed": apply_incremental_bucketed,
+                "mor": apply_incremental_mor}[mode]
+    state_man = apply_fn(state_root, fresh, num_buckets=num_buckets,
+                         num_partitions=num_partitions,
+                         bucket_cols=bucket_cols)
+    n_late = late.count()
+    q_man = None
+    if n_late:
+        q_man = append_log(quarantine_root, late,
+                           metrics={"late_rows": n_late,
+                                    "state_watermark": wm})
+    return state_man, q_man
+
+
 def apply_incremental_scd2(root: str, events: "ray.data.Dataset", *,
                            num_buckets: int = 64,
                            num_partitions: int = 16,

@@ -326,3 +326,35 @@ def test_fsck_state_detects_missing_and_unlisted(tmp_path):
         f.write("x")
     rep3 = sink.fsck_state(root)
     assert not rep3["ok"] and rep3["unlisted"] == ["bucket=0/rogue.parquet"]
+
+
+def test_apply_with_quarantine_routes_and_state_stays_correct(tmp_path):
+    sroot = str(tmp_path / "state")
+    qroot = str(tmp_path / "quarantine")
+    events = generate_events_local(CFG)
+    half = pc.less(events["commit_seq"], 1500)
+    sink.apply_incremental_bucketed(
+        sroot, ray.data.from_arrow(events.filter(half)),
+        num_buckets=8, num_partitions=4)
+    wm = sink.read_manifest(sroot).watermark
+
+    # replay the FULL log: the prefix is late (quarantined), the suffix
+    # applies; state must equal the full-log oracle
+    man, qman = sink.apply_with_quarantine(
+        sroot, qroot, ray.data.from_arrow(events),
+        num_buckets=8, num_partitions=4)
+    assert qman is not None and qman.metrics["late_rows"] > 0
+    got = {(r["repo"], r["path"]): r["content_sha256"]
+           for r in sink.read_state(sroot).take_all()}
+    assert got == _want(events)
+    q1 = sink.read_log(qroot)
+    assert q1.count() == events.filter(half).num_rows
+    assert max(r["commit_seq"] for r in q1.take_all()) <= wm
+
+    # second late wave APPENDS a new log version (never rewrites)
+    man2, qman2 = sink.apply_with_quarantine(
+        sroot, qroot, ray.data.from_arrow(events.slice(0, 5)),
+        num_buckets=8, num_partitions=4)
+    assert man2.version == man.version          # nothing fresh: no-op
+    assert qman2.version == qman.version + 1
+    assert sink.read_log(qroot).count() == q1.count() + 5
