@@ -530,17 +530,25 @@ def q_decontaminate(sf_dir):
                                threshold=0.5, num_partitions=8)
 
 
+# Order is LOAD-BEARING: the driver snapshots the first 50 entries of
+# __ray_entry__.queries() (25 CDC + the first 25 here) into
+# CORRECTNESS_r{N}.json. The most distinctive pipelines lead; entries
+# whose kernels are already exercised by a recorded sibling
+# (winnowing_fingerprints ⊂ winnowing_neardup, bigram_counts ≈
+# vocab_counts, doc_fingerprint ⊂ text_scrub_normalize+checksum) sit at
+# the tail and stay verified by tools/check_queries.
 QUERIES = {
     "token_count": q_token_count,
     "repetition_stats": q_repetition_stats,
     "paragraph_dedup": q_paragraph_dedup,
     "decontaminate": q_decontaminate,
-    "winnowing_fingerprints": q_winnowing,
     "winnowing_neardup": q_winnowing_neardup,
     "text_quality": q_text_quality,
-    "doc_fingerprint": q_doc_fingerprint,
     "exact_dedup": q_exact_dedup,
     "ann_cosine_scores": q_ann_cosine_scores,
+    "embedding_neardup": q_embedding_neardup,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "multimodal_image_features": q_multimodal_image,
     "events_window": q_events_window,
     "events_hopping_window": q_events_hopping_window,
     "events_sessionize": q_events_sessionize,
@@ -555,11 +563,10 @@ QUERIES = {
     "kmeans_assign": q_kmeans_assign,
     "inverted_index": q_inverted_index,
     "tfidf": q_tfidf,
-    "bigram_counts": q_bigram_counts,
     "lang_id": q_lang_id,
-    "embedding_neardup": q_embedding_neardup,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "multimodal_image_features": q_multimodal_image,
+    "winnowing_fingerprints": q_winnowing,
+    "doc_fingerprint": q_doc_fingerprint,
+    "bigram_counts": q_bigram_counts,
     "multimodal_audio_features": q_multimodal_audio,
     "multimodal_video_frames": q_multimodal_video_frames,
 }
