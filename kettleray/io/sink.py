@@ -1219,6 +1219,63 @@ def read_changes(root: str, from_version: int,
         _diff_bucket, batch_format="pyarrow", batch_size=None)
 
 
+class ChangeSubscription:
+    """Cursor-based consumption of the change data feed — the consumer
+    side of CDC-out. ``poll()`` returns the flagged changes between the
+    acked cursor and CURRENT (or None when caught up); ``ack()`` durably
+    advances the cursor ONLY when called, so a consumer that crashes
+    mid-processing re-polls the same window — at-least-once delivery
+    with exactly-once effect if the consumer applies changes through an
+    idempotent path (e.g. another kettleray sink, keyed by the same
+    (repo, path))."""
+
+    def __init__(self, root: str, cursor_path: str):
+        self.root, self.cursor_path = root, cursor_path
+        self._pending: int | None = None
+
+    def _cursor(self) -> int | None:
+        if not os.path.exists(self.cursor_path):
+            return None
+        with open(self.cursor_path) as f:
+            return json.load(f)["version"]
+
+    def poll(self, *, include_identical: bool = False
+             ) -> "ray.data.Dataset | None":
+        cur = current_version(self.root)
+        if cur is None:
+            return None
+        last = self._cursor()
+        if last is not None and last >= cur:
+            return None                     # caught up
+        self._pending = cur
+        if last is None:
+            # first poll: the whole current state arrives as 'new'
+            ds = read_state(self.root, cur)
+
+            def _flag(t: pa.Table) -> pa.Table:
+                if "bucket" in t.column_names:
+                    t = t.drop_columns(["bucket"])
+                return t.append_column(
+                    "change_type", pa.array(["new"] * t.num_rows))
+            return ds.map_batches(_flag, batch_format="pyarrow",
+                                  batch_size=None, zero_copy_batch=True)
+        return read_changes(self.root, last, cur,
+                            include_identical=include_identical)
+
+    def ack(self) -> None:
+        """Durably advance the cursor to the version the last poll
+        covered (fsync + rename, same discipline as CURRENT)."""
+        if self._pending is None:
+            return
+        tmp = self.cursor_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": self._pending}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self.cursor_path)
+        self._pending = None
+
+
 def gc_versions(root: str, *, keep_last: int = 2,
                 stage_min_age_s: float = 3600.0) -> list[int]:
     """Expire old state versions (a lake 'vacuum'): delete version dirs

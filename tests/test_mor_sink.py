@@ -358,3 +358,41 @@ def test_apply_with_quarantine_routes_and_state_stays_correct(tmp_path):
     assert man2.version == man.version          # nothing fresh: no-op
     assert qman2.version == qman.version + 1
     assert sink.read_log(qroot).count() == q1.count() + 5
+
+
+def test_change_subscription_cursor_semantics(tmp_path):
+    root = str(tmp_path / "state")
+    cursor = str(tmp_path / "cursor.json")
+    base = [_r(f"r{i % 3}", f"f{i}.py", i) for i in range(1, 21)]
+    sink.apply_incremental_mor(root, ray.data.from_arrow(_mk(base)),
+                               num_buckets=4, num_partitions=4)
+    sub = sink.ChangeSubscription(root, cursor)
+
+    # first poll: whole state as 'new'; unacked crash -> same again
+    first = sub.poll().take_all()
+    assert len(first) == 20
+    assert all(r["change_type"] == "new" for r in first)
+    assert len(sink.ChangeSubscription(root, cursor).poll()
+               .take_all()) == 20
+    sub.ack()
+    assert sub.poll() is None                 # caught up
+
+    # two commits, then one poll covers BOTH (cursor -> CURRENT)
+    sink.apply_incremental_mor(
+        root, ray.data.from_arrow(_mk([_r("r0", "f3.py", 100,
+                                          content="X")])),
+        num_buckets=4, num_partitions=4)
+    sink.apply_incremental_mor(
+        root, ray.data.from_arrow(_mk([_r("r1", "f4.py", 101,
+                                          op="delete")])),
+        num_buckets=4, num_partitions=4)
+    got = {(r["repo"], r["path"]): r["change_type"]
+           for r in sub.poll().take_all()}
+    assert got == {("r0", "f3.py"): "changed", ("r1", "f4.py"): "deleted"}
+    # crash before ack: the SAME window re-polls (at-least-once)
+    sub2 = sink.ChangeSubscription(root, cursor)
+    got2 = {(r["repo"], r["path"]): r["change_type"]
+            for r in sub2.poll().take_all()}
+    assert got2 == got
+    sub2.ack()
+    assert sub2.poll() is None
