@@ -1277,9 +1277,13 @@ class ChangeSubscription:
 
 
 def gc_versions(root: str, *, keep_last: int = 2,
-                stage_min_age_s: float = 3600.0) -> list[int]:
+                stage_min_age_s: float = 3600.0,
+                pinned: "set[int] | None" = None) -> list[int]:
     """Expire old state versions (a lake 'vacuum'): delete version dirs
-    older than the newest ``keep_last``, never CURRENT. Safe with the
+    older than the newest ``keep_last``, never CURRENT and never a
+    version in ``pinned`` (catalog-managed tables must pass
+    ``catalog.pinned_versions(...)[root]`` — a snapshot that readers
+    resolve through must keep its table versions alive). Safe with the
     bucketed layout's hardlinks — deleting an old version only drops
     link counts; files shared with surviving versions remain. Leftover
     ``_stage_*`` dirs from crashed writers are removed too — but ONLY
@@ -1294,9 +1298,10 @@ def gc_versions(root: str, *, keep_last: int = 2,
         if n.startswith("v") and n[1:].isdigit())
     cutoff = max(versions[-keep_last:][0] if len(versions) >= keep_last
                  else versions[0], 1)
+    keep = pinned or set()
     deleted = []
     for v in versions:
-        if v < cutoff and v != cur:
+        if v < cutoff and v != cur and v not in keep:
             shutil.rmtree(_version_dir(root, v))
             deleted.append(v)
     now = time.time()

@@ -86,3 +86,24 @@ def test_transaction_flips_tables_atomically(tmp_path):
     pins = catalog.pinned_versions(croot, keep_last=2)
     import os
     assert {2} <= pins[os.path.abspath(sroot)]
+
+
+def test_gc_respects_catalog_pins(tmp_path):
+    import os
+    croot = str(tmp_path / "catalog")
+    sroot = str(tmp_path / "state")
+    rows = [_r(f"r{i % 2}", f"f{i}.py", i) for i in range(1, 11)]
+    m1 = sink.apply_incremental_mor(sroot, ray.data.from_arrow(_mk(rows)),
+                                    num_buckets=2, num_partitions=2)
+    catalog.commit_snapshot(croot, {"state": (sroot, m1.version)})
+    for seq in (100, 101, 102):
+        sink.apply_incremental_mor(
+            sroot, ray.data.from_arrow(_mk([_r("r0", "f1.py", seq)])),
+            num_buckets=2, num_partitions=2)
+    pins = catalog.pinned_versions(croot).get(os.path.abspath(sroot),
+                                              set())
+    assert 1 in pins
+    deleted = sink.gc_versions(sroot, keep_last=1, pinned=pins)
+    assert 1 not in deleted and deleted == [2, 3]
+    # the pinned snapshot still reads
+    assert catalog.read_table(croot, "state").count() == 10
