@@ -363,6 +363,47 @@ def q_cdc_envelope_roundtrip(sf_dir: str):
                           num_partitions=_NUM_PARTITIONS)
 
 
+def _roundtrip_dir(sf_dir: str, tag: str) -> str:
+    import hashlib
+    import shutil
+    out = f"/tmp/kettleray_{tag}_" + hashlib.md5(
+        sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(out, ignore_errors=True)
+    return out
+
+
+def q_source_csv_roundtrip(sf_dir: str):
+    """CSV output → CSV input roundtrip under the value-hash gate:
+    quoting/escaping of code content (commas, quotes, embedded
+    newlines) and type re-inference must be lossless. Oracle = the pure
+    events CTE (no file dependency on the SQL side)."""
+    from pyarrow import csv as pacsv
+    from kettleray.io import source
+    out = _roundtrip_dir(sf_dir, "csv_rt")
+    _events(sf_dir).write_csv(out)
+    return source.read_csv(
+        out + "/",
+        parse_options=pacsv.ParseOptions(newlines_in_values=True))
+
+
+def q_source_jsonl_roundtrip(sf_dir: str):
+    """JSON-lines output → JSON input roundtrip (≙ Kettle JSON output +
+    JSON input): per-line objects, dotted-path extraction not needed for
+    flat rows. Oracle = the pure events CTE."""
+    from kettleray.io import source
+    out = _roundtrip_dir(sf_dir, "jsonl_rt")
+    _events(sf_dir).write_json(out)
+    import pyarrow as pa
+
+    def _fix_types(t: pa.Table) -> pa.Table:
+        return t.set_column(t.column_names.index("commit_seq"),
+                            "commit_seq",
+                            t["commit_seq"].cast(pa.int64()))
+
+    return source.read_json_lines(out + "/").map_batches(
+        _fix_types, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_cdc_schema_evolution(sf_dir: str):
     import pyarrow as pa
     target = pa.schema([
@@ -470,6 +511,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_scd2_incremental": q_cdc_scd2_incremental,
         "cdc_quarantine_sink": q_cdc_quarantine_sink,
         "cdc_rebucket": q_cdc_rebucket,
+        "source_csv_roundtrip": q_source_csv_roundtrip,
+        "source_jsonl_roundtrip": q_source_jsonl_roundtrip,
         "cdc_streaming_state": q_cdc_streaming_state,
         "cdc_sync_roundtrip": q_cdc_sync_roundtrip,
         "cdc_shuffled_arrival": q_cdc_shuffled_arrival,
@@ -635,6 +678,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_quarantine_sink": (
             f"WITH {ev} SELECT * FROM ev WHERE commit_seq <= "
             "(SELECT max(commit_seq) FROM ev WHERE commit_seq < 1500000)"),
+        "source_csv_roundtrip": f"WITH {ev} SELECT * FROM ev",
+        "source_jsonl_roundtrip": f"WITH {ev} SELECT * FROM ev",
         "cdc_incremental_agg": (
             f"WITH {ev}, {_RANKED} "
             "SELECT lang, CAST(count(*) AS BIGINT) AS doc_count, "
