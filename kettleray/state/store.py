@@ -290,6 +290,18 @@ class StateShardActor:
     def compact(self) -> int:
         return self.store.compact_segments()
 
+    def dump_snapshot(self, dir_path: str) -> dict:
+        """Write this shard's LWW state as one Parquet file (actor-side —
+        snapshot bytes never transit the driver). Returns lineage info
+        for the caller's manifest."""
+        os.makedirs(dir_path, exist_ok=True)
+        t = self.store.snapshot()
+        f = os.path.join(dir_path, f"shard-{self.shard_id}.parquet")
+        pq.write_table(t, f)
+        return {"file": f, "rows": t.num_rows,
+                "bytes": os.path.getsize(f),
+                "watermark": self.store.watermark}
+
     def stats(self) -> dict:
         return {"shard": self.shard_id, "keys": len(self.store.state),
                 "segments": len(self.store.segments),
@@ -342,6 +354,52 @@ class StreamingIngestor:
 
     def stats(self) -> list[dict]:
         return ray.get([a.stats.remote() for a in self.actors])
+
+    def commit_to_lake(self, root: str):
+        """Streaming → lake handoff: commit the shard actors' current
+        state as a version of the bucketed sink layout. Shard routing and
+        the sink's bucket function are the SAME crc32 keyspace (bucket ==
+        shard), so the committed version is a valid bucketed table —
+        read_state / lookup_state / read_changes / apply_incremental_*
+        all compose on top. Each shard writes its own bucket file
+        (snapshot bytes never transit the driver); the manifest watermark
+        is the MIN shard watermark — the safe resume point (re-applied
+        events are idempotent under LWW)."""
+        import time as _time
+        import uuid as _uuid
+
+        from kettleray.io import sink as _sink
+
+        man = _sink.read_manifest(root)
+        _sink._check_layout_stable(man, self.num_shards, ("repo", "path"))
+        prev = _sink.current_version(root)
+        v = 1 if prev is None else prev + 1
+        os.makedirs(root, exist_ok=True)
+        stage = os.path.join(root,
+                             f"_stage_v{v:04d}.{_uuid.uuid4().hex[:8]}")
+        os.makedirs(stage)
+        t0 = _time.time()
+        infos = ray.get([
+            a.dump_snapshot.remote(os.path.join(stage, f"bucket={i}"))
+            for i, a in enumerate(self.actors)])
+        files = [{"file": os.path.relpath(i["file"], stage),
+                  "rows": i["rows"], "bytes": i["bytes"]} for i in infos]
+        man2 = _sink.Manifest(
+            version=v,
+            watermark=min(i["watermark"] for i in infos),
+            schema=str(pq.read_schema(infos[0]["file"])),
+            files=files,
+            metrics={"write_sec": round(_time.time() - t0, 3),
+                     "mode": "streaming_checkpoint",
+                     "num_buckets": self.num_shards,
+                     "bucket_cols": ["repo", "path"],
+                     "total_rows": sum(f["rows"] for f in files),
+                     "shard_watermarks": [i["watermark"] for i in infos]})
+        with open(os.path.join(stage, "manifest.json"), "w") as f:
+            f.write(man2.to_json())
+        os.rename(stage, _sink._version_dir(root, v))
+        _sink._write_current(root, v)
+        return man2
 
     def shutdown(self):
         for a in self.actors:

@@ -125,3 +125,68 @@ def test_bounded_memory_lsm_mode_matches_oracle(tmp_path):
         assert got3 == want
     finally:
         ing2.shutdown()
+
+
+def test_streaming_commit_to_lake_composes_with_sink(tmp_path):
+    """Streaming → lake handoff: shard snapshots land as a valid
+    bucketed sink version (bucket == shard, same crc32 keyspace), so
+    read_state / lookup_state / read_changes / incremental commits all
+    compose on top."""
+    from kettleray.io import sink
+    events = generate_events_local(CFG)
+    root = str(tmp_path / "lake")
+    half = CFG.n_events // 2
+    ing = StreamingIngestor(num_shards=4)
+    try:
+        ing.ingest(ray.data.from_arrow(events.filter(
+            pc.less(events["commit_seq"], half))))
+        m1 = ing.commit_to_lake(root)
+        assert m1.version == 1
+        assert m1.metrics["mode"] == "streaming_checkpoint"
+        w1 = replay_oracle(events.filter(pc.less(events["commit_seq"],
+                                                 half)))
+        got1 = {(r["repo"], r["path"]): r["content_sha256"]
+                for r in sink.read_state(root).take_all()}
+        assert got1 == {k: v["content_sha256"] for k, v in w1.items()}
+
+        ing.ingest(ray.data.from_arrow(events.filter(
+            pc.greater_equal(events["commit_seq"], half))))
+        m2 = ing.commit_to_lake(root)
+        assert m2.version == 2
+        # manifest watermark = MIN shard watermark (safe resume point);
+        # the max shard saw the last event
+        assert m2.watermark == min(m2.metrics["shard_watermarks"])
+        assert max(m2.metrics["shard_watermarks"]) == CFG.n_events - 1
+    finally:
+        ing.shutdown()
+
+    want = replay_oracle(events)
+    got = {(r["repo"], r["path"]): r["content_sha256"]
+           for r in sink.read_state(root).take_all()}
+    assert got == {k: v["content_sha256"] for k, v in want.items()}
+
+    # point lookup routes by the same keyspace
+    k = sorted(want)[0]
+    hit = sink.lookup_state(root, *k)
+    assert hit.num_rows == 1
+    assert hit.column("content_sha256")[0].as_py() == \
+        want[k]["content_sha256"]
+
+    # change feed across the two streaming checkpoints
+    from kettleray.gen.oracle import diff_oracle
+    old_rows = pa.Table.from_pylist(list(w1.values()))
+    new_rows = pa.Table.from_pylist(list(want.values()))
+    expect = {k: v for k, v in diff_oracle(old_rows, new_rows).items()
+              if v != "identical"}
+    got_ch = {(r["repo"], r["path"]): r["change_type"]
+              for r in sink.read_changes(root, 1, 2).take_all()}
+    assert got_ch == expect
+
+    # incremental sink commits continue on top (same layout)
+    tomb = pa.table({
+        "repo": [k[0]], "path": [k[1]], "commit": ["cz"], "lang": ["py"],
+        "content": [""], "op": ["delete"],
+        "commit_seq": pa.array([CFG.n_events + 5], type=pa.int64())})
+    sink.apply_incremental_bucketed(root, ray.data.from_arrow(tomb),
+                                    num_buckets=4, num_partitions=2)
+    assert sink.lookup_state(root, *k).num_rows == 0
