@@ -511,8 +511,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_scd2_incremental": q_cdc_scd2_incremental,
         "cdc_quarantine_sink": q_cdc_quarantine_sink,
         "cdc_rebucket": q_cdc_rebucket,
-        "source_csv_roundtrip": q_source_csv_roundtrip,
-        "source_jsonl_roundtrip": q_source_jsonl_roundtrip,
         "cdc_streaming_state": q_cdc_streaming_state,
         "cdc_sync_roundtrip": q_cdc_sync_roundtrip,
         "cdc_shuffled_arrival": q_cdc_shuffled_arrival,
@@ -526,6 +524,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # parity queries with the deepest kernels fill the snapshot; the
     # long-green parity row-ops tail still runs under tools/check_queries.
     out.update(TRAINING_QUERIES)
+    out["source_csv_roundtrip"] = q_source_csv_roundtrip
+    out["source_jsonl_roundtrip"] = q_source_jsonl_roundtrip
     for name in _PRIORITY_PARITY:
         out[name] = PARITY_QUERIES[name]
     out.update(PARITY_QUERIES)
