@@ -163,7 +163,7 @@ def run_incremental() -> float:
     return time.time() - t0
 
 
-def run_trickle(mode: str) -> tuple[float, int, float]:
+def run_trickle(mode: str) -> tuple[float, int, float, float]:
     """Trickle micro-commits: one backfill + 8 tiny repo-local commits,
     copy-on-write (``bucketed``) vs merge-on-read (``mor``). Returns
     (commit_sec, fresh_bytes_written, read_sec, changefeed_sec): COW

@@ -64,31 +64,45 @@ def commit_snapshot(root: str, tables: dict[str, tuple[str, int]], *,
                     note: str = "") -> int:
     """Atomically publish a new snapshot pinning ``{name: (table_root,
     version)}``. Tables absent from ``tables`` carry forward from the
-    parent snapshot (partial updates compose)."""
+    parent snapshot (partial updates compose).
+
+    Concurrent committers are safe: the snapshot file is claimed with
+    ``os.link`` (fails with EEXIST instead of clobbering — unlike
+    rename-over-file); the loser re-reads the NEW parent and retries, so
+    both writers' pins land, serialized (optimistic concurrency, ≙ an
+    Iceberg catalog's compare-and-swap)."""
+    import uuid
+
     os.makedirs(root, exist_ok=True)
-    parent = current_snapshot_id(root)
-    merged: dict[str, dict] = {}
-    if parent is not None:
-        merged.update(read_snapshot(root, parent)["tables"])
-    for name, (troot, version) in tables.items():
-        merged[name] = {"root": os.path.abspath(troot),
-                        "version": int(version)}
-    n = 1 if parent is None else parent + 1
-    snap = {"snapshot": n, "parent": parent, "tables": merged,
-            "note": note, "ts": time.time()}
-    tmp = _snap_path(root, n) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(snap, f, indent=1)
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, _snap_path(root, n))
-    cur_tmp = os.path.join(root, "CURRENT.tmp")
-    with open(cur_tmp, "w") as f:
-        json.dump({"snapshot": n}, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(cur_tmp, os.path.join(root, "CURRENT"))
-    return n
+    while True:
+        parent = current_snapshot_id(root)
+        merged: dict[str, dict] = {}
+        if parent is not None:
+            merged.update(read_snapshot(root, parent)["tables"])
+        for name, (troot, version) in tables.items():
+            merged[name] = {"root": os.path.abspath(troot),
+                            "version": int(version)}
+        n = 1 if parent is None else parent + 1
+        snap = {"snapshot": n, "parent": parent, "tables": merged,
+                "note": note, "ts": time.time()}
+        tmp = _snap_path(root, n) + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(snap, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, _snap_path(root, n))   # exclusive claim
+        except FileExistsError:
+            os.unlink(tmp)                      # lost the race: rebase
+            continue
+        os.unlink(tmp)
+        # advance CURRENT forward-only (an interleaved later committer
+        # may already have published a higher snapshot)
+        cur = current_snapshot_id(root)
+        if cur is None or n > cur:
+            _sink.atomic_write_json(os.path.join(root, "CURRENT"),
+                                    {"snapshot": n})
+        return n
 
 
 def read_table(root: str, name: str, *, snapshot: int | None = None):

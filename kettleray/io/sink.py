@@ -59,6 +59,28 @@ def _version_dir(root: str, v: int) -> str:
     return os.path.join(root, f"v{v:04d}")
 
 
+def atomic_write_json(path: str, payload: dict) -> None:
+    """Write a small JSON pointer/snapshot file durably: tmp + flush +
+    fsync + rename (rename alone does not guarantee CONTENT hit disk)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
+def _stage_lineage(stage: str) -> list[dict]:
+    """Per-file lineage entries (rel path, rows, bytes) of a staged
+    version dir — the manifest's files list."""
+    out = []
+    for fp in _parquet_files(stage):
+        md = pq.read_metadata(fp)
+        out.append({"file": os.path.relpath(fp, stage),
+                    "rows": md.num_rows, "bytes": os.path.getsize(fp)})
+    return out
+
+
 def current_version(root: str) -> int | None:
     p = os.path.join(root, "CURRENT")
     if not os.path.exists(p):
@@ -94,6 +116,18 @@ def _check_layout_stable(man: "Manifest | None", num_buckets: int,
         raise ValueError(
             f"state was committed with bucket_cols={tuple(sbc)}; "
             f"got {tuple(bucket_cols)}")
+    if man.metrics.get("num_buckets") is None:
+        # non-bucketed version (plain apply_incremental / commit_state):
+        # a bucketed writer would hardlink only bucket= dirs and silently
+        # DROP any flat data files. An all-empty flat version (the
+        # documented empty first commit) is safe to build on.
+        flat_rows = sum(f["rows"] for f in man.files
+                        if os.sep not in f["file"] and "/" not in f["file"])
+        if flat_rows:
+            raise ValueError(
+                "current version holds non-bucketed data files; bucketed "
+                "incremental writers would drop them — rewrite via "
+                "rebucket_state (or keep using apply_incremental)")
 
 
 def _fresh_stats(fresh: "ray.data.Dataset",
@@ -133,28 +167,64 @@ def _state_rows_as_events(b: pa.Table) -> pa.Table:
     return b.append_column("op", pa.array(["insert"] * b.num_rows))
 
 
+def _read_pruned(f: str, want: "list[str] | None") -> pa.Table:
+    """pq.read_table with the wanted columns intersected against the
+    file's actual schema (schema evolution: older files may lack some)."""
+    if want is None:
+        return pq.read_table(f)
+    names = pq.read_schema(f).names
+    return pq.read_table(f, columns=[c for c in want if c in names])
+
+
 def merged_bucket_state(base_files: list[str],
-                        delta_files: list[str]) -> pa.Table:
+                        delta_files: list[str], *,
+                        columns: "list[str] | None" = None,
+                        with_sha: bool = True) -> pa.Table:
     """One bucket's merged state rows: base rows LWW-merged with its
     delta events (merge-on-read), tombstone winners dropped. Runs inside
     a task — base and deltas are co-partitioned by the bucket function,
     so no key ever needs another bucket's files. With no deltas the base
-    is returned as-is (bucket column included, if stored)."""
+    is returned as-is (bucket column included, if stored).
+
+    Stored ``content_sha256`` digests are CARRIED through the merge;
+    only winners arriving from deltas (no stored digest) are hashed —
+    re-hashing every base row's content on every read would put
+    table-sized CPU on the hot read path. ``columns`` prunes the file
+    reads to (keys + seq + op + columns) for aggregate-only consumers
+    (pair with ``with_sha=False``)."""
+    want_base = want_delta = None
+    if columns is not None:
+        want_base = list(dict.fromkeys(
+            [*cdc.KEY_COLS, "last_commit_seq", *columns]))
+        want_delta = list(dict.fromkeys(
+            [*cdc.KEY_COLS, cdc.SEQ_COL, "op", *columns]))
     base_t = pa.concat_tables(
-        [pq.read_table(f) for f in base_files],
+        [_read_pruned(f, want_base) for f in base_files],
         promote_options="permissive") if base_files else None
     if not delta_files:
         return base_t if base_t is not None else pa.table({})
     parts = []
     if base_t is not None and base_t.num_rows:
-        parts.append(_state_rows_as_events(base_t))
+        # pseudo-events KEEPING the stored digest (unlike
+        # _state_rows_as_events, whose replay consumers recompute)
+        p = base_t.drop_columns([c for c in ("bucket",)
+                                 if c in base_t.column_names])
+        p = p.rename_columns(
+            [c if c != "last_commit_seq" else cdc.SEQ_COL
+             for c in p.column_names])
+        parts.append(p.append_column(
+            "op", pa.array(["insert"] * p.num_rows)))
     for f in delta_files:
-        dt = pq.read_table(f)
+        dt = _read_pruned(f, want_delta)
         if "bucket" in dt.column_names:
             dt = dt.drop_columns(["bucket"])
         parts.append(dt)
     merged = pa.concat_tables(parts, promote_options="permissive")
-    return cdc.finalize_state_table(cdc.lww_reduce_table(merged))
+    win = cdc.finalize_state_table(cdc.lww_reduce_table(merged),
+                                   with_sha=False)
+    if with_sha:
+        win = cdc.fill_missing_sha(win)
+    return win
 
 
 def _parquet_files(vdir: str) -> list[str]:
@@ -209,6 +279,10 @@ def read_state(root: str, version: int | None = None, *,
 
     groups: dict[str, dict] = {}
     for f in base_files:
+        # skip flat files (e.g. the 0-row empty-first-commit parquet at
+        # the version root — the layout guard keeps flat files rowless)
+        if not _bname(f).startswith("bucket="):
+            continue
         groups.setdefault(_bname(f), {"base": [], "delta": []})[
             "base"].append(f)
     for f in delta_files:
@@ -219,11 +293,15 @@ def read_state(root: str, version: int | None = None, *,
              for name, g in sorted(groups.items())]
 
     # one state-target schema across all tasks (delta-holding buckets
-    # gain evolved columns; delta-free buckets must null-backfill them)
+    # gain evolved columns; delta-free buckets must null-backfill them).
+    # Sampled one file PER BUCKET: after a schema-evolving compaction,
+    # rewritten and hardlinked-through buckets legitimately differ —
+    # sampling a single file would silently drop the evolved columns.
     ev_schemas = []
-    if base_files:
-        ev_schemas.append(_state_rows_as_events(
-            pq.read_schema(base_files[0]).empty_table()).schema)
+    for g in groups.values():
+        if g["base"]:
+            ev_schemas.append(_state_rows_as_events(
+                pq.read_schema(g["base"][0]).empty_table()).schema)
     dsch = pq.read_schema(delta_files[0])
     if dsch.get_field_index("bucket") >= 0:
         dsch = dsch.remove(dsch.get_field_index("bucket"))
@@ -365,14 +443,8 @@ def commit_state(ds: "ray.data.Dataset", root: str, *, watermark: int,
 
 
 def _write_current(root: str, v: int) -> None:
-    """Atomically advance the CURRENT pointer (fsynced for crash safety:
-    rename alone does not guarantee the file CONTENT hit disk)."""
-    tmp = os.path.join(root, "CURRENT.tmp")
-    with open(tmp, "w") as f:
-        json.dump({"version": v}, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, os.path.join(root, "CURRENT"))
+    """Atomically advance the CURRENT pointer."""
+    atomic_write_json(os.path.join(root, "CURRENT"), {"version": v})
 
 
 def apply_incremental(root: str, events: "ray.data.Dataset", *,
@@ -540,12 +612,7 @@ def apply_incremental_bucketed(root: str, events: "ray.data.Dataset", *,
     final = add_bucket_column(final, num_buckets, bucket_cols=bucket_cols)
     final.write_parquet(stage, partition_cols=["bucket"])
 
-    files = []
-    for fp in _parquet_files(stage):
-        md = pq.read_metadata(fp)
-        files.append({"file": os.path.relpath(fp, stage),
-                      "rows": md.num_rows,
-                      "bytes": os.path.getsize(fp)})
+    files = _stage_lineage(stage)
     man2 = Manifest(
         version=v, watermark=new_wm,
         schema=str(pq.read_schema(_parquet_files(stage)[0]))
@@ -585,13 +652,49 @@ def append_log(root: str, ds: "ray.data.Dataset",
     this batch (never rewriting prior versions) — read the whole log
     with ``read_log``. Used for quarantine/audit streams where history
     must never be compacted away. GC with a large keep_last (or not at
-    all): expiring versions here DROPS ROWS."""
+    all): expiring versions here DROPS ROWS.
+
+    NOT commit_state: its rename-race idempotency (loser adopts the
+    winner's manifest) would silently DROP the loser's rows here, since
+    concurrent appenders carry different batches. The loser instead
+    renames its already-written stage to the next free version — both
+    batches land."""
     try:
         wm = int(ds.max("commit_seq"))
     except Exception:
         wm = -1
-    return commit_state(ds, root, watermark=wm,
-                        metrics={"append_only": True, **(metrics or {})})
+    os.makedirs(root, exist_ok=True)
+    stage = os.path.join(root, f"_stage_log.{uuid.uuid4().hex[:8]}")
+    t0 = time.time()
+    ds.write_parquet(stage)
+    os.makedirs(stage, exist_ok=True)
+    files = _stage_lineage(stage)
+    v = (current_version(root) or 0) + 1
+    man = Manifest(version=v, watermark=wm,
+                   schema=str(pq.read_schema(
+                       os.path.join(stage, files[0]["file"])))
+                   if files else "",
+                   files=files,
+                   metrics={"append_only": True,
+                            "write_sec": round(time.time() - t0, 3),
+                            "total_rows": sum(f["rows"] for f in files),
+                            **(metrics or {})})
+    while True:
+        man.version = v
+        with open(os.path.join(stage, "manifest.json"), "w") as f:
+            f.write(man.to_json())
+        try:
+            os.rename(stage, _version_dir(root, v))
+            break
+        except OSError:
+            if os.path.isdir(_version_dir(root, v)):
+                v += 1                 # lost the race: take the next slot
+                continue
+            raise
+    cur = current_version(root)
+    if cur is None or v > cur:
+        _write_current(root, v)
+    return man
 
 
 def read_log(root: str) -> "ray.data.Dataset | None":
@@ -732,11 +835,7 @@ def apply_incremental_scd2(root: str, events: "ray.data.Dataset", *,
         zero_copy_batch=True)
     out.write_parquet(stage, partition_cols=["bucket"])
 
-    files = []
-    for fp in _parquet_files(stage):
-        md = pq.read_metadata(fp)
-        files.append({"file": os.path.relpath(fp, stage),
-                      "rows": md.num_rows, "bytes": os.path.getsize(fp)})
+    files = _stage_lineage(stage)
     man2 = Manifest(
         version=v, watermark=new_wm,
         schema=str(pq.read_schema(_parquet_files(stage)[0]))
@@ -867,11 +966,7 @@ def apply_incremental_mor(root: str, events: "ray.data.Dataset", *,
                          f".parquet"))
     shutil.rmtree(tmp)
 
-    files = []
-    for fp in _parquet_files(stage):
-        md = pq.read_metadata(fp)
-        files.append({"file": os.path.relpath(fp, stage),
-                      "rows": md.num_rows, "bytes": os.path.getsize(fp)})
+    files = _stage_lineage(stage)
     base_files, delta_files = _split_base_delta(stage)
     man2 = Manifest(
         version=v, watermark=new_wm,
@@ -914,11 +1009,7 @@ def _commit_mor_stage(root: str, v: int, state_ds: "ray.data.Dataset",
     os.makedirs(stage)
     t0 = time.time()
     state_ds.write_parquet(stage, partition_cols=["bucket"])
-    files = []
-    for fp in _parquet_files(stage):
-        md = pq.read_metadata(fp)
-        files.append({"file": os.path.relpath(fp, stage),
-                      "rows": md.num_rows, "bytes": os.path.getsize(fp)})
+    files = _stage_lineage(stage)
     man = Manifest(
         version=v, watermark=watermark,
         schema=str(pq.read_schema(_parquet_files(stage)[0]))
@@ -1093,11 +1184,7 @@ def compact_mor(root: str, *, num_partitions: int = 16) -> Manifest:
         os.link(f, os.path.join(dst, os.path.basename(f)))
         linked += 1
     final.write_parquet(stage, partition_cols=["bucket"])
-    files = []
-    for fp in _parquet_files(stage):
-        md = pq.read_metadata(fp)
-        files.append({"file": os.path.relpath(fp, stage),
-                      "rows": md.num_rows, "bytes": os.path.getsize(fp)})
+    files = _stage_lineage(stage)
     man2 = Manifest(
         version=nv, watermark=man.watermark,
         schema=str(pq.read_schema(_parquet_files(stage)[0]))
@@ -1120,7 +1207,8 @@ def compact_mor(root: str, *, num_partitions: int = 16) -> Manifest:
 
 def read_changes(root: str, from_version: int,
                  to_version: int | None = None, *,
-                 include_identical: bool = False) -> "ray.data.Dataset":
+                 include_identical: bool = False,
+                 num_partitions: int = 16) -> "ray.data.Dataset":
     """Change data feed (the table → binlog direction, ≙ Delta CDF /
     Merge Rows over the sink's own history): one flagged row per key
     that differs between two committed versions — 'new' / 'changed'
@@ -1133,6 +1221,8 @@ def read_changes(root: str, from_version: int,
     bucket diffs independently in one co-partitioned task — no shuffle.
     Works across COW and MOR versions (deltas are merged per side first).
     """
+    import pyarrow.compute as pc
+
     v2 = to_version if to_version is not None else current_version(root)
     if v2 is None:
         raise FileNotFoundError(f"no committed state under {root}")
@@ -1141,6 +1231,37 @@ def read_changes(root: str, from_version: int,
         if not os.path.isdir(d):
             raise FileNotFoundError(
                 f"version {v} not found under {root} (GC'd?)")
+
+    def _layout(m: "Manifest | None"):
+        return ((m.metrics.get("num_buckets"),
+                 tuple(m.metrics.get("bucket_cols", ("repo", "path"))))
+                if m else None)
+
+    if _layout(read_manifest(root, from_version)) != \
+            _layout(read_manifest(root, v2)):
+        # rebucket boundary: bucket NAMES no longer correspond, so the
+        # per-bucket diff would fabricate deleted/new pairs for every
+        # moved key. Fall back to the layout-independent key-shuffle
+        # diff over both versions' state (correct; costs one exchange).
+        from kettleray.ops.cdc import diff_snapshots
+
+        def _nb(ds):
+            return ds.map_batches(
+                lambda t: t.drop_columns(
+                    [c for c in ("bucket",) if c in t.column_names]),
+                batch_format="pyarrow", batch_size=None,
+                zero_copy_batch=True)
+
+        flagged = diff_snapshots(_nb(read_state(root, from_version)),
+                                 _nb(read_state(root, v2)),
+                                 num_partitions=num_partitions)
+        if include_identical:
+            return flagged
+        return flagged.map_batches(
+            lambda t: t.filter(pc.not_equal(t["change_type"],
+                                            "identical")),
+            batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True)
 
     def _bfiles(vdir: str) -> dict[str, dict[str, list[str]]]:
         out: dict[str, dict[str, list[str]]] = {}
@@ -1267,12 +1388,7 @@ class ChangeSubscription:
         covered (fsync + rename, same discipline as CURRENT)."""
         if self._pending is None:
             return
-        tmp = self.cursor_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"version": self._pending}, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, self.cursor_path)
+        atomic_write_json(self.cursor_path, {"version": self._pending})
         self._pending = None
 
 
@@ -1378,11 +1494,7 @@ def compact_state(root: str, *, max_files_per_bucket: int = 4) -> Manifest:
             for f in frags:
                 os.link(f, os.path.join(dst, os.path.basename(f)))
             linked += 1
-    files = []
-    for fp in _parquet_files(stage):
-        md = pq.read_metadata(fp)
-        files.append({"file": os.path.relpath(fp, stage),
-                      "rows": md.num_rows, "bytes": os.path.getsize(fp)})
+    files = _stage_lineage(stage)
     man2 = Manifest(version=nv, watermark=man.watermark,
                     schema=man.schema, files=files,
                     metrics={"write_sec": round(time.time() - t0, 3),

@@ -103,6 +103,28 @@ def add_content_sha256(batch: pa.Table, content_col: str = "content",
     return batch.append_column(out_col, sha256_hex_array(batch[content_col]))
 
 
+def fill_missing_sha(t: pa.Table, content_col: str = "content",
+                     out_col: str = "content_sha256") -> pa.Table:
+    """Hash ONLY the rows whose ``content_sha256`` is null (rows whose
+    stored digest was carried through a merge) — avoids re-hashing a
+    whole table's content when most digests are already known."""
+    if out_col not in t.column_names:
+        return add_content_sha256(t, content_col, out_col)
+    col = t[out_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count == 0:
+        return t
+    nulls = np.asarray(col.is_null())
+    idx = np.nonzero(nulls)[0]
+    sub = t.take(pa.array(idx, type=pa.int64()))
+    hashed = sha256_hex_array(sub[content_col])
+    vals = np.array(col.to_pylist(), dtype=object)
+    vals[idx] = hashed.to_pylist()
+    return t.set_column(t.column_names.index(out_col), out_col,
+                        pa.array(vals, type=pa.string()))
+
+
 REQUIRED_EVENT_COLS = ("repo", "path", "commit", "lang", "content", "op",
                        SEQ_COL)
 

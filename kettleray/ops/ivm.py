@@ -221,26 +221,27 @@ def ensure_partials(root: str, view_id: str, group_cols: Sequence[str],
             mor_items.append({"bucket": bname.split("=", 1)[1],
                               "base": bf, "delta": df})
 
+    # read_columns prunes the scan to the view's inputs (derive the
+    # full column set automatically when every value is a plain
+    # column name; callables need the caller to name their inputs —
+    # a wide state column like `content` otherwise dominates the IO).
+    cols = None
+    if read_columns is not None:
+        cols = list(dict.fromkeys([*group_cols, *read_columns]))
+    else:
+        named = [v for _, v in aggs.values() if isinstance(v, str)]
+        if all(v is None or isinstance(v, str)
+               for _, v in aggs.values()):
+            cols = list(dict.fromkeys([*group_cols, *named]))
+
     if changed_files:
         # one distributed pass over ONLY the changed buckets: per-block
         # partial (map-side combine), one narrow exchange keyed on the
         # bucket, per-bucket merge, partition-dir write matching the data
         # layout. 'bucket' arrives via hive-path inference (string).
-        # read_columns prunes the scan to the view's inputs (derive the
-        # full column set automatically when every value is a plain
-        # column name; callables need the caller to name their inputs —
-        # a wide state column like `content` otherwise dominates the IO).
-        cols = None
-        if read_columns is not None:
-            cols = list(dict.fromkeys([*group_cols, *read_columns]))
-        else:
-            named = [v for _, v in aggs.values() if isinstance(v, str)]
-            if all(v is None or isinstance(v, str)
-                   for _, v in aggs.values()):
-                cols = list(dict.fromkeys([*group_cols, *named]))
-        if cols is not None and "bucket" not in cols:
-            cols.append("bucket")
-        ds = ray.data.read_parquet(changed_files, columns=cols)
+        read_cols = None if cols is None else \
+            [*cols, "bucket"] if "bucket" not in cols else cols
+        ds = ray.data.read_parquet(changed_files, columns=read_cols)
 
         def _block_partial(t: pa.Table) -> pa.Table:
             d = _derive_values(t, group_cols, aggs, extra_cols=("bucket",))
@@ -259,11 +260,22 @@ def ensure_partials(root: str, view_id: str, group_cols: Sequence[str],
         partials.write_parquet(stage, partition_cols=["bucket"])
 
     if mor_items:
+        # a view reading content_sha256 needs content too: delta winners
+        # carry no stored digest, so theirs must be computed
+        want_sha = cols is not None and "content_sha256" in cols
+        mor_cols = (list(dict.fromkeys([*cols, "content"]))
+                    if want_sha else cols)
+
         def _mor_partial(t: pa.Table) -> pa.Table:
             outs = []
             for i in range(t.num_rows):
+                # same column pruning as the COW scan: the merge reads
+                # only keys + seq + op + the view's inputs, and hashes
+                # nothing unless the view consumes the digest
                 st = _sink.merged_bucket_state(t["base"][i].as_py(),
-                                               t["delta"][i].as_py())
+                                               t["delta"][i].as_py(),
+                                               columns=mor_cols,
+                                               with_sha=want_sha)
                 st = st.append_column(
                     "bucket", pa.array([t["bucket"][i].as_py()]
                                        * st.num_rows, type=pa.string()))

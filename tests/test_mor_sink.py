@@ -396,3 +396,58 @@ def test_change_subscription_cursor_semantics(tmp_path):
     assert got2 == got
     sub2.ack()
     assert sub2.poll() is None
+
+
+def test_changefeed_across_rebucket_boundary_falls_back(tmp_path):
+    root = str(tmp_path / "state")
+    base = [_r(f"r{i % 4}", f"f{i}.py", i) for i in range(1, 31)]
+    sink.apply_incremental_mor(root, ray.data.from_arrow(_mk(base)),
+                               num_buckets=4, num_partitions=4)
+    sink.rebucket_state(root, num_buckets=16, num_partitions=4)
+    sink.apply_incremental_mor(
+        root, ray.data.from_arrow(_mk([_r("r0", "f4.py", 100,
+                                          content="Q")])),
+        num_buckets=16, num_partitions=4)
+    # v1 (4 buckets) -> v3 (16 buckets): the per-bucket-name diff would
+    # fabricate deleted/new pairs for every moved key; the fallback
+    # key-shuffle diff must report exactly the ONE real change
+    got = {(r["repo"], r["path"]): r["change_type"]
+           for r in sink.read_changes(root, 1, 3,
+                                      num_partitions=4).take_all()}
+    assert got == {("r0", "f4.py"): "changed"}
+    full = sink.read_changes(root, 1, 3, include_identical=True,
+                             num_partitions=4).take_all()
+    assert len(full) == 30
+    assert sum(r["change_type"] == "identical" for r in full) == 29
+
+
+def test_append_log_race_loser_takes_next_slot(tmp_path):
+    root = str(tmp_path / "log")
+    t1 = _mk([_r("r0", "a.py", 1)])
+    t2 = _mk([_r("r1", "b.py", 2)])
+    sink.append_log(root, ray.data.from_arrow(t1))
+    # simulate a concurrent winner grabbing v0002 before our rename
+    # (non-empty, as a real winner's version dir always is — renaming
+    # onto an EMPTY dir would succeed on POSIX)
+    os.makedirs(os.path.join(root, "v0002"))
+    with open(os.path.join(root, "v0002", "winner.marker"), "wb") as f:
+        f.write(b"x")
+    m = sink.append_log(root, ray.data.from_arrow(t2))
+    assert m.version == 3                    # took the next free slot
+    log = sink.read_log(root).take_all()
+    assert {(r["repo"], r["path"]) for r in log} == {("r0", "a.py"),
+                                                     ("r1", "b.py")}
+
+
+def test_bucketed_writer_refuses_nonbucketed_root(tmp_path):
+    import pytest
+    root = str(tmp_path / "flat")
+    events = _mk([_r("r0", "a.py", 1), _r("r1", "b.py", 2)])
+    sink.apply_incremental(root, ray.data.from_arrow(events),
+                           num_partitions=2)
+    with pytest.raises(ValueError, match="non-bucketed"):
+        sink.apply_incremental_bucketed(root, ray.data.from_arrow(events),
+                                        num_buckets=4, num_partitions=2)
+    with pytest.raises(ValueError, match="non-bucketed"):
+        sink.apply_incremental_mor(root, ray.data.from_arrow(events),
+                                   num_buckets=4, num_partitions=2)
