@@ -19,6 +19,16 @@ Layout:
     CURRENT            -> {"version": N}
     v0001/ *.parquet
     v0001/manifest.json
+
+Scale note: version dirs reuse unchanged files via HARDLINKS — the
+local-filesystem materialization of what a manifest-pointer table format
+(Iceberg/Delta) does by listing shared data files in metadata. On an
+object store (no hardlinks) the same design ports by making the manifest
+the authority: a version's file list references absolute object keys and
+"hardlink forward" becomes "repeat the key in the new manifest" — an
+O(files-listed) metadata write, no data movement, exactly like here. All
+read paths (read_state, read_changes, lookup_state, IVM) consume file
+LISTS, so they are already manifest-shaped.
 """
 
 from __future__ import annotations
