@@ -286,6 +286,42 @@ def q_cdc_scd2_incremental(sf_dir: str):
     return sink.read_state(root).drop_columns(["bucket"])
 
 
+def q_cdc_catalog_txn(sf_dir: str):
+    """Atomic multi-table commits under the gate: three catalog
+    transactions each land a state (merge-on-read) and an SCD2 dimension
+    commit, pinned in one snapshot. Returned table = the state read
+    THROUGH the catalog's snapshot resolution; oracle = the plain LWW
+    replay SQL, so broken pin bookkeeping (wrong version, torn
+    visibility) fails the value-hash."""
+    import shutil
+    import tempfile
+    import pyarrow.compute as pc
+    from kettleray.io import catalog, sink
+    base = tempfile.mkdtemp(prefix="kr_cat_txn_")
+    shutil.rmtree(base, ignore_errors=True)
+    import os
+    croot = os.path.join(base, "catalog")
+    sroot = os.path.join(base, "state")
+    droot = os.path.join(base, "dim")
+    ev = _events(sf_dir)
+    for lo, hi in ((0, 1_000_000), (1_000_000, 2_000_000),
+                   (2_000_000, 1 << 62)):
+        w = ev.map_batches(
+            lambda b, lo=lo, hi=hi: b.filter(pc.and_(
+                pc.greater_equal(b["commit_seq"], lo),
+                pc.less(b["commit_seq"], hi))),
+            batch_format="pyarrow", zero_copy_batch=True)
+        with catalog.transaction(croot) as tx:
+            m1 = sink.apply_incremental_mor(sroot, w, num_buckets=16,
+                                            num_partitions=_NUM_PARTITIONS)
+            m2 = sink.apply_incremental_scd2(
+                droot, w, num_buckets=16,
+                num_partitions=_NUM_PARTITIONS)
+            tx.pin("state", sroot, m1.version)
+            tx.pin("dim", droot, m2.version)
+    return catalog.read_table(croot, "state").drop_columns(["bucket"])
+
+
 def q_cdc_rebucket(sf_dir: str):
     """Layout evolution under the gate: MOR commit at 16 buckets +
     trickle commit, then rebucket to 32 (folds deltas, rewrites layout),
@@ -510,6 +546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_changefeed": q_cdc_changefeed,
         "cdc_scd2_incremental": q_cdc_scd2_incremental,
         "cdc_quarantine_sink": q_cdc_quarantine_sink,
+        "cdc_catalog_txn": q_cdc_catalog_txn,
         "cdc_rebucket": q_cdc_rebucket,
         "cdc_streaming_state": q_cdc_streaming_state,
         "cdc_sync_roundtrip": q_cdc_sync_roundtrip,
@@ -600,6 +637,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_mor_state":
             f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
         "cdc_rebucket":
+            f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
+        "cdc_catalog_txn":
             f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
         "cdc_scd2_incremental": (
             f"WITH {ev}, "

@@ -554,7 +554,6 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "minhash_neardup": q_minhash_neardup,
     "dedup_corpus": q_dedup_corpus,
-    "text_scrub_normalize": q_text_scrub_normalize,
     "vocab_counts": q_vocab_counts,
     "simhash_fingerprints": q_simhash,
     "connected_components": q_connected_components,
@@ -564,6 +563,7 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "tfidf": q_tfidf,
     "lang_id": q_lang_id,
+    "text_scrub_normalize": q_text_scrub_normalize,
     "winnowing_fingerprints": q_winnowing,
     "doc_fingerprint": q_doc_fingerprint,
     "bigram_counts": q_bigram_counts,
