@@ -97,6 +97,30 @@ def q_cdc_replay_twopass(sf_dir: str):
                                   num_partitions=_NUM_PARTITIONS)
 
 
+def q_cdc_patch_replay(sf_dir: str):
+    """Partial-update replay: every third event arrives as a PATCH
+    (content null = unchanged — ≙ Update writing selected fields /
+    partial CDC images); the final state must inherit each key's latest
+    non-null content while every other column follows the latest event.
+    Oracle = DuckDB last_value(... IGNORE NULLS) window fill."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from kettleray.ops.cdc import replay_lww_patch
+
+    def _to_patches(t):
+        seq = t["commit_seq"]
+        mod3 = pc.subtract(seq, pc.multiply(pc.divide(seq, 3), 3))
+        mask = pc.or_(pc.equal(t["op"], "delete"), pc.equal(mod3, 0))
+        content = pc.if_else(mask, pa.scalar(None, type=pa.string()),
+                             t["content"])
+        return t.set_column(t.column_names.index("content"), "content",
+                            content)
+
+    ev = _events(sf_dir).map_batches(_to_patches, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    return replay_lww_patch(ev, num_partitions=_NUM_PARTITIONS)
+
+
 def q_cdc_snapshot_at(sf_dir: str):
     """Time travel: table state as of watermark 1,500,000 (= v0+v1)."""
     import pyarrow.compute as pc
@@ -536,6 +560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_diff_snapshots": q_cdc_diff_snapshots,
         "cdc_dedup_redelivery": q_cdc_dedup_redelivery,
+        "cdc_patch_replay": q_cdc_patch_replay,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_replay_twopass": q_cdc_replay_twopass,
         "cdc_snapshot_at": q_cdc_snapshot_at,
@@ -632,6 +657,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(NULL AS VARCHAR) AS author FROM ev"),
         "cdc_replay_twopass":
             f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
+        "cdc_patch_replay": (
+            f"WITH {ev}, "
+            "pe AS (SELECT repo, path, \"commit\", lang, op, commit_seq, "
+            "CASE WHEN op = 'delete' OR commit_seq % 3 = 0 THEN NULL "
+            "ELSE content END AS content FROM ev), "
+            "filled AS (SELECT *, last_value(content IGNORE NULLS) OVER "
+            "(PARTITION BY repo, path ORDER BY commit_seq "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS fcontent FROM pe), "
+            "ranked AS (SELECT *, row_number() OVER (PARTITION BY repo, "
+            'path ORDER BY commit_seq DESC, "commit" DESC) AS rn '
+            "FROM filled) "
+            'SELECT repo, path, "commit", lang, fcontent AS content, '
+            "sha256(fcontent) AS content_sha256, "
+            "commit_seq AS last_commit_seq "
+            "FROM ranked WHERE rn = 1 AND op <> 'delete'"),
         "cdc_bucketed_state":
             f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
         "cdc_mor_state":

@@ -327,6 +327,80 @@ def replay_lww(events: "ray.data.Dataset", *,
                                 batch_size=None, zero_copy_batch=True)
 
 
+def patch_merge_table(t: pa.Table, patch_col: str = "content",
+                      keys: Sequence[str] = KEY_COLS,
+                      seq_col: str = SEQ_COL) -> pa.Table:
+    """Partial-update reduce over a KEY-COMPLETE block: one row per key —
+    the latest event's row, with ``patch_col`` inherited from the latest
+    event that carried a NON-NULL value (null = 'unchanged', ≙ Kettle
+    Update with selected fields / a partial-payload CDC image). Keys
+    whose every event patched the column end with null."""
+    if t.num_rows <= 1:
+        return t
+    codes = _composite_key_codes(t, keys)
+    seq = _col_np(t, seq_col)
+    col = t[patch_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    valid = np.asarray(col.is_valid())
+    n = t.num_rows
+    order = np.lexsort((seq, codes))
+    sk = codes[order]
+    run_start = np.empty(n, dtype=bool)
+    run_start[0] = True
+    run_start[1:] = sk[1:] != sk[:-1]
+    run_id = np.cumsum(run_start) - 1
+    # latest value-bearing position per prefix, segmented by run: encode
+    # (run_id, donor_pos) so np.maximum.accumulate cannot leak a donor
+    # across key boundaries
+    donor = np.where(valid[order], np.arange(n), -1)
+    key_scaled = run_id.astype(np.int64) * np.int64(n + 1)
+    seg = np.maximum.accumulate(key_scaled + donor + 1) - key_scaled
+    donor_idx = seg - 1                       # -1 = no value seen yet
+    last_of_run = np.empty(n, dtype=bool)
+    last_of_run[:-1] = run_start[1:]
+    last_of_run[-1] = True
+    win_pos = np.nonzero(last_of_run)[0]
+    out = t.take(pa.array(order[win_pos], type=pa.int64()))
+    d = donor_idx[win_pos]
+    vals = col.take(pa.array(order[np.maximum(d, 0)], type=pa.int64()))
+    patched = pc.if_else(pa.array(d >= 0), vals,
+                         pa.scalar(None, type=col.type))
+    return out.set_column(out.column_names.index(patch_col), patch_col,
+                          patched)
+
+
+def replay_lww_patch(events: "ray.data.Dataset", *,
+                     num_partitions: int = 64,
+                     patch_col: str = "content",
+                     with_sha: bool = True) -> "ray.data.Dataset":
+    """LWW replay with PARTIAL updates: events may carry null in
+    ``patch_col`` meaning 'unchanged' — the final state inherits the
+    latest non-null value while every other column comes from the
+    latest event (≙ Update step writing selected fields; Debezium
+    partial images / Hudi partial-update payloads).
+
+    Map-side combine stays associative by keeping ≤2 rows per key per
+    block: the latest row AND the latest value-bearing row — so the
+    shuffle is still batch-bounded, never table-bounded."""
+
+    def _combine(t: pa.Table) -> pa.Table:
+        win = lww_reduce_table(t)
+        cw = lww_reduce_table(t.filter(pc.is_valid(t[patch_col])))
+        return dedup_events_table(
+            pa.concat_tables([win, cw], promote_options="permissive"))
+
+    def _finalize(t: pa.Table) -> pa.Table:
+        return finalize_state_table(patch_merge_table(t, patch_col),
+                                    with_sha=with_sha)
+
+    combined = events.map_batches(_combine, batch_format="pyarrow",
+                                  batch_size=None, zero_copy_batch=True)
+    shuffled = combined.repartition(num_partitions, keys=list(KEY_COLS))
+    return shuffled.map_batches(_finalize, batch_format="pyarrow",
+                                batch_size=None, zero_copy_batch=True)
+
+
 def _winner_hash64(t: pa.Table, seq_col: str) -> np.ndarray:
     """64-bit mixed hash of the (repo, path, seq) winner identity.
 

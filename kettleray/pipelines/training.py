@@ -557,12 +557,12 @@ QUERIES = {
     "vocab_counts": q_vocab_counts,
     "simhash_fingerprints": q_simhash,
     "connected_components": q_connected_components,
-    "stratified_sample": q_stratified_sample,
     "mixture_sample": q_mixture_sample,
     "kmeans_assign": q_kmeans_assign,
     "inverted_index": q_inverted_index,
     "tfidf": q_tfidf,
     "lang_id": q_lang_id,
+    "stratified_sample": q_stratified_sample,
     "text_scrub_normalize": q_text_scrub_normalize,
     "winnowing_fingerprints": q_winnowing,
     "doc_fingerprint": q_doc_fingerprint,

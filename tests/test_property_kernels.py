@@ -362,3 +362,53 @@ def test_scd2_incremental_append_matches_batch(t, cut_a, cut_b):
             h = cdc.scd2_append_table(h, piece)
     assert h.select(full.column_names).sort_by(key).equals(
         full.sort_by(key))
+
+
+@settings(max_examples=100, deadline=None)
+@given(event_logs(), st.integers(min_value=0, max_value=45))
+def test_patch_replay_kernels_match_oracle(t, cut):
+    """Partial-update semantics (null patch_col = unchanged): the
+    patch-merge kernel — including the two-row-per-key map-side combine
+    split at an arbitrary block boundary — must match a sequential
+    forward-fill oracle."""
+    import pyarrow.compute as pc
+    # null out every third event's content (and deletes'), like the
+    # cdc_patch_replay gate query
+    seq = t["commit_seq"]
+    mod3 = pc.subtract(seq, pc.multiply(pc.divide(seq, 3), 3))
+    mask = pc.or_(pc.equal(t["op"], "delete"), pc.equal(mod3, 0))
+    t = t.set_column(t.column_names.index("content"), "content",
+                     pc.if_else(mask, pa.scalar(None, type=pa.string()),
+                                t["content"]))
+
+    state: dict = {}
+    rows = sorted(t.to_pylist(), key=lambda r: (r["commit_seq"],
+                                                r["commit"]))
+    seen = set()
+    for r in rows:
+        ek = (r["repo"], r["path"], r["commit_seq"])
+        if ek in seen:
+            continue
+        seen.add(ek)
+        k = (r["repo"], r["path"])
+        cur = dict(r)
+        if cur["content"] is None:
+            cur["content"] = state.get(k, {}).get("content")
+        state[k] = cur
+    want = {k: (v["content"], v["commit_seq"])
+            for k, v in state.items() if v["op"] != "delete"}
+
+    def _combine(s):
+        return cdc.dedup_events_table(pa.concat_tables(
+            [cdc.lww_reduce_table(s),
+             cdc.lww_reduce_table(s.filter(pc.is_valid(s["content"])))],
+            promote_options="permissive"))
+
+    parts = [s for s in (t.slice(0, cut), t.slice(cut)) if s.num_rows]
+    comb = pa.concat_tables([_combine(s) for s in parts]) if parts \
+        else t
+    got_t = cdc.finalize_state_table(cdc.patch_merge_table(comb),
+                                     with_sha=False)
+    got = {(r["repo"], r["path"]): (r["content"], r["last_commit_seq"])
+           for r in got_t.to_pylist()}
+    assert got == want
