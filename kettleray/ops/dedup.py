@@ -133,17 +133,15 @@ class MinHasher:
             sig = np.minimum.reduceat(V, starts_sh, axis=0)
         return sig
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        sig = self.signatures(batch)
-        ndocs = len(ids)
-        out_id = np.repeat(np.asarray(ids), self.bands)
-        out_band = np.tile(np.arange(self.bands, dtype=np.int32), ndocs)
-        # band hash = splitmix-style fold of the band's signature columns
-        # — fully vectorized ((ndocs, bands) in a handful of numpy ops;
-        # the per-(doc, band) blake2b loop was the signing bottleneck).
-        # Cross-signature collisions are ~2^-64: harmless false
-        # candidates, removed by the exact-Jaccard verify.
+    def band_hashes(self, sig: np.ndarray) -> np.ndarray:
+        """(ndocs, bands) int64 band hashes from a signature matrix.
+
+        Band hash = splitmix-style fold of the band's signature columns
+        — fully vectorized ((ndocs, bands) in a handful of numpy ops;
+        the per-(doc, band) blake2b loop was the signing bottleneck).
+        Cross-signature collisions are ~2^-64: harmless false
+        candidates, removed by the exact-Jaccard verify."""
+        ndocs = sig.shape[0]
         rpb = self.rows_per_band
         C1 = np.uint64(0x9E3779B97F4A7C15)
         C2 = np.uint64(0xBF58476D1CE4E5B9)
@@ -153,7 +151,15 @@ class MinHasher:
                 col = sig[:, [b * rpb + j for b in range(self.bands)]]
                 h = (h ^ (col * C1)) * C2
                 h ^= h >> np.uint64(29)
-        band_hash = h.astype(np.int64).ravel()
+        return h.astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        sig = self.signatures(batch)
+        ndocs = len(ids)
+        out_id = np.repeat(np.asarray(ids), self.bands)
+        out_band = np.tile(np.arange(self.bands, dtype=np.int32), ndocs)
+        band_hash = self.band_hashes(sig).ravel()
         return pa.table({
             "doc_id": pa.array(out_id),
             "band_id": pa.array(out_band, type=pa.int32()),

@@ -1,0 +1,871 @@
+"""Incrementally maintained MinHash-LSH near-duplicate index — the
+CDC x training-data crossover.
+
+Batch near-dup dedup (``dedup.minhash_lsh_pairs``) re-signs and re-bands
+the ENTIRE corpus per run: at 100 TB that is a full-corpus scan for
+every nightly increment. This module keeps the LSH state itself as a
+versioned, hash-bucketed table (the same COW + hardlink-forward idiom as
+``kettleray.io.sink``), so a commit of B new/updated docs costs
+O(B x bands) — never O(corpus):
+
+  root/vNNNN/bands/bucket=K/   (doc_id, band_id, band_hash, v) rows,
+                               hash-bucketed by (band_id, band_hash)
+  root/vNNNN/sketch/bucket=K/  (doc_id, sh BINARY sorted-distinct-u64
+                               shingle hashes, n_sh, v), by hash(doc_id)
+  root/vNNNN/pairs/            (doc_a, doc_b, jaccard, v) append log
+  root/vNNNN/deleted/          (doc_id, v) tombstone log
+
+Per commit, only the band buckets the new docs hash into are READ
+(candidate generation against history), only those bucket dirs receive
+new fragment files, and every other file is hardlinked forward (O(1)
+per file). Verification never touches corpus text: exact word-k-gram
+Jaccard is computed from the stored shingle sketches via two
+hash-partitioned ``Dataset.join``s (only bucket NUMBERS ever cross the
+driver). CDC semantics:
+
+- UPDATE = re-arrival of a doc_id: it is re-signed and re-verified
+  against the whole index; a pair row is live iff its emission version
+  >= the latest sketch version of BOTH its docs, so pairs against the
+  superseded text vanish at read time without any rewrite.
+- DELETE = one tombstone row; filtered at read, garbage-collected by
+  ``compact_lsh``. Delete wins a same-commit tie with an insert.
+- Redelivery of identical content is idempotent in the pair VIEW (the
+  re-emitted pair replaces the superseded one 1:1).
+
+Scale notes: sketches store the full distinct gram-hash set (exact
+verify, what the value-hash oracle checks); at web scale the documented
+knob is a bottom-k truncation of the same sorted array (approximate
+verify) — the layout does not change. The live tombstone set is kept
+small by folding it into the data at every compaction, so the
+read/candidate-side delete filter stays a broadcast of live tombstones
+only, not of all deletes ever.
+
+No Kettle equivalent (reference scope is row-stream transforms); the
+LSH construction follows Broder's MinHash and the standard banding
+scheme, shared with ``dedup.minhash_lsh_pairs`` bit-for-bit so
+incremental candidate recall equals the batch pipeline's.
+"""
+from __future__ import annotations
+
+import hashlib
+import json
+import logging
+import os
+import shutil
+import time
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from kettleray.ops.cdc import _composite_key_codes
+from kettleray.ops.dedup import MinHasher
+
+_LOG = logging.getLogger("kettleray.incdedup")
+
+_C1 = np.uint64(0x9E3779B97F4A7C15)
+_C2 = np.uint64(0xBF58476D1CE4E5B9)
+
+PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                         ("jaccard", pa.float64())])
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(30))) * _C1
+        x = (x ^ (x >> np.uint64(27))) * _C2
+        return x ^ (x >> np.uint64(31))
+
+
+def _band_bucket(band_id: np.ndarray, band_hash: np.ndarray,
+                 num_buckets: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        h = _mix64(band_hash.astype(np.uint64)
+                   + (band_id.astype(np.uint64) + np.uint64(1)) * _C2)
+    return (h % np.uint64(num_buckets)).astype(np.int64)
+
+
+def _id_bucket(ids: np.ndarray, num_buckets: int) -> np.ndarray:
+    return (_mix64(ids.astype(np.uint64))
+            % np.uint64(num_buckets)).astype(np.int64)
+
+
+# ---------------------------------------------------------------- layout
+
+def _vdir(root: str, v: int) -> str:
+    return os.path.join(root, f"v{v:04d}")
+
+
+def current_version(root: str) -> int | None:
+    p = os.path.join(root, "CURRENT")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(f.read().strip().lstrip("v"))
+
+
+def read_manifest(root: str, v: int | None = None) -> dict | None:
+    if v is None:
+        v = current_version(root)
+    if v is None:
+        return None
+    with open(os.path.join(_vdir(root, v), "manifest.json")) as f:
+        return json.load(f)
+
+
+def _np_col(t: pa.Table, name: str) -> np.ndarray:
+    c = t[name]
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    return c.to_numpy(zero_copy_only=False)
+
+
+# ---------------------------------------------------------------- signer
+
+class _SketchSigner:
+    """Per-actor signer (actor-pool stage): ONE pass over a batch yields
+
+    - the MinHash band hashes, bit-identical to ``dedup.MinHasher``
+      (so incremental candidate recall == the batch pipeline's), and
+    - the exact-verify sketch: the doc's DISTINCT word-k-gram hash set,
+      case-SENSITIVE and empty-token-free to match
+      ``dedup._word_shingles`` / the SQL oracle's gram semantics
+      (``regexp_split_to_array(trim(text), '\\s+')``). Docs shorter
+      than k tokens fall back to the single whole-doc gram, hashed
+      order-sensitively (blake2b of the joined string), again matching
+      ``_word_shingles``.
+
+    Gram hash = rolling FNV-multiplier combine of per-token blake2b
+    hashes — different VALUES from ``_word_shingles`` but the same SET
+    semantics (injective per gram w.p. 1 - ~2^-64), which is all
+    Jaccard needs."""
+
+    def __init__(self, id_col: str, text_col: str, num_perm: int,
+                 shingle_k: int, bands: int, seed: int = 42):
+        self.mh = MinHasher(id_col, text_col, num_perm, shingle_k,
+                            bands, seed)
+        self.id_col, self.text_col, self.k = id_col, text_col, shingle_k
+
+    def _sketches(self, texts) -> tuple[np.ndarray, np.ndarray]:
+        """(values, counts): per-doc sorted-distinct u64 gram hashes,
+        concatenated in doc order."""
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.utf8_split_whitespace(texts)
+        counts0 = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ndocs = len(counts0)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        nonempty = pc.not_equal(flat, "")
+        keep_np = nonempty.to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(ndocs), counts0)[keep_np]
+        flat_k = flat.filter(nonempty)
+        counts = np.bincount(doc_of, minlength=ndocs).astype(np.int64)
+        enc = pc.dictionary_encode(flat_k)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        vocab = enc.dictionary.to_pylist()
+        vh = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(w.encode("utf-8"),
+                                            digest_size=8).digest(),
+                            "little") for w in vocab),
+            dtype=np.uint64, count=len(vocab))
+        tok_h = vh[enc.indices.to_numpy(zero_copy_only=False)] \
+            if len(vocab) else np.empty(0, np.uint64)
+        k, n = self.k, len(tok_h)
+        m = max(n - k + 1, 0)
+        with np.errstate(over="ignore"):
+            sh = np.zeros(m, dtype=np.uint64)
+            for j in range(k):
+                sh += tok_h[j:n - k + 1 + j] * self.mh.roll[j]
+        valid = (doc_of[:m] == doc_of[k - 1:]) if n >= k else \
+            np.zeros(m, dtype=bool)
+        sh_doc, sh_v = (doc_of[:m][valid], sh[valid])
+        # fallback: docs with < k non-empty tokens -> one whole-doc gram
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(
+            np.int64)
+        fb = np.nonzero(counts < k)[0]
+        fb_vals = np.empty(len(fb), dtype=np.uint64)
+        for i, d in enumerate(fb):
+            g = " ".join(flat_k.slice(starts[d], counts[d]).to_pylist())
+            fb_vals[i] = int.from_bytes(
+                hashlib.blake2b(g.encode("utf-8"),
+                                digest_size=8).digest(), "little")
+        all_doc = np.concatenate([sh_doc, fb])
+        all_sh = np.concatenate([sh_v, fb_vals])
+        order = np.lexsort((all_sh, all_doc))
+        ad, ash = all_doc[order], all_sh[order]
+        first = np.ones(len(ad), dtype=bool)
+        first[1:] = (ad[1:] != ad[:-1]) | (ash[1:] != ash[:-1])
+        ad, ash = ad[first], ash[first]
+        return ash, np.bincount(ad, minlength=ndocs).astype(np.int64)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = _np_col(t, self.id_col).astype(np.int64)
+        sig = self.mh.signatures(t)
+        bh = self.mh.band_hashes(sig)                   # (n, bands) i64
+        sk_vals, sk_counts = self._sketches(t[self.text_col])
+        offsets = np.zeros(len(ids) + 1, dtype=np.int32)
+        np.cumsum(sk_counts * 8, out=offsets[1:])
+        blob = pa.Array.from_buffers(
+            pa.binary(), len(ids),
+            [None, pa.py_buffer(offsets.tobytes()),
+             pa.py_buffer(sk_vals.astype("<u8").tobytes())])
+        bh_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(bh.ravel(), type=pa.int64()), self.mh.bands)
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "bh": bh_col, "sh": blob,
+                         "n_sh": pa.array(sk_counts, type=pa.int64())})
+
+
+# ------------------------------------------------------------- kernels
+
+def _flatten_bands(t: pa.Table, bands: int, num_buckets: int,
+                   v: int) -> pa.Table:
+    ids = _np_col(t, "doc_id")
+    col = t["bh"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    band_hash = col.values.to_numpy(zero_copy_only=False)
+    n = len(ids)
+    doc_id = np.repeat(ids, bands)
+    band_id = np.tile(np.arange(bands, dtype=np.int32), n)
+    bucket = _band_bucket(band_id, band_hash, num_buckets)
+    return pa.table({
+        "doc_id": pa.array(doc_id, type=pa.int64()),
+        "band_id": pa.array(band_id, type=pa.int32()),
+        "band_hash": pa.array(band_hash, type=pa.int64()),
+        "v": pa.array(np.full(n * bands, v), type=pa.int64()),
+        "bucket": pa.array(bucket, type=pa.int64()),
+    })
+
+
+_EMPTY_PAIRS = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                         "doc_b": pa.array([], type=pa.int64())})
+
+
+def _solidify_small(ds, *, limit: int = 200_000, schema: pa.Schema):
+    """Work around schema-less empty shuffle blocks ahead of a join.
+
+    Ray's hash shuffle/groupby emit zero-column empty blocks;
+    map_batches is SKIPPED on them, so they cannot be repaired
+    in-stream, and a join partition made only of them concatenates to a
+    zero-column table that acero rejects ('No match ... FieldRef').
+    That failure mode only exists in the small regime (some partition
+    has no real rows) — so below ``limit`` rows, rebuild the dataset as
+    one schema'd block (bounded by candidate pairs per COMMIT, never by
+    the corpus); above it every partition has real rows and the stream
+    is returned untouched."""
+    ds = ds.materialize()
+    if ds.count() > limit:
+        return ds
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns]
+    tables = [t.select(schema.names).cast(schema) for t in tables]
+    merged = pa.concat_tables(tables) if tables else \
+        schema.empty_table()
+    return ray.data.from_arrow(merged)
+
+
+def _pairs_vs_new(t: pa.Table, max_bucket: int) -> pa.Table:
+    """Within-block candidate pairs over (band_id, band_hash) runs where
+    AT LEAST ONE side is new (old x old pairs were emitted when the
+    younger of the two was itself new — re-emitting them would be pure
+    duplicate work). Same triangular-template vectorization and
+    oversized-bucket cap as ``dedup._bucket_pairs_table``."""
+    if t.num_rows < 2:
+        return _EMPTY_PAIRS
+    codes = _composite_key_codes(t, ["band_id", "band_hash"])
+    ids = _np_col(t, "doc_id")
+    isnew = _np_col(t, "is_new").astype(bool)
+    # dedupe (band, hash, doc): keep the is_new=max row (a stale version
+    # of a doc sharing the band hash with its own re-sign must not pair
+    # with itself)
+    order = np.lexsort((isnew, ids, codes))
+    sk, sid, snew = codes[order], ids[order], isnew[order]
+    last = np.ones(len(sk), dtype=bool)
+    last[:-1] = (sk[1:] != sk[:-1]) | (sid[1:] != sid[:-1])
+    sk, sid, snew = sk[last], sid[last], snew[last]
+    n = len(sk)
+    run_start = np.empty(n, dtype=bool)
+    run_start[0] = True
+    run_start[1:] = sk[1:] != sk[:-1]
+    begins = np.nonzero(run_start)[0]
+    lens = np.diff(np.append(begins, n))
+    over = lens > max_bucket
+    if over.any():
+        _LOG.warning(
+            "incdedup: dropped %d oversized band buckets (> %d docs)",
+            int(over.sum()), max_bucket)
+    out_a, out_b = [], []
+    lens_ok, begins_ok = lens[~over], begins[~over]
+    for m in np.unique(lens_ok):
+        if m < 2:
+            continue
+        ti, tj = np.triu_indices(int(m), k=1)
+        b_m = begins_ok[lens_ok == m]
+        ia = (b_m[:, None] + ti[None, :]).ravel()
+        ib = (b_m[:, None] + tj[None, :]).ravel()
+        mask = snew[ia] | snew[ib]
+        out_a.append(sid[ia][mask])
+        out_b.append(sid[ib][mask])
+    if not out_a:
+        return _EMPTY_PAIRS
+    return pa.table({
+        "doc_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+        "doc_b": pa.array(np.concatenate(out_b), type=pa.int64())})
+
+
+def _latest_per_doc(t: pa.Table) -> pa.Table:
+    """Keep the max-v row per doc_id (block is doc_id-partitioned)."""
+    if t.num_rows == 0 or t.num_columns == 0:
+        return t
+    ids = _np_col(t, "doc_id")
+    vs = _np_col(t, "v")
+    order = np.lexsort((vs, ids))
+    sid = ids[order]
+    last = np.ones(len(sid), dtype=bool)
+    last[:-1] = sid[1:] != sid[:-1]
+    return t.take(pa.array(order[last], type=pa.int64()))
+
+
+def _verify_from_sketches(pairs, sketches, *, threshold: float,
+                          num_partitions: int):
+    """pairs (doc_a, doc_b) x stored sketches -> exact-Jaccard-verified
+    (doc_a, doc_b, jaccard). Two hash-partitioned Dataset.joins (sketch
+    payload is a binary blob of sorted distinct u64 gram hashes — acero
+    joins reject list columns, binary passes through zero-copy)."""
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        return ray.data.from_arrow(pa.table(
+            {"doc_a": pa.array([], type=pa.int64()),
+             "doc_b": pa.array([], type=pa.int64()),
+             "jaccard": pa.array([], type=pa.float64())}))
+    sk = sketches.select_columns(["doc_id", "sh", "n_sh"])
+    sa = sk.rename_columns({"doc_id": "doc_a", "sh": "__sh_a",
+                            "n_sh": "__n_a"})
+    sb = sk.rename_columns({"doc_id": "doc_b", "sh": "__sh_b",
+                            "n_sh": "__n_b"})
+    j = pairs.join(sa, join_type="inner", on=("doc_a",),
+                   num_partitions=num_partitions)
+    # join output partitions can themselves be schema-less empties —
+    # re-solidify before chaining the second join (see _solidify_small)
+    j = _solidify_small(j, limit=50_000, schema=pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+         ("__sh_a", pa.binary()), ("__n_a", pa.int64())]))
+    j = j.join(sb, join_type="inner", on=("doc_b",),
+               num_partitions=num_partitions)
+
+    def _score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                             "doc_b": pa.array([], type=pa.int64()),
+                             "jaccard": pa.array([], type=pa.float64())})
+        sh_a = t["__sh_a"].to_pylist()
+        sh_b = t["__sh_b"].to_pylist()
+        na = _np_col(t, "__n_a")
+        nb = _np_col(t, "__n_b")
+        jac = np.empty(t.num_rows, dtype=np.float64)
+        for i in range(t.num_rows):
+            a = np.frombuffer(sh_a[i], dtype=np.uint64)
+            b = np.frombuffer(sh_b[i], dtype=np.uint64)
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            jac[i] = inter / (int(na[i]) + int(nb[i]) - inter)
+        out = t.select(["doc_a", "doc_b"]).append_column(
+            "jaccard", pa.array(jac, type=pa.float64()))
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    return j.map_batches(_score, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------- apply
+
+def _params_dict(**kw) -> dict:
+    return {k: kw[k] for k in sorted(kw)}
+
+
+def _fix_bucket_col(ds, *, drop: bool = False):
+    """write_parquet(partition_cols=...) strips the bucket column from
+    files and read_parquet re-infers it from the hive path as STRING —
+    normalize it back to int64 (or drop it)."""
+    def _fn(t: pa.Table) -> pa.Table:
+        if "bucket" not in t.column_names:
+            return t
+        if drop:
+            return t.drop_columns(["bucket"])
+        i = t.column_names.index("bucket")
+        return t.set_column(i, "bucket",
+                            pc.cast(t["bucket"], pa.int64()))
+    return ds.map_batches(_fn, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _del_versions(ids: np.ndarray, dmap: dict[int, int]) -> np.ndarray:
+    """Vectorized doc_id -> tombstone version (-1 when never deleted):
+    binary search over the (small, live-only) sorted tombstone set."""
+    if not dmap:
+        return np.full(len(ids), -1, dtype=np.int64)
+    dk = np.fromiter(dmap.keys(), dtype=np.int64, count=len(dmap))
+    dv = np.fromiter(dmap.values(), dtype=np.int64, count=len(dmap))
+    o = np.argsort(dk)
+    dk, dv = dk[o], dv[o]
+    pos = np.minimum(np.searchsorted(dk, ids), len(dk) - 1)
+    hit = dk[pos] == ids
+    return np.where(hit, dv[pos], np.int64(-1))
+
+
+def _deleted_map(root: str, v: int | None) -> dict[int, int]:
+    """doc_id -> max tombstone version, from the LIVE tombstone log
+    (compaction folds tombstones into the data and clears the log, so
+    this stays small — it is the only delete state ever broadcast)."""
+    if v is None:
+        return {}
+    d = os.path.join(_vdir(root, v), "deleted")
+    out: dict[int, int] = {}
+    if not os.path.isdir(d):
+        return out
+    for f in sorted(os.listdir(d)):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(d, f))
+        for i, dv in zip(t["doc_id"].to_pylist(), t["v"].to_pylist()):
+            out[i] = max(out.get(i, -1), dv)
+    return out
+
+
+def _move_fragments(tmp: str, stage: str, sub: str, v: int) -> int:
+    """Move bucket-partitioned write output under stage/sub with
+    version-stamped fragment names; returns rows moved."""
+    rows = 0
+    if not os.path.isdir(tmp):
+        return 0
+    for name in sorted(os.listdir(tmp)):
+        if not name.startswith("bucket="):
+            continue
+        dst = os.path.join(stage, sub, name)
+        os.makedirs(dst, exist_ok=True)
+        for i, f in enumerate(sorted(os.listdir(
+                os.path.join(tmp, name)))):
+            src = os.path.join(tmp, name, f)
+            rows += pq.read_metadata(src).num_rows
+            os.rename(src, os.path.join(
+                dst, f"frag-v{v:04d}-{i}.{uuid.uuid4().hex[:6]}"
+                     f".parquet"))
+    shutil.rmtree(tmp)
+    return rows
+
+
+def _bucket_dirs(vdir: str, sub: str, only: set[int] | None = None
+                 ) -> list[str]:
+    """Parquet FILE paths under vdir/sub, optionally pruned to the
+    bucket numbers in ``only`` (ray.data.read_parquet wants files when
+    given a list)."""
+    base = os.path.join(vdir, sub)
+    if not os.path.isdir(base):
+        return []
+    out = []
+    for name in sorted(os.listdir(base)):
+        if not name.startswith("bucket="):
+            continue
+        k = int(name.split("=", 1)[1])
+        if only is None or k in only:
+            d = os.path.join(base, name)
+            out.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                       if f.endswith(".parquet"))
+    return out
+
+
+def apply_incremental_lsh(root: str, docs, *,
+                          id_col: str = "doc_id",
+                          text_col: str = "text",
+                          num_perm: int = 64, bands: int = 16,
+                          shingle_k: int = 3, threshold: float = 0.5,
+                          num_buckets: int = 32,
+                          num_partitions: int = 8,
+                          max_bucket: int = 64, seed: int = 42,
+                          deletes=None) -> dict:
+    """One CDC commit against the index: sign ``docs`` (inserts AND
+    updates — re-arrival of a doc_id supersedes its old text), detect
+    near-dups of the new docs against the ENTIRE history by reading only
+    the touched band buckets, record tombstones for ``deletes``.
+    Returns the new manifest. ``docs=None`` commits deletes only.
+
+    Single-writer per root (the streaming shard -> index handoff is
+    serialized upstream); the version rename is atomic either way."""
+    params = _params_dict(num_perm=num_perm, bands=bands,
+                          shingle_k=shingle_k, threshold=threshold,
+                          num_buckets=num_buckets, seed=seed)
+    man = read_manifest(root)
+    if man and man["params"] != params:
+        raise ValueError(f"index at {root} was built with "
+                         f"{man['params']}, got {params}")
+    prev_v = man["version"] if man else None
+    v = (prev_v or 0) + 1
+    t0 = time.time()
+
+    del_ids = np.unique(np.asarray(list(deletes), dtype=np.int64)) \
+        if deletes is not None else np.empty(0, np.int64)
+    del_map = _deleted_map(root, prev_v)
+    # live tombstones from history + this commit's (delete wins ties)
+    cand_del = dict(del_map)
+    for i in del_ids.tolist():
+        cand_del[i] = v
+
+    signed = bands_new = sketch_new = None
+    new_docs = 0
+    if docs is not None:
+        signed = docs.select_columns([id_col, text_col]).map_batches(
+            _SketchSigner, batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=(1, 8),
+            fn_constructor_args=(id_col, text_col, num_perm, shingle_k,
+                                 bands, seed))
+        if del_ids.size:
+            darr = pa.array(del_ids, type=pa.int64())
+            signed = signed.map_batches(
+                lambda t: t.filter(pc.invert(pc.is_in(
+                    t["doc_id"], value_set=darr))),
+                batch_format="pyarrow", zero_copy_batch=True)
+        signed = signed.materialize()
+        new_docs = signed.count()
+
+    pairs_rows = band_rows = 0
+    verified = None
+    touched: set[int] = set()
+    if new_docs:
+        bands_new = signed.map_batches(
+            lambda t: _flatten_bands(t, bands, num_buckets, v),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+        band_rows = bands_new.count()
+        for b in bands_new.select_columns(["bucket"]).iter_batches(
+                batch_size=65536, batch_format="pyarrow"):
+            touched.update(np.unique(
+                b["bucket"].to_numpy(zero_copy_only=False)).tolist())
+
+        # ---- candidate generation: ONLY touched band buckets are read
+        old_dirs = _bucket_dirs(_vdir(root, prev_v), "bands", touched) \
+            if prev_v else []
+        new_flag = bands_new.map_batches(
+            lambda t: t.append_column(
+                "is_new", pa.array(np.ones(t.num_rows, bool))),
+            batch_format="pyarrow", zero_copy_batch=True)
+        sides = [new_flag]
+        if old_dirs:
+            old = _fix_bucket_col(ray.data.read_parquet(old_dirs))
+            if cand_del:
+                dd = cand_del   # tiny: live tombstones only
+
+                def _drop_deleted(t: pa.Table) -> pa.Table:
+                    if t.num_rows == 0:
+                        return t
+                    keep = _del_versions(_np_col(t, "doc_id"), dd) \
+                        < _np_col(t, "v")
+                    return t.filter(pa.array(keep))
+                old = old.map_batches(_drop_deleted,
+                                      batch_format="pyarrow",
+                                      zero_copy_batch=True)
+            old = old.map_batches(
+                lambda t: t.append_column(
+                    "is_new", pa.array(np.zeros(t.num_rows, bool))),
+                batch_format="pyarrow", zero_copy_batch=True)
+            sides.append(old)
+        combined = sides[0].union(*sides[1:]) if len(sides) > 1 \
+            else sides[0]
+        parts = max(1, min(num_partitions, len(touched)))
+        cand = combined.repartition(parts, keys=["bucket"]).map_batches(
+            lambda t: _pairs_vs_new(t, max_bucket),
+            batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True)
+        from kettleray.ops.aggregates import unique_rows
+        cand = _solidify_small(
+            unique_rows(cand, ["doc_a", "doc_b"],
+                        num_partitions=parts),
+            schema=pa.schema([("doc_a", pa.int64()),
+                              ("doc_b", pa.int64())]))
+
+        # ---- verify against stored sketches (never corpus text)
+        cand_buckets: set[int] = set()
+        for b in cand.iter_batches(batch_size=65536,
+                                   batch_format="pyarrow"):
+            for col in ("doc_a", "doc_b"):
+                ids_ = b[col].to_numpy(zero_copy_only=False)
+                cand_buckets.update(np.unique(
+                    _id_bucket(ids_, num_buckets)).tolist())
+        sk_sides = [signed.select_columns(["doc_id", "sh", "n_sh"])
+                    .map_batches(
+                        lambda t: t.append_column(
+                            "v", pa.array(np.full(t.num_rows, v),
+                                          type=pa.int64())),
+                        batch_format="pyarrow", zero_copy_batch=True)]
+        sk_dirs = _bucket_dirs(_vdir(root, prev_v), "sketch",
+                               cand_buckets) if prev_v else []
+        if sk_dirs:
+            sk_sides.append(_fix_bucket_col(
+                ray.data.read_parquet(sk_dirs), drop=True))
+        sk_all = sk_sides[0].union(*sk_sides[1:]) if len(sk_sides) > 1 \
+            else sk_sides[0]
+        sk_latest = _solidify_small(
+            sk_all.repartition(
+                max(1, min(num_partitions, max(len(cand_buckets), 1))),
+                keys=["doc_id"]).map_batches(
+                _latest_per_doc, batch_format="pyarrow",
+                batch_size=None, zero_copy_batch=True),
+            limit=50_000,
+            schema=pa.schema([("doc_id", pa.int64()),
+                              ("sh", pa.binary()),
+                              ("n_sh", pa.int64()),
+                              ("v", pa.int64())]))
+        verified = _verify_from_sketches(
+            cand, sk_latest, threshold=threshold,
+            num_partitions=num_partitions).materialize()
+        pairs_rows = verified.count()
+
+    # ------------------------------------------------------- commit
+    stage = os.path.join(root, f"_stage_v{v:04d}.{uuid.uuid4().hex[:8]}")
+    os.makedirs(stage)
+    if prev_v is not None:
+        prev_dir = _vdir(root, prev_v)
+        for base, _, names in os.walk(prev_dir):
+            rel = os.path.relpath(base, prev_dir)
+            for n in names:
+                if not n.endswith(".parquet"):
+                    continue
+                dst = os.path.join(stage, rel) if rel != "." else stage
+                os.makedirs(dst, exist_ok=True)
+                os.link(os.path.join(base, n), os.path.join(dst, n))
+    if new_docs:
+        tmp = os.path.join(stage, "_fresh_bands")
+        bands_new.write_parquet(tmp, partition_cols=["bucket"])
+        _move_fragments(tmp, stage, "bands", v)
+        sk_out = signed.map_batches(
+            lambda t: pa.table({
+                "doc_id": t["doc_id"], "sh": t["sh"], "n_sh": t["n_sh"],
+                "v": pa.array(np.full(t.num_rows, v), type=pa.int64()),
+                "bucket": pa.array(_id_bucket(
+                    _np_col(t, "doc_id"), num_buckets),
+                    type=pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        tmp = os.path.join(stage, "_fresh_sk")
+        sk_out.write_parquet(tmp, partition_cols=["bucket"])
+        _move_fragments(tmp, stage, "sketch", v)
+    if verified is not None and pairs_rows:
+        tmp = os.path.join(stage, "_fresh_pairs")
+        with_v = verified.map_batches(
+            lambda t: t.append_column(
+                "v", pa.array(np.full(t.num_rows, v), type=pa.int64())),
+            batch_format="pyarrow", zero_copy_batch=True)
+        with_v.write_parquet(tmp)
+        pdir = os.path.join(stage, "pairs")
+        os.makedirs(pdir, exist_ok=True)
+        for i, f in enumerate(sorted(os.listdir(tmp))):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(tmp, f), os.path.join(
+                    pdir, f"pairs-v{v:04d}-{i}.parquet"))
+        shutil.rmtree(tmp)
+    if del_ids.size:
+        ddir = os.path.join(stage, "deleted")
+        os.makedirs(ddir, exist_ok=True)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(del_ids, type=pa.int64()),
+                      "v": pa.array(np.full(del_ids.size, v),
+                                    type=pa.int64())}),
+            os.path.join(ddir, f"del-v{v:04d}.parquet"))
+
+    man2 = {"version": v, "params": params,
+            "counts": {"new_docs": int(new_docs),
+                       "band_rows": int(band_rows),
+                       "new_pairs": int(pairs_rows),
+                       "deletes": int(del_ids.size)},
+            "touched_buckets": sorted(touched),
+            "write_sec": round(time.time() - t0, 3)}
+    with open(os.path.join(stage, "manifest.json"), "w") as f:
+        json.dump(man2, f)
+    os.rename(stage, _vdir(root, v))
+    tmpc = os.path.join(root, f"CURRENT.{uuid.uuid4().hex[:6]}")
+    with open(tmpc, "w") as f:
+        f.write(f"v{v:04d}")
+    os.replace(tmpc, os.path.join(root, "CURRENT"))
+    return man2
+
+
+# ----------------------------------------------------------------- read
+
+def _empty_pairs_ds():
+    return ray.data.from_arrow(pa.table(
+        {"doc_a": pa.array([], type=pa.int64()),
+         "doc_b": pa.array([], type=pa.int64()),
+         "jaccard": pa.array([], type=pa.float64())}))
+
+
+def _lastv_ds(root: str, v: int):
+    """(doc_id, __lv) latest sketch version per doc — a
+    column-pruned metadata scan of the sketch store (doc_id + v only;
+    the blob column never leaves storage)."""
+    dirs = _bucket_dirs(_vdir(root, v), "sketch")
+    if not dirs:
+        return None
+    meta = ray.data.read_parquet(dirs, columns=["doc_id", "v"])
+    lv = meta.groupby("doc_id").max("v").map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "__lv": t["max(v)"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return _solidify_small(lv, schema=pa.schema(
+        [("doc_id", pa.int64()), ("__lv", pa.int64())]))
+
+
+def read_pairs(root: str, *, num_partitions: int = 8):
+    """The LIVE verified near-dup pair set at the current version:
+    (doc_a, doc_b, jaccard). A logged pair is live iff it was emitted at
+    >= the latest sketch version of both docs (supersede-on-update) and
+    neither doc is tombstoned."""
+    v = current_version(root)
+    if v is None:
+        return _empty_pairs_ds()
+    pdir = os.path.join(_vdir(root, v), "pairs")
+    if not os.path.isdir(pdir) or not any(
+            f.endswith(".parquet") for f in os.listdir(pdir)):
+        return _empty_pairs_ds()
+    pairs = ray.data.read_parquet(pdir)
+    lastv = _lastv_ds(root, v)
+    la = lastv.rename_columns({"doc_id": "doc_a", "__lv": "__lv_a"})
+    lb = lastv.rename_columns({"doc_id": "doc_b", "__lv": "__lv_b"})
+    j = pairs.join(la, join_type="inner", on=("doc_a",),
+                   num_partitions=num_partitions)
+    j = _solidify_small(j, schema=pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+         ("jaccard", pa.float64()), ("v", pa.int64()),
+         ("__lv_a", pa.int64())]))
+    j = j.join(lb, join_type="inner", on=("doc_b",),
+               num_partitions=num_partitions)
+    dmap = _deleted_map(root, v)
+
+    def _live(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                             "doc_b": pa.array([], type=pa.int64()),
+                             "jaccard": pa.array([], type=pa.float64())})
+        vs = _np_col(t, "v")
+        lva = _np_col(t, "__lv_a")
+        lvb = _np_col(t, "__lv_b")
+        keep = (vs >= lva) & (vs >= lvb)
+        if dmap:
+            keep &= _del_versions(_np_col(t, "doc_a"), dmap) < lva
+            keep &= _del_versions(_np_col(t, "doc_b"), dmap) < lvb
+        return t.filter(pa.array(keep)).select(
+            ["doc_a", "doc_b", "jaccard"])
+
+    return j.map_batches(_live, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True)
+
+
+# ------------------------------------------------------------- compact
+
+def compact_lsh(root: str, *, num_partitions: int = 8) -> dict:
+    """Fold the index: drop superseded band/sketch rows and dead pairs,
+    rewrite one base fragment set per bucket, clear the tombstone log
+    (deletes are now folded into the data). One doc_id-keyed shuffle for
+    the band store (band rows are bucketed by hash, not id, so staleness
+    needs the per-doc latest version); the sketch store compacts with a
+    doc_id repartition only."""
+    v = current_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no index at {root}")
+    man = read_manifest(root, v)
+    params = man["params"]
+    num_buckets = params["num_buckets"]
+    dmap = _deleted_map(root, v)
+    v2 = v + 1
+    t0 = time.time()
+    lastv = _lastv_ds(root, v)
+
+    def _live_latest(t: pa.Table) -> pa.Table:
+        """rows joined with __lv: keep v == __lv and not tombstoned."""
+        if t.num_rows == 0:
+            return t
+        vs = _np_col(t, "v")
+        lv = _np_col(t, "__lv")
+        keep = vs == lv
+        if dmap:
+            keep &= _del_versions(_np_col(t, "doc_id"), dmap) < lv
+        return t.filter(pa.array(keep)).drop_columns(["__lv"])
+
+    stage = os.path.join(root, f"_stage_v{v2:04d}.{uuid.uuid4().hex[:8]}")
+    os.makedirs(stage)
+
+    band_dirs = _bucket_dirs(_vdir(root, v), "bands")
+    if band_dirs:
+        b = _fix_bucket_col(ray.data.read_parquet(band_dirs), drop=True)
+        b = b.join(lastv, join_type="inner", on=("doc_id",),
+                   num_partitions=num_partitions)
+        b = b.map_batches(_live_latest, batch_format="pyarrow",
+                          batch_size=None, zero_copy_batch=True)
+        b = b.map_batches(
+            lambda t: t.append_column("bucket", pa.array(_band_bucket(
+                _np_col(t, "band_id"), _np_col(t, "band_hash"),
+                num_buckets), type=pa.int64())),
+            batch_format="pyarrow", zero_copy_batch=True)
+        tmp = os.path.join(stage, "_b")
+        b.write_parquet(tmp, partition_cols=["bucket"])
+        _move_fragments(tmp, stage, "bands", v2)
+
+    sk_dirs = _bucket_dirs(_vdir(root, v), "sketch")
+    if sk_dirs:
+        s = _fix_bucket_col(ray.data.read_parquet(sk_dirs), drop=True)
+        s = s.repartition(num_partitions, keys=["doc_id"]).map_batches(
+            _latest_per_doc, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True)
+        if dmap:
+            def _drop_dead(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0:
+                    return t
+                keep = _del_versions(_np_col(t, "doc_id"), dmap) \
+                    < _np_col(t, "v")
+                return t.filter(pa.array(keep))
+            s = s.map_batches(_drop_dead, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        s = s.map_batches(
+            lambda t: (t.drop_columns(["bucket"])
+                       if "bucket" in t.column_names else t)
+            .append_column("bucket", pa.array(_id_bucket(
+                _np_col(t, "doc_id"), num_buckets), type=pa.int64())),
+            batch_format="pyarrow", zero_copy_batch=True)
+        tmp = os.path.join(stage, "_s")
+        s.write_parquet(tmp, partition_cols=["bucket"])
+        _move_fragments(tmp, stage, "sketch", v2)
+
+    live = read_pairs(root, num_partitions=num_partitions)
+    live = live.materialize()
+    if live.count():
+        tmp = os.path.join(stage, "_p")
+        live.map_batches(
+            lambda t: t.append_column(
+                "v", pa.array(np.full(t.num_rows, v2), type=pa.int64())),
+            batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(tmp)
+        pdir = os.path.join(stage, "pairs")
+        os.makedirs(pdir, exist_ok=True)
+        for i, f in enumerate(sorted(os.listdir(tmp))):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(tmp, f), os.path.join(
+                    pdir, f"pairs-v{v2:04d}-{i}.parquet"))
+        shutil.rmtree(tmp)
+
+    man2 = {"version": v2, "params": params,
+            "counts": {"compacted_from": v,
+                       "live_pairs": int(live.count()),
+                       "deletes": 0},
+            "touched_buckets": [],
+            "write_sec": round(time.time() - t0, 3)}
+    with open(os.path.join(stage, "manifest.json"), "w") as f:
+        json.dump(man2, f)
+    os.rename(stage, _vdir(root, v2))
+    tmpc = os.path.join(root, f"CURRENT.{uuid.uuid4().hex[:6]}")
+    with open(tmpc, "w") as f:
+        f.write(f"v{v2:04d}")
+    os.replace(tmpc, os.path.join(root, "CURRENT"))
+    return man2

@@ -1,0 +1,188 @@
+"""Incrementally maintained LSH near-dup index (ops/incdedup.py):
+incremental == batch over the final corpus, COW touched-bucket
+invariants, update/delete semantics across commits, compaction."""
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray.data as rd
+
+from kettleray.ops import dedup, incdedup
+
+KW = dict(num_perm=64, bands=16, shingle_k=3, threshold=0.5,
+          num_buckets=8, num_partitions=2)
+
+
+def _mk_docs():
+    """24 docs: 4 near-dup families (template + light mutations), the
+    rest unique; a couple of short-text edge cases."""
+    rng = np.random.RandomState(7)
+    words = [f"w{i}" for i in range(40)]
+    rows = []
+    did = 0
+    for fam in range(4):
+        base = [words[(fam * 7 + j) % 40] for j in range(30)]
+        for copy in range(3):
+            toks = list(base)
+            if copy:      # mutate one token per copy -> J ~ 28/32
+                toks[copy * 5] = f"mut{fam}{copy}"
+            rows.append((did, " ".join(toks)))
+            did += 1
+    for i in range(10):
+        rows.append((did, " ".join(
+            rng.choice(words, 25).tolist() + [f"uniq{i}x{j}"
+                                              for j in range(8)])))
+        did += 1
+    rows.append((did, "tiny doc")); did += 1
+    rows.append((did, "tiny doc")); did += 1      # exact short dup
+    return pa.table({"doc_id": pa.array([r[0] for r in rows],
+                                        type=pa.int64()),
+                     "text": pa.array([r[1] for r in rows])})
+
+
+def _batch_pairs(docs_ds):
+    cand = dedup.minhash_lsh_pairs(docs_ds, "doc_id", "text",
+                                   num_perm=64, bands=16, shingle_k=3,
+                                   num_partitions=2)
+    ref = dedup.jaccard_verify(cand, docs_ds, "doc_id", "text",
+                               shingle_k=3, threshold=0.5)
+    return ref.to_pandas().sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _inc_pairs(root):
+    return incdedup.read_pairs(root).to_pandas().sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+@pytest.fixture()
+def root(tmp_path):
+    d = os.path.join(str(tmp_path), "lsh_index")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_incremental_equals_batch(root):
+    t = _mk_docs()
+    docs = rd.from_arrow(t).materialize()
+    # three commits split by doc_id % 3
+    for r in (0, 1, 2):
+        part = docs.map_batches(
+            lambda b, r=r: b.filter(pc.equal(
+                pc.subtract(b["doc_id"], pc.multiply(
+                    pc.divide(b["doc_id"], 3), 3)), r)),
+            batch_format="pyarrow", zero_copy_batch=True)
+        incdedup.apply_incremental_lsh(root, part, **KW)
+    inc = _inc_pairs(root)
+    ref = _batch_pairs(docs)
+    assert len(inc) == len(ref) > 0
+    assert inc[["doc_a", "doc_b"]].values.tolist() == \
+        ref[["doc_a", "doc_b"]].values.tolist()
+    assert np.array_equal(inc["jaccard"].values, ref["jaccard"].values)
+
+
+def test_touched_buckets_cow(root):
+    """Commit 2 must hardlink every fragment of untouched band buckets
+    (same inode) and only ADD fragments elsewhere — never rewrite."""
+    t = _mk_docs()
+    docs = rd.from_arrow(t)
+    half1 = docs.map_batches(
+        lambda b: b.filter(pc.less(b["doc_id"], 12)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    half2 = docs.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["doc_id"], 12)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    incdedup.apply_incremental_lsh(root, half1, **KW)
+    v1 = {}
+    for base, _, names in os.walk(os.path.join(root, "v0001")):
+        for n in names:
+            if n.endswith(".parquet"):
+                p = os.path.join(base, n)
+                v1[os.path.relpath(p, os.path.join(root, "v0001"))] = \
+                    os.stat(p).st_ino
+    incdedup.apply_incremental_lsh(root, half2, **KW)
+    carried = 0
+    for rel, ino in v1.items():
+        p2 = os.path.join(root, "v0002", rel)
+        assert os.path.exists(p2), f"v1 fragment {rel} dropped"
+        assert os.stat(p2).st_ino == ino, f"{rel} rewritten, not linked"
+        carried += 1
+    assert carried == len(v1) > 0
+    man = incdedup.read_manifest(root)
+    assert 0 < len(man["touched_buckets"]) <= KW["num_buckets"]
+
+
+def test_update_supersedes_and_delete_tombstones(root):
+    t = _mk_docs()
+    docs = rd.from_arrow(t)
+    incdedup.apply_incremental_lsh(root, docs, **KW)
+    base = _inc_pairs(root)
+    # family 0 = docs 0,1,2: update doc 1 to a unique text -> its pairs
+    # must vanish; (0,2) survives
+    upd = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1], type=pa.int64()),
+        "text": pa.array(["completely different standalone text now"])}))
+    incdedup.apply_incremental_lsh(root, upd, **KW)
+    after_upd = _inc_pairs(root)
+    assert not ((after_upd.doc_a == 1) | (after_upd.doc_b == 1)).any()
+    assert ((after_upd.doc_a == 0) & (after_upd.doc_b == 2)).any()
+    # delete doc 2 -> (0,2) gone too
+    incdedup.apply_incremental_lsh(root, None, deletes=[2], **KW)
+    after_del = _inc_pairs(root)
+    assert not ((after_del.doc_a == 2) | (after_del.doc_b == 2)).any()
+    assert len(after_del) < len(after_upd) < len(base)
+    # re-insert doc 1 with its ORIGINAL text -> pairs with doc 0 come
+    # back (doc 2 stays dead)
+    orig1 = rd.from_arrow(t.filter(pc.equal(t["doc_id"], 1)))
+    incdedup.apply_incremental_lsh(root, orig1, **KW)
+    back = _inc_pairs(root)
+    assert ((back.doc_a == 0) & (back.doc_b == 1)).any()
+    assert not ((back.doc_a == 2) | (back.doc_b == 2)).any()
+    # view == batch over the final live corpus
+    final = t.filter(pc.invert(pc.equal(t["doc_id"], 2)))
+    ref = _batch_pairs(rd.from_arrow(final))
+    assert back[["doc_a", "doc_b"]].values.tolist() == \
+        ref[["doc_a", "doc_b"]].values.tolist()
+
+
+def test_compact_preserves_view_and_folds(root):
+    t = _mk_docs()
+    docs = rd.from_arrow(t)
+    for r in (0, 1):
+        part = docs.map_batches(
+            lambda b, r=r: b.filter(pc.equal(
+                pc.subtract(b["doc_id"], pc.multiply(
+                    pc.divide(b["doc_id"], 2), 2)), r)),
+            batch_format="pyarrow", zero_copy_batch=True)
+        incdedup.apply_incremental_lsh(root, part, **KW)
+    incdedup.apply_incremental_lsh(root, None, deletes=[0], **KW)
+    before = _inc_pairs(root)
+    man = incdedup.compact_lsh(root)
+    after = _inc_pairs(root)
+    assert after.values.tolist() == before.values.tolist()
+    # tombstone log cleared; deleted doc's band rows physically gone
+    v = incdedup.current_version(root)
+    assert not os.path.isdir(os.path.join(root, f"v{v:04d}", "deleted"))
+    band_files = incdedup._bucket_dirs(
+        os.path.join(root, f"v{v:04d}"), "bands")
+    import pyarrow.parquet as pq
+    ids = set()
+    for f in band_files:
+        ids.update(pq.read_table(f, columns=["doc_id"])
+                   ["doc_id"].to_pylist())
+    assert 0 not in ids
+    assert man["counts"]["live_pairs"] == len(after)
+
+
+def test_param_mismatch_rejected(root):
+    docs = rd.from_arrow(_mk_docs())
+    incdedup.apply_incremental_lsh(root, docs, **KW)
+    bad = dict(KW)
+    bad["bands"] = 8
+    with pytest.raises(ValueError):
+        incdedup.apply_incremental_lsh(root, docs, **bad)
