@@ -259,6 +259,60 @@ def q_cdc_changefeed(sf_dir: str):
                               "change_type"])
 
 
+def q_cdc_derived_view(sf_dir: str):
+    """Changefeed-driven DERIVED table (delta-chained sinks): an
+    upstream bucketed sink takes two commits; a downstream sink is
+    bootstrapped from upstream v1's state and then advanced by the
+    v1->v2 change data feed only — each row passing through an
+    enrichment transform (broadcast lang->family lookup + content
+    length). Oracle = the plain LWW replay SQL with the same derived
+    columns, so any drift in feed->event conversion, delete
+    propagation or double-apply across the chain fails the value-hash."""
+    import shutil
+    import tempfile
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from kettleray.io import sink
+    from kettleray.ops.derived import sync_derived_view
+    src = tempfile.mkdtemp(prefix="kr_dv_src_")
+    dst = tempfile.mkdtemp(prefix="kr_dv_dst_")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+    ev = _events(sf_dir)
+    cut = 1_500_000
+    b1 = ev.map_batches(lambda b: b.filter(pc.less(b["commit_seq"], cut)),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    fam = {"en": "germanic", "de": "germanic", "es": "romance",
+           "fr": "romance", "zh": "sinitic"}
+
+    def _enrich(events):
+        def _fn(t):
+            lf = pa.array([fam.get(v, "other")
+                           for v in t["lang"].to_pylist()],
+                          type=pa.string())
+            t = t.append_column("lang_family", lf)
+            return t.append_column(
+                "content_len",
+                pc.cast(pc.utf8_length(t["content"]), pa.int64()))
+        return events.map_batches(_fn, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    sink.apply_incremental_bucketed(src, b1, num_buckets=16,
+                                    num_partitions=_NUM_PARTITIONS)
+    sync_derived_view(src, dst, _enrich, num_buckets=16,
+                      num_partitions=_NUM_PARTITIONS)   # bootstrap @ v1
+    sink.apply_incremental_bucketed(src, ev, num_buckets=16,
+                                    num_partitions=_NUM_PARTITIONS)
+    sync_derived_view(src, dst, _enrich, num_buckets=16,
+                      num_partitions=_NUM_PARTITIONS)   # feed v1->v2
+    out = sink.read_state(dst)
+    return out.map_batches(
+        lambda t: t.select(["repo", "path", "commit", "lang",
+                            "content_sha256", "lang_family",
+                            "content_len"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_cdc_quarantine_sink(sf_dir: str):
     """Sink-integrated late-data handling: commit a prefix, then feed
     the FULL log through apply_with_quarantine — already-covered events
@@ -569,6 +623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_bucketed_state": q_cdc_bucketed_state,
         "cdc_mor_state": q_cdc_mor_state,
         "cdc_changefeed": q_cdc_changefeed,
+        "cdc_derived_view": q_cdc_derived_view,
         "cdc_scd2_incremental": q_cdc_scd2_incremental,
         "cdc_quarantine_sink": q_cdc_quarantine_sink,
         "cdc_catalog_txn": q_cdc_catalog_txn,
@@ -675,6 +730,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM ranked WHERE rn = 1 AND op <> 'delete'"),
         "cdc_bucketed_state":
             f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
+        "cdc_derived_view": (
+            f"WITH {ev}, {_RANKED} "
+            'SELECT repo, path, "commit", lang, '
+            "sha256(content) AS content_sha256, "
+            "CASE WHEN lang IN ('en', 'de') THEN 'germanic' "
+            "WHEN lang IN ('es', 'fr') THEN 'romance' "
+            "WHEN lang = 'zh' THEN 'sinitic' ELSE 'other' END "
+            "AS lang_family, "
+            "CAST(LENGTH(content) AS BIGINT) AS content_len "
+            "FROM ranked WHERE rn = 1 AND op <> 'delete'"),
         "cdc_mor_state":
             f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
         "cdc_rebucket":

@@ -621,12 +621,12 @@ QUERIES = {
     "vocab_counts": q_vocab_counts,
     "simhash_fingerprints": q_simhash,
     "connected_components": q_connected_components,
-    "mixture_sample": q_mixture_sample,
     "inverted_index": q_inverted_index,
     "tfidf": q_tfidf,
     "lang_id": q_lang_id,
     # below the driver's 50-entry snapshot line (still gate-checked
     # by tools/check_queries.py)
+    "mixture_sample": q_mixture_sample,
     "kmeans_assign": q_kmeans_assign,
     "stratified_sample": q_stratified_sample,
     "text_scrub_normalize": q_text_scrub_normalize,
