@@ -296,6 +296,67 @@ def _ivm_bench_chars(t):
     return pc.cast(pc.utf8_length(t["content"]), "int64")
 
 
+def run_lsh_incremental() -> tuple[float, float, float, dict]:
+    """Incremental near-dup index vs batch re-run: the corpus is the sf
+    documents table replicated 10x with salted text (distinct docs,
+    same near-dup structure per replica). 9 replicas backfill the index
+    in one commit; the 10th arrives as a CDC commit. Returns
+    (backfill_sec, incremental_commit_sec, batch_rerun_sec, counts) —
+    the batch number is what a nightly full re-sign of the same corpus
+    costs, i.e. the work the incremental path avoids."""
+    import shutil
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from kettleray.ops import dedup, incdedup
+    root = "/tmp/kettleray_bench/lsh_index"
+    shutil.rmtree(root, ignore_errors=True)
+    docs = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    R = 10
+
+    def _replica(k):
+        # a replica marker INTERLEAVED between tokens: cross-replica
+        # 3-gram Jaccard drops to ~0 (every gram contains the marker),
+        # intra-replica near-dup families keep their similarity — the
+        # corpus is 10x the fixture with realistic dup density, not
+        # 10 mutual copies of everything
+        def _fn(t, k=k):
+            txt = pc.replace_substring(t["text"], " ", f" zz{k} ")
+            return pa.table({"doc_id": pc.add(t["doc_id"],
+                                              k * 10_000_000),
+                             "text": txt})
+        return docs.map_batches(_fn, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    kw = dict(num_perm=64, bands=16, shingle_k=3, threshold=0.5,
+              num_buckets=128, num_partitions=_num_partitions())
+    back = _replica(0).union(*[_replica(k) for k in range(1, R - 1)])
+    back = back.materialize()
+    last = _replica(R - 1).materialize()
+    t0 = time.time()
+    incdedup.apply_incremental_lsh(root, back, **kw)
+    backfill_sec = time.time() - t0
+    t0 = time.time()
+    man = incdedup.apply_incremental_lsh(root, last, **kw)
+    inc_sec = time.time() - t0
+    # the alternative: full re-sign + band + verify of the whole corpus
+    full = back.union(last)
+    t0 = time.time()
+    pairs = dedup.minhash_lsh_pairs(full, "doc_id", "text", num_perm=64,
+                                    bands=16, shingle_k=3,
+                                    num_partitions=_num_partitions())
+    dedup.jaccard_verify(pairs, full, "doc_id", "text", shingle_k=3,
+                         threshold=0.5, method="join",
+                         num_partitions=_num_partitions()).count()
+    batch_sec = time.time() - t0
+    counts = {"corpus_docs": back.count() + last.count(),
+              "commit_docs": last.count(),
+              "commit_new_pairs": man["counts"]["new_pairs"],
+              "touched_buckets": len(man["touched_buckets"])}
+    return backfill_sec, inc_sec, batch_sec, counts
+
+
 def main() -> None:
     if "--scaling" in sys.argv:
         results = {}
@@ -350,6 +411,10 @@ def main() -> None:
     queries["trickle_commits_mor"] = round(mor_sec, 2)
     queries["changefeed_cow"] = round(cow_cdf, 2)
     queries["changefeed_mor"] = round(mor_cdf, 2)
+    lsh_back, lsh_inc, lsh_batch, lsh_counts = run_lsh_incremental()
+    queries["lsh_index_backfill"] = round(lsh_back, 2)
+    queries["lsh_commit_incremental"] = round(lsh_inc, 2)
+    queries["lsh_batch_rerun"] = round(lsh_batch, 2)
     total = round(time.time() - t_all, 2)
     print(json.dumps({
         "metric": "cdc_pipeline_suite_sec",
@@ -361,6 +426,7 @@ def main() -> None:
         "trickle_fresh_bytes_mor": mor_bytes,
         "trickle_read_sec_cow": round(cow_read, 2),
         "trickle_read_sec_mor": round(mor_read, 2),
+        "lsh_index": lsh_counts,
     }))
     ray.shutdown()
 

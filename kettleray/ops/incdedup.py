@@ -250,19 +250,23 @@ _EMPTY_PAIRS = pa.table({"doc_a": pa.array([], type=pa.int64()),
                          "doc_b": pa.array([], type=pa.int64())})
 
 
-def _solidify_small(ds, *, limit: int = 200_000, schema: pa.Schema):
+def _solidify_small(ds, *, schema: pa.Schema, num_partitions: int = 16,
+                    rows_per_part: int = 100, limit: int | None = None):
     """Work around schema-less empty shuffle blocks ahead of a join.
 
     Ray's hash shuffle/groupby emit zero-column empty blocks;
     map_batches is SKIPPED on them, so they cannot be repaired
     in-stream, and a join partition made only of them concatenates to a
     zero-column table that acero rejects ('No match ... FieldRef').
-    That failure mode only exists in the small regime (some partition
-    has no real rows) — so below ``limit`` rows, rebuild the dataset as
-    one schema'd block (bounded by candidate pairs per COMMIT, never by
-    the corpus); above it every partition has real rows and the stream
-    is returned untouched."""
+    That failure mode only exists in the small regime: with >=
+    ``rows_per_part`` distinct-keyed rows per downstream join partition
+    the probability of an all-empty partition is ~P*e^-rows_per_part —
+    so below that the dataset is rebuilt as one schema'd block (a
+    driver pull bounded by the threshold, never by the corpus); above
+    it the stream is returned untouched."""
     ds = ds.materialize()
+    if limit is None:
+        limit = rows_per_part * max(num_partitions, 1)
     if ds.count() > limit:
         return ds
     tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns]
@@ -355,7 +359,8 @@ def _verify_from_sketches(pairs, sketches, *, threshold: float,
                    num_partitions=num_partitions)
     # join output partitions can themselves be schema-less empties —
     # re-solidify before chaining the second join (see _solidify_small)
-    j = _solidify_small(j, limit=50_000, schema=pa.schema(
+    j = _solidify_small(j, num_partitions=num_partitions,
+                        schema=pa.schema(
         [("doc_a", pa.int64()), ("doc_b", pa.int64()),
          ("__sh_a", pa.binary()), ("__n_a", pa.int64())]))
     j = j.join(sb, join_type="inner", on=("doc_b",),
@@ -382,6 +387,126 @@ def _verify_from_sketches(pairs, sketches, *, threshold: float,
 
     return j.map_batches(_score, batch_format="pyarrow",
                          batch_size=None, zero_copy_batch=True)
+
+
+@ray.remote
+def _read_sketch_filtered_task(files: list, need: np.ndarray) -> pa.Table:
+    """Read sketch fragment files, keeping only the needed doc ids."""
+    na = pa.array(need, type=pa.int64())
+    tabs = []
+    for f in files:
+        t = pq.read_table(f, columns=["doc_id", "sh", "n_sh", "v"])
+        t = t.filter(pc.is_in(t["doc_id"], value_set=na))
+        if t.num_rows:
+            tabs.append(t)
+    return pa.concat_tables(tabs) if tabs else pa.table(
+        {"doc_id": pa.array([], type=pa.int64()),
+         "sh": pa.array([], type=pa.binary()),
+         "n_sh": pa.array([], type=pa.int64()),
+         "v": pa.array([], type=pa.int64())})
+
+
+@ray.remote
+def _filter_signed_task(t: pa.Table, need: np.ndarray,
+                        v: int) -> pa.Table:
+    if t.num_columns == 0:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "sh": pa.array([], type=pa.binary()),
+                         "n_sh": pa.array([], type=pa.int64()),
+                         "v": pa.array([], type=pa.int64())})
+    na = pa.array(need, type=pa.int64())
+    f = t.select(["doc_id", "sh", "n_sh"]).filter(
+        pc.is_in(t["doc_id"], value_set=na))
+    return f.append_column("v", pa.array([v] * f.num_rows,
+                                         type=pa.int64()))
+
+
+@ray.remote
+def _bucket_cands_task(files: list, new_tbl: pa.Table, bucket: int,
+                       dd: dict, max_bucket: int) -> pa.Table:
+    """Candidate pairs for ONE band bucket: read that bucket's history
+    fragments (co-partitioned by layout — zero shuffle), union the
+    commit's rows for the bucket (broadcast once via ray.put), run the
+    pairs-vs-new kernel."""
+    cols = ["doc_id", "band_id", "band_hash"]
+    new_b = new_tbl.filter(pc.equal(new_tbl["bucket"], bucket))
+    parts = [new_b.select(cols).append_column(
+        "is_new", pa.array(np.ones(new_b.num_rows, bool)))]
+    for f in files:
+        t = pq.read_table(f, columns=cols + ["v"])
+        if dd:
+            keep = _del_versions(_np_col(t, "doc_id"), dd) \
+                < _np_col(t, "v")
+            t = t.filter(pa.array(keep))
+        if t.num_rows:
+            parts.append(t.select(cols).append_column(
+                "is_new", pa.array(np.zeros(t.num_rows, bool))))
+    return _pairs_vs_new(pa.concat_tables(parts), max_bucket)
+
+
+def _verify_broadcast_tbl(pairs_tbl: pa.Table, signed, root: str,
+                          prev_v, v: int, num_buckets: int,
+                          threshold: float) -> pa.Table:
+    """Exact-Jaccard verify for SMALL candidate sets: the candidate
+    doc ids are known on the driver, so the needed sketch rows are
+    fetched with id-bucket-pruned, is_in-filtered parallel reads
+    (<= 2 x pairs rows cross the driver — bounded by the broadcast
+    guard, never the corpus) and scored in one vectorized pass,
+    skipping the join operators (and their per-run actor-spawn cost)
+    entirely."""
+    da = _np_col(pairs_tbl, "doc_a")
+    db = _np_col(pairs_tbl, "doc_b")
+    need = np.unique(np.concatenate([da, db])) if len(da) else \
+        np.empty(0, np.int64)
+    need_ref = ray.put(need)
+    futs = []
+    sk_files = _bucket_dirs(
+        _vdir(root, prev_v), "sketch",
+        set(_id_bucket(need, num_buckets).tolist())) if prev_v else []
+    if sk_files:
+        chunk = max(1, len(sk_files) // 32)
+        for i in range(0, len(sk_files), chunk):
+            futs.append(_read_sketch_filtered_task.remote(
+                sk_files[i:i + chunk], need_ref))
+    for ref in signed.to_arrow_refs():
+        futs.append(_filter_signed_task.remote(ref, need_ref, v))
+    tabs = [t for t in ray.get(futs) if t.num_rows]
+    sk = pa.concat_tables(tabs) if tabs else None
+    lut: dict = {}
+    if sk is not None and sk.num_rows:
+        ids_ = _np_col(sk, "doc_id")
+        vs_ = _np_col(sk, "v")
+        ns_ = _np_col(sk, "n_sh")
+        blobs = sk["sh"].to_pylist()
+        order = np.lexsort((vs_, ids_))   # latest version wins
+        for i in order:
+            lut[int(ids_[i])] = (blobs[i], int(ns_[i]))
+    jac = np.empty(len(da), dtype=np.float64)
+    for i in range(len(da)):
+        ea = lut.get(int(da[i]))
+        eb = lut.get(int(db[i]))
+        if ea is None or eb is None:
+            jac[i] = -1.0
+            continue
+        a = np.frombuffer(ea[0], dtype=np.uint64)
+        b = np.frombuffer(eb[0], dtype=np.uint64)
+        inter = np.intersect1d(a, b, assume_unique=True).size
+        jac[i] = inter / (ea[1] + eb[1] - inter)
+    out = pa.table({"doc_a": pa.array(da, type=pa.int64()),
+                    "doc_b": pa.array(db, type=pa.int64()),
+                    "jaccard": pa.array(jac, type=pa.float64())})
+    return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+
+def _verify_broadcast(cand, signed, root: str, prev_v, v: int,
+                      num_buckets: int, threshold: float):
+    pt = pa.concat_tables(
+        [t.select(["doc_a", "doc_b"])
+         for t in ray.get(cand.to_arrow_refs()) if t.num_columns])
+    out = _verify_broadcast_tbl(pt, signed, root, prev_v, v,
+                                num_buckets, threshold)
+    return ray.data.from_arrow(out).materialize()
+
 
 
 # ---------------------------------------------------------------- apply
@@ -441,8 +566,8 @@ def _deleted_map(root: str, v: int | None) -> dict[int, int]:
 
 def _move_fragments(tmp: str, stage: str, sub: str, v: int) -> int:
     """Move bucket-partitioned write output under stage/sub with
-    version-stamped fragment names; returns rows moved."""
-    rows = 0
+    version-stamped fragment names; returns files moved."""
+    files = 0
     if not os.path.isdir(tmp):
         return 0
     for name in sorted(os.listdir(tmp)):
@@ -453,12 +578,54 @@ def _move_fragments(tmp: str, stage: str, sub: str, v: int) -> int:
         for i, f in enumerate(sorted(os.listdir(
                 os.path.join(tmp, name)))):
             src = os.path.join(tmp, name, f)
-            rows += pq.read_metadata(src).num_rows
+            files += 1
             os.rename(src, os.path.join(
                 dst, f"frag-v{v:04d}-{i}.{uuid.uuid4().hex[:6]}"
                      f".parquet"))
     shutil.rmtree(tmp)
-    return rows
+    return files
+
+
+def _write_tbl_bucketed(stage: str, sub: str, v: int, tbl: pa.Table,
+                        bucket_np: np.ndarray, cols: list) -> int:
+    """Driver-side bucketed write for SMALL commits (table already on
+    the driver, bounded by the small-commit threshold): one fragment
+    per touched bucket, no Dataset write/shuffle."""
+    order = np.argsort(bucket_np, kind="stable")
+    sb = bucket_np[order]
+    n = len(sb)
+    if n == 0:
+        return 0
+    run_start = np.empty(n, dtype=bool)
+    run_start[0] = True
+    run_start[1:] = sb[1:] != sb[:-1]
+    begins = np.nonzero(run_start)[0]
+    ends = np.append(begins[1:], n)
+    files = 0
+    for b0, e0 in zip(begins, ends):
+        k = int(sb[b0])
+        dst = os.path.join(stage, sub, f"bucket={k}")
+        os.makedirs(dst, exist_ok=True)
+        sub_t = tbl.take(pa.array(order[b0:e0], type=pa.int64())) \
+            .select(cols)
+        pq.write_table(sub_t, os.path.join(
+            dst, f"frag-v{v:04d}-0.{uuid.uuid4().hex[:6]}.parquet"))
+        files += 1
+    return files
+
+
+def _write_bucketed(ds, tmp: str, stage: str, sub: str, v: int,
+                    num_buckets: int, num_partitions: int) -> int:
+    """Repartition by bucket THEN write: without the repartition,
+    write_parquet(partition_cols) emits one file per (block x bucket) —
+    a 45k-doc backfill left 74k tiny band fragments, and every later
+    candidate read drowned in file metadata (82 s for a 5k-doc commit).
+    The extra exchange costs one shuffle of the COMMIT's rows only;
+    fragments per commit are now <= num_buckets."""
+    parts = max(1, min(num_partitions, num_buckets))
+    ds.repartition(parts, keys=["bucket"]).write_parquet(
+        tmp, partition_cols=["bucket"])
+    return _move_fragments(tmp, stage, sub, v)
 
 
 def _bucket_dirs(vdir: str, sub: str, only: set[int] | None = None
@@ -509,6 +676,7 @@ def apply_incremental_lsh(root: str, docs, *,
     v = (prev_v or 0) + 1
     t0 = time.time()
 
+    timings: dict[str, float] = {}
     del_ids = np.unique(np.asarray(list(deletes), dtype=np.int64)) \
         if deletes is not None else np.empty(0, np.int64)
     del_map = _deleted_map(root, prev_v)
@@ -533,20 +701,73 @@ def apply_incremental_lsh(root: str, docs, *,
                 batch_format="pyarrow", zero_copy_batch=True)
         signed = signed.materialize()
         new_docs = signed.count()
+        timings["sign"] = round(time.time() - t0, 2)
 
     pairs_rows = band_rows = 0
     verified = None
+    verified_tbl = None
+    small = False
     touched: set[int] = set()
     if new_docs:
         bands_new = signed.map_batches(
             lambda t: _flatten_bands(t, bands, num_buckets, v),
             batch_format="pyarrow", zero_copy_batch=True).materialize()
         band_rows = bands_new.count()
+        timings["bands"] = round(time.time() - t0 -
+                                 timings.get("sign", 0), 2)
+        t_cand = time.time()
         for b in bands_new.select_columns(["bucket"]).iter_batches(
                 batch_size=65536, batch_format="pyarrow"):
             touched.update(np.unique(
                 b["bucket"].to_numpy(zero_copy_only=False)).tolist())
 
+        # ---- small commits (the normal trickle case) stay OFF the
+        # Dataset shuffle machinery entirely: the commit's band rows
+        # are broadcast once, each touched bucket's history reads in
+        # one plain Ray task (co-partitioned by layout), and the
+        # driver dedupes/verifies — every Dataset shuffle at this size
+        # is pure operator-spawn overhead (~4 s each, measured).
+        small = band_rows <= 200_000
+        verified_tbl = None
+        if small:
+            new_bt = pa.concat_tables(
+                [t for t in ray.get(bands_new.to_arrow_refs())
+                 if t.num_columns])
+            new_ref = ray.put(new_bt)
+            futs = [
+                _bucket_cands_task.remote(
+                    _bucket_dirs(_vdir(root, prev_v), "bands", {k})
+                    if prev_v else [],
+                    new_ref, k, cand_del, max_bucket)
+                for k in sorted(touched)]
+            pts = [t for t in ray.get(futs) if t.num_rows]
+            if pts:
+                cat = pa.concat_tables(pts)
+                a = _np_col(cat, "doc_a")
+                b = _np_col(cat, "doc_b")
+                order = np.lexsort((b, a))
+                a, b = a[order], b[order]
+                first = np.ones(len(a), dtype=bool)
+                first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+                cand_tbl = pa.table(
+                    {"doc_a": pa.array(a[first], type=pa.int64()),
+                     "doc_b": pa.array(b[first], type=pa.int64())})
+            else:
+                cand_tbl = _EMPTY_PAIRS
+            timings["candidates"] = round(time.time() - t_cand, 2)
+            t_ver = time.time()
+            if cand_tbl.num_rows:
+                verified_tbl = _verify_broadcast_tbl(
+                    cand_tbl, signed, root, prev_v, v, num_buckets,
+                    threshold)
+            else:
+                verified_tbl = pa.table(
+                    {"doc_a": pa.array([], type=pa.int64()),
+                     "doc_b": pa.array([], type=pa.int64()),
+                     "jaccard": pa.array([], type=pa.float64())})
+            pairs_rows = verified_tbl.num_rows
+            timings["verify"] = round(time.time() - t_ver, 2)
+    if new_docs and not small:
         # ---- candidate generation: ONLY touched band buckets are read
         old_dirs = _bucket_dirs(_vdir(root, prev_v), "bands", touched) \
             if prev_v else []
@@ -585,45 +806,62 @@ def apply_incremental_lsh(root: str, docs, *,
         cand = _solidify_small(
             unique_rows(cand, ["doc_a", "doc_b"],
                         num_partitions=parts),
+            num_partitions=num_partitions,
             schema=pa.schema([("doc_a", pa.int64()),
                               ("doc_b", pa.int64())]))
 
-        # ---- verify against stored sketches (never corpus text)
-        cand_buckets: set[int] = set()
-        for b in cand.iter_batches(batch_size=65536,
-                                   batch_format="pyarrow"):
-            for col in ("doc_a", "doc_b"):
-                ids_ = b[col].to_numpy(zero_copy_only=False)
-                cand_buckets.update(np.unique(
-                    _id_bucket(ids_, num_buckets)).tolist())
-        sk_sides = [signed.select_columns(["doc_id", "sh", "n_sh"])
-                    .map_batches(
-                        lambda t: t.append_column(
-                            "v", pa.array(np.full(t.num_rows, v),
-                                          type=pa.int64())),
-                        batch_format="pyarrow", zero_copy_batch=True)]
-        sk_dirs = _bucket_dirs(_vdir(root, prev_v), "sketch",
-                               cand_buckets) if prev_v else []
-        if sk_dirs:
-            sk_sides.append(_fix_bucket_col(
-                ray.data.read_parquet(sk_dirs), drop=True))
-        sk_all = sk_sides[0].union(*sk_sides[1:]) if len(sk_sides) > 1 \
-            else sk_sides[0]
-        sk_latest = _solidify_small(
-            sk_all.repartition(
-                max(1, min(num_partitions, max(len(cand_buckets), 1))),
-                keys=["doc_id"]).map_batches(
-                _latest_per_doc, batch_format="pyarrow",
-                batch_size=None, zero_copy_batch=True),
-            limit=50_000,
-            schema=pa.schema([("doc_id", pa.int64()),
-                              ("sh", pa.binary()),
-                              ("n_sh", pa.int64()),
-                              ("v", pa.int64())]))
-        verified = _verify_from_sketches(
-            cand, sk_latest, threshold=threshold,
-            num_partitions=num_partitions).materialize()
+        # ---- verify against stored sketches (never corpus text).
+        # Small candidate sets (the normal trickle-commit case) verify
+        # via BROADCAST: only the candidate docs' sketch rows are pulled
+        # (bounded by 2 x pairs, never the corpus) — two chained
+        # Dataset.joins cost ~20 s of operator spawn alone. Large sets
+        # keep the fully-distributed join path.
+        n_cand = cand.count()
+        timings["candidates"] = round(time.time() - t_cand, 2)
+        t_ver = time.time()
+        if n_cand <= 20_000:
+            verified = _verify_broadcast(
+                cand, signed, root, prev_v, v, num_buckets, threshold)
+        else:
+            cand_buckets: set[int] = set()
+            for b in cand.iter_batches(batch_size=65536,
+                                       batch_format="pyarrow"):
+                for col in ("doc_a", "doc_b"):
+                    ids_ = b[col].to_numpy(zero_copy_only=False)
+                    cand_buckets.update(np.unique(
+                        _id_bucket(ids_, num_buckets)).tolist())
+            sk_sides = [signed.select_columns(["doc_id", "sh", "n_sh"])
+                        .map_batches(
+                            lambda t: t.append_column(
+                                "v", pa.array(np.full(t.num_rows, v),
+                                              type=pa.int64())),
+                            batch_format="pyarrow",
+                            zero_copy_batch=True)]
+            sk_dirs = _bucket_dirs(_vdir(root, prev_v), "sketch",
+                                   cand_buckets) if prev_v else []
+            if sk_dirs:
+                sk_sides.append(ray.data.read_parquet(
+                    sk_dirs, columns=["doc_id", "sh", "n_sh", "v"]))
+            sk_all = sk_sides[0].union(*sk_sides[1:]) \
+                if len(sk_sides) > 1 else sk_sides[0]
+            sk_latest = _solidify_small(
+                sk_all.repartition(
+                    max(1, min(num_partitions,
+                               max(len(cand_buckets), 1))),
+                    keys=["doc_id"]).map_batches(
+                    _latest_per_doc, batch_format="pyarrow",
+                    batch_size=None, zero_copy_batch=True),
+                num_partitions=num_partitions,
+                schema=pa.schema([("doc_id", pa.int64()),
+                                  ("sh", pa.binary()),
+                                  ("n_sh", pa.int64()),
+                                  ("v", pa.int64())]))
+            verified = _verify_from_sketches(
+                cand, sk_latest, threshold=threshold,
+                num_partitions=num_partitions).materialize()
         pairs_rows = verified.count()
+        timings["verify"] = round(time.time() - t_ver, 2)
+    t_write = time.time()
 
     # ------------------------------------------------------- commit
     stage = os.path.join(root, f"_stage_v{v:04d}.{uuid.uuid4().hex[:8]}")
@@ -638,10 +876,25 @@ def apply_incremental_lsh(root: str, docs, *,
                 dst = os.path.join(stage, rel) if rel != "." else stage
                 os.makedirs(dst, exist_ok=True)
                 os.link(os.path.join(base, n), os.path.join(dst, n))
-    if new_docs:
+    if new_docs and small:
+        _write_tbl_bucketed(
+            stage, "bands", v, new_bt, _np_col(new_bt, "bucket"),
+            ["doc_id", "band_id", "band_hash", "v"])
+        sk_tbl = pa.concat_tables(
+            [t.select(["doc_id", "sh", "n_sh"])
+             for t in ray.get(signed.to_arrow_refs())
+             if t.num_columns])
+        sk_tbl = sk_tbl.append_column(
+            "v", pa.array(np.full(sk_tbl.num_rows, v),
+                          type=pa.int64()))
+        _write_tbl_bucketed(
+            stage, "sketch", v, sk_tbl,
+            _id_bucket(_np_col(sk_tbl, "doc_id"), num_buckets),
+            ["doc_id", "sh", "n_sh", "v"])
+    elif new_docs:
         tmp = os.path.join(stage, "_fresh_bands")
-        bands_new.write_parquet(tmp, partition_cols=["bucket"])
-        _move_fragments(tmp, stage, "bands", v)
+        _write_bucketed(bands_new, tmp, stage, "bands", v,
+                        num_buckets, num_partitions)
         sk_out = signed.map_batches(
             lambda t: pa.table({
                 "doc_id": t["doc_id"], "sh": t["sh"], "n_sh": t["n_sh"],
@@ -651,9 +904,17 @@ def apply_incremental_lsh(root: str, docs, *,
                     type=pa.int64())}),
             batch_format="pyarrow", zero_copy_batch=True)
         tmp = os.path.join(stage, "_fresh_sk")
-        sk_out.write_parquet(tmp, partition_cols=["bucket"])
-        _move_fragments(tmp, stage, "sketch", v)
-    if verified is not None and pairs_rows:
+        _write_bucketed(sk_out, tmp, stage, "sketch", v,
+                        num_buckets, num_partitions)
+    if pairs_rows and verified_tbl is not None:
+        pdir = os.path.join(stage, "pairs")
+        os.makedirs(pdir, exist_ok=True)
+        pq.write_table(
+            verified_tbl.append_column(
+                "v", pa.array(np.full(verified_tbl.num_rows, v),
+                              type=pa.int64())),
+            os.path.join(pdir, f"pairs-v{v:04d}-0.parquet"))
+    elif verified is not None and pairs_rows:
         tmp = os.path.join(stage, "_fresh_pairs")
         with_v = verified.map_batches(
             lambda t: t.append_column(
@@ -682,6 +943,8 @@ def apply_incremental_lsh(root: str, docs, *,
                        "new_pairs": int(pairs_rows),
                        "deletes": int(del_ids.size)},
             "touched_buckets": sorted(touched),
+            "timings": {**timings,
+                        "write": round(time.time() - t_write, 2)},
             "write_sec": round(time.time() - t0, 3)}
     with open(os.path.join(stage, "manifest.json"), "w") as f:
         json.dump(man2, f)
@@ -736,7 +999,8 @@ def read_pairs(root: str, *, num_partitions: int = 8):
     lb = lastv.rename_columns({"doc_id": "doc_b", "__lv": "__lv_b"})
     j = pairs.join(la, join_type="inner", on=("doc_a",),
                    num_partitions=num_partitions)
-    j = _solidify_small(j, schema=pa.schema(
+    j = _solidify_small(j, num_partitions=num_partitions,
+                        schema=pa.schema(
         [("doc_a", pa.int64()), ("doc_b", pa.int64()),
          ("jaccard", pa.float64()), ("v", pa.int64()),
          ("__lv_a", pa.int64())]))
@@ -761,6 +1025,105 @@ def read_pairs(root: str, *, num_partitions: int = 8):
 
     return j.map_batches(_live, batch_format="pyarrow",
                          batch_size=None, zero_copy_batch=True)
+
+
+# ------------------------------------------------- feed-driven sync
+
+def stable_doc_id(repo, path) -> np.ndarray:
+    """Deterministic int64 doc id from the CDC key (repo, path):
+    first 8 bytes of blake2b(repo NUL path). Collisions ~2^-64 — a
+    collision would merge two docs' dedup identities, detected (and
+    harmless) at the exact-verify stage."""
+    return np.fromiter(
+        (int.from_bytes(hashlib.blake2b(
+            f"{r}\x00{p}".encode("utf-8"), digest_size=8).digest(),
+            "little", signed=True) for r, p in zip(repo, path)),
+        dtype=np.int64, count=len(repo))
+
+
+def sync_lsh_from_feed(src_root: str, index_root: str, *,
+                       text_col: str = "content",
+                       num_perm: int = 64, bands: int = 16,
+                       shingle_k: int = 3, threshold: float = 0.5,
+                       num_buckets: int = 32, num_partitions: int = 8,
+                       max_bucket: int = 64, seed: int = 42) -> dict:
+    """Keep the near-dup index in sync with a kettleray CDC sink: the
+    lake -> dedup-index leg of a training-data pipeline. First call
+    bootstraps from the sink's full state; later calls consume ONLY the
+    change data feed between the applied and current sink version —
+    new/changed keys are (re-)signed and verified against history,
+    deleted keys are tombstoned — so index maintenance cost tracks the
+    upstream commit, not the corpus. Exactly-once via the same
+    post-commit durable cursor contract as ``derived.sync_derived_view``
+    (a replayed window re-signs identical content: the pair view is
+    value-idempotent under re-delivery by the supersede rule)."""
+    from kettleray.io import sink
+
+    src_v = sink.current_version(src_root)
+    if src_v is None:
+        raise FileNotFoundError(f"no committed state under {src_root}")
+    cursor = os.path.join(index_root, "FEED_CURSOR.json")
+    applied = None
+    if os.path.exists(cursor):
+        with open(cursor) as f:
+            applied = json.load(f)["src_version"]
+    if applied == src_v:
+        return read_manifest(index_root)
+    if applied is not None and applied > src_v:
+        raise ValueError(f"cursor at {applied} ahead of upstream "
+                         f"{src_v}")
+
+    if applied is None:
+        feed = sink.read_state(src_root, src_v)
+        del_ids: list[int] = []
+    else:
+        feed = sink.read_changes(src_root, applied, src_v,
+                                 num_partitions=num_partitions)
+        def _del_ids(t: pa.Table) -> pa.Table:
+            if "change_type" not in t.column_names:
+                return pa.table({"doc_id": pa.array([],
+                                                    type=pa.int64())})
+            d = t.filter(pc.equal(t["change_type"], "deleted"))
+            ids = stable_doc_id(d["repo"].to_pylist(),
+                                d["path"].to_pylist())
+            return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+
+        dels = feed.map_batches(_del_ids, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        # tombstones are driver-collected: bounded by DELETES PER
+        # COMMIT (the feed window), never by the corpus
+        del_ids = [r["doc_id"] for r in dels.take_all()]
+
+    def _to_docs(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "text": pa.array([], type=pa.string())})
+        if "change_type" in t.column_names:
+            t = t.filter(pc.not_equal(t["change_type"], "deleted"))
+        ids = stable_doc_id(t["repo"].to_pylist(),
+                            t["path"].to_pylist())
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "text": t[text_col]})
+
+    docs = feed.map_batches(_to_docs, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    if applied is not None:
+        # the feed can contain zero-column empty blocks (pruned-bucket
+        # items) that map_batches cannot repair — the window is
+        # commit-bounded, so solidifying is safe here
+        docs = _solidify_small(docs, limit=2_000_000, schema=pa.schema(
+            [("doc_id", pa.int64()), ("text", pa.string())]))
+    man = apply_incremental_lsh(
+        index_root, docs, id_col="doc_id", text_col="text",
+        num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+        threshold=threshold, num_buckets=num_buckets,
+        num_partitions=num_partitions, max_bucket=max_bucket,
+        seed=seed, deletes=del_ids or None)
+    tmpc = cursor + "." + uuid.uuid4().hex[:6]
+    with open(tmpc, "w") as f:
+        json.dump({"src_version": src_v}, f)
+    os.replace(tmpc, cursor)
+    return man
 
 
 # ------------------------------------------------------------- compact
@@ -810,8 +1173,8 @@ def compact_lsh(root: str, *, num_partitions: int = 8) -> dict:
                 num_buckets), type=pa.int64())),
             batch_format="pyarrow", zero_copy_batch=True)
         tmp = os.path.join(stage, "_b")
-        b.write_parquet(tmp, partition_cols=["bucket"])
-        _move_fragments(tmp, stage, "bands", v2)
+        _write_bucketed(b, tmp, stage, "bands", v2, num_buckets,
+                        num_partitions)
 
     sk_dirs = _bucket_dirs(_vdir(root, v), "sketch")
     if sk_dirs:
@@ -835,8 +1198,8 @@ def compact_lsh(root: str, *, num_partitions: int = 8) -> dict:
                 _np_col(t, "doc_id"), num_buckets), type=pa.int64())),
             batch_format="pyarrow", zero_copy_batch=True)
         tmp = os.path.join(stage, "_s")
-        s.write_parquet(tmp, partition_cols=["bucket"])
-        _move_fragments(tmp, stage, "sketch", v2)
+        _write_bucketed(s, tmp, stage, "sketch", v2, num_buckets,
+                        num_partitions)
 
     live = read_pairs(root, num_partitions=num_partitions)
     live = live.materialize()

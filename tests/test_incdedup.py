@@ -179,6 +179,69 @@ def test_compact_preserves_view_and_folds(root):
     assert man["counts"]["live_pairs"] == len(after)
 
 
+def test_sync_from_feed_matches_batch_over_final_state(root, tmp_path):
+    """Lake -> index chaining: a CDC sink takes two commits (with
+    updates and deletes); the LSH index follows via bootstrap + change
+    feed. The live pair view must equal the batch pipeline run over the
+    sink's FINAL state (same stable ids)."""
+    from kettleray.io import sink
+    from kettleray.ops.incdedup import (stable_doc_id,
+                                        sync_lsh_from_feed)
+    src = os.path.join(str(tmp_path), "lake")
+    docs_t = _mk_docs()
+    # events: v0 inserts every doc; v1 updates doc 1 (new unique text),
+    # re-touches doc 4, deletes docs 2 and 15
+    def _ev(ids, texts, ops, seqs):
+        n = len(ids)
+        return rd.from_arrow(pa.table({
+            "repo": pa.array(["r0"] * n),
+            "path": pa.array([f"d{i}.txt" for i in ids]),
+            "commit": pa.array([f"c{s}_{i}" for s, i in zip(seqs, ids)]),
+            "lang": pa.array(["en"] * n),
+            "content": pa.array(texts),
+            "op": pa.array(ops),
+            "commit_seq": pa.array(seqs, type=pa.int64())}))
+    ids0 = docs_t["doc_id"].to_pylist()
+    txt0 = docs_t["text"].to_pylist()
+    b1 = _ev(ids0, txt0, ["insert"] * len(ids0), list(range(len(ids0))))
+    sink.apply_incremental_bucketed(src, b1, num_buckets=4,
+                                    num_partitions=2)
+    base_seq = len(ids0)
+    b2 = _ev([1, 4, 2, 15],
+             ["totally standalone replacement body", txt0[4] + " touched",
+              "", ""],
+             ["update", "update", "delete", "delete"],
+             [base_seq + i for i in range(4)])
+    sink.apply_incremental_bucketed(src, b2, num_buckets=4,
+                                    num_partitions=2)
+
+    idx = os.path.join(str(tmp_path), "index")
+    kw = dict(num_perm=64, bands=16, shingle_k=3, threshold=0.5,
+              num_buckets=8, num_partitions=2)
+    sync_lsh_from_feed(src, idx, **kw)            # bootstrap @ v1
+    sync_lsh_from_feed(src, idx, **kw)            # feed v1 -> v2
+    got = incdedup.read_pairs(idx).to_pandas().sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
+
+    # batch reference over the sink's final state with the same ids
+    st = sink.read_state(src).to_pandas()
+    sid = stable_doc_id(st["repo"].tolist(), st["path"].tolist())
+    final = rd.from_arrow(pa.table({
+        "doc_id": pa.array(sid, type=pa.int64()),
+        "text": pa.array(st["content"].tolist())}))
+    ref = _batch_pairs(final)
+    assert got[["doc_a", "doc_b"]].values.tolist() == \
+        ref[["doc_a", "doc_b"]].values.tolist()
+    assert np.array_equal(got["jaccard"].values, ref["jaccard"].values)
+    # deleted docs' ids never appear
+    dead = set(stable_doc_id(["r0", "r0"], ["d2.txt", "d15.txt"]))
+    assert not (set(got["doc_a"]) | set(got["doc_b"])) & dead
+    # caught-up sync is a no-op
+    v = incdedup.current_version(idx)
+    sync_lsh_from_feed(src, idx, **kw)
+    assert incdedup.current_version(idx) == v
+
+
 def test_param_mismatch_rejected(root):
     docs = rd.from_arrow(_mk_docs())
     incdedup.apply_incremental_lsh(root, docs, **KW)
