@@ -1027,6 +1027,100 @@ def read_pairs(root: str, *, num_partitions: int = 8):
                          batch_size=None, zero_copy_batch=True)
 
 
+# ----------------------------------------------------- gc / fsck
+
+def gc_lsh(root: str, *, keep_last: int = 2,
+           stage_min_age_s: float = 3600.0) -> list[int]:
+    """Expire old index versions (same vacuum contract as
+    ``sink.gc_versions``): delete version dirs older than the newest
+    ``keep_last``, never CURRENT. Hardlink-safe — dropping an old
+    version only decrements link counts on fragments still shared with
+    survivors. Stale ``_stage_*`` dirs from crashed writers are removed
+    once older than ``stage_min_age_s``. Returns deleted versions."""
+    cur = current_version(root)
+    if cur is None:
+        return []
+    versions = sorted(
+        int(n[1:]) for n in os.listdir(root)
+        if n.startswith("v") and n[1:].isdigit())
+    cutoff = max(versions[-keep_last:][0] if len(versions) >= keep_last
+                 else versions[0], 1)
+    deleted = []
+    for ver in versions:
+        if ver < cutoff and ver != cur:
+            shutil.rmtree(_vdir(root, ver))
+            deleted.append(ver)
+    now = time.time()
+    for n in os.listdir(root):
+        p = os.path.join(root, n)
+        if n.startswith("_stage_") and \
+                now - os.path.getmtime(p) >= stage_min_age_s:
+            shutil.rmtree(p, ignore_errors=True)
+    return deleted
+
+
+def fsck_lsh(root: str, version: int | None = None) -> dict:
+    """Audit one index version: every fragment opens and matches the
+    store's schema, bucket dir names are in range, band/sketch/pairs
+    row counts are tallied, and the pair log's doc ids all resolve to a
+    sketch row (a pair referencing a doc the sketch store never saw
+    means a corrupted or hand-edited store). Returns the audit dict;
+    raises ValueError on a hard violation."""
+    v = version if version is not None else current_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no index at {root}")
+    man = read_manifest(root, v)
+    nb = man["params"]["num_buckets"]
+    out = {"version": v, "band_rows": 0, "sketch_rows": 0,
+           "pair_rows": 0, "band_files": 0, "sketch_files": 0,
+           "problems": []}
+    sk_ids: set[int] = set()
+    for sub, rows_key, files_key in (("bands", "band_rows",
+                                      "band_files"),
+                                     ("sketch", "sketch_rows",
+                                      "sketch_files")):
+        base = os.path.join(_vdir(root, v), sub)
+        if not os.path.isdir(base):
+            continue
+        for name in sorted(os.listdir(base)):
+            if not name.startswith("bucket="):
+                out["problems"].append(f"{sub}: stray entry {name}")
+                continue
+            k = int(name.split("=", 1)[1])
+            if not (0 <= k < nb):
+                out["problems"].append(
+                    f"{sub}: bucket {k} out of range 0..{nb - 1}")
+            for f in sorted(os.listdir(os.path.join(base, name))):
+                p = os.path.join(base, name, f)
+                try:
+                    t = pq.read_table(p)
+                except Exception as e:     # noqa: BLE001
+                    out["problems"].append(f"unreadable {p}: {e}")
+                    continue
+                out[rows_key] += t.num_rows
+                out[files_key] += 1
+                if sub == "sketch":
+                    sk_ids.update(t["doc_id"].to_pylist())
+    pdir = os.path.join(_vdir(root, v), "pairs")
+    if os.path.isdir(pdir):
+        for f in sorted(os.listdir(pdir)):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(pdir, f))
+            out["pair_rows"] += t.num_rows
+            for col in ("doc_a", "doc_b"):
+                missing = [i for i in t[col].to_pylist()
+                           if i not in sk_ids]
+                if missing:
+                    out["problems"].append(
+                        f"pairs {f}: {len(missing)} {col} ids with no "
+                        f"sketch row (e.g. {missing[0]})")
+    if out["problems"]:
+        raise ValueError(f"fsck_lsh({root}, v{v}): "
+                         + "; ".join(out["problems"][:5]))
+    return out
+
+
 # ------------------------------------------------- feed-driven sync
 
 def stable_doc_id(repo, path) -> np.ndarray:

@@ -511,3 +511,66 @@ def metadata_structure(ds):
     rows = [{"position": i + 1, "fieldname": n, "type": str(t)}
             for i, (n, t) in enumerate(zip(schema.names, schema.types))]
     return ray.data.from_items(rows)
+
+
+# ---------------------------------------------------------------------------
+# Flow utilities: Dummy / Write to log / Delay / Abort
+# (dummytrans/Dummy.java, writetolog/WriteToLog.java, delay/Delay.java,
+#  abort/Abort.java — pass-through plumbing steps)
+# ---------------------------------------------------------------------------
+
+def dummy(ds):
+    """≙ Dummy (do nothing): identity pass-through (a hop junction)."""
+    return ds
+
+
+def write_to_log(ds, *, fields: "Sequence[str] | None" = None,
+                 limit: int = 10, level: str = "INFO",
+                 logger_name: str = "kettleray.rows"):
+    """≙ Write to log: log up to ``limit`` rows per BLOCK (the
+    reference logs per copy; per-block is the Ray analogue — logging
+    every row of a web-scale stream is a design error) and pass rows
+    through unchanged."""
+    import logging as _logging
+    lvl = getattr(_logging, level.upper(), _logging.INFO)
+
+    def _fn(t: pa.Table) -> pa.Table:
+        log = _logging.getLogger(logger_name)
+        sel = t.select(list(fields)) if fields else t
+        for row in sel.slice(0, limit).to_pylist():
+            log.log(lvl, "%s", row)
+        return t
+
+    return ds.map_batches(_fn, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def delay(ds, *, seconds_per_block: float):
+    """≙ Delay row: throttle by sleeping per BLOCK (per-row sleeps in a
+    vectorized engine would serialize the stream; per-block keeps the
+    semantics — downstream sees rows no faster than the budget — while
+    staying batched)."""
+    import time as _time
+
+    def _fn(t: pa.Table) -> pa.Table:
+        _time.sleep(seconds_per_block)
+        return t
+
+    return ds.map_batches(_fn, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+class AbortError(RuntimeError):
+    """Raised by abort_after when the row threshold is crossed."""
+
+
+def abort_after(ds, *, max_rows: int = 0, message: str = "aborted"):
+    """≙ Abort: fail the pipeline once more than ``max_rows`` rows flow
+    through (max_rows=0 = abort on ANY row — the reference's default,
+    used as a 'this branch must stay empty' tripwire). The count is a
+    streaming aggregate, not a driver materialization; the check runs
+    when the dataset executes."""
+    n = ds.count()
+    if n > max_rows:
+        raise AbortError(f"{message}: {n} rows > {max_rows}")
+    return ds

@@ -242,6 +242,35 @@ def test_sync_from_feed_matches_batch_over_final_state(root, tmp_path):
     assert incdedup.current_version(idx) == v
 
 
+def test_gc_and_fsck(root):
+    t = _mk_docs()
+    docs = rd.from_arrow(t)
+    for r in (0, 1, 2):
+        part = docs.map_batches(
+            lambda b, r=r: b.filter(pc.equal(
+                pc.subtract(b["doc_id"], pc.multiply(
+                    pc.divide(b["doc_id"], 3), 3)), r)),
+            batch_format="pyarrow", zero_copy_batch=True)
+        incdedup.apply_incremental_lsh(root, part, **KW)
+    before = _inc_pairs(root)
+    audit = incdedup.fsck_lsh(root)
+    assert audit["problems"] == [] and audit["pair_rows"] >= len(before)
+    deleted = incdedup.gc_lsh(root, keep_last=1)
+    assert deleted == [1, 2]
+    assert not os.path.isdir(os.path.join(root, "v0001"))
+    # current version still complete and readable after the vacuum
+    assert _inc_pairs(root).values.tolist() == before.values.tolist()
+    incdedup.fsck_lsh(root)
+    # corrupt one band fragment -> fsck raises
+    v = incdedup.current_version(root)
+    frag = incdedup._bucket_dirs(
+        os.path.join(root, f"v{v:04d}"), "bands")[0]
+    with open(frag, "wb") as f:
+        f.write(b"garbage")
+    with pytest.raises(ValueError, match="unreadable"):
+        incdedup.fsck_lsh(root)
+
+
 def test_param_mismatch_rejected(root):
     docs = rd.from_arrow(_mk_docs())
     incdedup.apply_incremental_lsh(root, docs, **KW)

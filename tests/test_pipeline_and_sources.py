@@ -324,3 +324,25 @@ def test_sub_pipeline_nested_spec():
                  key=lambda r: r["a"])
     assert [r["a"] for r in out] == [2, 3, 5]
     assert [r["b2"] for r in out] == ["y", "ex", "ex"]
+
+
+def test_flow_utilities_dummy_log_delay_abort(caplog):
+    import logging
+    import time
+
+    import pytest
+
+    from kettleray.ops import rowops
+
+    t = pa.table({"a": pa.array([1, 2, 3], type=pa.int64())})
+    ds = ray.data.from_arrow(t)
+    assert rowops.dummy(ds) is ds
+    with caplog.at_level(logging.INFO, logger="kettleray.rows"):
+        out = rowops.write_to_log(ds, fields=["a"], limit=2).take_all()
+    assert len(out) == 3          # pass-through intact
+    t0 = time.time()
+    assert len(rowops.delay(ds, seconds_per_block=0.2).take_all()) == 3
+    assert time.time() - t0 >= 0.2
+    assert rowops.abort_after(ds, max_rows=3) is not None
+    with pytest.raises(rowops.AbortError, match="2 rows > 1"):
+        rowops.abort_after(ds.limit(2), max_rows=1)
