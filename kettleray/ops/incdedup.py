@@ -1027,6 +1027,78 @@ def read_pairs(root: str, *, num_partitions: int = 8):
                          batch_size=None, zero_copy_batch=True)
 
 
+# ----------------------------------------------------- probe (read-only)
+
+def probe_lsh(root: str, docs, *, id_col: str = "doc_id",
+              text_col: str = "text",
+              threshold: float | None = None,
+              max_bucket: int = 64) -> "ray.data.Dataset":
+    """Dedup-before-ingest gate: check incoming docs against the index
+    WITHOUT committing them. Signs the probe batch, reads ONLY the band
+    buckets the probes hash into, exact-verifies against the stored
+    sketches, and returns (doc_a=probe id, doc_b=index doc, jaccard) —
+    probes are never compared to each other and the index is untouched,
+    so a rejected doc leaves no trace. ``threshold`` defaults to the
+    index's own. Cost per probe batch = sign(batch) + touched-bucket
+    reads, same as a small commit minus the writes."""
+    man = read_manifest(root)
+    if man is None:
+        raise FileNotFoundError(f"no index at {root}")
+    p = man["params"]
+    if threshold is None:
+        threshold = p["threshold"]
+    v = man["version"] + 1          # pseudo-version: probes always win
+    num_buckets = p["num_buckets"]
+
+    signed = docs.select_columns([id_col, text_col]).map_batches(
+        _SketchSigner, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 8),
+        fn_constructor_args=(id_col, text_col, p["num_perm"],
+                             p["shingle_k"], p["bands"],
+                             p["seed"])).materialize()
+    bands_new = signed.map_batches(
+        lambda t: _flatten_bands(t, p["bands"], num_buckets, v),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    new_bt = pa.concat_tables(
+        [t for t in ray.get(bands_new.to_arrow_refs())
+         if t.num_columns])
+    probe_ids = np.unique(_np_col(new_bt, "doc_id")) \
+        if new_bt.num_rows else np.empty(0, np.int64)
+    touched = set(np.unique(_np_col(new_bt, "bucket")).tolist()) \
+        if new_bt.num_rows else set()
+    dmap = _deleted_map(root, man["version"])
+    new_ref = ray.put(new_bt)
+    futs = [_bucket_cands_task.remote(
+        _bucket_dirs(_vdir(root, man["version"]), "bands", {k}),
+        new_ref, k, dmap, max_bucket)
+        for k in sorted(touched)]
+    pts = [t for t in ray.get(futs) if t.num_rows]
+    if not pts:
+        return _empty_pairs_ds()
+    cat = pa.concat_tables(pts)
+    a = _np_col(cat, "doc_a")
+    b = _np_col(cat, "doc_b")
+    # keep probe-vs-index pairs only, normalized to (probe, index doc)
+    a_is_probe = np.isin(a, probe_ids)
+    b_is_probe = np.isin(b, probe_ids)
+    keep = a_is_probe ^ b_is_probe
+    a, b = a[keep], b[keep]
+    swap = np.isin(b, probe_ids)
+    a2 = np.where(swap, b, a)
+    b2 = np.where(swap, a, b)
+    order = np.lexsort((b2, a2))
+    a2, b2 = a2[order], b2[order]
+    first = np.ones(len(a2), dtype=bool)
+    first[1:] = (a2[1:] != a2[:-1]) | (b2[1:] != b2[:-1])
+    cand_tbl = pa.table({"doc_a": pa.array(a2[first], type=pa.int64()),
+                         "doc_b": pa.array(b2[first], type=pa.int64())})
+    if cand_tbl.num_rows == 0:
+        return _empty_pairs_ds()
+    out = _verify_broadcast_tbl(cand_tbl, signed, root, man["version"],
+                                v, num_buckets, threshold)
+    return ray.data.from_arrow(out)
+
+
 # ----------------------------------------------------- gc / fsck
 
 def gc_lsh(root: str, *, keep_last: int = 2,

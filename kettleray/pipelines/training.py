@@ -235,6 +235,39 @@ def q_dedup_incremental(sf_dir):
     return incdedup.read_pairs(root, num_partitions=8)
 
 
+def q_dedup_probe(sf_dir):
+    """Dedup-before-ingest: the index is built from docs with
+    doc_id % 4 != 0; docs with doc_id % 4 == 0 are PROBED against it
+    (read-only — signs the probe batch, reads only its touched band
+    buckets, verifies against stored sketches, commits nothing).
+    Oracle = exhaustive cross-subset word-3-gram Jaccard >= 0.5.
+    Valid for the same determinism / recall-margin reasons as
+    q_minhash_neardup."""
+    import shutil
+    import tempfile
+    from kettleray.ops import incdedup
+
+    root = tempfile.mkdtemp(prefix="kr_lsh_probe_")
+    shutil.rmtree(root, ignore_errors=True)
+    docs = _t(sf_dir, "documents", ["doc_id", "text"]).materialize()
+
+    def _mod4(t, want_zero):
+        m = pc.equal(pc.subtract(
+            t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 4), 4)), 0)
+        return t.filter(m if want_zero else pc.invert(m))
+
+    idx_docs = docs.map_batches(lambda t: _mod4(t, False),
+                                batch_format="pyarrow",
+                                zero_copy_batch=True)
+    probes = docs.map_batches(lambda t: _mod4(t, True),
+                              batch_format="pyarrow",
+                              zero_copy_batch=True)
+    incdedup.apply_incremental_lsh(
+        root, idx_docs, num_perm=64, bands=16, shingle_k=3,
+        threshold=0.5, num_buckets=16, num_partitions=8)
+    return incdedup.probe_lsh(root, probes)
+
+
 def q_simhash(sf_dir):
     """md5 token hash so the DuckDB oracle can recompute the full
     SimHash (tokenize -> ±1 bit sums -> 64-bit pack -> 4 band keys)."""
@@ -613,11 +646,11 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "multimodal_image_features": q_multimodal_image,
     "events_window": q_events_window,
-    "events_hopping_window": q_events_hopping_window,
     "events_sessionize": q_events_sessionize,
     "minhash_neardup": q_minhash_neardup,
     "dedup_corpus": q_dedup_corpus,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_probe": q_dedup_probe,
     "vocab_counts": q_vocab_counts,
     "simhash_fingerprints": q_simhash,
     "connected_components": q_connected_components,
@@ -626,6 +659,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     # below the driver's 50-entry snapshot line (still gate-checked
     # by tools/check_queries.py)
+    "events_hopping_window": q_events_hopping_window,
     "mixture_sample": q_mixture_sample,
     "kmeans_assign": q_kmeans_assign,
     "stratified_sample": q_stratified_sample,
@@ -750,6 +784,25 @@ ORACLES = {
         "ON s.doc_id = d.doc_id - 5 WHERE d.doc_id % 13 <> 4), "
         + _DEDUP_PAIRS_CTE.replace("FROM documents)", "FROM documents2)")
         + " SELECT doc_a, doc_b, jaccard FROM jpairs"),
+    # exhaustive CROSS-subset Jaccard: probes (doc_id%4==0) vs the
+    # indexed rest — mirrors incdedup.probe_lsh (probe-probe pairs
+    # excluded on both sides, probe id always in doc_a)
+    "dedup_probe": (
+        "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text),"
+        " '\\s+') AS w FROM documents), "
+        "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' "
+        "|| w[i+2] AS g FROM toks, UNNEST(range(1, array_length(w) - "
+        "1)) AS t(i) WHERE array_length(w) >= 3 "
+        "UNION SELECT DISTINCT doc_id, array_to_string(w, ' ') AS g "
+        "FROM toks WHERE array_length(w) < 3), "
+        "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),"
+        " inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "count(*) AS i FROM sh a JOIN sh b ON a.g = b.g "
+        "WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0 GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, i * 1.0 / (ca.n + cb.n - i) AS jaccard "
+        "FROM inter JOIN cnt ca ON ca.doc_id = inter.doc_a "
+        "JOIN cnt cb ON cb.doc_id = inter.doc_b "
+        "WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5"),
     # stopword-vote heuristic oracle GENERATED from textstats._STOPWORDS
     # + TOKEN_PATTERN, so the SQL cannot drift from the implementation
     "lang_id": None,  # filled below by lang_id_oracle_sql()

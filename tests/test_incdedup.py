@@ -242,6 +242,31 @@ def test_sync_from_feed_matches_batch_over_final_state(root, tmp_path):
     assert incdedup.current_version(idx) == v
 
 
+def test_probe_read_only(root):
+    """probe_lsh finds cross near-dups without mutating the index."""
+    t = _mk_docs()
+    idx_docs = rd.from_arrow(t.filter(pc.invert(pc.equal(
+        pc.subtract(t["doc_id"], pc.multiply(
+            pc.divide(t["doc_id"], 3), 3)), 0))))
+    probes = rd.from_arrow(t.filter(pc.equal(
+        pc.subtract(t["doc_id"], pc.multiply(
+            pc.divide(t["doc_id"], 3), 3)), 0)))
+    incdedup.apply_incremental_lsh(root, idx_docs, **KW)
+    v_before = incdedup.current_version(root)
+    got = incdedup.probe_lsh(root, probes).to_pandas().sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
+    assert incdedup.current_version(root) == v_before   # untouched
+    # doc 0 (family 0, probe side) must match docs 1,2 (index side)
+    hits0 = got[got.doc_a == 0]["doc_b"].tolist()
+    assert set(hits0) == {1, 2}
+    # every pair is probe (doc_id%3==0) vs index (doc_id%3!=0)
+    assert (got.doc_a % 3 == 0).all() and (got.doc_b % 3 != 0).all()
+    # probing again yields the identical result (read-only, stable)
+    again = incdedup.probe_lsh(root, probes).to_pandas().sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
+    assert again.values.tolist() == got.values.tolist()
+
+
 def test_gc_and_fsck(root):
     t = _mk_docs()
     docs = rd.from_arrow(t)
