@@ -1324,7 +1324,12 @@ def read_changes(root: str, from_version: int,
                                       t["delta2"][i].as_py())
             parts = []
             for side, tbl in ((0, old), (1, new)):
-                if tbl.num_rows:
+                # keep 0-row tables too: a bucket whose merged state is
+                # empty on both sides must still emit a SCHEMA'D empty
+                # block — a zero-column pa.table({}) poisons downstream
+                # keyed ops (map_batches is skipped on schema-less
+                # empties, so consumers cannot repair it)
+                if tbl.num_columns:
                     if "bucket" in tbl.column_names:
                         tbl = tbl.drop_columns(["bucket"])
                     parts.append(tbl.append_column(

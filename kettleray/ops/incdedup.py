@@ -108,6 +108,25 @@ def current_version(root: str) -> int | None:
         return int(f.read().strip().lstrip("v"))
 
 
+def _next_version(root: str) -> int:
+    """Next version number = max(existing version dirs, CURRENT) + 1.
+
+    Allocating from CURRENT alone bricks the index after a crash
+    BETWEEN the stage->vN rename and the CURRENT pointer write: vN
+    exists but CURRENT still names vN-1, so every retry recomputes N
+    and the rename fails forever. Scanning the dirs skips the orphan
+    (readers only trust CURRENT, so the orphan is invisible; gc_lsh
+    reaps it once it ages past the stage window) and the caller's
+    retry commits cleanly as vN+1."""
+    vs = [int(n[1:]) for n in os.listdir(root)
+          if n.startswith("v") and n[1:].isdigit()] \
+        if os.path.isdir(root) else []
+    cur = current_version(root)
+    if cur is not None:
+        vs.append(cur)
+    return (max(vs) + 1) if vs else 1
+
+
 def read_manifest(root: str, v: int | None = None) -> dict | None:
     if v is None:
         v = current_version(root)
@@ -211,8 +230,17 @@ class _SketchSigner:
         sig = self.mh.signatures(t)
         bh = self.mh.band_hashes(sig)                   # (n, bands) i64
         sk_vals, sk_counts = self._sketches(t[self.text_col])
-        offsets = np.zeros(len(ids) + 1, dtype=np.int32)
+        total = int(sk_counts.sum()) * 8
+        if total >= (1 << 31):
+            # pa.binary offsets are int32; a silent wrap would corrupt
+            # every sketch in the block undetected
+            raise ValueError(
+                f"_SketchSigner: {total} gram-hash bytes in one block "
+                f"exceeds the 2 GiB binary-offset limit — lower the "
+                f"signing batch_size / block size for this corpus")
+        offsets = np.zeros(len(ids) + 1, dtype=np.int64)
         np.cumsum(sk_counts * 8, out=offsets[1:])
+        offsets = offsets.astype(np.int32)
         blob = pa.Array.from_buffers(
             pa.binary(), len(ids),
             [None, pa.py_buffer(offsets.tobytes()),
@@ -664,7 +692,10 @@ def apply_incremental_lsh(root: str, docs, *,
     Returns the new manifest. ``docs=None`` commits deletes only.
 
     Single-writer per root (the streaming shard -> index handoff is
-    serialized upstream); the version rename is atomic either way."""
+    serialized upstream). Crash-safe: versions are allocated past any
+    orphan dir a crashed commit left behind (see _next_version), so a
+    retry of the failed batch commits cleanly; the supersede rule makes
+    re-signing redelivered docs value-idempotent in the pair view."""
     params = _params_dict(num_perm=num_perm, bands=bands,
                           shingle_k=shingle_k, threshold=threshold,
                           num_buckets=num_buckets, seed=seed)
@@ -673,7 +704,7 @@ def apply_incremental_lsh(root: str, docs, *,
         raise ValueError(f"index at {root} was built with "
                          f"{man['params']}, got {params}")
     prev_v = man["version"] if man else None
-    v = (prev_v or 0) + 1
+    v = _next_version(root)
     t0 = time.time()
 
     timings: dict[str, float] = {}
@@ -1040,7 +1071,15 @@ def probe_lsh(root: str, docs, *, id_col: str = "doc_id",
     probes are never compared to each other and the index is untouched,
     so a rejected doc leaves no trace. ``threshold`` defaults to the
     index's own. Cost per probe batch = sign(batch) + touched-bucket
-    reads, same as a small commit minus the writes."""
+    reads, same as a small commit minus the writes.
+
+    A probe whose doc_id already EXISTS in the index supersedes the
+    stored rows for that id (same rule as a commit), and — because
+    probes are never matched against each other — the id is then
+    entirely absent from the matchable index for THIS call: other
+    probes report neither its old nor its probed text. Probe with
+    fresh ids (or commit the update first) when that id's content
+    should stay matchable."""
     man = read_manifest(root)
     if man is None:
         raise FileNotFoundError(f"no index at {root}")
@@ -1118,11 +1157,17 @@ def gc_lsh(root: str, *, keep_last: int = 2,
     cutoff = max(versions[-keep_last:][0] if len(versions) >= keep_last
                  else versions[0], 1)
     deleted = []
+    now = time.time()
     for ver in versions:
-        if ver < cutoff and ver != cur:
+        expired = ver < cutoff
+        # orphan: committed dir past CURRENT (crash between rename and
+        # pointer write) — invisible to readers, safe to reap once
+        # older than the stage window
+        orphan = ver > cur and now - os.path.getmtime(
+            _vdir(root, ver)) >= stage_min_age_s
+        if (expired or orphan) and ver != cur:
             shutil.rmtree(_vdir(root, ver))
             deleted.append(ver)
-    now = time.time()
     for n in os.listdir(root):
         p = os.path.join(root, n)
         if n.startswith("_stage_") and \
@@ -1243,8 +1288,14 @@ def sync_lsh_from_feed(src_root: str, index_root: str, *,
         feed = sink.read_state(src_root, src_v)
         del_ids: list[int] = []
     else:
+        # materialize ONCE: the window is consumed twice (tombstones +
+        # docs) and re-running the per-bucket merge+diff tasks would
+        # double the I/O on exactly the trickle-sync path this exists
+        # to optimize
         feed = sink.read_changes(src_root, applied, src_v,
-                                 num_partitions=num_partitions)
+                                 num_partitions=num_partitions
+                                 ).materialize()
+
         def _del_ids(t: pa.Table) -> pa.Table:
             if "change_type" not in t.column_names:
                 return pa.table({"doc_id": pa.array([],
@@ -1308,7 +1359,7 @@ def compact_lsh(root: str, *, num_partitions: int = 8) -> dict:
     params = man["params"]
     num_buckets = params["num_buckets"]
     dmap = _deleted_map(root, v)
-    v2 = v + 1
+    v2 = _next_version(root)
     t0 = time.time()
     lastv = _lastv_ds(root, v)
 

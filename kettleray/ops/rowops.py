@@ -567,9 +567,12 @@ class AbortError(RuntimeError):
 def abort_after(ds, *, max_rows: int = 0, message: str = "aborted"):
     """≙ Abort: fail the pipeline once more than ``max_rows`` rows flow
     through (max_rows=0 = abort on ANY row — the reference's default,
-    used as a 'this branch must stay empty' tripwire). The count is a
-    streaming aggregate, not a driver materialization; the check runs
-    when the dataset executes."""
+    used as a 'this branch must stay empty' tripwire). EAGER by
+    design: the upstream executes here (blocks stay in the object
+    store — the returned dataset is the materialized result, so
+    downstream does NOT recompute), because a tripwire that only fires
+    if someone happens to consume the branch is not a tripwire."""
+    ds = ds.materialize()
     n = ds.count()
     if n > max_rows:
         raise AbortError(f"{message}: {n} rows > {max_rows}")

@@ -296,6 +296,31 @@ def test_gc_and_fsck(root):
         incdedup.fsck_lsh(root)
 
 
+def test_crash_orphan_version_recovery(root):
+    """A crash between the stage->vN rename and the CURRENT write
+    leaves an orphan version dir; the next commit must allocate past it
+    instead of failing the rename forever."""
+    t = _mk_docs()
+    h1 = rd.from_arrow(t.filter(pc.less(t["doc_id"], 12)))
+    h2 = rd.from_arrow(t.filter(pc.greater_equal(t["doc_id"], 12)))
+    incdedup.apply_incremental_lsh(root, h1, **KW)
+    # simulate the crashed commit: v2 dir exists, CURRENT still v1
+    os.makedirs(os.path.join(root, "v0002", "bands"))
+    assert incdedup.current_version(root) == 1
+    man = incdedup.apply_incremental_lsh(root, h2, **KW)
+    assert man["version"] == 3
+    assert incdedup.current_version(root) == 3
+    # view complete: equals batch over the full corpus
+    got = _inc_pairs(root)
+    ref = _batch_pairs(rd.from_arrow(t))
+    assert got[["doc_a", "doc_b"]].values.tolist() == \
+        ref[["doc_a", "doc_b"]].values.tolist()
+    incdedup.fsck_lsh(root)
+    # the orphan is reaped once it falls below the keep window
+    deleted = incdedup.gc_lsh(root, keep_last=1)
+    assert 2 in deleted
+
+
 def test_param_mismatch_rejected(root):
     docs = rd.from_arrow(_mk_docs())
     incdedup.apply_incremental_lsh(root, docs, **KW)
