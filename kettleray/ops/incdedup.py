@@ -1138,6 +1138,57 @@ def probe_lsh(root: str, docs, *, id_col: str = "doc_id",
     return ray.data.from_arrow(out)
 
 
+# ------------------------------------------------ compaction policy
+
+def lsh_fragment_stats(root: str, version: int | None = None) -> dict:
+    """Fragment/staleness stats for the compaction policy — decision
+    inputs only, no data reads (directory listings + the tombstone
+    log)."""
+    v = version if version is not None else current_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no index at {root}")
+    out = {"version": v, "max_fragments_per_bucket": 0,
+           "band_files": 0, "sketch_files": 0, "pair_files": 0,
+           "live_tombstones": len(_deleted_map(root, v))}
+    for sub, key in (("bands", "band_files"), ("sketch",
+                                               "sketch_files")):
+        base = os.path.join(_vdir(root, v), sub)
+        if not os.path.isdir(base):
+            continue
+        for name in os.listdir(base):
+            if not name.startswith("bucket="):
+                continue
+            n = len([f for f in os.listdir(os.path.join(base, name))
+                     if f.endswith(".parquet")])
+            out[key] += n
+            out["max_fragments_per_bucket"] = max(
+                out["max_fragments_per_bucket"], n)
+    pdir = os.path.join(_vdir(root, v), "pairs")
+    if os.path.isdir(pdir):
+        out["pair_files"] = len([f for f in os.listdir(pdir)
+                                 if f.endswith(".parquet")])
+    return out
+
+
+def maybe_compact_lsh(root: str, *,
+                      max_fragments_per_bucket: int = 8,
+                      max_tombstones: int = 100_000,
+                      num_partitions: int = 8) -> dict | None:
+    """Compaction POLICY for the index (mirror of
+    ``sink.maybe_compact_mor``): fold when any bucket accumulates more
+    than ``max_fragments_per_bucket`` fragment files (per-file open
+    cost dominates trickle commits long before row counts do) or the
+    live tombstone set — which is broadcast to every candidate
+    read — grows past ``max_tombstones``. Returns the compaction
+    manifest, or None when below both bounds. Cheap to call after
+    every commit: the decision reads directory listings only."""
+    s = lsh_fragment_stats(root)
+    if (s["max_fragments_per_bucket"] <= max_fragments_per_bucket and
+            s["live_tombstones"] <= max_tombstones):
+        return None
+    return compact_lsh(root, num_partitions=num_partitions)
+
+
 # ----------------------------------------------------- gc / fsck
 
 def gc_lsh(root: str, *, keep_last: int = 2,

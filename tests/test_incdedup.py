@@ -296,6 +296,32 @@ def test_gc_and_fsck(root):
         incdedup.fsck_lsh(root)
 
 
+def test_compaction_policy(root):
+    """maybe_compact_lsh folds only past the fragment/tombstone bounds
+    and preserves the pair view."""
+    t = _mk_docs()
+    docs = rd.from_arrow(t)
+    for r in (0, 1, 2):
+        part = docs.map_batches(
+            lambda b, r=r: b.filter(pc.equal(
+                pc.subtract(b["doc_id"], pc.multiply(
+                    pc.divide(b["doc_id"], 3), 3)), r)),
+            batch_format="pyarrow", zero_copy_batch=True)
+        incdedup.apply_incremental_lsh(root, part, **KW)
+    before = _inc_pairs(root)
+    s = incdedup.lsh_fragment_stats(root)
+    assert s["max_fragments_per_bucket"] >= 2
+    # below bounds -> no-op
+    assert incdedup.maybe_compact_lsh(
+        root, max_fragments_per_bucket=50) is None
+    # above bounds -> compacts to one fragment per bucket, view intact
+    man = incdedup.maybe_compact_lsh(root, max_fragments_per_bucket=1)
+    assert man is not None
+    assert incdedup.lsh_fragment_stats(
+        root)["max_fragments_per_bucket"] == 1
+    assert _inc_pairs(root).values.tolist() == before.values.tolist()
+
+
 def test_crash_orphan_version_recovery(root):
     """A crash between the stage->vN rename and the CURRENT write
     leaves an orphan version dir; the next commit must allocate past it
