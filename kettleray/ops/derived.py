@@ -95,10 +95,48 @@ def sync_derived_view(src_root: str, dst_root: str, transform=None, *,
         fresh = _feed_to_events(sink.read_state(src_root, src_v),
                                 src_v, bootstrap=True)
     else:
-        fresh = _feed_to_events(
-            sink.read_changes(src_root, applied, src_v,
-                              num_partitions=num_partitions),
-            src_v, bootstrap=False)
+        feed = sink.read_changes(src_root, applied, src_v,
+                                 num_partitions=num_partitions)
+        schema = feed.schema()
+        if schema is not None and schema.names and \
+                "content" not in schema.names:
+            # rebucket boundary: read_changes fell back to the
+            # layout-independent diff, which carries only
+            # (key, content_sha256, change_type) — not enough to build
+            # events. Full resync: every live key re-upserts at this
+            # epoch (value-idempotent downstream), deleted keys from
+            # the flagged diff become tombstones with null payload.
+            ups = _feed_to_events(sink.read_state(src_root, src_v),
+                                  src_v, bootstrap=True)
+            ev_schema = ups.schema().base_schema
+            dels = feed.map_batches(
+                lambda t: t.filter(pc.equal(t["change_type"],
+                                            "deleted")),
+                batch_format="pyarrow", zero_copy_batch=True)
+
+            def _tombstone(t: pa.Table) -> pa.Table:
+                if t.num_columns == 0:
+                    return t
+                n = t.num_rows
+                cols = {}
+                for f in ev_schema:
+                    if f.name in ("repo", "path"):
+                        cols[f.name] = t[f.name]
+                    elif f.name == "op":
+                        cols["op"] = pa.array(["delete"] * n,
+                                              type=pa.string())
+                    elif f.name == "commit_seq":
+                        cols["commit_seq"] = pa.array(
+                            [src_v] * n, type=pa.int64())
+                    else:
+                        cols[f.name] = pa.nulls(n, type=f.type)
+                return pa.table(cols)
+
+            fresh = ups.union(dels.map_batches(
+                _tombstone, batch_format="pyarrow",
+                zero_copy_batch=True))
+        else:
+            fresh = _feed_to_events(feed, src_v, bootstrap=False)
     if transform is not None:
         fresh = transform(fresh)
     man = sink.apply_incremental_bucketed(

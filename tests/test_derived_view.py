@@ -125,6 +125,36 @@ def test_resync_is_noop_and_crash_safe(roots):
     assert len(after) >= len(before)
 
 
+def test_sync_across_rebucket_boundary(roots):
+    """An upstream rebucket makes read_changes fall back to the
+    layout-independent diff (key+sha+flag only); the sync must full-
+    resync instead of crashing, and still propagate deletes."""
+    src, dst = roots
+    ev = _events(60)
+    b1 = ev.map_batches(
+        lambda b: b.filter(pc.less(b["commit_seq"], 1000)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    sink.apply_incremental_bucketed(src, b1, num_buckets=4,
+                                    num_partitions=2)
+    sync_derived_view(src, dst, _enrich, num_buckets=4,
+                      num_partitions=2)
+    # rebucket upstream, then apply the remaining events
+    sink.rebucket_state(src, num_buckets=8, num_partitions=2)
+    sink.apply_incremental_bucketed(src, ev, num_buckets=8,
+                                    num_partitions=2)
+    sync_derived_view(src, dst, _enrich, num_buckets=4,
+                      num_partitions=2)
+    got = _view_df(dst)
+    from kettleray.ops import cdc
+    ref = _enrich(cdc.replay_lww(ev, num_partitions=2)).to_pandas()[
+        ["repo", "path", "lang", "lang_family", "content",
+         "content_len"]].sort_values(
+        ["repo", "path"]).reset_index(drop=True)
+    assert got.equals(ref)
+    dead = {f"f{i}.txt" for i in range(60) if i % 3 > 0 and i % 7 == 0}
+    assert not set(got["path"]) & dead
+
+
 def test_cursor_ahead_rejected(roots):
     src, dst = roots
     sink.apply_incremental_bucketed(src, _events(20), num_buckets=4,
