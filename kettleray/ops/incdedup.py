@@ -70,10 +70,6 @@ _LOG = logging.getLogger("kettleray.incdedup")
 _C1 = np.uint64(0x9E3779B97F4A7C15)
 _C2 = np.uint64(0xBF58476D1CE4E5B9)
 
-PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
-                         ("jaccard", pa.float64())])
-
-
 def _mix64(x: np.ndarray) -> np.ndarray:
     with np.errstate(over="ignore"):
         x = (x ^ (x >> np.uint64(30))) * _C1
@@ -716,7 +712,7 @@ def apply_incremental_lsh(root: str, docs, *,
     for i in del_ids.tolist():
         cand_del[i] = v
 
-    signed = bands_new = sketch_new = None
+    signed = bands_new = None
     new_docs = 0
     if docs is not None:
         signed = docs.select_columns([id_col, text_col]).map_batches(
