@@ -975,12 +975,30 @@ def apply_incremental_lsh(root: str, docs, *,
             "write_sec": round(time.time() - t0, 3)}
     with open(os.path.join(stage, "manifest.json"), "w") as f:
         json.dump(man2, f)
-    os.rename(stage, _vdir(root, v))
+    _commit_rename(root, stage, v)
     tmpc = os.path.join(root, f"CURRENT.{uuid.uuid4().hex[:6]}")
     with open(tmpc, "w") as f:
         f.write(f"v{v:04d}")
     os.replace(tmpc, os.path.join(root, "CURRENT"))
     return man2
+
+
+def _commit_rename(root: str, stage: str, v: int) -> None:
+    """Atomic stage -> version rename. A collision means another
+    writer committed this version number concurrently — the index is
+    SINGLE-writer by contract, so fail loudly with retry guidance (a
+    batch retry through apply_incremental_lsh is value-idempotent)
+    instead of leaking a bare OSError."""
+    try:
+        os.rename(stage, _vdir(root, v))
+    except OSError:
+        if os.path.isdir(_vdir(root, v)):
+            shutil.rmtree(stage, ignore_errors=True)
+            raise RuntimeError(
+                f"lsh index at {root}: version v{v} was committed by a "
+                f"concurrent writer (the index is single-writer) — "
+                f"retry the batch; re-signing is value-idempotent")
+        raise
 
 
 # ----------------------------------------------------------------- read
@@ -1490,7 +1508,7 @@ def compact_lsh(root: str, *, num_partitions: int = 8) -> dict:
             "write_sec": round(time.time() - t0, 3)}
     with open(os.path.join(stage, "manifest.json"), "w") as f:
         json.dump(man2, f)
-    os.rename(stage, _vdir(root, v2))
+    _commit_rename(root, stage, v2)
     tmpc = os.path.join(root, f"CURRENT.{uuid.uuid4().hex[:6]}")
     with open(tmpc, "w") as f:
         f.write(f"v{v2:04d}")

@@ -354,3 +354,24 @@ def test_param_mismatch_rejected(root):
     bad["bands"] = 8
     with pytest.raises(ValueError):
         incdedup.apply_incremental_lsh(root, docs, **bad)
+
+
+def test_concurrent_writer_collision_is_loud(root, tmp_path):
+    """A rename collision (second writer targeting the same version)
+    raises the single-writer error, not a bare OSError; the loser's
+    stage is cleaned up."""
+    import glob
+
+    t = _mk_docs()
+    incdedup.apply_incremental_lsh(root, rd.from_arrow(t), **KW)
+    # fake a concurrent winner at the version the next commit will pick
+    winner = os.path.join(root, "v0002")
+    os.makedirs(os.path.join(winner, "bands"))
+    with open(os.path.join(winner, "manifest.json"), "w") as f:
+        f.write("{}")
+    stage = os.path.join(root, "_stage_v0002.test")
+    os.makedirs(stage)
+    with pytest.raises(RuntimeError, match="single-writer"):
+        incdedup._commit_rename(root, stage, 2)
+    assert not os.path.isdir(stage)
+    assert not glob.glob(os.path.join(root, "_stage_v0002.test"))
