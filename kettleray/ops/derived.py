@@ -139,6 +139,16 @@ def sync_derived_view(src_root: str, dst_root: str, transform=None, *,
             fresh = _feed_to_events(feed, src_v, bootstrap=False)
     if transform is not None:
         fresh = transform(fresh)
+        sch = fresh.schema()
+        missing = [c for c in ("repo", "path", "op", "commit_seq")
+                   if sch is not None and sch.names
+                   and c not in sch.names]
+        if missing:
+            raise ValueError(
+                f"sync_derived_view: transform dropped required event "
+                f"columns {missing} — it must preserve key/op/"
+                f"commit_seq and may only add or rewrite payload "
+                f"columns")
     man = sink.apply_incremental_bucketed(
         dst_root, fresh, num_buckets=num_buckets,
         num_partitions=num_partitions)

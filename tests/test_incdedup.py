@@ -375,3 +375,63 @@ def test_concurrent_writer_collision_is_loud(root, tmp_path):
         incdedup._commit_rename(root, stage, 2)
     assert not os.path.isdir(stage)
     assert not glob.glob(os.path.join(root, "_stage_v0002.test"))
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.data())
+def test_property_arbitrary_commit_splits_match_batch(tmp_path, data):
+    """Hypothesis: ANY partition of the corpus into 1-4 commits, with
+    an arbitrary trailing update set and delete set, yields the same
+    live pair view as the batch pipeline over the final corpus."""
+    t = _mk_docs()
+    n = t.num_rows
+    ids = list(range(n))
+    n_commits = data.draw(st.integers(1, 4), label="n_commits")
+    assign = data.draw(st.lists(st.integers(0, n_commits - 1),
+                                min_size=n, max_size=n), label="assign")
+    upd_ids = data.draw(st.sets(st.sampled_from(ids), max_size=4),
+                        label="updates")
+    del_ids = data.draw(st.sets(st.sampled_from(ids), max_size=4),
+                        label="deletes")
+    root = os.path.join(str(tmp_path), f"p{abs(hash(tuple(assign)))%997}")
+    shutil.rmtree(root, ignore_errors=True)
+
+    import pandas as pd
+    for c in range(n_commits):
+        sel = [i for i in ids if assign[i] == c]
+        if not sel:
+            continue
+        part = rd.from_arrow(t.filter(pc.is_in(
+            t["doc_id"], value_set=pa.array(sel, type=pa.int64()))))
+        incdedup.apply_incremental_lsh(root, part, **KW)
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    if upd_ids:
+        upd = rd.from_arrow(pa.table({
+            "doc_id": pa.array(sorted(upd_ids), type=pa.int64()),
+            "text": pa.array([texts[i] + " tail" + str(i)
+                              for i in sorted(upd_ids)])}))
+        incdedup.apply_incremental_lsh(root, upd, **KW)
+    if del_ids:
+        incdedup.apply_incremental_lsh(root, None,
+                                       deletes=sorted(del_ids), **KW)
+    got = _inc_pairs(root)
+
+    final_rows = {"doc_id": [], "text": []}
+    for i in ids:
+        if i in del_ids:
+            continue
+        final_rows["doc_id"].append(i)
+        final_rows["text"].append(texts[i] + " tail" + str(i)
+                                  if i in upd_ids else texts[i])
+    final = rd.from_arrow(pa.table({
+        "doc_id": pa.array(final_rows["doc_id"], type=pa.int64()),
+        "text": pa.array(final_rows["text"])}))
+    ref = _batch_pairs(final)
+    assert got[["doc_a", "doc_b"]].values.tolist() == \
+        ref[["doc_a", "doc_b"]].values.tolist()
+    assert np.array_equal(got["jaccard"].values, ref["jaccard"].values)
+    shutil.rmtree(root, ignore_errors=True)
