@@ -158,6 +158,21 @@ def _register_builtins() -> None:
     register("stratified_sample", ag.stratified_sample)
     register("compact_changelog", cdc.compact_changelog)
     register("split_on_watermark", cdc.split_on_watermark)
+    register("paragraph_dedup", dedup.paragraph_dedup)
+    register("dedup_corpus", dedup.dedup_corpus)
+    register("scrub_text", textstats.scrub_text)
+    register("normalize_text", textstats.normalize_text)
+    register("repetition_stats", textstats.repetition_stats)
+    register("dummy", rowops.dummy)
+    register("write_to_log", rowops.write_to_log)
+    register("delay", rowops.delay)
+    register("abort_after", rowops.abort_after)
+
+    def _lsh_probe(ds, *, root, **kw):
+        from kettleray.ops import incdedup
+        return incdedup.probe_lsh(root, ds, **kw)
+
+    register("lsh_probe", _lsh_probe)
     from kettleray.ops.formula import formula
     register("formula", formula)
     register("sub_pipeline", _sub_pipeline)

@@ -13,7 +13,9 @@ from kettleray.pipeline import Pipeline, get_operator, operators
 def test_registry_has_core_operators():
     ops = operators()
     for name in ("replay_lww", "scd2_history", "filter_rows", "group_by",
-                 "split_field_to_rows", "exact_dedup"):
+                 "split_field_to_rows", "exact_dedup", "paragraph_dedup",
+                 "dedup_corpus", "lsh_probe", "abort_after",
+                 "write_to_log"):
         assert name in ops
     assert callable(get_operator("replay_lww"))
 
