@@ -598,6 +598,26 @@ def q_repetition_stats(sf_dir):
     return textstats.repetition_stats(docs, "text", "doc_id")
 
 
+def q_quality_gate(sf_dir):
+    """End-to-end quality gate (composition, no new kernels): Gopher/C4
+    repetition stats -> vectorized threshold filter; survivors keep
+    their stats row. Oracle = the repetition_stats SQL wrapped in the
+    same WHERE — threshold decisions compare the identically-ROUNDED
+    values on both sides, so the split is deterministic."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    stats = textstats.repetition_stats(docs, "text", "doc_id")
+
+    def _gate(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(
+            pc.greater_equal(t["n_tokens"], 20),
+            pc.less_equal(t["dup_token_ratio"], 0.5)),
+            pc.less_equal(t["top_token_ratio"], 0.2))
+        return t.filter(keep)
+
+    return stats.map_batches(_gate, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
 def q_paragraph_dedup(sf_dir):
     """Corpus-wide paragraph-level dedup (RefinedWeb-style): docs
     chunked into 10-token paragraphs (the fixture has no separator
@@ -660,6 +680,7 @@ QUERIES = {
     # below the driver's 50-entry snapshot line (still gate-checked
     # by tools/check_queries.py)
     "events_hopping_window": q_events_hopping_window,
+    "quality_gate": q_quality_gate,
     "mixture_sample": q_mixture_sample,
     "kmeans_assign": q_kmeans_assign,
     "stratified_sample": q_stratified_sample,
@@ -997,6 +1018,11 @@ SELECT s.doc_id, CAST(s.n AS BIGINT) AS n_tokens,
   END AS dup_3gram_ratio
 FROM s LEFT JOIN topc USING (doc_id)
 """
+
+ORACLES["quality_gate"] = (
+    "SELECT * FROM (" + ORACLES["repetition_stats"] + ") "
+    "WHERE n_tokens >= 20 AND dup_token_ratio <= 0.5 "
+    "AND top_token_ratio <= 0.2")
 
 ORACLES["paragraph_dedup"] = r"""
 WITH a AS (
