@@ -52,6 +52,42 @@ def current_snapshot_id(root: str) -> int | None:
         return json.load(f)["snapshot"]
 
 
+def _max_snapshot_on_disk(root: str) -> int | None:
+    """Highest committed snap_N.json, INCLUDING one a crashed writer
+    linked but never published via CURRENT. A linked snapshot file is
+    always complete (it was fsynced before the os.link claim), so it is
+    safe to rebase on / roll forward to."""
+    mx = None
+    if not os.path.isdir(root):
+        return None
+    for fn in os.listdir(root):
+        if fn.startswith("snap_") and fn.endswith(".json"):
+            try:
+                n = int(fn[5:-5])
+            except ValueError:
+                continue
+            mx = n if mx is None else max(mx, n)
+    return mx
+
+
+def _advance_current(root: str) -> int:
+    """Publish CURRENT = max snapshot on disk, re-verifying after the
+    write: between reading and writing, a later committer may publish a
+    higher snapshot — a one-shot forward-only check would then REGRESS
+    the pointer and readers would resolve a stale snapshot. Looping
+    until the pointer is at least the on-disk max makes the advance
+    race-free (pointer value only ever increases across iterations;
+    rolling forward to an unpublished-but-linked snapshot is safe —
+    see _max_snapshot_on_disk)."""
+    while True:
+        mx = _max_snapshot_on_disk(root)
+        cur = current_snapshot_id(root)
+        if mx is None or (cur is not None and cur >= mx):
+            return cur if cur is not None else 0
+        _sink.atomic_write_json(os.path.join(root, "CURRENT"),
+                                {"snapshot": mx})
+
+
 def read_snapshot(root: str, snapshot: int | None = None) -> dict:
     n = snapshot if snapshot is not None else current_snapshot_id(root)
     if n is None:
@@ -75,7 +111,14 @@ def commit_snapshot(root: str, tables: dict[str, tuple[str, int]], *,
 
     os.makedirs(root, exist_ok=True)
     while True:
-        parent = current_snapshot_id(root)
+        # Rebase on the max snapshot ON DISK, not CURRENT alone: if a
+        # prior winner crashed after linking snap_N but before writing
+        # CURRENT, deriving from CURRENT would recompute the same N and
+        # busy-spin on FileExistsError forever. The linked file is
+        # complete (fsynced before the link), so its pins roll forward.
+        cur = current_snapshot_id(root)
+        mx = _max_snapshot_on_disk(root)
+        parent = mx if mx is not None else cur
         merged: dict[str, dict] = {}
         if parent is not None:
             merged.update(read_snapshot(root, parent)["tables"])
@@ -96,12 +139,8 @@ def commit_snapshot(root: str, tables: dict[str, tuple[str, int]], *,
             os.unlink(tmp)                      # lost the race: rebase
             continue
         os.unlink(tmp)
-        # advance CURRENT forward-only (an interleaved later committer
-        # may already have published a higher snapshot)
-        cur = current_snapshot_id(root)
-        if cur is None or n > cur:
-            _sink.atomic_write_json(os.path.join(root, "CURRENT"),
-                                    {"snapshot": n})
+        # publish: forward-only with post-write re-verify (TOCTOU-safe)
+        _advance_current(root)
         return n
 
 

@@ -107,6 +107,26 @@ def read_manifest(root: str, version: int | None = None) -> Manifest | None:
         return Manifest.from_json(f.read())
 
 
+def _next_version(root: str) -> int:
+    """Next free version slot = max(existing version dirs, CURRENT) + 1.
+
+    Allocating from CURRENT alone bricks the sink after a crash BETWEEN
+    the stage->vN rename and the CURRENT pointer write: vN exists but
+    CURRENT still names vN-1, so every retry recomputes the same N,
+    collides on the rename and recurses forever (redoing the full stage
+    write each level). Scanning the dirs skips the orphan — readers only
+    trust CURRENT, so the orphan is invisible, and gc_versions reaps it
+    once it ages past the stage window (same discipline as
+    ops.incdedup._next_version / gc_lsh)."""
+    vs = [int(n[1:]) for n in os.listdir(root)
+          if n.startswith("v") and n[1:].isdigit()] \
+        if os.path.isdir(root) else []
+    cur = current_version(root)
+    if cur is not None:
+        vs.append(cur)
+    return (max(vs) + 1) if vs else 1
+
+
 def _check_layout_stable(man: "Manifest | None", num_buckets: int,
                          bucket_cols: tuple) -> None:
     """The bucketed layouts rely on every commit using the SAME bucket
@@ -370,8 +390,23 @@ def lookup_state(root: str, repo: str, path: str, *,
         delta_files = _parquet_files(ddir) if os.path.isdir(ddir) else []
     import pyarrow.dataset as pads
     flt = (pads.field("repo") == repo) & (pads.field("path") == path)
-    base_t = pads.dataset(files).to_table(filter=flt) if files \
-        else pa.table({})
+    if files:
+        base_t = pads.dataset(files).to_table(filter=flt)
+    else:
+        # empty-bucket miss: return an EMPTY table with the same state
+        # schema a hit would have (callers index expected columns on
+        # both paths) — borrow the schema from any committed BASE file
+        # of this version rather than a schema-less pa.table({})
+        other_base, other_delta = _split_base_delta(vdir)
+        if other_base:
+            base_t = pq.read_schema(other_base[0]).empty_table()
+        elif other_delta and not delta_files:
+            # delta-only version: synthesize the final-state schema the
+            # merge path below would produce
+            base_t = cdc.finalize_state_table(cdc.lww_reduce_table(
+                pq.read_schema(other_delta[0]).empty_table()))
+        else:
+            base_t = pa.table({})
     if not delta_files:
         return base_t
     # merge-on-read: fold this key's delta events over its base row
@@ -403,6 +438,12 @@ def commit_state(ds: "ray.data.Dataset", root: str, *, watermark: int,
     v = 1 if prev is None else prev + 1
     final_dir = _version_dir(root, v)
     if os.path.exists(final_dir):
+        # Adopting an existing vN (identical retry, or a crash landed
+        # between the rename and the pointer write): repair CURRENT
+        # forward-only so the adopted commit is actually visible.
+        cur = current_version(root)
+        if cur is None or cur < v:
+            _write_current(root, v)
         return read_manifest(root, v)
     stage = os.path.join(root, f"_stage_v{v:04d}.{uuid.uuid4().hex[:8]}")
     t0 = time.time()
@@ -575,8 +616,8 @@ def apply_incremental_bucketed(root: str, events: "ray.data.Dataset", *,
     touched = sorted(touched_set)
 
     prev_v = current_version(root)
-    v = 1 if prev_v is None else prev_v + 1
     os.makedirs(root, exist_ok=True)
+    v = _next_version(root)
     stage = os.path.join(root, f"_stage_v{v:04d}.{uuid.uuid4().hex[:8]}")
     os.makedirs(stage)
 
@@ -800,8 +841,8 @@ def apply_incremental_scd2(root: str, events: "ray.data.Dataset", *,
     touched = sorted(touched_set)
 
     prev_v = current_version(root)
-    v = 1 if prev_v is None else prev_v + 1
     os.makedirs(root, exist_ok=True)
+    v = _next_version(root)
     stage = os.path.join(root, f"_stage_v{v:04d}.{uuid.uuid4().hex[:8]}")
     os.makedirs(stage)
     t0 = time.time()
@@ -934,7 +975,7 @@ def apply_incremental_mor(root: str, events: "ray.data.Dataset", *,
         final = add_bucket_column(final, num_buckets,
                                   bucket_cols=bucket_cols)
         return _commit_mor_stage(
-            root, 1, final, watermark=new_wm,
+            root, _next_version(root), final, watermark=new_wm,
             num_buckets=num_buckets, bucket_cols=bucket_cols,
             delta_rows=0, prev_watermark=wm)
 
@@ -945,7 +986,7 @@ def apply_incremental_mor(root: str, events: "ray.data.Dataset", *,
         compact_mor(root, num_partitions=num_partitions)
         prev_v = current_version(root)
 
-    v = prev_v + 1
+    v = _next_version(root)
     stage = os.path.join(root, f"_stage_v{v:04d}.{uuid.uuid4().hex[:8]}")
     os.makedirs(stage)
     t0 = time.time()
@@ -1057,7 +1098,7 @@ def rebucket_state(root: str, *, num_buckets: int,
         state = state.drop_columns(["bucket"])
     state = add_bucket_column(state, num_buckets, bucket_cols=bucket_cols)
     return _commit_mor_stage(
-        root, v + 1, state, watermark=man.watermark,
+        root, _next_version(root), state, watermark=man.watermark,
         num_buckets=num_buckets, bucket_cols=bucket_cols,
         delta_rows=0, prev_watermark=man.watermark,
         extra_metrics={"rebucket_of": v})
@@ -1180,7 +1221,7 @@ def compact_mor(root: str, *, num_partitions: int = 16) -> Manifest:
     final = cdc.replay_lww(merged, num_partitions=num_partitions)
     final = add_bucket_column(final, nb, bucket_cols=bc)
 
-    nv = v + 1
+    nv = _next_version(root)
     stage = os.path.join(root, f"_stage_v{nv:04d}.{uuid.uuid4().hex[:8]}")
     os.makedirs(stage)
     t0 = time.time()
@@ -1431,11 +1472,22 @@ def gc_versions(root: str, *, keep_last: int = 2,
                  else versions[0], 1)
     keep = pinned or set()
     deleted = []
+    now = time.time()
     for v in versions:
         if v < cutoff and v != cur and v not in keep:
             shutil.rmtree(_version_dir(root, v))
             deleted.append(v)
-    now = time.time()
+        elif v > cur and v not in keep and \
+                now - os.path.getmtime(_version_dir(root, v)) \
+                >= stage_min_age_s:
+            # crash orphan: the stage->vN rename landed but the writer
+            # died before the CURRENT pointer write. Invisible to
+            # readers (they only trust CURRENT) and skipped by
+            # _next_version, so reaping is safe — but only past the
+            # stage age window (a YOUNG above-CURRENT dir may be a
+            # commit mid-flight between its rename and pointer write).
+            shutil.rmtree(_version_dir(root, v))
+            deleted.append(v)
     for n in os.listdir(root):
         p = os.path.join(root, n)
         if n.startswith("_stage_") and \
@@ -1474,7 +1526,7 @@ def compact_state(root: str, *, max_files_per_bucket: int = 4) -> Manifest:
             "current version holds merge-on-read delta files — run "
             "compact_mor() (compact_state only walks base buckets and "
             "would drop the deltas)")
-    nv = v + 1
+    nv = _next_version(root)
     stage = os.path.join(root, f"_stage_v{nv:04d}.{uuid.uuid4().hex[:8]}")
     os.makedirs(stage)
     t0 = time.time()

@@ -270,6 +270,10 @@ def _flatten_bands(t: pa.Table, bands: int, num_buckets: int,
     })
 
 
+# candidate sets at or below this verify via bounded broadcast reads;
+# above it the fully-distributed sketch-join verify runs
+_BROADCAST_VERIFY_MAX = 20_000
+
 _EMPTY_PAIRS = pa.table({"doc_a": pa.array([], type=pa.int64()),
                          "doc_b": pa.array([], type=pa.int64())})
 
@@ -342,6 +346,54 @@ def _pairs_vs_new(t: pa.Table, max_bucket: int) -> pa.Table:
         mask = snew[ia] | snew[ib]
         out_a.append(sid[ia][mask])
         out_b.append(sid[ib][mask])
+    if not out_a:
+        return _EMPTY_PAIRS
+    return pa.table({
+        "doc_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+        "doc_b": pa.array(np.concatenate(out_b), type=pa.int64())})
+
+
+def _pairs_probe_vs_index(t: pa.Table, max_bucket: int) -> pa.Table:
+    """Probe variant of ``_pairs_vs_new``: keep pairs where EXACTLY ONE
+    side is new (probes are never compared to each other), normalized to
+    (doc_a=probe, doc_b=index doc). Same triangular-template
+    vectorization and oversized-bucket cap."""
+    if t.num_rows < 2:
+        return _EMPTY_PAIRS
+    codes = _composite_key_codes(t, ["band_id", "band_hash"])
+    ids = _np_col(t, "doc_id")
+    isnew = _np_col(t, "is_new").astype(bool)
+    order = np.lexsort((isnew, ids, codes))
+    sk, sid, snew = codes[order], ids[order], isnew[order]
+    last = np.ones(len(sk), dtype=bool)
+    last[:-1] = (sk[1:] != sk[:-1]) | (sid[1:] != sid[:-1])
+    sk, sid, snew = sk[last], sid[last], snew[last]
+    n = len(sk)
+    run_start = np.empty(n, dtype=bool)
+    run_start[0] = True
+    run_start[1:] = sk[1:] != sk[:-1]
+    begins = np.nonzero(run_start)[0]
+    lens = np.diff(np.append(begins, n))
+    over = lens > max_bucket
+    if over.any():
+        _LOG.warning(
+            "incdedup: dropped %d oversized band buckets (> %d docs)",
+            int(over.sum()), max_bucket)
+    out_a, out_b = [], []
+    lens_ok, begins_ok = lens[~over], begins[~over]
+    for m in np.unique(lens_ok):
+        if m < 2:
+            continue
+        ti, tj = np.triu_indices(int(m), k=1)
+        b_m = begins_ok[lens_ok == m]
+        ia = (b_m[:, None] + ti[None, :]).ravel()
+        ib = (b_m[:, None] + tj[None, :]).ravel()
+        na, nb = snew[ia], snew[ib]
+        mask = na ^ nb                       # exactly one probe side
+        pa_ids = np.where(na[mask], sid[ia][mask], sid[ib][mask])
+        pb_ids = np.where(na[mask], sid[ib][mask], sid[ia][mask])
+        out_a.append(pa_ids)
+        out_b.append(pb_ids)
     if not out_a:
         return _EMPTY_PAIRS
     return pa.table({
@@ -846,7 +898,7 @@ def apply_incremental_lsh(root: str, docs, *,
         n_cand = cand.count()
         timings["candidates"] = round(time.time() - t_cand, 2)
         t_ver = time.time()
-        if n_cand <= 20_000:
+        if n_cand <= _BROADCAST_VERIFY_MAX:
             verified = _verify_broadcast(
                 cand, signed, root, prev_v, v, num_buckets, threshold)
         else:
@@ -1077,7 +1129,9 @@ def read_pairs(root: str, *, num_partitions: int = 8):
 def probe_lsh(root: str, docs, *, id_col: str = "doc_id",
               text_col: str = "text",
               threshold: float | None = None,
-              max_bucket: int = 64) -> "ray.data.Dataset":
+              max_bucket: int = 64,
+              num_partitions: int = 8,
+              small_max_band_rows: int = 200_000) -> "ray.data.Dataset":
     """Dedup-before-ingest gate: check incoming docs against the index
     WITHOUT committing them. Signs the probe batch, reads ONLY the band
     buckets the probes hash into, exact-verifies against the stored
@@ -1086,6 +1140,14 @@ def probe_lsh(root: str, docs, *, id_col: str = "doc_id",
     so a rejected doc leaves no trace. ``threshold`` defaults to the
     index's own. Cost per probe batch = sign(batch) + touched-bucket
     reads, same as a small commit minus the writes.
+
+    Scale gate (same threshold as the commit path): batches at or below
+    ``small_max_band_rows`` band rows run the driver-bounded broadcast
+    path (every Dataset shuffle at trickle size is ~4 s of pure
+    operator spawn); larger batches — an incoming crawl shard of
+    millions of docs — stay distributed end-to-end: bucket-keyed
+    candidate exchange + sketch-join verify, no driver concat of the
+    probe batch anywhere.
 
     A probe whose doc_id already EXISTS in the index supersedes the
     stored rows for that id (same rule as a commit), and — because
@@ -1112,44 +1174,156 @@ def probe_lsh(root: str, docs, *, id_col: str = "doc_id",
     bands_new = signed.map_batches(
         lambda t: _flatten_bands(t, p["bands"], num_buckets, v),
         batch_format="pyarrow", zero_copy_batch=True).materialize()
-    new_bt = pa.concat_tables(
-        [t for t in ray.get(bands_new.to_arrow_refs())
-         if t.num_columns])
-    probe_ids = np.unique(_np_col(new_bt, "doc_id")) \
-        if new_bt.num_rows else np.empty(0, np.int64)
-    touched = set(np.unique(_np_col(new_bt, "bucket")).tolist()) \
-        if new_bt.num_rows else set()
     dmap = _deleted_map(root, man["version"])
-    new_ref = ray.put(new_bt)
-    futs = [_bucket_cands_task.remote(
-        _bucket_dirs(_vdir(root, man["version"]), "bands", {k}),
-        new_ref, k, dmap, max_bucket)
-        for k in sorted(touched)]
-    pts = [t for t in ray.get(futs) if t.num_rows]
-    if not pts:
+    band_rows = bands_new.count()
+
+    # ---- small probe batches (the normal gate-at-ingest case) stay
+    # off the Dataset shuffle machinery, same rationale and threshold
+    # as apply_incremental_lsh's small-commit bypass
+    if band_rows <= small_max_band_rows:
+        new_bt = pa.concat_tables(
+            [t for t in ray.get(bands_new.to_arrow_refs())
+             if t.num_columns])
+        probe_ids = np.unique(_np_col(new_bt, "doc_id")) \
+            if new_bt.num_rows else np.empty(0, np.int64)
+        touched = set(np.unique(_np_col(new_bt, "bucket")).tolist()) \
+            if new_bt.num_rows else set()
+        new_ref = ray.put(new_bt)
+        futs = [_bucket_cands_task.remote(
+            _bucket_dirs(_vdir(root, man["version"]), "bands", {k}),
+            new_ref, k, dmap, max_bucket)
+            for k in sorted(touched)]
+        pts = [t for t in ray.get(futs) if t.num_rows]
+        if not pts:
+            return _empty_pairs_ds()
+        cat = pa.concat_tables(pts)
+        a = _np_col(cat, "doc_a")
+        b = _np_col(cat, "doc_b")
+        # keep probe-vs-index pairs only, normalized (probe, index doc)
+        a_is_probe = np.isin(a, probe_ids)
+        b_is_probe = np.isin(b, probe_ids)
+        keep = a_is_probe ^ b_is_probe
+        a, b = a[keep], b[keep]
+        swap = np.isin(b, probe_ids)
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        order = np.lexsort((b2, a2))
+        a2, b2 = a2[order], b2[order]
+        first = np.ones(len(a2), dtype=bool)
+        first[1:] = (a2[1:] != a2[:-1]) | (b2[1:] != b2[:-1])
+        cand_tbl = pa.table(
+            {"doc_a": pa.array(a2[first], type=pa.int64()),
+             "doc_b": pa.array(b2[first], type=pa.int64())})
+        if cand_tbl.num_rows == 0:
+            return _empty_pairs_ds()
+        out = _verify_broadcast_tbl(cand_tbl, signed, root,
+                                    man["version"], v, num_buckets,
+                                    threshold)
+        return ray.data.from_arrow(out)
+
+    # ---- large probe batches (an incoming crawl shard of millions of
+    # docs) run fully distributed: probing must never concat the batch
+    # on the driver. Candidate gen mirrors the commit path — probe band
+    # rows union the touched index buckets, ONE bucket-keyed exchange,
+    # per-bucket pairs kernel — except the kernel emits only
+    # probe-vs-index pairs and index rows superseded by a probe's own
+    # doc_id are dropped up front (same semantics as the small path's
+    # XOR mask).
+    from kettleray.ops.aggregates import unique_rows
+
+    probe_ids_parts = []
+    touched = set()
+    for bt in bands_new.select_columns(["doc_id", "bucket"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        probe_ids_parts.append(np.unique(
+            bt["doc_id"].to_numpy(zero_copy_only=False)))
+        touched.update(np.unique(
+            bt["bucket"].to_numpy(zero_copy_only=False)).tolist())
+    probe_ids = np.unique(np.concatenate(probe_ids_parts)) \
+        if probe_ids_parts else np.empty(0, np.int64)
+
+    new_flag = bands_new.map_batches(
+        lambda t: t.append_column(
+            "is_new", pa.array(np.ones(t.num_rows, bool))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    sides = [new_flag]
+    old_dirs = _bucket_dirs(_vdir(root, man["version"]), "bands",
+                            touched)
+    if old_dirs:
+        pid_ref = ray.put(probe_ids)   # broadcast ONCE, read per block
+        dd = dmap
+
+        def _drop_superseded(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            ids_ = _np_col(t, "doc_id")
+            keep = ~np.isin(ids_, ray.get(pid_ref))
+            if dd:
+                keep &= _del_versions(ids_, dd) < _np_col(t, "v")
+            return t.filter(pa.array(keep))
+
+        old = _fix_bucket_col(ray.data.read_parquet(old_dirs))
+        old = old.map_batches(_drop_superseded, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        old = old.map_batches(
+            lambda t: t.append_column(
+                "is_new", pa.array(np.zeros(t.num_rows, bool))),
+            batch_format="pyarrow", zero_copy_batch=True)
+        sides.append(old)
+    combined = sides[0].union(*sides[1:]) if len(sides) > 1 \
+        else sides[0]
+    parts = max(1, min(num_partitions, len(touched)))
+    cand = combined.repartition(parts, keys=["bucket"]).map_batches(
+        lambda t: _pairs_probe_vs_index(t, max_bucket),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    cand = _solidify_small(
+        unique_rows(cand, ["doc_a", "doc_b"], num_partitions=parts),
+        num_partitions=num_partitions,
+        schema=pa.schema([("doc_a", pa.int64()),
+                          ("doc_b", pa.int64())]))
+    n_cand = cand.count()
+    if n_cand == 0:
         return _empty_pairs_ds()
-    cat = pa.concat_tables(pts)
-    a = _np_col(cat, "doc_a")
-    b = _np_col(cat, "doc_b")
-    # keep probe-vs-index pairs only, normalized to (probe, index doc)
-    a_is_probe = np.isin(a, probe_ids)
-    b_is_probe = np.isin(b, probe_ids)
-    keep = a_is_probe ^ b_is_probe
-    a, b = a[keep], b[keep]
-    swap = np.isin(b, probe_ids)
-    a2 = np.where(swap, b, a)
-    b2 = np.where(swap, a, b)
-    order = np.lexsort((b2, a2))
-    a2, b2 = a2[order], b2[order]
-    first = np.ones(len(a2), dtype=bool)
-    first[1:] = (a2[1:] != a2[:-1]) | (b2[1:] != b2[:-1])
-    cand_tbl = pa.table({"doc_a": pa.array(a2[first], type=pa.int64()),
-                         "doc_b": pa.array(b2[first], type=pa.int64())})
-    if cand_tbl.num_rows == 0:
-        return _empty_pairs_ds()
-    out = _verify_broadcast_tbl(cand_tbl, signed, root, man["version"],
-                                v, num_buckets, threshold)
-    return ray.data.from_arrow(out)
+    if n_cand <= _BROADCAST_VERIFY_MAX:
+        # few candidates from a big batch: broadcast-verify is bounded
+        # by 2 x pairs sketch rows, never the probe batch
+        return _verify_broadcast(cand, signed, root, man["version"], v,
+                                 num_buckets, threshold)
+    # distributed verify vs stored sketches (never corpus text) — the
+    # same two hash-partitioned joins the commit path uses
+    cand_buckets: set[int] = set()
+    for bt in cand.iter_batches(batch_size=65536,
+                                batch_format="pyarrow"):
+        for col in ("doc_a", "doc_b"):
+            ids_ = bt[col].to_numpy(zero_copy_only=False)
+            cand_buckets.update(np.unique(
+                _id_bucket(ids_, num_buckets)).tolist())
+    sk_sides = [signed.select_columns(["doc_id", "sh", "n_sh"])
+                .map_batches(
+                    lambda t: t.append_column(
+                        "v", pa.array(np.full(t.num_rows, v),
+                                      type=pa.int64())),
+                    batch_format="pyarrow", zero_copy_batch=True)]
+    sk_dirs = _bucket_dirs(_vdir(root, man["version"]), "sketch",
+                           cand_buckets)
+    if sk_dirs:
+        sk_sides.append(ray.data.read_parquet(
+            sk_dirs, columns=["doc_id", "sh", "n_sh", "v"]))
+    sk_all = sk_sides[0].union(*sk_sides[1:]) \
+        if len(sk_sides) > 1 else sk_sides[0]
+    sk_latest = _solidify_small(
+        sk_all.repartition(
+            max(1, min(num_partitions, max(len(cand_buckets), 1))),
+            keys=["doc_id"]).map_batches(
+            _latest_per_doc, batch_format="pyarrow",
+            batch_size=None, zero_copy_batch=True),
+        num_partitions=num_partitions,
+        schema=pa.schema([("doc_id", pa.int64()),
+                          ("sh", pa.binary()),
+                          ("n_sh", pa.int64()),
+                          ("v", pa.int64())]))
+    return _verify_from_sketches(cand, sk_latest, threshold=threshold,
+                                 num_partitions=num_partitions)
 
 
 # ------------------------------------------------ compaction policy

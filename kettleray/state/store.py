@@ -15,6 +15,7 @@ remains the default for backfills.
 from __future__ import annotations
 
 import os
+import shutil
 
 import numpy as np
 import pyarrow as pa
@@ -342,9 +343,32 @@ class StreamingIngestor:
                                     zero_copy_batch=True).take_all()
         return sum(r["routed"] for r in counts)
 
-    def snapshot(self) -> pa.Table:
+    def snapshot(self, *, max_driver_rows: int = 2_000_000) -> pa.Table:
+        """Driver-side merged snapshot — a DEBUG / small-state tool: it
+        concatenates every shard's full state on the driver, so it is
+        bounded by ``max_driver_rows`` (cheap per-shard key counts are
+        checked first; no state bytes move on a refusal). The scale path
+        is ``commit_to_lake(root)`` + ``sink.read_state(root)`` — shard
+        actors write their buckets directly and the result streams as a
+        Dataset."""
+        keys = sum(s["keys"] for s in self.stats())
+        if keys > max_driver_rows:
+            raise ValueError(
+                f"snapshot() would pull ~{keys} rows onto the driver "
+                f"(> max_driver_rows={max_driver_rows}); use "
+                f"commit_to_lake(root) + sink.read_state(root) for "
+                f"large state, or raise max_driver_rows explicitly")
         return pa.concat_tables(
             ray.get([a.snapshot.remote() for a in self.actors]))
+
+    def snapshot_dataset(self, root: str) -> "object":
+        """Lake-backed snapshot: commit the shard state as a bucketed
+        sink version (bytes written actor-side, never via the driver)
+        and open it as a streaming Dataset — the any-size counterpart
+        of ``snapshot()``."""
+        from kettleray.io import sink as _sink
+        self.commit_to_lake(root)
+        return _sink.read_state(root)
 
     def checkpoint(self) -> dict[int, int]:
         return dict(ray.get([a.checkpoint.remote() for a in self.actors]))
@@ -372,9 +396,8 @@ class StreamingIngestor:
 
         man = _sink.read_manifest(root)
         _sink._check_layout_stable(man, self.num_shards, ("repo", "path"))
-        prev = _sink.current_version(root)
-        v = 1 if prev is None else prev + 1
         os.makedirs(root, exist_ok=True)
+        v = _sink._next_version(root)   # skips crash-orphaned versions
         stage = os.path.join(root,
                              f"_stage_v{v:04d}.{_uuid.uuid4().hex[:8]}")
         os.makedirs(stage)
@@ -397,7 +420,21 @@ class StreamingIngestor:
                      "shard_watermarks": [i["watermark"] for i in infos]})
         with open(os.path.join(stage, "manifest.json"), "w") as f:
             f.write(man2.to_json())
-        os.rename(stage, _sink._version_dir(root, v))
+        try:
+            os.rename(stage, _sink._version_dir(root, v))
+        except OSError:
+            if os.path.isdir(_sink._version_dir(root, v)):
+                # a concurrent committer took this slot between our
+                # _next_version scan and the rename — the ingestor is a
+                # single-writer by contract, so surface it loudly
+                # instead of silently interleaving two state lineages
+                shutil.rmtree(stage, ignore_errors=True)
+                raise RuntimeError(
+                    f"commit_to_lake: version v{v:04d} under {root} was "
+                    f"committed concurrently; StreamingIngestor assumes "
+                    f"a single committer per root — retry the commit "
+                    f"(shard state is intact) or use a dedicated root")
+            raise
         _sink._write_current(root, v)
         return man2
 

@@ -435,3 +435,95 @@ def test_property_arbitrary_commit_splits_match_batch(tmp_path, data):
         ref[["doc_a", "doc_b"]].values.tolist()
     assert np.array_equal(got["jaccard"].values, ref["jaccard"].values)
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_probe_large_path_matches_small_and_stays_distributed(
+        root, monkeypatch):
+    """Round-4 fix: a probe batch above ``small_max_band_rows`` must run
+    the DISTRIBUTED candidate+verify path — never concat its band rows
+    on the driver (an incoming crawl shard of millions of docs was a
+    driver OOM before). Poison any driver pull of band rows and force
+    both the large-batch path and the distributed sketch-join verify;
+    results must equal the small path's exactly."""
+    import ray.data.dataset as dsmod
+
+    t = _mk_docs()
+    idx_docs = rd.from_arrow(t.filter(pc.invert(pc.equal(
+        pc.subtract(t["doc_id"], pc.multiply(
+            pc.divide(t["doc_id"], 3), 3)), 0))))
+    probes = rd.from_arrow(t.filter(pc.equal(
+        pc.subtract(t["doc_id"], pc.multiply(
+            pc.divide(t["doc_id"], 3), 3)), 0)))
+    incdedup.apply_incremental_lsh(root, idx_docs, **KW)
+    v_before = incdedup.current_version(root)
+
+    want = incdedup.probe_lsh(root, probes).to_pandas().sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
+
+    orig = dsmod.Dataset.to_arrow_refs
+
+    def _guarded(self, *a, **k):
+        names = [f.name for f in self.schema().base_schema]
+        # band rows scale with the probe batch — pulling them to the
+        # driver is the exact regression under test. Bounded pulls
+        # (pairs/sketch solidify, never batch-proportional) stay legal.
+        assert "band_hash" not in names, \
+            "probe_lsh pulled probe band rows onto the driver"
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(dsmod.Dataset, "to_arrow_refs", _guarded)
+    monkeypatch.setattr(incdedup, "_BROADCAST_VERIFY_MAX", 0)
+    got = incdedup.probe_lsh(
+        root, probes, small_max_band_rows=0).to_pandas().sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
+    assert incdedup.current_version(root) == v_before     # still read-only
+    assert got.columns.tolist() == want.columns.tolist()
+    assert got[["doc_a", "doc_b"]].values.tolist() == \
+        want[["doc_a", "doc_b"]].values.tolist()
+    assert (abs(got["jaccard"] - want["jaccard"]) < 1e-12).all()
+
+
+def test_probe_large_path_broadcast_verify_gate(root, monkeypatch):
+    """Large-batch candidate gen + the bounded broadcast verify (few
+    candidates from a big batch) — the middle regime of the gate."""
+    t = _mk_docs()
+    idx_docs = rd.from_arrow(t.filter(pc.invert(pc.equal(
+        pc.subtract(t["doc_id"], pc.multiply(
+            pc.divide(t["doc_id"], 3), 3)), 0))))
+    probes = rd.from_arrow(t.filter(pc.equal(
+        pc.subtract(t["doc_id"], pc.multiply(
+            pc.divide(t["doc_id"], 3), 3)), 0)))
+    incdedup.apply_incremental_lsh(root, idx_docs, **KW)
+    want = incdedup.probe_lsh(root, probes).to_pandas().sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
+    got = incdedup.probe_lsh(
+        root, probes, small_max_band_rows=0).to_pandas().sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
+    assert got[["doc_a", "doc_b"]].values.tolist() == \
+        want[["doc_a", "doc_b"]].values.tolist()
+
+
+def test_probe_large_path_superseded_id_absent(root):
+    """A probe re-using an index doc_id supersedes it on the large path
+    too: other probes must match neither its old nor its new text."""
+    t = _mk_docs()
+    idx_docs = rd.from_arrow(t)          # index everything
+    incdedup.apply_incremental_lsh(root, idx_docs, **KW)
+    # probe docs 0 (fresh near-dup text of family 0) and 1 (re-used id,
+    # now totally unrelated text)
+    probes = rd.from_arrow(pa.table({
+        "doc_id": pa.array([100, 1], type=pa.int64()),
+        "text": pa.array([t["text"][0].as_py(),
+                          "completely different unrelated tokens xq"]),
+    }))
+    small = incdedup.probe_lsh(root, probes).to_pandas()
+    large = incdedup.probe_lsh(
+        root, probes, small_max_band_rows=0).to_pandas()
+    for got in (small, large):
+        hits = {(r.doc_a, r.doc_b) for r in got.itertuples()}
+        # probe 100 matches family 0's index docs EXCEPT superseded 1
+        assert (100, 0) in hits and (100, 2) in hits
+        assert all(b != 1 for (_, b) in hits)
+        assert all(a != 1 or b != 1 for (a, b) in hits)
+    assert sorted(small[["doc_a", "doc_b"]].values.tolist()) == \
+        sorted(large[["doc_a", "doc_b"]].values.tolist())
