@@ -411,29 +411,155 @@ TOKEN_PATTERN = (r"[a-zA-Zäöüß"
                  r"ÄÖÜ]+")
 
 
+def _pattern_chars() -> list[str]:
+    """Expand TOKEN_PATTERN's character class (handles x-y ranges)."""
+    body = TOKEN_PATTERN[1:-2]
+    chars, i = [], 0
+    while i < len(body):
+        if i + 2 < len(body) and body[i + 1] == "-":
+            chars += [chr(c) for c in range(ord(body[i]),
+                                            ord(body[i + 2]) + 1)]
+            i += 3
+        else:
+            chars.append(body[i])
+            i += 1
+    return chars
+
+
 class LangId:
-    """Heuristic language ID: stopword-hit voting. Stopword sets + regex
-    compiled ONCE per actor (the stateful actor-pool pattern)."""
+    """Heuristic language ID: stopword-hit voting, vectorized to the
+    byte level.
+
+    TOKEN_PATTERN is a single character-class run whose members are
+    ASCII letters plus a fixed set of 2-byte (0xC3 xx) UTF-8 letters —
+    so tokenization is exact BYTE CLASSIFICATION over the Arrow string
+    buffer (zero-copy): letter-run starts via shifted boolean masks,
+    per-doc resets at value offsets, token->doc assignment by
+    searchsorted. Every stopword is <= 5 UTF-8 bytes, so membership is
+    an EXACT uint64 pack of the (lowercased) first 8 token bytes
+    against per-language packed sets via ``np.isin`` — no hashing, no
+    collisions, no per-row Python. Voting semantics are unchanged
+    (first 200 tokens per doc, multiplicity counted, dict-order
+    strict-greater wins) — the generated SQL oracle checks them
+    bit-for-bit. Lookup tables built ONCE per actor (the stateful
+    actor-pool pattern); ~10x faster than the per-row regex loop on
+    the sf0.01 documents table (micro-bench in BASELINE.md)."""
 
     def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
-        import re
-        self.word = re.compile(TOKEN_PATTERN)
-        self.tables = {lang: sw for lang, sw in _STOPWORDS.items()}
+        import numpy as np
+        chars = _pattern_chars()
+        self.ascii_letter = np.zeros(256, dtype=bool)
+        self.allowed2 = np.zeros(256, dtype=bool)     # 0xC3 2nd bytes
+        for c in chars:
+            b = c.encode()
+            if len(b) == 1:
+                self.ascii_letter[b[0]] = True
+            else:                  # all 2-byte 0xC3 xx (checked below)
+                assert len(b) == 2 and b[0] == 0xC3, c
+                self.allowed2[b[1]] = True
+        # lowercase LUTs: ASCII A-Z, and 0xC3-second-byte uppercase
+        # accented letters (Ä/Ö/Ü -> +0x20); applied only inside tokens
+        self.lower_lut = np.arange(256, dtype=np.uint8)
+        self.lower_lut[ord("A"):ord("Z") + 1] += 32
+        self.lower2_lut = np.arange(256, dtype=np.uint8)
+        for c in chars:
+            b = c.encode()
+            if len(b) == 2 and c.lower() != c:
+                self.lower2_lut[b[1]] = c.lower().encode()[1]
+        self.langs = list(_STOPWORDS)
+        self.pow8 = (np.uint64(256) ** np.arange(8, dtype=np.uint64))
+        self.packed_sets = []
+        for lang in self.langs:
+            packs = []
+            for w in _STOPWORDS[lang]:
+                wb = w.encode()
+                assert len(wb) <= 8, w
+                v = np.zeros(8, dtype=np.uint64)
+                v[:len(wb)] = np.frombuffer(wb, dtype=np.uint8)
+                packs.append(int((v * self.pow8).sum()))
+            self.packed_sets.append(np.asarray(sorted(packs),
+                                               dtype=np.uint64))
         self.text_col, self.out_col = text_col, out_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        preds = []
-        for txt in texts:
-            toks = [w.lower() for w in self.word.findall(txt or "")][:200]
-            best, best_hits = "unknown", 0
-            for lang, sw in self.tables.items():
-                hits = sum(1 for w in toks if w in sw)
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            preds.append(best)
-        return batch.append_column(self.out_col,
-                                   pa.array(preds, type=pa.string()))
+        import numpy as np
+        texts = batch[self.text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        n_docs = len(texts)
+        n_langs = len(self.langs)
+        hits = np.zeros((n_docs, n_langs), dtype=np.int64)
+        bufs = texts.buffers()
+        off_dtype = np.int64 if pa.types.is_large_string(texts.type) \
+            else np.int32
+        off = np.frombuffer(bufs[1], dtype=off_dtype)[
+            texts.offset:texts.offset + n_docs + 1].astype(np.int64)
+        buf = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] \
+            else np.zeros(0, np.uint8)
+        lo, hi = off[0], off[-1]
+        if hi > lo:
+            b = buf[:hi]           # positions stay absolute (off-based)
+            is_c3 = b == 0xC3
+            letter = self.ascii_letter[b]
+            al2 = self.allowed2[b]
+            two = is_c3[:-1] & al2[1:]       # 2-byte letter sequences
+            letter[:-1] |= two
+            letter[1:] |= two
+            prev = np.zeros(len(b), dtype=bool)
+            prev[1:] = letter[:-1]
+            start = letter & ~prev
+            # a token never crosses a doc boundary: force a start there
+            bound = off[:-1][(off[:-1] > lo) & (off[:-1] < hi)]
+            start[bound] |= letter[bound]
+            starts_pos = np.flatnonzero(start[lo:]) + lo
+            n_tok = len(starts_pos)
+            if n_tok:
+                # token id per letter position -> byte lengths (forced
+                # boundary starts split runs that span adjacent docs)
+                tid = np.cumsum(start[lo:]) - 1
+                letter_pos = np.flatnonzero(letter[lo:])
+                lengths = np.bincount(tid[letter_pos],
+                                      minlength=n_tok)
+                doc_idx = np.searchsorted(off, starts_pos,
+                                          side="right") - 1
+                tokens_per_doc = np.bincount(doc_idx,
+                                             minlength=n_docs)
+                first_of_doc = np.r_[np.int64(0),
+                                     np.cumsum(tokens_per_doc)[:-1]]
+                rank = np.arange(n_tok) - first_of_doc[doc_idx]
+                cand = (rank < 200) & (lengths <= 8)
+                sp = starts_pos[cand]
+                ln = lengths[cand]
+                dix = doc_idx[cand]
+                # lowercase + pack first 8 bytes (exact: stopwords
+                # are <= 8 bytes; longer tokens can't match)
+                idx = sp[:, None] + np.arange(8)[None, :]
+                valid = np.arange(8)[None, :] < ln[:, None]
+                raw = b[np.minimum(idx, len(b) - 1)]
+                low = self.lower_lut[raw]
+                prev_c3 = np.zeros_like(raw, dtype=bool)
+                prev_c3[:, 1:] = raw[:, :-1] == 0xC3
+                low = np.where(prev_c3, self.lower2_lut[raw], low)
+                packed = ((low * valid).astype(np.uint64)
+                          * self.pow8[None, :]).sum(axis=1)
+                for j, ps in enumerate(self.packed_sets):
+                    member = np.isin(packed, ps, assume_unique=False)
+                    if member.any():
+                        hits[:, j] = np.bincount(
+                            dix[member], minlength=n_docs)[:n_docs]
+        # dict-order voting: a later language wins only with STRICTLY
+        # more hits than every earlier one
+        best_hits = np.zeros(n_docs, dtype=np.int64)
+        best_idx = np.full(n_docs, n_langs, dtype=np.int64)
+        for j in range(n_langs):
+            upd = hits[:, j] > best_hits
+            best_idx[upd] = j
+            best_hits[upd] = hits[upd, j]
+        lang_lut = np.asarray(self.langs + ["unknown"], dtype=object)
+        preds = lang_lut[best_idx]
+        return batch.append_column(
+            self.out_col, pa.array(preds.tolist(), type=pa.string()))
 
 
 def lang_id(ds, text_col: str = "text", *, concurrency=(1, 8),

@@ -652,6 +652,95 @@ def q_decontaminate(sf_dir):
 # whose kernels are already exercised by a recorded sibling
 # (winnowing_fingerprints ⊂ winnowing_neardup, bigram_counts ≈
 # vocab_counts, doc_fingerprint ⊂ text_scrub_normalize+checksum) sit at
+def q_ann_incremental(sf_dir):
+    """Embedding-ANN top-k maintained INCREMENTALLY through the
+    persistent index (ops/incann.py) — the CDC x similarity crossover
+    (round-4 judge ask #2). Commit sequence over the embeddings table:
+
+    - 3 INSERT commits (vec_id % 3 round-robin), also planting 12 exact
+      copies of the query vector (vec_id 1_000_000+i, i % 3 per commit)
+      and one far 'mover' (vec_id 2_000_000 = embedding of vec_id 5);
+    - 1 UPDATE commit: base vec_id % 10 == 7 re-arrives with the
+      embedding of vec_id-5; planted i % 4 == 1 re-arrive FAR; the
+      mover re-arrives as an exact query copy (crossing LSH buckets —
+      supersede must work ACROSS buckets, not within one);
+    - 1 DELETE commit: base vec_id % 13 == 4 and planted i % 4 == 2
+      tombstoned.
+
+    Query = embedding of vec_id 0, k=8, probe_hamming=1. All 8 live
+    hits are exact query copies (structurally recalled: identical
+    vectors share the query's bucket) — vec_id 0 itself, the 6 live
+    planted copies, and the updated mover — so any drift in supersede,
+    tombstone liveness or cross-bucket staleness resolution changes
+    the id set and fails the value-hash. Oracle = brute-force cosine
+    top-8 over the reconstructed final corpus in SQL."""
+    import shutil
+    import tempfile
+
+    from kettleray.ops import incann
+
+    configure_ray_data()
+    root = tempfile.mkdtemp(prefix="kr_ann_index_")
+    shutil.rmtree(root, ignore_errors=True)
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    etype = qt.schema.field("embedding").type
+    qvec = qt.filter(pc.equal(qt["vec_id"], 0))["embedding"][0].as_py()
+    fvec = qt.filter(pc.equal(qt["vec_id"], 5))["embedding"][0].as_py()
+    max_id = pc.max(qt["vec_id"]).as_py()
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    kw = dict(id_col="vec_id", vec_col="embedding", n_planes=8,
+              seed=42, num_id_buckets=32, num_partitions=8)
+
+    def _mod(col, m):
+        return pc.subtract(col, pc.multiply(pc.divide(col, m), m))
+
+    for r in (0, 1, 2):
+        part = emb.map_batches(
+            lambda t, r=r: t.filter(pc.equal(_mod(t["vec_id"], 3), r)),
+            batch_format="pyarrow", zero_copy_batch=True)
+        pids = [1_000_000 + i for i in range(12) if i % 3 == r]
+        plant = pa.table({
+            "vec_id": pa.array(pids, type=pa.int64()),
+            "embedding": pa.array([qvec] * len(pids), type=etype)})
+        if r == 0:
+            plant = pa.concat_tables([plant, pa.table({
+                "vec_id": pa.array([2_000_000], type=pa.int64()),
+                "embedding": pa.array([fvec], type=etype)})])
+        incann.apply_incremental_ann(
+            root, part.union(ray.data.from_arrow(plant)), **kw)
+
+    def _upd(t: pa.Table) -> pa.Table:
+        # rows w = v+5 for existing v with v % 10 == 2 <=> every
+        # existing w % 10 == 7 (ids are contiguous) — re-arrives with
+        # the ORIGINAL embedding of w-5, mirroring the SQL self-join
+        tt = t.filter(pc.equal(_mod(t["vec_id"], 10), 2))
+        tt = tt.filter(pc.less_equal(pc.add(tt["vec_id"], 5), max_id))
+        return pa.table({"vec_id": pc.add(tt["vec_id"], 5),
+                         "embedding": tt["embedding"]})
+
+    upd = emb.map_batches(_upd, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    plant_upd = pa.table({
+        "vec_id": pa.array([1_000_000 + i for i in (1, 5, 9)]
+                           + [2_000_000], type=pa.int64()),
+        "embedding": pa.array([fvec] * 3 + [qvec], type=etype)})
+    incann.apply_incremental_ann(
+        root, upd.union(ray.data.from_arrow(plant_upd)), **kw)
+
+    dels = [i for i in range(max_id + 1) if i % 13 == 4] \
+        + [1_000_000 + i for i in (2, 6, 10)]
+    incann.apply_incremental_ann(root, None, deletes=dels, **kw)
+
+    res, _, _ = incann.query_ann(root, np.asarray(qvec), k=8,
+                                 probe_hamming=1)
+    shutil.rmtree(root, ignore_errors=True)
+    return res.set_column(
+        res.column_names.index("cosine"), "cosine",
+        pc.round(res["cosine"], ndigits=6,
+                 round_mode="half_towards_infinity"))
+
+
 # the tail and stay verified by tools/check_queries.
 QUERIES = {
     "token_count": q_token_count,
@@ -671,6 +760,7 @@ QUERIES = {
     "dedup_corpus": q_dedup_corpus,
     "dedup_incremental": q_dedup_incremental,
     "dedup_probe": q_dedup_probe,
+    "ann_incremental": q_ann_incremental,
     "vocab_counts": q_vocab_counts,
     "simhash_fingerprints": q_simhash,
     "connected_components": q_connected_components,
@@ -867,6 +957,34 @@ ORACLES = {
         "(SELECT q FROM qv)), 6) AS cosine FROM aug "
         "ORDER BY list_cosine_similarity(e, (SELECT q FROM qv)) DESC, "
         "vec_id LIMIT 10"),
+    # brute-force cosine top-8 over the FINAL corpus after
+    # q_ann_incremental's insert/update/delete commit sequence: base
+    # updates (vec_id%10==7 -> embedding of vec_id-5) via self-join,
+    # base deletes (vec_id%13==4), planted query copies (i%4==1
+    # updated far, i%4==2 deleted), plus the bucket-crossing mover
+    "ann_incremental": (
+        "WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q "
+        "FROM embeddings WHERE vec_id = 0), "
+        "far AS (SELECT CAST(embedding AS DOUBLE[]) AS f "
+        "FROM embeddings WHERE vec_id = 5), "
+        "raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+        "FROM embeddings), "
+        "base AS (SELECT r.vec_id, CASE WHEN r.vec_id % 10 = 7 "
+        "THEN s.e ELSE r.e END AS e FROM raw r "
+        "LEFT JOIN raw s ON s.vec_id = r.vec_id - 5 "
+        "WHERE r.vec_id % 13 <> 4), "
+        "planted AS (SELECT 1000000 + i AS vec_id, "
+        "CASE WHEN i % 4 = 1 THEN (SELECT f FROM far) "
+        "ELSE (SELECT q FROM qv) END AS e "
+        "FROM range(12) t(i) WHERE i % 4 <> 2), "
+        "mover AS (SELECT CAST(2000000 AS BIGINT) AS vec_id, "
+        "(SELECT q FROM qv) AS e), "
+        "corpus AS (SELECT * FROM base UNION ALL "
+        "SELECT * FROM planted UNION ALL SELECT * FROM mover) "
+        "SELECT vec_id, ROUND(list_cosine_similarity(e, "
+        "(SELECT q FROM qv)), 6) AS cosine FROM corpus "
+        "ORDER BY list_cosine_similarity(e, (SELECT q FROM qv)) DESC, "
+        "vec_id LIMIT 8"),
 }
 
 ORACLES["lang_id"] = lang_id_oracle_sql()
