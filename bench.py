@@ -357,6 +357,80 @@ def run_lsh_incremental() -> tuple[float, float, float, dict]:
     return backfill_sec, inc_sec, batch_sec, counts
 
 
+def run_ann_incremental() -> tuple[float, float, float, dict]:
+    """Incremental embedding-ANN index vs full rebuild: 200k synthetic
+    64-dim unit vectors (deterministic splitmix64 of (vec_id, dim) —
+    no external data). 90% backfill commit, then ONE CDC commit
+    (inserts id%10==9, updates id%10==3 re-arriving with new vectors,
+    deletes id%10==7) vs a from-scratch batch rebuild of the same
+    final corpus — the nightly re-index cost the incremental path
+    avoids. Returns (backfill_sec, commit_sec, rebuild_sec, counts)."""
+    import shutil
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from kettleray.gen.synthetic import _mix64
+    from kettleray.ops import incann
+    root = "/tmp/kettleray_bench/ann_index"
+    root2 = "/tmp/kettleray_bench/ann_rebuild"
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(root2, ignore_errors=True)
+    N, DIM = 200_000, 64
+
+    def _vecs(t: pa.Table, keep, salt_fn) -> pa.Table:
+        ids = t["id"].to_numpy().astype(np.int64)
+        ids = ids[keep(ids)]
+        salts = salt_fn(ids)
+        cells = (ids[:, None] * DIM + np.arange(DIM)[None, :]
+                 + salts[:, None] * (N * DIM))
+        m = (_mix64(cells.reshape(-1), 7).astype(np.float64) / 2.0**64
+             ).reshape(len(ids), DIM) * 2.0 - 1.0
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pa.table({"vec_id": pa.array(ids, type=pa.int64()),
+                         "embedding": pa.array(list(m),
+                                               type=pa.list_(pa.float64()))})
+
+    base = rd.range(N, override_num_blocks=max(16, NUM_CPUS))
+    kw = dict(n_planes=8, seed=42, num_id_buckets=64,
+              num_partitions=_num_partitions())
+    zeros = lambda ids: np.zeros(len(ids), np.int64)
+    backfill = base.map_batches(
+        lambda t: _vecs(t, lambda i: i % 10 != 9, zeros),
+        batch_format="pyarrow", zero_copy_batch=True)
+    t0 = time.time()
+    incann.apply_incremental_ann(root, backfill, **kw)
+    backfill_sec = time.time() - t0
+    commit = base.map_batches(
+        lambda t: _vecs(t, lambda i: (i % 10 == 9) | (i % 10 == 3),
+                        lambda i: (i % 10 == 3).astype(np.int64)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    dels = np.arange(7, N, 10, dtype=np.int64)
+    t0 = time.time()
+    man = incann.apply_incremental_ann(root, commit, deletes=dels, **kw)
+    commit_sec = time.time() - t0
+    final = base.map_batches(
+        lambda t: _vecs(t, lambda i: i % 10 != 7,
+                        lambda i: (i % 10 == 3).astype(np.int64)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    t0 = time.time()
+    incann.apply_incremental_ann(root2, final, **kw)
+    rebuild_sec = time.time() - t0
+    counts = {"n_vectors": N, "dim": DIM,
+              "commit_rows": 2 * (N // 10), "deletes": int(len(dels)),
+              "commit_fresh_buckets": len(man.get("touched_buckets",
+                                                  []))}
+    return backfill_sec, commit_sec, rebuild_sec, counts
+
+
+# Comparison lines measure the COST THE ENGINE AVOIDS (batch re-runs,
+# recompute baselines, un-salted hot-key replay) — they are not engine
+# pipelines, so round-over-round suite totals compare engine vs engine.
+COMPARISON_LINES = frozenset({
+    "lsh_batch_rerun", "trickle_commits_cow", "ivm_recompute",
+    "skew_hotkey_plain", "ann_batch_rebuild",
+})
+
+
 def main() -> None:
     if "--scaling" in sys.argv:
         results = {}
@@ -415,10 +489,20 @@ def main() -> None:
     queries["lsh_index_backfill"] = round(lsh_back, 2)
     queries["lsh_commit_incremental"] = round(lsh_inc, 2)
     queries["lsh_batch_rerun"] = round(lsh_batch, 2)
+    ann_back, ann_inc, ann_rebuild, ann_counts = run_ann_incremental()
+    queries["ann_index_backfill"] = round(ann_back, 2)
+    queries["ann_commit_incremental"] = round(ann_inc, 2)
+    queries["ann_batch_rebuild"] = round(ann_rebuild, 2)
     total = round(time.time() - t_all, 2)
+    engine = round(sum(v for k, v in queries.items()
+                       if k not in COMPARISON_LINES), 2)
+    comparison = round(sum(v for k, v in queries.items()
+                           if k in COMPARISON_LINES), 2)
     print(json.dumps({
         "metric": "cdc_pipeline_suite_sec",
         "value": total, "unit": "sec", "queries": queries,
+        "suite_engine_sec": engine,
+        "suite_comparison_sec": comparison,
         "sf": SF_DIR, "num_cpus": NUM_CPUS,
         "events_per_sec": eps, "n_synthetic_events": n,
         "ivm_scanned_fraction": ivm_frac,
@@ -427,6 +511,7 @@ def main() -> None:
         "trickle_read_sec_cow": round(cow_read, 2),
         "trickle_read_sec_mor": round(mor_read, 2),
         "lsh_index": lsh_counts,
+        "ann_index": ann_counts,
     }))
     ray.shutdown()
 

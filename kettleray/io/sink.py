@@ -71,8 +71,12 @@ def _version_dir(root: str, v: int) -> str:
 
 def atomic_write_json(path: str, payload: dict) -> None:
     """Write a small JSON pointer/snapshot file durably: tmp + flush +
-    fsync + rename (rename alone does not guarantee CONTENT hit disk)."""
-    tmp = path + ".tmp"
+    fsync + rename (rename alone does not guarantee CONTENT hit disk).
+    The tmp name is UNIQUE per writer — a fixed ``path + '.tmp'`` made
+    concurrent pointer writers collide (one renames the tmp the other
+    is still writing, or crashes on the rename after the other's rename
+    already consumed it; caught by the catalog contention stress)."""
+    tmp = f"{path}.{uuid.uuid4().hex[:12]}.tmp"
     with open(tmp, "w") as f:
         json.dump(payload, f)
         f.flush()
@@ -1493,6 +1497,11 @@ def gc_versions(root: str, *, keep_last: int = 2,
         if n.startswith("_stage_") and \
                 now - os.path.getmtime(p) >= stage_min_age_s:
             shutil.rmtree(p, ignore_errors=True)
+        elif n.endswith(".tmp") and \
+                now - os.path.getmtime(p) >= stage_min_age_s:
+            # pointer tmp from a writer that crashed mid-write
+            # (atomic_write_json names these uniquely per writer)
+            os.unlink(p)
     # prune view-partial caches (ops.ivm) for expired versions, plus any
     # stale cache stages — caches are rebuildable, so this is always safe
     agg_root = os.path.join(root, "_agg")

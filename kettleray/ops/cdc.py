@@ -129,17 +129,38 @@ REQUIRED_EVENT_COLS = ("repo", "path", "commit", "lang", "content", "op",
                        SEQ_COL)
 
 
+def widen_strings(t: pa.Table, cols: Sequence[str] = ("content",)
+                  ) -> pa.Table:
+    """Cast ``cols`` string -> large_string (64-bit offsets). The wide-
+    payload guard rail (SURVEY §7.4 #4): with multi-KB payloads a later
+    concat/combine_chunks (sink bucket rewrites, driver merges) can push
+    one Arrow array past the 2 GB int32-offset ceiling — int64 offsets
+    remove the ceiling for one extra byte-per-row-per-4. Must be applied
+    GLOBALLY (every block), never per-batch-conditionally: mixed
+    string/large_string blocks break unions and hash shuffles."""
+    for c in cols:
+        if c in t.column_names and pa.types.is_string(t.schema.field(c).type):
+            i = t.column_names.index(c)
+            t = t.set_column(i, c, pc.cast(t[c], pa.large_string()))
+    return t
+
+
 def parse_validate(ds: "ray.data.Dataset", *, batch_size: int | None = None,
-                   with_sha: bool = True) -> "ray.data.Dataset":
+                   with_sha: bool = True,
+                   wide_payload: bool = False) -> "ray.data.Dataset":
     """Validate schema (+ optionally derive ``content_sha256``). Zero-copy
     Arrow in/out. For replay pipelines pass ``with_sha=False``: the LWW
     finalize stage hashes only the surviving rows (≈the live-key count
-    instead of every event) — same final-state invariant, far less work."""
+    instead of every event) — same final-state invariant, far less work.
+    ``wide_payload=True`` widens ``content`` to large_string in the same
+    pass (see widen_strings) — use it when payloads are multi-KB."""
 
     def _fn(batch: pa.Table) -> pa.Table:
         missing = [c for c in REQUIRED_EVENT_COLS if c not in batch.column_names]
         if missing:
             raise ValueError(f"change-event batch missing columns: {missing}")
+        if wide_payload:
+            batch = widen_strings(batch)
         if with_sha and "content_sha256" not in batch.column_names:
             batch = add_content_sha256(batch)
         return batch
