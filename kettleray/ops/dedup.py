@@ -705,10 +705,31 @@ def decontaminate(train, eval_ds, text_col: str, id_col: str = "doc_id",
     matched = semi_join(ev, tr, ["gram"], method="join",
                         num_partitions=num_partitions)
     from ray.data.aggregate import Count
+    from kettleray.ops.incdedup import _solidify_small
     totals = ev.groupby(id_col).aggregate(Count(alias_name="n_grams"))
     hits = matched.groupby(id_col).aggregate(Count(alias_name="n_matched"))
-    j = totals.join(hits, join_type="left_outer", on=(id_col,),
-                    num_partitions=max(4, num_partitions // 2))
+    # per-doc count sets can be SMALL (an uncontaminated eval set has
+    # zero hits): solidify below the empty-partition regime so acero
+    # never sees a zero-column join side (schema-less empty shuffle
+    # blocks; see incdedup._solidify_small). Above the threshold both
+    # sides stream through the native join untouched.
+    nj = max(4, num_partitions // 2)
+    id_type = dict(zip(ev.schema().names, ev.schema().types))[id_col]
+    totals = _solidify_small(totals, schema=pa.schema(
+        [(id_col, id_type), ("n_grams", pa.int64())]), num_partitions=nj)
+    hits = _solidify_small(hits, schema=pa.schema(
+        [(id_col, id_type), ("n_matched", pa.int64())]), num_partitions=nj)
+    if hits.count() == 0:
+        # zero hits anywhere (clean eval set): joining an EMPTY side
+        # re-emits zero-column shuffle blocks no matter how the input
+        # was solidified — append the null column directly instead
+        j = totals.map_batches(
+            lambda t: t.append_column(
+                "n_matched", pa.nulls(t.num_rows, pa.int64())),
+            batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        j = totals.join(hits, join_type="left_outer", on=(id_col,),
+                        num_partitions=nj)
 
     def _score(t: pa.Table) -> pa.Table:
         if t.num_columns == 0 or t.num_rows == 0:

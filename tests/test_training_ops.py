@@ -516,3 +516,25 @@ def test_decontaminate_flags_leaked_eval_doc():
     assert out[1]["contamination"] == 1.0 and out[1]["contaminated"]
     assert out[3]["contamination"] == 0.0 and not out[3]["contaminated"]
     assert out[1]["n_grams"] == 4 and out[1]["n_matched"] == 4
+
+
+def test_decontaminate_zero_hit_eval_set():
+    """A fully-clean eval set (zero matched grams anywhere) must score
+    every doc 0.0 — regression for the empty-join-side crash: an empty
+    hits stream re-emits zero-column shuffle blocks inside the
+    left_outer join no matter how it was solidified (acero 'No match
+    ... FieldRef'), so decontaminate short-circuits it."""
+    train = ray.data.from_arrow(pa.table({
+        "doc_id": [0], "text": ["alpha beta gamma delta epsilon"]}))
+    ev = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2],
+        "text": ["one two three four five six",
+                 "red green blue cyan magenta yellow"]}))
+    out = {r["doc_id"]: r for r in dedup.decontaminate(
+        train, ev, "text", "doc_id", n=5, threshold=0.5,
+        num_partitions=4).take_all()}
+    assert set(out) == {1, 2}
+    for d in (1, 2):
+        assert out[d]["contamination"] == 0.0
+        assert not out[d]["contaminated"]
+        assert out[d]["n_matched"] == 0

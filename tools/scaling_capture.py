@@ -1,0 +1,150 @@
+"""Fresh-process scaling captures at two parallelism levels with steal
+probes — the sandbox stand-in for BASELINE.json's N vs 4N node
+criterion, extended beyond the headline replay to the SHUFFLE-JOIN-HEAVY
+pipelines (dedup_corpus: two shuffles + two joins + CC iterations;
+decontaminate: gram shuffle + hash-partitioned semi join).
+
+Protocol (the record-and-discount discipline from BASELINE.md):
+  1. single-thread steal probe (20M-iter loop, clean host ~24-34 M/s)
+  2. job at 8 cpus in a FRESH process (untimed warmup + best-of-2)
+  3. job at 32 cpus in a FRESH process (same config, same input)
+  4. steal probe again
+A capture with probe readings far below the clean band, or with the two
+legs straddling a host-noise transition, should be recorded and
+discounted, not deleted.
+
+Usage:
+  python tools/scaling_capture.py dedup_corpus decontaminate
+  python tools/scaling_capture.py --job dedup_corpus --cpus 8   # worker
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPLICAS = int(os.environ.get("KETTLERAY_SCALE_REPLICAS", "16"))
+LEVELS = (8, 32)
+
+
+def probe(iters: int = 20_000_000) -> float:
+    """Single-thread CPU-steal probe: M iter/s of a pure-python loop."""
+    t0 = time.time()
+    x = 0
+    for i in range(iters):
+        x += i
+    return round(iters / (time.time() - t0) / 1e6, 1)
+
+
+def _replicated_docs(k_from: int, k_to: int):
+    """sf documents replicated with an interleaved per-replica marker:
+    cross-replica 3-gram Jaccard ~0, intra-replica near-dup structure
+    preserved (same construction as bench.run_lsh_incremental)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    docs = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    def _rep(k):
+        def _fn(t, k=k):
+            return pa.table({
+                "doc_id": pc.add(t["doc_id"], k * 10_000_000),
+                "text": pc.replace_substring(t["text"], " ", f" zz{k} ")})
+        return docs.map_batches(_fn, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    out = _rep(k_from)
+    for k in range(k_from + 1, k_to):
+        out = out.union(_rep(k))
+    return out
+
+
+def job_dedup_corpus() -> tuple[float, int]:
+    from kettleray.ops import dedup
+    corpus = _replicated_docs(0, REPLICAS).materialize()
+    n = corpus.count()
+    t0 = time.time()
+    dedup.dedup_corpus(corpus, "doc_id", "text", num_perm=64, bands=16,
+                       shingle_k=3, threshold=0.5, num_partitions=16,
+                       verify_method="join").count()
+    return time.time() - t0, n
+
+
+def job_decontaminate() -> tuple[float, int]:
+    from kettleray.ops import dedup
+    train = _replicated_docs(0, REPLICAS).materialize()
+    ev = _replicated_docs(REPLICAS, REPLICAS + 1).materialize()
+    n = train.count() + ev.count()
+    t0 = time.time()
+    dedup.decontaminate(train, ev, "text", "doc_id", n=8,
+                        num_partitions=16).count()
+    return time.time() - t0, n
+
+
+def job_replay() -> tuple[float, int]:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+    return bench.run_synthetic_replay()
+
+
+JOBS = {"dedup_corpus": job_dedup_corpus,
+        "decontaminate": job_decontaminate,
+        "replay": job_replay}
+
+
+def _run_worker(name: str, cpus: int) -> None:
+    import ray
+    from kettleray import configure_ray_data
+    ray.init(address="local", num_cpus=cpus, include_dashboard=False,
+             logging_level="ERROR")
+    configure_ray_data()
+    fn = JOBS[name]
+    fn()                                   # untimed warmup
+    sec, units = min(fn() for _ in range(2)), None
+    if isinstance(sec, tuple):
+        sec, units = sec
+    print(json.dumps({"sec": round(sec, 2), "units": units,
+                      "cpus": cpus}))
+    ray.shutdown()
+
+
+def main() -> None:
+    if "--job" in sys.argv:
+        name = sys.argv[sys.argv.index("--job") + 1]
+        cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
+        _run_worker(name, cpus)
+        return
+    names = [a for a in sys.argv[1:] if not a.startswith("-")] \
+        or ["dedup_corpus", "decontaminate"]
+    for name in names:
+        cap: dict = {"job": name, "sf": SF_DIR, "replicas": REPLICAS,
+                     "probe_before_M": probe()}
+        for cpus in LEVELS:
+            out = subprocess.run(
+                [sys.executable, __file__, "--job", name,
+                 "--cpus", str(cpus)],
+                capture_output=True, text=True, check=True).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            cap[f"sec_{cpus}"] = r["sec"]
+            if r.get("units"):
+                cap[f"units_per_sec_{cpus}"] = round(r["units"] / r["sec"])
+            cap["units"] = r.get("units")
+        cap["probe_after_M"] = probe()
+        lo, hi = LEVELS
+        cap["scaling_efficiency"] = round(
+            (cap[f"sec_{lo}"] / cap[f"sec_{hi}"]) / (hi / lo), 3)
+        print(json.dumps(cap))
+
+
+if __name__ == "__main__":
+    main()
