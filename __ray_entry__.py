@@ -656,7 +656,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 # Round-4 window: 30 pinned (north-star CDC four + lake layer +
 # training flagships, incl. the new ann_incremental) + 20 queries with
-# no driver-recorded row in CORRECTNESS_r01..r03.
+# no driver-recorded row in CORRECTNESS_r01..r03 (text_quality, green
+# in r03, rotated out to make room for the new inverted_incremental;
+# still gate-checked by tools/check_queries.py).
 _SNAPSHOT_WINDOW = [
     # pinned CDC core + lake layer (13)
     "cdc_diff_snapshots", "cdc_insert_update",
@@ -666,13 +668,13 @@ _SNAPSHOT_WINDOW = [
     "cdc_schema_evolution", "cdc_snapshot_at",
     # pinned training flagships (18)
     "dedup_corpus", "dedup_incremental", "dedup_probe",
-    "ann_incremental", "minhash_neardup", "decontaminate", "tfidf",
-    "lang_id", "events_sessionize", "exact_dedup", "embedding_neardup",
-    "ann_lsh_topk", "multimodal_image_features", "paragraph_dedup",
+    "ann_incremental", "inverted_incremental", "minhash_neardup",
+    "decontaminate", "tfidf", "lang_id", "events_sessionize",
+    "exact_dedup", "embedding_neardup", "ann_lsh_topk",
+    "multimodal_image_features", "paragraph_dedup",
     "winnowing_neardup", "connected_components", "token_count",
-    "text_quality",
-    # never driver-recorded in r01..r03 (19; +ann_incremental above
-    # = 20 first-time rows this round)
+    # never driver-recorded in r01..r03 (19; +ann_incremental and
+    # +inverted_incremental above = 21 first-time rows this round)
     "events_hopping_window", "quality_gate", "mixture_sample",
     "kmeans_assign", "stratified_sample", "text_scrub_normalize",
     "winnowing_fingerprints", "doc_fingerprint", "bigram_counts",

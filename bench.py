@@ -422,12 +422,72 @@ def run_ann_incremental() -> tuple[float, float, float, dict]:
     return backfill_sec, commit_sec, rebuild_sec, counts
 
 
+def run_inverted_incremental() -> tuple[float, float, float, dict]:
+    """Incremental inverted text index vs batch rebuild: the sf
+    documents table replicated 10x with replica-salted ids and a
+    replica token appended (distinct vocab tail per replica so fresh
+    commits touch real shards). 9 replicas backfill; the 10th arrives
+    as a CDC commit (plus deletes of replica 0's id%10==7). Returns
+    (backfill_sec, commit_sec, rebuild_sec, counts); the rebuild is
+    the nightly full re-tokenize the incremental path avoids."""
+    import shutil
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from kettleray.ops import incinv, invindex
+    root = "/tmp/kettleray_bench/inv_index"
+    root2 = "/tmp/kettleray_bench/inv_rebuild"
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(root2, ignore_errors=True)
+    docs = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    R = 10
+
+    def _replica(k):
+        def _fn(t, k=k):
+            txt = pc.binary_join_element_wise(
+                pc.cast(t["text"], pa.string()), f"zzrep{k}", " ")
+            return pa.table({"doc_id": pc.add(t["doc_id"],
+                                              k * 10_000_000),
+                             "text": txt})
+        return docs.map_batches(_fn, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    kw = dict(id_col="doc_id", text_col="text", num_shards=64,
+              num_id_buckets=32, num_partitions=_num_partitions())
+    back = _replica(0).union(*[_replica(k) for k in range(1, R - 1)])
+    back = back.materialize()
+    last = _replica(R - 1).materialize()
+    t0 = time.time()
+    incinv.apply_incremental_inverted(root, back, **kw)
+    backfill_sec = time.time() - t0
+    import numpy as np
+    dels = np.arange(7, 10_000, 10, dtype=np.int64)
+    t0 = time.time()
+    man = incinv.apply_incremental_inverted(root, last,
+                                            deletes=dels, **kw)
+    commit_sec = time.time() - t0
+    full = back.union(last)
+    t0 = time.time()
+    invindex.write_inverted_index(full, root2, "doc_id", "text",
+                                  num_shards=64)
+    rebuild_sec = time.time() - t0
+    res, _, _ = incinv.query_incremental_inverted(
+        root, ["merge", "sort"], mode="and")
+    counts = {"corpus_docs": back.count() + last.count(),
+              "commit_docs": last.count(),
+              "commit_postings": man["counts"]["new_postings"],
+              "touched_shards": len(man["touched_shards"]),
+              "query_hits": res.num_rows}
+    return backfill_sec, commit_sec, rebuild_sec, counts
+
+
 # Comparison lines measure the COST THE ENGINE AVOIDS (batch re-runs,
 # recompute baselines, un-salted hot-key replay) — they are not engine
 # pipelines, so round-over-round suite totals compare engine vs engine.
 COMPARISON_LINES = frozenset({
     "lsh_batch_rerun", "trickle_commits_cow", "ivm_recompute",
-    "skew_hotkey_plain", "ann_batch_rebuild",
+    "skew_hotkey_plain", "ann_batch_rebuild", "inverted_batch_rebuild",
 })
 
 
@@ -493,6 +553,11 @@ def main() -> None:
     queries["ann_index_backfill"] = round(ann_back, 2)
     queries["ann_commit_incremental"] = round(ann_inc, 2)
     queries["ann_batch_rebuild"] = round(ann_rebuild, 2)
+    inv_back, inv_inc, inv_rebuild, inv_counts = \
+        run_inverted_incremental()
+    queries["inverted_index_backfill"] = round(inv_back, 2)
+    queries["inverted_commit_incremental"] = round(inv_inc, 2)
+    queries["inverted_batch_rebuild"] = round(inv_rebuild, 2)
     total = round(time.time() - t_all, 2)
     engine = round(sum(v for k, v in queries.items()
                        if k not in COMPARISON_LINES), 2)
@@ -512,6 +577,7 @@ def main() -> None:
         "trickle_read_sec_mor": round(mor_read, 2),
         "lsh_index": lsh_counts,
         "ann_index": ann_counts,
+        "inverted_index": inv_counts,
     }))
     ray.shutdown()
 

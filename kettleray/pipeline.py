@@ -173,6 +173,34 @@ def _register_builtins() -> None:
         return incdedup.probe_lsh(root, ds, **kw)
 
     register("lsh_probe", _lsh_probe)
+
+    def _widen_strings(ds, *, cols=("content",)):
+        return ds.map_batches(
+            lambda t: cdc.widen_strings(t, tuple(cols)),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    register("widen_strings", _widen_strings)
+
+    def _ann_commit(ds, *, root, **kw):
+        """Commit the stream into an incremental ANN index (ops/incann)
+        and pass the input through (sink-style step; the input is
+        materialized once so downstream steps don't re-execute it)."""
+        from kettleray.ops import incann
+        ds = ds.materialize()
+        incann.apply_incremental_ann(root, ds, **kw)
+        return ds
+
+    register("ann_commit", _ann_commit)
+
+    def _inverted_commit(ds, *, root, **kw):
+        """Commit the stream into an incremental inverted text index
+        (ops/incinv) and pass the input through (sink-style step)."""
+        from kettleray.ops import incinv
+        ds = ds.materialize()
+        incinv.apply_incremental_inverted(root, ds, **kw)
+        return ds
+
+    register("inverted_commit", _inverted_commit)
     from kettleray.ops.formula import formula
     register("formula", formula)
     register("sub_pipeline", _sub_pipeline)

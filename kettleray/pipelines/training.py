@@ -741,6 +741,82 @@ def q_ann_incremental(sf_dir):
                  round_mode="half_towards_infinity"))
 
 
+def q_inverted_incremental(sf_dir):
+    """Term search maintained INCREMENTALLY through the persistent
+    inverted index (ops/incinv.py) — the CDC x text-search crossover
+    completing the incremental-index family (LSH near-dup, embedding
+    ANN, term search). Commit sequence over the documents table:
+
+    - commit 1: even doc_ids, original text;
+    - commit 2: odd doc_ids, plus 4 planted NEW ids (1_000_000..3)
+      covering AND-match, partial-match, later-delete and case-fold;
+    - commit 3 (UPDATE): every doc_id % 5 == 0 re-arrives with
+      replacement text 'merge sort merge zzfresh' — its ORIGINAL
+      postings live in different word shards, so supersede must work
+      ACROSS shards via the lastv store, not within one;
+    - commit 4 (DELETE): doc_id % 7 == 3 and planted 1_000_002
+      tombstoned (some deleted ids were updated in commit 3 —
+      tombstone-after-update coverage).
+
+    Query = AND('merge', 'sort') over the final index. Any stale
+    posting leaking past supersede changes sum_tf; any tombstone
+    miss changes the id set — both fail the value-hash. Oracle
+    recomputes the match over the reconstructed final corpus in SQL."""
+    import shutil
+    import tempfile
+
+    from kettleray.ops import incinv
+
+    configure_ray_data()
+    root = tempfile.mkdtemp(prefix="kr_inv_index_")
+    shutil.rmtree(root, ignore_errors=True)
+    kw = dict(id_col="doc_id", text_col="text", num_shards=16,
+              num_id_buckets=16, num_partitions=8)
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _mod(col, m):
+        return pc.subtract(col, pc.multiply(pc.divide(col, m), m))
+
+    even = docs.map_batches(
+        lambda t: t.filter(pc.equal(_mod(t["doc_id"], 2), 0)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    incinv.apply_incremental_inverted(root, even, **kw)
+
+    plant = pa.table({
+        "doc_id": pa.array([1_000_000, 1_000_001, 1_000_002,
+                            1_000_003], type=pa.int64()),
+        "text": pa.array(["merge sort algorithms",
+                          "merge only here",
+                          "merge sort deleted later",
+                          "Merge SORT case fold"], type=pa.string())})
+    odd = docs.map_batches(
+        lambda t: t.filter(pc.equal(_mod(t["doc_id"], 2), 1)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    incinv.apply_incremental_inverted(
+        root, odd.union(ray.data.from_arrow(plant)), **kw)
+
+    def _upd(t: pa.Table) -> pa.Table:
+        tt = t.filter(pc.equal(_mod(t["doc_id"], 5), 0))
+        return pa.table({
+            "doc_id": tt["doc_id"],
+            "text": pa.array(["merge sort merge zzfresh"] * tt.num_rows,
+                             type=pa.string())})
+
+    incinv.apply_incremental_inverted(
+        root, docs.map_batches(_upd, batch_format="pyarrow",
+                               zero_copy_batch=True), **kw)
+
+    ids = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id"])["doc_id"]
+    dels = [i for i in ids.to_pylist() if i % 7 == 3] + [1_000_002]
+    incinv.apply_incremental_inverted(root, None, deletes=dels, **kw)
+
+    res, _, _ = incinv.query_incremental_inverted(
+        root, ["merge", "sort"], mode="and")
+    shutil.rmtree(root, ignore_errors=True)
+    return res
+
+
 # the tail and stay verified by tools/check_queries.
 QUERIES = {
     "token_count": q_token_count,
@@ -761,6 +837,7 @@ QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "dedup_probe": q_dedup_probe,
     "ann_incremental": q_ann_incremental,
+    "inverted_incremental": q_inverted_incremental,
     "vocab_counts": q_vocab_counts,
     "simhash_fingerprints": q_simhash,
     "connected_components": q_connected_components,
@@ -1021,6 +1098,33 @@ WITH tok AS (
   SELECT doc_id, unnest(regexp_split_to_array(
       trim(coalesce(lower(text), '')), '\s+')) AS w
   FROM documents),
+tc AS (SELECT doc_id, w, count(*)::BIGINT AS tf
+       FROM tok WHERE w <> '' GROUP BY doc_id, w)
+SELECT doc_id, n_terms, sum_tf FROM (
+  SELECT doc_id, count(*)::BIGINT AS n_terms, sum(tf)::BIGINT AS sum_tf
+  FROM tc WHERE w IN ('merge', 'sort') GROUP BY doc_id)
+WHERE n_terms = 2
+"""
+
+# Final-corpus reconstruction of q_inverted_incremental's commit
+# sequence: updates (doc_id % 5 == 0) replace the text, deletes
+# (doc_id % 7 == 3, planted 1000002) drop the doc, planted inserts
+# appended — then the same posting match as ORACLES["inverted_index"].
+ORACLES["inverted_incremental"] = r"""
+WITH final AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN 'merge sort merge zzfresh'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 3
+  UNION ALL
+  SELECT CAST(v.doc_id AS BIGINT), v.text FROM (VALUES
+    (1000000, 'merge sort algorithms'),
+    (1000001, 'merge only here'),
+    (1000003, 'Merge SORT case fold')) v(doc_id, text)),
+tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(
+      trim(coalesce(lower(text), '')), '\s+')) AS w
+  FROM final),
 tc AS (SELECT doc_id, w, count(*)::BIGINT AS tf
        FROM tok WHERE w <> '' GROUP BY doc_id, w)
 SELECT doc_id, n_terms, sum_tf FROM (
