@@ -672,9 +672,11 @@ _SNAPSHOT_WINDOW = [
     "decontaminate", "tfidf", "lang_id", "events_sessionize",
     "exact_dedup", "embedding_neardup", "ann_lsh_topk",
     "multimodal_image_features", "paragraph_dedup",
-    "winnowing_neardup", "connected_components", "token_count",
-    # never driver-recorded in r01..r03 (19; +ann_incremental and
-    # +inverted_incremental above = 21 first-time rows this round)
+    "winnowing_neardup", "connected_components", "decontaminate_bloom",
+    # never driver-recorded in r01..r03 (19; +ann_incremental,
+    # +inverted_incremental and +decontaminate_bloom above = 22
+    # first-time rows this round; token_count rotated out — recorded
+    # green in r03, still gate-checked by tools/check_queries.py)
     "events_hopping_window", "quality_gate", "mixture_sample",
     "kmeans_assign", "stratified_sample", "text_scrub_normalize",
     "winnowing_fingerprints", "doc_fingerprint", "bigram_counts",

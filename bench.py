@@ -482,12 +482,75 @@ def run_inverted_incremental() -> tuple[float, float, float, dict]:
     return backfill_sec, commit_sec, rebuild_sec, counts
 
 
+def run_decontaminate() -> tuple[float, float, dict]:
+    """Bloom-prefiltered vs exact-join decontamination at a
+    production-shaped ratio: train = the non-eval docs replicated 20x
+    (replica-salted ids, text unchanged — semi join dedups grams for
+    free), eval = 5% of docs. Outputs are bit-identical (the exact
+    verify join kills bloom false positives); the bloom line is the
+    engine path at lake scale, the join line the all-to-all exchange
+    cost it avoids. Also records how many train gram rows survive the
+    broadcast prefilter (the join's residual input)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from kettleray.ops import bloom, dedup
+    docs = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    def _mod_is(r, eq):
+        def _fn(t, r=r, eq=eq):
+            m = pc.subtract(t["doc_id"],
+                            pc.multiply(pc.divide(t["doc_id"], 20), 20))
+            return t.filter(pc.equal(m, 0) if eq
+                            else pc.not_equal(m, 0))
+        return docs.map_batches(_fn, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    base_train = _mod_is(0, eq=False)
+    R = 20
+
+    def _replica(k):
+        return base_train.map_batches(
+            lambda t, k=k: pa.table({
+                "doc_id": pc.add(t["doc_id"], k * 10_000_000),
+                "text": t["text"]}),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    train = _replica(0).union(*[_replica(k) for k in range(1, R)])
+    train = train.materialize()
+    ev = _mod_is(0, eq=True).materialize()
+    kw = dict(n=5, threshold=0.5, num_partitions=_num_partitions())
+    t0 = time.time()
+    out_b = dedup.decontaminate(train, ev, "text", "doc_id",
+                                method="bloom", **kw).materialize()
+    bloom_sec = time.time() - t0
+    t0 = time.time()
+    out_j = dedup.decontaminate(train, ev, "text", "doc_id",
+                                method="join", **kw).materialize()
+    join_sec = time.time() - t0
+    # prefilter effectiveness: train gram rows entering the semi join
+    ev_grams = dedup.doc_ngrams_distinct(ev, "text", "doc_id",
+                                         n=5).materialize()
+    flt = bloom.build_bloom(ev_grams.select_columns(["gram"]), "gram")
+    tr_grams = dedup.doc_ngrams_distinct(train, "text", "doc_id",
+                                         n=5).select_columns(["gram"])
+    survivors = bloom.bloom_filter_hits(tr_grams, "gram", flt).count()
+    counts = {"train_docs": train.count(), "eval_docs": ev.count(),
+              "train_grams": tr_grams.count(),
+              "eval_grams": flt["n_keys"],
+              "grams_past_prefilter": survivors,
+              "rows_equal": out_b.count() == out_j.count()}
+    return bloom_sec, join_sec, counts
+
+
 # Comparison lines measure the COST THE ENGINE AVOIDS (batch re-runs,
 # recompute baselines, un-salted hot-key replay) — they are not engine
 # pipelines, so round-over-round suite totals compare engine vs engine.
 COMPARISON_LINES = frozenset({
     "lsh_batch_rerun", "trickle_commits_cow", "ivm_recompute",
     "skew_hotkey_plain", "ann_batch_rebuild", "inverted_batch_rebuild",
+    "decontaminate_join",
 })
 
 
@@ -558,6 +621,9 @@ def main() -> None:
     queries["inverted_index_backfill"] = round(inv_back, 2)
     queries["inverted_commit_incremental"] = round(inv_inc, 2)
     queries["inverted_batch_rebuild"] = round(inv_rebuild, 2)
+    dec_bloom, dec_join, dec_counts = run_decontaminate()
+    queries["decontaminate_bloom"] = round(dec_bloom, 2)
+    queries["decontaminate_join"] = round(dec_join, 2)
     total = round(time.time() - t_all, 2)
     engine = round(sum(v for k, v in queries.items()
                        if k not in COMPARISON_LINES), 2)
@@ -578,6 +644,7 @@ def main() -> None:
         "lsh_index": lsh_counts,
         "ann_index": ann_counts,
         "inverted_index": inv_counts,
+        "decontaminate": dec_counts,
     }))
     ray.shutdown()
 

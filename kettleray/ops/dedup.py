@@ -684,7 +684,8 @@ def doc_ngrams_distinct(ds, text_col: str, id_col: str = "doc_id", *,
 
 def decontaminate(train, eval_ds, text_col: str, id_col: str = "doc_id",
                   *, n: int = 8, threshold: float = 0.5,
-                  lowercase: bool = True, num_partitions: int = 16):
+                  lowercase: bool = True, num_partitions: int = 16,
+                  method: str = "join", bits_per_key: int = 12):
     """Train/eval contamination check (the decontamination pass every
     LLM data pipeline needs): for each eval doc, the fraction of its
     DISTINCT word n-grams that occur anywhere in the train corpus, plus
@@ -695,13 +696,29 @@ def decontaminate(train, eval_ds, text_col: str, id_col: str = "doc_id",
     semi join semantics); per-doc totals/hits are native partial+merge
     counts; nothing touches the driver. Eval docs shorter than n tokens
     emit no grams and are absent from the output (no grams — nothing to
-    check)."""
+    check).
+
+    ``method='bloom'`` inserts a broadcast Bloom prefilter of the EVAL
+    grams on the train side (``ops.bloom``): each train batch drops
+    ~everything locally, so the join's exchange volume tracks the eval
+    set (true matches + an fp trickle ~0.61^bits_per_key), not the
+    corpus — the shape you want when train is the 100-TB lake. The
+    exact semi join downstream eliminates false positives, so the
+    result is bit-identical to ``method='join'``."""
     from kettleray.ops.joins import semi_join
     ev = doc_ngrams_distinct(eval_ds, text_col, id_col, n=n,
                              lowercase=lowercase)
     tr = doc_ngrams_distinct(train, text_col, id_col, n=n,
                              lowercase=lowercase) \
         .select_columns(["gram"])
+    if method == "bloom":
+        from kettleray.ops import bloom as _bloom
+        ev = ev.materialize()
+        flt = _bloom.build_bloom(ev.select_columns(["gram"]), "gram",
+                                 bits_per_key=bits_per_key)
+        tr = _bloom.bloom_filter_hits(tr, "gram", flt)
+    elif method != "join":
+        raise ValueError(f"unknown decontaminate method {method!r}")
     matched = semi_join(ev, tr, ["gram"], method="join",
                         num_partitions=num_partitions)
     from ray.data.aggregate import Count

@@ -646,6 +646,26 @@ def q_decontaminate(sf_dir):
                                threshold=0.5, num_partitions=8)
 
 
+def q_decontaminate_bloom(sf_dir):
+    """Same contamination check as q_decontaminate but through the
+    broadcast-Bloom prefilter path (``method='bloom'``, ops/bloom.py):
+    train grams are dropped map-side against a bloom of the eval grams
+    BEFORE the semi join, so the exchange volume tracks the eval set,
+    not the corpus — the 100-TB shape. Bit-identical output (the exact
+    join downstream kills bloom false positives), same SQL oracle."""
+    import pyarrow.compute as _pc
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    train = docs.map_batches(
+        lambda b: b.filter(_pc.equal(_pc.bit_wise_and(b["doc_id"], 1), 0)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    ev = docs.map_batches(
+        lambda b: b.filter(_pc.equal(_pc.bit_wise_and(b["doc_id"], 1), 1)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return dedup.decontaminate(train, ev, "text", "doc_id", n=5,
+                               threshold=0.5, num_partitions=8,
+                               method="bloom")
+
+
 # Order is LOAD-BEARING: the driver snapshots the first 50 entries of
 # __ray_entry__.queries() (25 CDC + the first 25 here) into
 # CORRECTNESS_r{N}.json. The most distinctive pipelines lead; entries
@@ -823,6 +843,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "paragraph_dedup": q_paragraph_dedup,
     "decontaminate": q_decontaminate,
+    "decontaminate_bloom": q_decontaminate_bloom,
     "winnowing_neardup": q_winnowing_neardup,
     "text_quality": q_text_quality,
     "exact_dedup": q_exact_dedup,
@@ -1294,3 +1315,7 @@ SELECT ev.doc_id, count(*)::BIGINT AS n_grams,
        count(tr.gram) / count(*)::DOUBLE >= 0.5 AS contaminated
 FROM ev LEFT JOIN tr USING (gram) GROUP BY ev.doc_id
 """
+
+# bloom prefilter is exact end-to-end (no false negatives + exact
+# verify join) — same oracle as the unfiltered plan by construction
+ORACLES["decontaminate_bloom"] = ORACLES["decontaminate"]
