@@ -669,14 +669,15 @@ _SNAPSHOT_WINDOW = [
     # pinned training flagships (18)
     "dedup_corpus", "dedup_incremental", "dedup_probe",
     "ann_incremental", "inverted_incremental", "minhash_neardup",
-    "decontaminate", "tfidf", "lang_id", "events_sessionize",
+    "decontaminate", "unigram_logprob", "lang_id", "events_sessionize",
     "exact_dedup", "embedding_neardup", "ann_lsh_topk",
     "multimodal_image_features", "paragraph_dedup",
     "winnowing_neardup", "connected_components", "decontaminate_bloom",
     # never driver-recorded in r01..r03 (19; +ann_incremental,
-    # +inverted_incremental and +decontaminate_bloom above = 22
-    # first-time rows this round; token_count rotated out — recorded
-    # green in r03, still gate-checked by tools/check_queries.py)
+    # +inverted_incremental, +decontaminate_bloom and the new
+    # +unigram_logprob above = 23 first-time rows this round;
+    # token_count and tfidf rotated out — both recorded green in r03,
+    # still gate-checked by tools/check_queries.py)
     "events_hopping_window", "quality_gate", "mixture_sample",
     "kmeans_assign", "stratified_sample", "text_scrub_normalize",
     "winnowing_fingerprints", "doc_fingerprint", "bigram_counts",

@@ -498,8 +498,8 @@ def run_decontaminate() -> tuple[float, float, dict]:
     docs = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
                            columns=["doc_id", "text"])
 
-    def _mod_is(r, eq):
-        def _fn(t, r=r, eq=eq):
+    def _mod_is(eq):
+        def _fn(t, eq=eq):
             m = pc.subtract(t["doc_id"],
                             pc.multiply(pc.divide(t["doc_id"], 20), 20))
             return t.filter(pc.equal(m, 0) if eq
@@ -507,7 +507,7 @@ def run_decontaminate() -> tuple[float, float, dict]:
         return docs.map_batches(_fn, batch_format="pyarrow",
                                 zero_copy_batch=True)
 
-    base_train = _mod_is(0, eq=False)
+    base_train = _mod_is(eq=False)
     R = 20
 
     def _replica(k):
@@ -519,7 +519,7 @@ def run_decontaminate() -> tuple[float, float, dict]:
 
     train = _replica(0).union(*[_replica(k) for k in range(1, R)])
     train = train.materialize()
-    ev = _mod_is(0, eq=True).materialize()
+    ev = _mod_is(eq=True).materialize()
     kw = dict(n=5, threshold=0.5, num_partitions=_num_partitions())
     t0 = time.time()
     out_b = dedup.decontaminate(train, ev, "text", "doc_id",

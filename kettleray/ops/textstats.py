@@ -649,6 +649,124 @@ def tfidf(docs, id_col: str, text_col: str, *, num_partitions: int = 16,
                               zero_copy_batch=True)
 
 
+def unigram_logprob(docs, id_col: str, text_col: str, *,
+                    vocab_size: int = 65536, oov_count: int = 1,
+                    num_partitions: int = 16, round_digits: int = 6):
+    """CCNet-style unigram language-model quality score: per doc the
+    mean negative log-probability of its tokens under the corpus's own
+    unigram distribution (high = rare/garbled text, the classic
+    perplexity-filtering signal; CCNet uses a 5-gram KenLM, the unigram
+    variant is the model-free version of the same gate).
+
+    p(w) = count(w) / total_tokens for the ``vocab_size`` most frequent
+    words (ties broken by word — deterministic, SQL-matchable); any
+    other token scores with count ``oov_count``.
+
+    Scale shape: ONE word-keyed shuffle of map-side-combined (doc, word,
+    tf) pair rows builds the counts; top-K vocab via per-block partial
+    top-k then a sort over the k x blocks candidate set (never a full
+    vocab sort); the K-row logprob table is driver-bounded by
+    construction and broadcast ONCE via ``ray.put``; scoring is an
+    ``index_in`` gather per batch; per-doc totals are one doc-keyed
+    native sum. Nothing corpus-sized touches the driver."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    pairs = doc_word_pairs(docs, id_col, text_col).materialize()
+
+    shuffled = pairs.repartition(num_partitions, keys=["word"])
+
+    def _sum_word(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"word": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        from kettleray.ops.cdc import _col_np, _composite_key_codes
+        codes = _composite_key_codes(t, ["word"])
+        n = _col_np(t, "tf")
+        order = np.argsort(codes, kind="stable")
+        sk = codes[order]
+        run_start = np.empty(len(sk), dtype=bool)
+        run_start[0] = True
+        run_start[1:] = sk[1:] != sk[:-1]
+        starts = np.nonzero(run_start)[0]
+        sums = np.add.reduceat(n[order], starts)
+        reps = t.take(pa.array(order[starts], type=pa.int64()))
+        return pa.table({"word": reps["word"],
+                         "n": pa.array(sums, type=pa.int64())})
+
+    wc = shuffled.map_batches(_sum_word, batch_format="pyarrow",
+                              batch_size=None, zero_copy_batch=True)
+
+    def _partial_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= vocab_size:
+            return t
+        n = t["n"].to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(t["word"].combine_chunks()
+                                   if isinstance(t["word"],
+                                                 pa.ChunkedArray)
+                                   else t["word"])
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        # (n desc, word asc): dictionary codes are in first-appearance
+        # order, not lexicographic — rank the vocab alphabetically first
+        widx = enc.indices.to_numpy(zero_copy_only=False)
+        rank = np.empty(len(enc.dictionary), dtype=np.int64)
+        rank[np.array(pc.sort_indices(enc.dictionary))] = \
+            np.arange(len(enc.dictionary))
+        order = np.lexsort((rank[widx], -n))[:vocab_size]
+        return t.take(pa.array(np.sort(order), type=pa.int64()))
+
+    cands = wc.map_batches(_partial_topk, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True)
+    vocab_t = pa.concat_tables(
+        [t for t in ray.get(
+            cands.sort(["n", "word"], descending=[True, False])
+            .limit(vocab_size).to_arrow_refs()) if t.num_columns])
+    total = float(pairs.sum("tf"))
+    vocab_words = vocab_t["word"].combine_chunks()
+    vocab_counts = vocab_t["n"].to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    vref = ray.put((vocab_words, vocab_counts))
+    log_total = np.log(total)
+
+    def _score(t: pa.Table) -> pa.Table:
+        vw, vc = ray.get(vref)
+        idx = pc.index_in(t["word"], value_set=vw) \
+            .to_numpy(zero_copy_only=False)
+        miss = np.isnan(idx) if idx.dtype.kind == "f" else (idx < 0)
+        idx = np.where(miss, 0, idx).astype(np.int64)
+        c = np.where(miss, float(oov_count), vc[idx])
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        wneg = tf * (log_total - np.log(c))
+        return pa.table({id_col: t[id_col], "tf": t["tf"],
+                         "wneg": pa.array(wneg, type=pa.float64())})
+
+    scored = pairs.map_batches(_score, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    agg = scored.groupby(id_col).aggregate(
+        Sum("tf", alias_name="n_tokens"),
+        Sum("wneg", alias_name="wsum"))
+
+    def _fin(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "avg_neg_logprob": pa.array([], type=pa.float64())})
+        nt = t["n_tokens"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ws = t["wsum"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: t[id_col],
+            "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
+            "avg_neg_logprob": pa.array(
+                np.round(ws / nt, round_digits), type=pa.float64())})
+
+    return agg.map_batches(_fin, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def ngram_counts(ds, text_col: str, n: int = 2, *, lowercase: bool = True,
                  sep: str = " ", num_partitions: int = 16):
     """Distributed word n-gram counting (LM/data-quality staple).

@@ -309,6 +309,18 @@ def q_tfidf(sf_dir):
     return textstats.tfidf(docs, "doc_id", "text", num_partitions=8)
 
 
+def q_unigram_logprob(sf_dir):
+    """CCNet-style unigram LM quality score: per doc the mean negative
+    log-probability of its tokens under the corpus's own top-64 unigram
+    distribution (OOV tokens score as count 1) — the model-free version
+    of perplexity filtering. vocab_size=64 keeps the OOV path exercised
+    at every sf. Oracle recomputes the distribution and the per-token
+    average relationally."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return textstats.unigram_logprob(docs, "doc_id", "text",
+                                     vocab_size=64, num_partitions=8)
+
+
 def q_inverted_index(sf_dir):
     """Build a shard-partitioned inverted index, then answer an AND
     term query reading only the terms' shards (partition pruning at the
@@ -864,6 +876,7 @@ QUERIES = {
     "connected_components": q_connected_components,
     "inverted_index": q_inverted_index,
     "tfidf": q_tfidf,
+    "unigram_logprob": q_unigram_logprob,
     "lang_id": q_lang_id,
     # below the driver's 50-entry snapshot line (still gate-checked
     # by tools/check_queries.py)
@@ -1112,6 +1125,23 @@ n AS (SELECT count(*)::DOUBLE AS n FROM documents)
 SELECT tc.doc_id, tc.word, tc.tf, dft.df,
        ROUND(tc.tf * ln(n.n / dft.df), 6) AS tfidf
 FROM tc JOIN dft USING (word) CROSS JOIN n
+"""
+
+ORACLES["unigram_logprob"] = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(
+      trim(coalesce(lower(text), '')), '\s+')) AS w
+  FROM documents),
+tok2 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+cnt AS (SELECT w, count(*)::BIGINT AS c FROM tok2 GROUP BY w),
+tot AS (SELECT sum(c)::DOUBLE AS total FROM cnt),
+top AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 64)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       ROUND(avg(ln(tot.total) - ln(CASE WHEN top.w IS NOT NULL
+                                         THEN top.c ELSE 1 END)), 6)
+           AS avg_neg_logprob
+FROM tok2 LEFT JOIN top USING (w) CROSS JOIN tot
+GROUP BY doc_id
 """
 
 ORACLES["inverted_index"] = r"""
