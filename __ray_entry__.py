@@ -67,6 +67,14 @@ def q_cdc_scd2_history(sf_dir: str):
     return cdc.scd2_history(_events(sf_dir), num_partitions=_NUM_PARTITIONS)
 
 
+def q_cdc_scd3_state(sf_dir: str):
+    """SCD type-3 dimension: current state per live key + previous
+    distinct value and change count for the tracked columns (lang,
+    content_sha256). Oracle recomputes the run-collapse with lag()
+    window functions."""
+    return cdc.scd3_state(_events(sf_dir), num_partitions=_NUM_PARTITIONS)
+
+
 def q_cdc_diff_snapshots(sf_dir: str):
     import pyarrow.compute as pc
     from kettleray.gen.derive import SEQ_STRIDE
@@ -612,6 +620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay_final_state": q_cdc_replay_final_state,
         "cdc_insert_update": q_cdc_insert_update,
         "cdc_scd2_history": q_cdc_scd2_history,
+        "cdc_scd3_state": q_cdc_scd3_state,
         "cdc_diff_snapshots": q_cdc_diff_snapshots,
         "cdc_dedup_redelivery": q_cdc_dedup_redelivery,
         "cdc_patch_replay": q_cdc_patch_replay,
@@ -665,26 +674,29 @@ _SNAPSHOT_WINDOW = [
     "cdc_replay_final_state", "cdc_scd2_history", "cdc_sync_roundtrip",
     "cdc_replay_twopass", "cdc_mor_state", "cdc_changefeed",
     "cdc_catalog_txn", "cdc_incremental_agg", "cdc_streaming_state",
-    "cdc_schema_evolution", "cdc_snapshot_at",
-    # pinned training flagships (18)
+    "cdc_schema_evolution", "cdc_snapshot_at", "cdc_scd3_state",
+    # pinned training flagships (22, incl. the four new round-4 ops:
+    # unigram_logprob, pack_sequences, dsir_score, semantic_dedup)
     "dedup_corpus", "dedup_incremental", "dedup_probe",
     "ann_incremental", "inverted_incremental", "minhash_neardup",
     "decontaminate", "unigram_logprob", "lang_id", "events_sessionize",
     "exact_dedup", "embedding_neardup", "ann_lsh_topk",
     "multimodal_image_features", "paragraph_dedup",
     "winnowing_neardup", "connected_components", "decontaminate_bloom",
-    # never driver-recorded in r01..r03 (19; +ann_incremental,
-    # +inverted_incremental, +decontaminate_bloom and the new
-    # +unigram_logprob above = 23 first-time rows this round;
-    # token_count and tfidf rotated out — both recorded green in r03,
-    # still gate-checked by tools/check_queries.py)
+    "pack_sequences", "dsir_score", "semantic_dedup",
+    # never driver-recorded in r01..r03 (14; +ann_incremental,
+    # +inverted_incremental, +decontaminate_bloom above and the five
+    # new round-4 ops = 23 first-time rows this round; token_count and
+    # tfidf rotated out (recorded green in r03); formula,
+    # string_cleanup, top_k_per_group, split_fields deferred to the
+    # round-5 window to make room for the new ops — every deferred
+    # query is still gate-checked by tools/check_queries.py)
     "events_hopping_window", "quality_gate", "mixture_sample",
     "kmeans_assign", "stratified_sample", "text_scrub_normalize",
     "winnowing_fingerprints", "doc_fingerprint", "bigram_counts",
     "multimodal_audio_features", "multimodal_video_frames",
-    "source_csv_roundtrip", "source_jsonl_roundtrip",
-    "multiway_merge_join", "script_values", "formula",
-    "string_cleanup", "top_k_per_group", "split_fields",
+    "source_csv_roundtrip", "source_jsonl_roundtrip", "script_values",
+    "multiway_merge_join",
 ]
 
 
@@ -705,6 +717,42 @@ def oracle_sql() -> dict[str, str]:
             'SELECT repo, path, "commit", lang, content, '
             'sha256(content) AS content_sha256, commit_seq AS last_commit_seq '
             'FROM ranked WHERE rn = 1'),
+        "cdc_scd3_state": (
+            f"WITH {ev}, "
+            "ranked AS (SELECT *, row_number() OVER (PARTITION BY repo, "
+            'path ORDER BY commit_seq DESC, "commit" DESC) AS rn FROM ev), '
+            'st AS (SELECT repo, path, "commit", lang, '
+            "sha256(content) AS content_sha256, "
+            "commit_seq AS last_commit_seq "
+            "FROM ranked WHERE rn = 1 AND op <> 'delete'), "
+            "nd AS (SELECT repo, path, commit_seq, lang, "
+            "sha256(content) AS csha FROM ev WHERE op <> 'delete'), "
+            "lruns AS (SELECT repo, path, commit_seq, lang FROM ("
+            "SELECT *, lag(lang) OVER (PARTITION BY repo, path "
+            "ORDER BY commit_seq) AS pv FROM nd) "
+            "WHERE pv IS NULL OR pv <> lang), "
+            "lprev AS (SELECT repo, path, lang AS lang_prev FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY repo, path "
+            "ORDER BY commit_seq DESC) AS rn FROM lruns) WHERE rn = 2), "
+            "lcnt AS (SELECT repo, path, count(*) - 1 AS lang_nchanges "
+            "FROM lruns GROUP BY repo, path), "
+            "cruns AS (SELECT repo, path, commit_seq, csha FROM ("
+            "SELECT *, lag(csha) OVER (PARTITION BY repo, path "
+            "ORDER BY commit_seq) AS pv FROM nd) "
+            "WHERE pv IS NULL OR pv <> csha), "
+            "cprev AS (SELECT repo, path, csha AS content_sha256_prev "
+            "FROM (SELECT *, row_number() OVER (PARTITION BY repo, path "
+            "ORDER BY commit_seq DESC) AS rn FROM cruns) WHERE rn = 2), "
+            "ccnt AS (SELECT repo, path, count(*) - 1 AS "
+            "content_sha256_nchanges FROM cruns GROUP BY repo, path) "
+            'SELECT st.repo, st.path, st."commit", st.lang, '
+            "st.content_sha256, st.last_commit_seq, lprev.lang_prev, "
+            "lcnt.lang_nchanges, cprev.content_sha256_prev, "
+            "ccnt.content_sha256_nchanges "
+            "FROM st LEFT JOIN lprev USING (repo, path) "
+            "LEFT JOIN lcnt USING (repo, path) "
+            "LEFT JOIN cprev USING (repo, path) "
+            "LEFT JOIN ccnt USING (repo, path)"),
         "cdc_scd2_history": (
             f"WITH {ev}, "
             "w AS (SELECT *, lead(commit_seq) OVER (PARTITION BY repo, path "

@@ -1004,6 +1004,137 @@ def _scd2_type(col: str) -> pa.DataType:
 
 
 # ---------------------------------------------------------------------------
+# SCD type 3: previous-value columns
+# ---------------------------------------------------------------------------
+
+_SCD3_SENTINEL = "\x00__scd3_null__"
+
+
+def scd3_state(events: "ray.data.Dataset",
+               tracked: Sequence[str] = ("lang", "content_sha256"), *,
+               num_partitions: int = 64) -> "ray.data.Dataset":
+    """Type-3 slowly changing dimension (≙ the 'previous value' mode of
+    Kettle's Dimension Lookup/Update family, dimensionlookup/
+    DimensionLookup.java; SCD2/SCD1 live in scd2_history/replay_lww):
+    one row per LIVE key carrying the current state plus, per tracked
+    column, the value it held before its most recent change
+    (``<col>_prev``, null if the column never changed) and the change
+    count (``<col>_nchanges``).
+
+    Semantics: change history = the key's non-delete events in commit
+    order with consecutive equal values collapsed; interleaved deletes
+    do not reset history; a key whose final event is a delete is absent.
+
+    Scale shape follows scd2_history: content is hashed and dropped
+    BEFORE the single key-hash shuffle, then a vectorized per-block
+    kernel (lexsort + run-boundary masks) — no per-row Python."""
+    def _slim(t: pa.Table) -> pa.Table:
+        if "content" in t.column_names:
+            if "content_sha256" not in t.column_names:
+                t = add_content_sha256(t)
+            t = t.drop_columns(["content"])
+        return t
+
+    slim = events.map_batches(_slim, batch_format="pyarrow",
+                              batch_size=None, zero_copy_batch=True)
+    shuffled = slim.repartition(num_partitions, keys=list(KEY_COLS))
+    return shuffled.map_batches(
+        lambda t: scd3_state_table(t, tracked),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def _scd3_empty(tracked: Sequence[str]) -> pa.Table:
+    cols: dict = {
+        "repo": pa.array([], type=pa.string()),
+        "path": pa.array([], type=pa.string()),
+        "commit": pa.array([], type=pa.string()),
+        "lang": pa.array([], type=pa.string()),
+        "content_sha256": pa.array([], type=pa.string()),
+        "last_commit_seq": pa.array([], type=pa.int64())}
+    for c in tracked:
+        cols[f"{c}_prev"] = pa.array([], type=pa.string())
+        cols[f"{c}_nchanges"] = pa.array([], type=pa.int64())
+    return pa.table(cols)
+
+
+def scd3_state_table(t: pa.Table,
+                     tracked: Sequence[str] = ("lang", "content_sha256")
+                     ) -> pa.Table:
+    """Per-block SCD3 kernel (every event of a key must be in ``t``)."""
+    t = dedup_events_table(t)
+    if t.num_rows == 0:
+        return _scd3_empty(tracked)
+    if "content_sha256" not in t.column_names:
+        t = add_content_sha256(t)
+    codes = _composite_key_codes(t, KEY_COLS)
+    seq = _col_np(t, SEQ_COL)
+    order = np.lexsort((seq, codes))
+    sk = codes[order]
+    n = len(sk)
+    new_key = np.empty(n, dtype=bool)
+    new_key[0] = True
+    new_key[1:] = sk[1:] != sk[:-1]
+    key_id = np.cumsum(new_key) - 1          # 0..K-1 in sorted order
+    K = int(key_id[-1]) + 1
+    op = _col_np(t, "op")[order]
+    last_idx = np.append(np.nonzero(new_key)[0][1:], n) - 1
+    live = op[last_idx] != OP_DELETE         # per key (sorted key order)
+    live_keys = np.nonzero(live)[0]
+    state_rows = order[last_idx[live_keys]]
+    st = t.take(pa.array(state_rows, type=pa.int64()))
+    out = pa.table({
+        "repo": st["repo"], "path": st["path"], "commit": st["commit"],
+        "lang": st["lang"], "content_sha256": st["content_sha256"],
+        "last_commit_seq": pc.cast(st[SEQ_COL], pa.int64())})
+
+    nd = op != OP_DELETE                     # mask over sorted rows
+    sub_key = key_id[nd]
+    sub_new_key = np.empty(len(sub_key), dtype=bool)
+    if len(sub_key):
+        sub_new_key[0] = True
+        sub_new_key[1:] = sub_key[1:] != sub_key[:-1]
+    for c in tracked:
+        col = t[c].combine_chunks() if isinstance(t[c], pa.ChunkedArray) \
+            else t[c]
+        col = pc.fill_null(col, _SCD3_SENTINEL)
+        enc = pc.dictionary_encode(col)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        vc = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[order][nd]
+        chg = sub_new_key.copy()
+        if len(vc) > 1:
+            chg[1:] |= vc[1:] != vc[:-1]
+        run_idx = np.nonzero(chg)[0]         # run starts, grouped by key
+        run_key = sub_key[run_idx]
+        run_val = vc[run_idx]
+        runs_per_key = np.bincount(run_key, minlength=K)
+        offsets = np.cumsum(runs_per_key)
+        prev_code = np.full(K, -1, dtype=np.int64)
+        has_prev = runs_per_key >= 2
+        prev_code[has_prev] = run_val[offsets[has_prev] - 2]
+        nchanges = np.maximum(runs_per_key - 1, 0)
+        pv = prev_code[live_keys]
+        vocab = enc.dictionary
+        taken = vocab.take(pa.array(np.where(pv < 0, 0, pv),
+                                    type=pa.int64())) \
+            if len(vocab) else pa.array([], type=pa.string())
+        mask = pv < 0
+        if len(vocab):
+            sent = pc.equal(taken, _SCD3_SENTINEL) \
+                .to_numpy(zero_copy_only=False)
+            mask = mask | np.asarray(sent, dtype=bool)
+        prev_arr = pc.if_else(pa.array(mask),
+                              pa.scalar(None, type=pa.string()),
+                              pc.cast(taken, pa.string()))
+        out = out.append_column(f"{c}_prev", prev_arr)
+        out = out.append_column(
+            f"{c}_nchanges", pa.array(nchanges[live_keys],
+                                      type=pa.int64()))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # schema evolution (additive columns + type widening)
 # ---------------------------------------------------------------------------
 

@@ -885,59 +885,87 @@ def embedding_cosine_dups(ds, id_col: str, vec_col: str, *,
         from kettleray.ops import similarity
         bucketed = similarity.lsh_buckets(ds, id_col, vec_col,
                                           n_planes=n_planes, seed=seed)
-        shuffled = bucketed.repartition(num_partitions, keys=["bucket"])
+        return grouped_cosine_pairs(bucketed, id_col, vec_col, "bucket",
+                                    threshold=threshold,
+                                    num_partitions=num_partitions,
+                                    chunk_rows=max_bucket)
 
-        def _bucket_pairs(t: pa.Table) -> pa.Table:
-            from kettleray.ops.cdc import _col_np
-            empty = pa.table({
-                "id_a": pa.array([], type=pa.int64()),
-                "id_b": pa.array([], type=pa.int64()),
-                "cosine": pa.array([], type=pa.float64())})
-            if t.num_rows < 2:
-                return empty
-            from kettleray.ops.similarity import _to_matrix
-            bkt = _col_np(t, "bucket")
-            ids = _col_np(t, id_col)
-            order = np.argsort(bkt, kind="stable")
-            mat = _to_matrix(t[vec_col])
-            mat = mat[order]
-            mat = mat / np.maximum(        # out-of-place: _to_matrix
-                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            # may return a read-only zero-copy view
-            ids = ids[order]
-            sb = bkt[order]
-            begins = np.nonzero(np.concatenate(
-                [[True], sb[1:] != sb[:-1]]))[0]
-            ends = np.append(begins[1:], len(sb))
-            out_a, out_b, out_c = [], [], []
-            for lo, hi in zip(begins, ends):
-                m = hi - lo
-                if m < 2:
-                    continue
-                sub = mat[lo:hi]
-                sub_ids = ids[lo:hi]
-                for c0 in range(0, m, max_bucket):
-                    c1 = min(c0 + max_bucket, m)
-                    sims = sub[c0:c1] @ sub.T
-                    ai, bj = np.nonzero(sims >= threshold)
-                    a = sub_ids[c0 + ai]
-                    b = sub_ids[bj]
-                    keep = a < b
-                    out_a.append(a[keep])
-                    out_b.append(b[keep])
-                    out_c.append(np.round(sims[ai, bj][keep], 6))
-            if not out_a:
-                return empty
-            return pa.table({
-                "id_a": pa.array(np.concatenate(out_a), type=pa.int64()),
-                "id_b": pa.array(np.concatenate(out_b), type=pa.int64()),
-                "cosine": pa.array(np.concatenate(out_c),
-                                   type=pa.float64())})
+    return _embedding_brute_pairs(ds, id_col, vec_col,
+                                  threshold=threshold,
+                                  brute_force_max_rows=brute_force_max_rows,
+                                  block_rows=block_rows)
 
-        return shuffled.map_batches(_bucket_pairs, batch_format="pyarrow",
-                                    batch_size=None, zero_copy_batch=True)
 
-    # --- brute force (exact, small-N only) -------------------------------
+def grouped_cosine_pairs(assigned, id_col: str, vec_col: str,
+                         group_col: str, *, threshold: float,
+                         num_partitions: int = 16,
+                         chunk_rows: int = 8192):
+    """Within-group cosine pairs (id_a < id_b, cosine >= threshold):
+    ONE hash shuffle on ``group_col``, then a per-group numpy matmul
+    inside each key-partitioned block — work is O(sum group_size^2),
+    never O(N^2); groups above ``chunk_rows`` are matmul-chunked, not
+    dropped. The shared kernel behind embedding_cosine_dups (LSH
+    buckets) and semantic_dedup (k-means clusters)."""
+    shuffled = assigned.repartition(num_partitions, keys=[group_col])
+    max_bucket = chunk_rows
+
+    def _bucket_pairs(t: pa.Table) -> pa.Table:
+        from kettleray.ops.cdc import _col_np
+        empty = pa.table({
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "cosine": pa.array([], type=pa.float64())})
+        if t.num_rows < 2:
+            return empty
+        from kettleray.ops.similarity import _to_matrix
+        bkt = _col_np(t, group_col)
+        ids = _col_np(t, id_col)
+        order = np.argsort(bkt, kind="stable")
+        mat = _to_matrix(t[vec_col])
+        mat = mat[order]
+        mat = mat / np.maximum(        # out-of-place: _to_matrix
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        # may return a read-only zero-copy view
+        ids = ids[order]
+        sb = bkt[order]
+        begins = np.nonzero(np.concatenate(
+            [[True], sb[1:] != sb[:-1]]))[0]
+        ends = np.append(begins[1:], len(sb))
+        out_a, out_b, out_c = [], [], []
+        for lo, hi in zip(begins, ends):
+            m = hi - lo
+            if m < 2:
+                continue
+            sub = mat[lo:hi]
+            sub_ids = ids[lo:hi]
+            for c0 in range(0, m, max_bucket):
+                c1 = min(c0 + max_bucket, m)
+                sims = sub[c0:c1] @ sub.T
+                ai, bj = np.nonzero(sims >= threshold)
+                a = sub_ids[c0 + ai]
+                b = sub_ids[bj]
+                keep = a < b
+                out_a.append(a[keep])
+                out_b.append(b[keep])
+                out_c.append(np.round(sims[ai, bj][keep], 6))
+        if not out_a:
+            return empty
+        return pa.table({
+            "id_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+            "cosine": pa.array(np.concatenate(out_c),
+                               type=pa.float64())})
+
+    return shuffled.map_batches(_bucket_pairs, batch_format="pyarrow",
+                                batch_size=None, zero_copy_batch=True)
+
+
+def _embedding_brute_pairs(ds, id_col: str, vec_col: str, *,
+                           threshold: float, brute_force_max_rows: int,
+                           block_rows: int):
+    """Exact all-pairs cosine (small-N only, guarded): broadcast the
+    whole normalized matrix once, per-batch matmul against it."""
+    import ray
     t = pa.concat_tables(
         ray.get(ds.select_columns([id_col, vec_col]).to_arrow_refs()))
     if t.num_rows > brute_force_max_rows:
@@ -976,6 +1004,62 @@ def embedding_cosine_dups(ds, id_col: str, vec_col: str, *,
 
     return ds.map_batches(_Cos, batch_format="pyarrow",
                           batch_size=block_rows, concurrency=(1, 8))
+
+
+def semantic_dedup(emb, id_col: str, vec_col: str, centroids, *,
+                   threshold: float = 0.95, num_partitions: int = 8,
+                   cc_iters: int = 10, chunk_rows: int = 8192):
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means-cluster the
+    embedding space, find near-identical pairs WITHIN each cluster
+    (cosine >= threshold), keep one representative per duplicate group.
+
+    Returns the SURVIVING ``(id_col, cluster)`` rows — ids only, never
+    the vectors (acero joins reject list<> payloads, and survivors'
+    vectors are a cheap semi-join away when needed).
+
+    Scale shape: centroids broadcast once (clustering.kmeans_assign);
+    pairwise work is O(sum cluster_size^2) inside one cluster-keyed
+    shuffle (grouped_cosine_pairs — the same kernel as the LSH path,
+    clusters chunk-matmul'd above ``chunk_rows``); duplicate groups
+    resolve via distributed min-label propagation; the final
+    representative filter is a Ray-native anti join. Nothing
+    corpus-sized touches the driver."""
+    from kettleray.ops import clustering
+    from kettleray.ops.joins import semi_join
+
+    assigned = clustering.kmeans_assign(
+        emb.select_columns([id_col, vec_col]), vec_col, centroids) \
+        .materialize()
+    pairs = grouped_cosine_pairs(assigned, id_col, vec_col, "cluster",
+                                 threshold=threshold,
+                                 num_partitions=num_partitions,
+                                 chunk_rows=chunk_rows)
+    edges = pairs.map_batches(
+        lambda t: pa.table({"doc_a": t["id_a"], "doc_b": t["id_b"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    # the cluster-keyed shuffle leaves zero-column empty blocks that
+    # map_batches skips; CC's label join would die on an all-empty
+    # partition in the small regime — rebuild it schema'd there
+    from kettleray.ops.incdedup import _solidify_small
+    edges = _solidify_small(edges, num_partitions=num_partitions,
+                            schema=pa.schema([("doc_a", pa.int64()),
+                                              ("doc_b", pa.int64())]))
+    comps = connected_components(edges, max_iters=cc_iters,
+                                 num_partitions=max(4,
+                                                    num_partitions // 2))
+
+    def _drops(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t["node"], t["component"])
+        return pa.table({id_col: t.filter(keep)["node"]})
+
+    dropped = comps.map_batches(_drops, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    ids = assigned.map_batches(
+        lambda t: pa.table({id_col: t[id_col], "cluster": t["cluster"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return semi_join(ids, dropped, [id_col], anti=True, method="join",
+                     num_partitions=num_partitions)
 
 
 def winnowing_neardup(ds, text_col: str, id_col: str = "doc_id", *,

@@ -767,6 +767,125 @@ def unigram_logprob(docs, id_col: str, text_col: str, *,
                            zero_copy_batch=True)
 
 
+def _hashed_bucket_counts(docs, id_col: str, text_col: str,
+                          num_buckets: int):
+    """Dense token counts over ``num_buckets`` md5-hashed feature
+    buckets (the DSIR fixed-size feature space): per block, tokens are
+    dictionary-encoded, md5 is taken ONCE PER UNIQUE vocab word, and a
+    weighted bincount folds the block to <= num_buckets sparse partial
+    rows; one bucket-keyed groupby reduces to the final <= num_buckets
+    rows. Returns (dense float64 vector, total_tokens) — bounded by
+    construction, never corpus-sized."""
+    import hashlib
+
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    pairs = doc_word_pairs(docs, id_col, text_col)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"bucket": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        enc = t["word"].combine_chunks() if isinstance(
+            t["word"], pa.ChunkedArray) else t["word"]
+        enc = pc.dictionary_encode(enc)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        vb = np.array([int(hashlib.md5(w.encode()).hexdigest()[:16], 16)
+                       % num_buckets for w in enc.dictionary.to_pylist()],
+                      dtype=np.int64)
+        b = vb[enc.indices.to_numpy(zero_copy_only=False)]
+        tf = t["tf"].to_numpy(zero_copy_only=False)
+        dense = np.bincount(b, weights=tf, minlength=num_buckets)
+        nz = np.nonzero(dense)[0]
+        return pa.table({"bucket": pa.array(nz, type=pa.int64()),
+                         "n": pa.array(dense[nz].astype(np.int64))})
+
+    partials = pairs.map_batches(_partial, batch_format="pyarrow",
+                                 batch_size=None, zero_copy_batch=True)
+    rows = partials.groupby("bucket").aggregate(
+        Sum("n", alias_name="n")).take_all()
+    dense = np.zeros(num_buckets, dtype=np.float64)
+    for r in rows:
+        if r.get("bucket") is not None:
+            dense[int(r["bucket"])] = float(r["n"])
+    return dense, float(dense.sum())
+
+
+def dsir_score(docs, target, id_col: str, text_col: str, *,
+               num_buckets: int = 4096, round_digits: int = 6):
+    """DSIR importance weight (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per doc the mean
+    log-likelihood ratio of its tokens under the TARGET domain's hashed
+    unigram model vs the raw corpus's — the score you resample by to
+    tilt a 100-TB crawl toward a small high-quality target set.
+
+    Features are md5-hashed into ``num_buckets`` buckets (the paper's
+    fixed-size hashed n-gram trick: count vectors are O(num_buckets)
+    regardless of corpus size), Laplace +1 smoothed:
+    ``llr(w) = ln((c_t[b]+1)/(T_t+B)) - ln((c_c[b]+1)/(T_c+B))``.
+
+    Scale shape: both count vectors reduce through a bucket-keyed
+    groupby to <= ``num_buckets`` rows (driver-bounded by construction);
+    the dense llr vector broadcasts once via ``ray.put``; scoring is a
+    bincount-gather per block + one doc-keyed native sum."""
+    import hashlib
+
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    cc, tot_c = _hashed_bucket_counts(docs, id_col, text_col, num_buckets)
+    ct, tot_t = _hashed_bucket_counts(target, id_col, text_col,
+                                      num_buckets)
+    llr = (np.log(ct + 1.0) - np.log(tot_t + num_buckets)) \
+        - (np.log(cc + 1.0) - np.log(tot_c + num_buckets))
+    lref = ray.put(llr)
+
+    pairs = doc_word_pairs(docs, id_col, text_col)
+
+    def _score(t: pa.Table) -> pa.Table:
+        lv = ray.get(lref)
+        enc = t["word"].combine_chunks() if isinstance(
+            t["word"], pa.ChunkedArray) else t["word"]
+        enc = pc.dictionary_encode(enc)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        vb = np.array([int(hashlib.md5(w.encode()).hexdigest()[:16], 16)
+                       % num_buckets for w in enc.dictionary.to_pylist()],
+                      dtype=np.int64) if len(enc.dictionary) else \
+            np.zeros(0, dtype=np.int64)
+        b = vb[enc.indices.to_numpy(zero_copy_only=False)] \
+            if t.num_rows else np.zeros(0, dtype=np.int64)
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({id_col: t[id_col], "tf": t["tf"],
+                         "w": pa.array(tf * lv[b], type=pa.float64())})
+
+    scored = pairs.map_batches(_score, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    agg = scored.groupby(id_col).aggregate(
+        Sum("tf", alias_name="n_tokens"), Sum("w", alias_name="wsum"))
+
+    def _fin(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "dsir_logratio": pa.array([], type=pa.float64())})
+        nt = t["n_tokens"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ws = t["wsum"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: t[id_col],
+            "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
+            "dsir_logratio": pa.array(
+                np.round(ws / nt, round_digits), type=pa.float64())})
+
+    return agg.map_batches(_fin, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def ngram_counts(ds, text_col: str, n: int = 2, *, lowercase: bool = True,
                  sep: str = " ", num_partitions: int = 16):
     """Distributed word n-gram counting (LM/data-quality staple).

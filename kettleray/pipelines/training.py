@@ -321,6 +321,55 @@ def q_unigram_logprob(sf_dir):
                                      vocab_size=64, num_partitions=8)
 
 
+def q_semantic_dedup(sf_dir):
+    """SemDeDup over a copy-augmented corpus (the raw fixture's max
+    pairwise cosine is ~0.51, so like q_embedding_neardup the corpus is
+    augmented with an exact copy of every vector at vec_id + 1,000,000;
+    threshold 0.99 makes the duplicate groups exactly the disjoint
+    {v, v+1M} pairs). Clusters = nearest of the 8 lowest-vec_id
+    centroids. Survivors must be exactly the original ids with their
+    cluster assignments — wrong representative choice, missed pairs, or
+    a skipped drop all change the id set."""
+    from kettleray.ops import dedup as dd
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _copy(t: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": pc.add(t["vec_id"], 1_000_000),
+                         "embedding": t["embedding"]})
+
+    aug = emb.union(emb.map_batches(_copy, batch_format="pyarrow",
+                                    zero_copy_batch=True))
+    seed = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", 8)]).sort_by("vec_id")
+    cents = np.array(seed["embedding"].to_pylist(), dtype=np.float64)
+    return dd.semantic_dedup(aug, "vec_id", "embedding", cents,
+                             threshold=0.99, num_partitions=8)
+
+
+def q_dsir_score(sf_dir):
+    """DSIR importance weight of every doc toward the English subset
+    (hashed-unigram likelihood ratio, 4096 buckets, Laplace +1): the
+    resampling score that tilts a raw crawl toward a target domain.
+    Oracle recomputes the hashed counts and per-token average
+    relationally (md5-bucket parity checked both engines)."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+    target = docs.filter(expr="lang == 'en'") \
+        .select_columns(["doc_id", "text"])
+    return textstats.dsir_score(
+        docs.select_columns(["doc_id", "text"]), target,
+        "doc_id", "text", num_buckets=4096)
+
+
+def q_pack_sequences(sf_dir):
+    """Sequence packing (concatenate-then-chunk): every doc's token span
+    in the packed 128-token-window training stream. Oracle recomputes
+    the weighted prefix sum with a window function."""
+    from kettleray.ops import packing
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return packing.pack_sequences(docs, "doc_id", "text", seq_len=128)
+
+
 def q_inverted_index(sf_dir):
     """Build a shard-partitioned inverted index, then answer an AND
     term query reading only the terms' shards (partition pruning at the
@@ -877,6 +926,9 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "tfidf": q_tfidf,
     "unigram_logprob": q_unigram_logprob,
+    "pack_sequences": q_pack_sequences,
+    "dsir_score": q_dsir_score,
+    "semantic_dedup": q_semantic_dedup,
     "lang_id": q_lang_id,
     # below the driver's 50-entry snapshot line (still gate-checked
     # by tools/check_queries.py)
@@ -1142,6 +1194,68 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
            AS avg_neg_logprob
 FROM tok2 LEFT JOIN top USING (w) CROSS JOIN tot
 GROUP BY doc_id
+"""
+
+ORACLES["semantic_dedup"] = r"""
+WITH aug AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) FROM embeddings),
+c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < 8),
+cl AS (SELECT vec_id, cluster FROM (
+  SELECT a.vec_id, CAST(c.cid AS INTEGER) AS cluster, row_number() OVER (
+    PARTITION BY a.vec_id ORDER BY list_distance(a.e, c.cvec), c.cid
+  ) AS rn FROM aug a CROSS JOIN c) WHERE rn = 1),
+p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+      JOIN cl ca ON ca.vec_id = a.vec_id
+      JOIN cl cb ON cb.vec_id = b.vec_id AND cb.cluster = ca.cluster
+      WHERE list_cosine_similarity(a.e, b.e) >= 0.99),
+-- copy-augmented corpus: duplicate groups are exactly the disjoint
+-- {v, v+1000000} pairs, so each group's non-min member set is {ib}
+drops AS (SELECT DISTINCT ib AS vec_id FROM p)
+SELECT cl.vec_id, cl.cluster FROM cl
+WHERE cl.vec_id NOT IN (SELECT vec_id FROM drops)
+"""
+
+ORACLES["dsir_score"] = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(
+      trim(coalesce(lower(text), '')), '\s+')) AS w
+  FROM documents),
+tok2 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+b AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 16))::UBIGINT % 4096
+                          AS BIGINT) AS bucket FROM tok2),
+cc AS (SELECT bucket, count(*)::BIGINT AS c FROM b GROUP BY bucket),
+bt AS (SELECT b.bucket FROM b JOIN documents d USING (doc_id)
+       WHERE d.lang = 'en'),
+ct AS (SELECT bucket, count(*)::BIGINT AS c FROM bt GROUP BY bucket),
+tot AS (SELECT (SELECT count(*) FROM b)::DOUBLE AS tc,
+               (SELECT count(*) FROM bt)::DOUBLE AS tt)
+SELECT b.doc_id, count(*)::BIGINT AS n_tokens,
+       ROUND(avg((ln(coalesce(ct.c, 0) + 1) - ln(tot.tt + 4096))
+               - (ln(cc.c + 1) - ln(tot.tc + 4096))), 6) AS dsir_logratio
+FROM b JOIN cc USING (bucket) LEFT JOIN ct USING (bucket) CROSS JOIN tot
+GROUP BY b.doc_id
+"""
+
+ORACLES["pack_sequences"] = r"""
+WITH tc AS (
+  SELECT doc_id, CAST(len(regexp_split_to_array(
+      trim(coalesce(text, '')), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents),
+cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_token
+  FROM tc)
+SELECT doc_id, n_tokens, start_token,
+       start_token // 128 AS seq_first,
+       CASE WHEN n_tokens = 0 THEN start_token // 128 - 1
+            ELSE (start_token + n_tokens - 1) // 128 END AS seq_last
+FROM cum
 """
 
 ORACLES["inverted_index"] = r"""
