@@ -321,6 +321,60 @@ def q_cdc_derived_view(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_cdc_join_view(sf_dir: str):
+    """Incrementally maintained JOIN view (delta join over two
+    co-partitioned sinks): table A replays the event log, table B the
+    same keys with a derived payload; the view is bootstrapped after
+    both tables' first commits, then advanced by an A-only delta sync
+    and a B-only delta sync (touched-bucket re-joins + feed
+    tombstones). Oracle = the full inner join of both tables' final
+    LWW states — any drift in delta-join maintenance, delete
+    propagation or double-apply fails the value-hash."""
+    import shutil
+    import tempfile
+    import pyarrow.compute as pc
+    from kettleray.io import sink
+    from kettleray.ops.derived import sync_join_view
+    a_root = tempfile.mkdtemp(prefix="kr_jv_a_")
+    b_root = tempfile.mkdtemp(prefix="kr_jv_b_")
+    dst = tempfile.mkdtemp(prefix="kr_jv_dst_")
+    for d in (a_root, b_root, dst):
+        shutil.rmtree(d, ignore_errors=True)
+    ev = _events(sf_dir)
+
+    def _b_events(ds):
+        def _fn(t):
+            c2 = pc.binary_join_element_wise(t["lang"], t["commit"], ":")
+            return t.set_column(t.column_names.index("content"),
+                                "content", c2)
+        return ds.map_batches(_fn, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def _cut(ds, lim):
+        return ds.map_batches(
+            lambda b, lim=lim: b.filter(pc.less(b["commit_seq"], lim)),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    kw = dict(num_buckets=16, num_partitions=_NUM_PARTITIONS)
+    sink.apply_incremental_bucketed(a_root, _cut(ev, 1_500_000), **kw)
+    sink.apply_incremental_bucketed(b_root,
+                                    _cut(_b_events(ev), 800_000), **kw)
+    sync_join_view(dst, a_root, b_root, how="inner",
+                   num_partitions=_NUM_PARTITIONS)      # bootstrap
+    sink.apply_incremental_bucketed(a_root, ev, **kw)
+    sync_join_view(dst, a_root, b_root, how="inner",
+                   num_partitions=_NUM_PARTITIONS)      # ΔA only
+    sink.apply_incremental_bucketed(b_root, _b_events(ev), **kw)
+    sync_join_view(dst, a_root, b_root, how="inner",
+                   num_partitions=_NUM_PARTITIONS)      # ΔB only
+    out = sink.read_state(dst)
+    return out.map_batches(
+        lambda t: t.select(["repo", "path", "commit", "lang",
+                            "content_sha256", "commit_r", "lang_r",
+                            "content_r"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_cdc_quarantine_sink(sf_dir: str):
     """Sink-integrated late-data handling: commit a prefix, then feed
     the FULL log through apply_with_quarantine — already-covered events
@@ -633,6 +687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_mor_state": q_cdc_mor_state,
         "cdc_changefeed": q_cdc_changefeed,
         "cdc_derived_view": q_cdc_derived_view,
+        "cdc_join_view": q_cdc_join_view,
         "cdc_scd2_incremental": q_cdc_scd2_incremental,
         "cdc_quarantine_sink": q_cdc_quarantine_sink,
         "cdc_catalog_txn": q_cdc_catalog_txn,
@@ -675,6 +730,7 @@ _SNAPSHOT_WINDOW = [
     "cdc_replay_twopass", "cdc_mor_state", "cdc_changefeed",
     "cdc_catalog_txn", "cdc_incremental_agg", "cdc_streaming_state",
     "cdc_schema_evolution", "cdc_snapshot_at", "cdc_scd3_state",
+    "cdc_join_view",
     # pinned training flagships (22, incl. the four new round-4 ops:
     # unigram_logprob, pack_sequences, dsir_score, semantic_dedup)
     "dedup_corpus", "dedup_incremental", "dedup_probe",
@@ -695,7 +751,7 @@ _SNAPSHOT_WINDOW = [
     "kmeans_assign", "stratified_sample", "text_scrub_normalize",
     "winnowing_fingerprints", "doc_fingerprint", "bigram_counts",
     "multimodal_audio_features", "multimodal_video_frames",
-    "source_csv_roundtrip", "source_jsonl_roundtrip", "script_values",
+    "source_csv_roundtrip", "source_jsonl_roundtrip",
     "multiway_merge_join",
 ]
 
@@ -820,6 +876,18 @@ def oracle_sql() -> dict[str, str]:
             "AS lang_family, "
             "CAST(LENGTH(content) AS BIGINT) AS content_len "
             "FROM ranked WHERE rn = 1 AND op <> 'delete'"),
+        "cdc_join_view": (
+            f"WITH {ev}, {_RANKED}, "
+            'sa AS (SELECT repo, path, "commit", lang, content '
+            "FROM ranked WHERE rn = 1 AND op <> 'delete'), "
+            'sb AS (SELECT repo, path, "commit", lang, '
+            "lang || ':' || \"commit\" AS content "
+            "FROM ranked WHERE rn = 1 AND op <> 'delete') "
+            'SELECT sa.repo, sa.path, sa."commit", sa.lang, '
+            "sha256(sa.content) AS content_sha256, "
+            'sb."commit" AS commit_r, sb.lang AS lang_r, '
+            "sb.content AS content_r "
+            "FROM sa JOIN sb USING (repo, path)"),
         "cdc_mor_state":
             f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
         "cdc_rebucket":

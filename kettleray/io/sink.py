@@ -280,6 +280,90 @@ def _split_base_delta(vdir: str) -> tuple[list[str], list[str]]:
     return base, delta
 
 
+def _bucket_file_groups(vdir: str) -> "dict[str, dict[str, list[str]]]":
+    """{bucket_dir_name: {"base": [...], "delta": [...]}} for a version
+    dir (shared by read_changes' identity pruning and the join-view's
+    touched-bucket discovery)."""
+    out: dict[str, dict[str, list[str]]] = {}
+    base, delta = _split_base_delta(vdir)
+    for f in base:
+        name = os.path.basename(os.path.dirname(f))
+        out.setdefault(name, {"base": [], "delta": []})["base"].append(f)
+    for f in delta:
+        name = os.path.basename(os.path.dirname(f))
+        out.setdefault(name, {"base": [], "delta": []})["delta"].append(f)
+    return out
+
+
+def _bucket_identity(g: "dict[str, list[str]] | None") -> list[tuple]:
+    """Inode-level identity of one bucket's files — equal identity means
+    the bucket's bytes are untouched between versions (COW hardlinks),
+    so it can be pruned without opening a file."""
+    if g is None:
+        return []
+    out = []
+    for kind in ("base", "delta"):
+        for f in g[kind]:
+            st = os.stat(f)
+            out.append((kind, os.path.basename(f), st.st_dev, st.st_ino))
+    return sorted(out)
+
+
+def changed_bucket_names(root: str, from_version: int,
+                         to_version: int) -> "set[str] | None":
+    """Bucket dir names whose file identity differs between two
+    committed versions (metadata-only: stat/inode comparison, no file
+    opened). Returns ``None`` when the bucket LAYOUT changed between
+    the versions (rebucket boundary) — names no longer correspond and
+    the caller must fall back to a full resync."""
+    def _layout(m: "Manifest | None"):
+        return ((m.metrics.get("num_buckets"),
+                 tuple(m.metrics.get("bucket_cols", ("repo", "path"))))
+                if m else None)
+
+    if _layout(read_manifest(root, from_version)) != \
+            _layout(read_manifest(root, to_version)):
+        return None
+    g1 = _bucket_file_groups(_version_dir(root, from_version))
+    g2 = _bucket_file_groups(_version_dir(root, to_version))
+    return {name for name in set(g1) | set(g2)
+            if _bucket_identity(g1.get(name))
+            != _bucket_identity(g2.get(name))}
+
+
+def state_schema(root: str, version: int | None = None) -> pa.Schema:
+    """The unified FINAL-STATE schema of a committed version, computed
+    from parquet footers only (no data read): per-bucket base schemas
+    may legitimately differ after schema-evolving commits, and MOR
+    deltas may carry evolved columns — unify across all of them, the
+    same way read_state builds its merge target."""
+    v = version if version is not None else current_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no committed state under {root}")
+    vdir = _version_dir(root, v)
+    base_files, delta_files = _split_base_delta(vdir)
+    groups = _bucket_file_groups(vdir)
+    ev_schemas = []
+    for g in groups.values():
+        if g["base"]:
+            ev_schemas.append(_state_rows_as_events(
+                pq.read_schema(g["base"][0]).empty_table()).schema)
+    for f in delta_files[:1]:
+        dsch = pq.read_schema(f)
+        if dsch.get_field_index("bucket") >= 0:
+            dsch = dsch.remove(dsch.get_field_index("bucket"))
+        ev_schemas.append(dsch)
+    if not ev_schemas and base_files:
+        # flat (non-bucketed) layout
+        ev_schemas.append(_state_rows_as_events(
+            pq.read_schema(base_files[0]).empty_table()).schema)
+    if not ev_schemas:
+        raise FileNotFoundError(f"version {v} under {root} has no files")
+    from kettleray.ops.cdc import unify_event_schemas
+    target_ev = unify_event_schemas(ev_schemas)
+    return cdc.finalize_state_table(target_ev.empty_table()).schema
+
+
 def read_state(root: str, version: int | None = None, *,
                num_partitions: int = 16) -> "ray.data.Dataset | None":
     """Read a committed state version (default CURRENT). Passing an older
@@ -1318,31 +1402,7 @@ def read_changes(root: str, from_version: int,
             batch_format="pyarrow", batch_size=None,
             zero_copy_batch=True)
 
-    def _bfiles(vdir: str) -> dict[str, dict[str, list[str]]]:
-        out: dict[str, dict[str, list[str]]] = {}
-        base, delta = _split_base_delta(vdir)
-        for f in base:
-            name = os.path.basename(os.path.dirname(f))
-            out.setdefault(name, {"base": [], "delta": []})[
-                "base"].append(f)
-        for f in delta:
-            name = os.path.basename(os.path.dirname(f))
-            out.setdefault(name, {"base": [], "delta": []})[
-                "delta"].append(f)
-        return out
-
-    g1, g2 = _bfiles(d1), _bfiles(d2)
-
-    def _ident(g: dict[str, list[str]] | None) -> list[tuple]:
-        if g is None:
-            return []
-        out = []
-        for kind in ("base", "delta"):
-            for f in g[kind]:
-                st = os.stat(f)
-                out.append((kind, os.path.basename(f), st.st_dev,
-                            st.st_ino))
-        return sorted(out)
+    g1, g2 = _bucket_file_groups(d1), _bucket_file_groups(d2)
 
     items = []
     for name in sorted(set(g1) | set(g2)):
@@ -1350,7 +1410,8 @@ def read_changes(root: str, from_version: int,
         # bucket untouched -> no changes; prunable without opening a
         # file. include_identical must NOT prune (identical rows of
         # untouched buckets are part of the requested feed).
-        if not include_identical and _ident(e1) == _ident(e2):
+        if not include_identical and \
+                _bucket_identity(e1) == _bucket_identity(e2):
             continue
         items.append({
             "base1": e1["base"] if e1 else [],

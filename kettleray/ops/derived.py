@@ -155,3 +155,224 @@ def sync_derived_view(src_root: str, dst_root: str, transform=None, *,
     sink.atomic_write_json(os.path.join(dst_root, _CURSOR),
                            {"src_version": src_v})
     return man
+
+
+# ---------------------------------------------------------------------------
+# Incrementally maintained JOIN view (delta join over two sink tables)
+# ---------------------------------------------------------------------------
+
+_JOIN_CURSOR = "JOIN_CURSOR.json"
+
+
+def _join_cursor(dst_root: str) -> "dict | None":
+    p = os.path.join(dst_root, _JOIN_CURSOR)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _payload_fields(sch: pa.Schema) -> list[pa.Field]:
+    from kettleray.ops import cdc
+    skip = set(cdc.KEY_COLS) | {"content_sha256", "last_commit_seq",
+                                "bucket"}
+    return [sch.field(i) for i in range(len(sch))
+            if sch.field(i).name not in skip]
+
+
+def _key_strings(t: pa.Table) -> pa.Array:
+    """repo + NUL + path composite (both sides of the set-difference use
+    the same construction, so collisions are impossible for valid keys:
+    NUL never appears in a path)."""
+    arr = pc.binary_join_element_wise(t["repo"], t["path"], "\x00")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr
+
+
+def sync_join_view(dst_root: str, a_root: str, b_root: str, *,
+                   how: str = "inner", b_suffix: str = "_r",
+                   num_partitions: int = 16,
+                   dst_num_buckets: int | None = None):
+    """Incrementally maintained JOIN of two sink tables (Δ(A⋈B) =
+    ΔA⋈B ∪ A⋈ΔB — the delta-join rule of incremental view maintenance;
+    ≙ a Kettle Merge Join Trans re-run per CDC batch, re-expressed as
+    touched-bucket maintenance): the view at ``dst_root`` holds, per
+    key, A's payload joined with B's payload (B columns suffixed
+    ``b_suffix``). ``how='inner'`` keeps keys present in both;
+    ``how='left'`` keeps every A key with null B columns on a miss.
+
+    Scale shape: A and B must share the bucket layout (enforced), so a
+    key's rows co-locate — each sync (1) discovers TOUCHED buckets by
+    file-inode identity (metadata-only, no file opened), (2) re-joins
+    only those buckets in independent per-bucket tasks (zero shuffle —
+    the co-partitioned merge), (3) derives delete tombstones from the
+    bucket universe plus both change feeds (a key deleted from BOTH
+    sides since the cursor appears in neither current state — only the
+    feed knows it existed). Per-sync cost tracks the COMMITS, not the
+    tables. Rebucket boundaries degrade to a full resync (the feeds'
+    own layout-independent fallback still supplies the tombstones).
+
+    Exactly-once: events are stamped with the monotone epoch
+    ``a_version + b_version`` (each sync advances at least one), so the
+    downstream sink's watermark filter no-ops crash retries; the cursor
+    advances only AFTER the downstream commit."""
+    import ray
+    import ray.data as rd
+
+    from kettleray.ops import cdc
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    a_v, b_v = sink.current_version(a_root), sink.current_version(b_root)
+    if a_v is None or b_v is None:
+        raise FileNotFoundError("both join inputs need a committed state")
+    cur = _join_cursor(dst_root)
+    if cur is not None and cur["a_version"] == a_v \
+            and cur["b_version"] == b_v:
+        return sink.read_manifest(dst_root)
+
+    ma, mb = sink.read_manifest(a_root, a_v), sink.read_manifest(b_root,
+                                                                 b_v)
+
+    def _layout(m):
+        return (m.metrics.get("num_buckets"),
+                tuple(m.metrics.get("bucket_cols", ("repo", "path"))))
+
+    if _layout(ma) != _layout(mb) or ma.metrics.get("num_buckets") is None:
+        raise ValueError(
+            f"sync_join_view requires co-partitioned inputs (same "
+            f"num_buckets/bucket_cols); got {_layout(ma)} vs "
+            f"{_layout(mb)}")
+    if dst_num_buckets is None:
+        dst_num_buckets = int(ma.metrics["num_buckets"])
+
+    # --- target event schema (driver-side, footers only) ----------------
+    a_pay = _payload_fields(sink.state_schema(a_root, a_v))
+    b_pay = _payload_fields(sink.state_schema(b_root, b_v))
+    a_names = {f.name for f in a_pay}
+    clash = [f.name for f in b_pay if f.name + b_suffix in a_names]
+    if clash:
+        raise ValueError(f"suffixed B columns collide with A payload: "
+                         f"{clash}")
+    ev_schema = pa.schema(
+        [pa.field("repo", pa.string()), pa.field("path", pa.string())]
+        + a_pay
+        + [pa.field(f.name + b_suffix, f.type) for f in b_pay]
+        + [pa.field("op", pa.string()),
+           pa.field("commit_seq", pa.int64())])
+    epoch = a_v + b_v
+
+    # --- touched buckets (inode identity; None => rebucketed) -----------
+    bootstrap = cur is None
+    resync = bootstrap
+    if not bootstrap:
+        ca = sink.changed_bucket_names(a_root, cur["a_version"], a_v)
+        cb = sink.changed_bucket_names(b_root, cur["b_version"], b_v)
+        if ca is None or cb is None:
+            resync = True
+    ga = sink._bucket_file_groups(sink._version_dir(a_root, a_v))
+    gb = sink._bucket_file_groups(sink._version_dir(b_root, b_v))
+    # a touched bucket absent from the current versions (all its keys
+    # gone) still runs — empty inputs yield no upserts, and its deleted
+    # keys arrive via the feed-tombstone path below
+    names = sorted(set(ga) | set(gb)) if resync else sorted(ca | cb)
+
+    a_pay_names = [f.name for f in a_pay]
+    b_pay_names = [f.name for f in b_pay]
+
+    @ray.remote
+    def _join_bucket(a_base, a_delta, b_base, b_delta):
+        A = sink.merged_bucket_state(a_base, a_delta)
+        B = sink.merged_bucket_state(b_base, b_delta)
+
+        def _side(t, pay, suffix):
+            if t.num_columns == 0:
+                t = pa.schema(
+                    [pa.field("repo", pa.string()),
+                     pa.field("path", pa.string())]
+                    + [pa.field(n, ev_schema.field(
+                        n if not suffix else n + suffix).type)
+                       for n in pay]).empty_table()
+            keep = ["repo", "path"] + [c for c in pay
+                                       if c in t.column_names]
+            t = t.select(keep)
+            tgt = pa.schema(
+                [pa.field("repo", pa.string()),
+                 pa.field("path", pa.string())]
+                + [pa.field(n, ev_schema.field(
+                    n if not suffix else n + suffix).type) for n in pay])
+            t = cdc.conform_table(t, tgt)
+            if suffix:
+                t = t.rename_columns(
+                    ["repo", "path"] + [n + suffix for n in pay])
+            return t
+
+        At = _side(A, a_pay_names, "")
+        Bt = _side(B, b_pay_names, b_suffix)
+        joined = At.join(Bt, keys=["repo", "path"],
+                         join_type="inner" if how == "inner"
+                         else "left outer")
+        n = joined.num_rows
+        up = joined.append_column(
+            "op", pa.array(["update"] * n, type=pa.string()))
+        up = up.append_column(
+            "commit_seq", pa.array([epoch] * n, type=pa.int64()))
+        up = cdc.conform_table(up, ev_schema)
+        # tombstones: bucket-universe keys that no longer produce a view
+        # row (inner: either side missing; left: A-side missing)
+        view_keys = _key_strings(At if how == "left" else joined)
+        uni = pa.concat_tables([At.select(["repo", "path"]),
+                                Bt.select(["repo", "path"])]) \
+            .group_by(["repo", "path"]).aggregate([])
+        gone = uni.filter(pc.invert(pc.is_in(
+            _key_strings(uni), value_set=view_keys)))
+        tomb = cdc.conform_table(
+            pa.table({"repo": gone["repo"], "path": gone["path"],
+                      "op": pa.array(["delete"] * gone.num_rows,
+                                     type=pa.string()),
+                      "commit_seq": pa.array([epoch] * gone.num_rows,
+                                             type=pa.int64())}),
+            ev_schema)
+        return pa.concat_tables([up, tomb])
+
+    refs = [_join_bucket.remote(
+        ga.get(n, {}).get("base", []), ga.get(n, {}).get("delta", []),
+        gb.get(n, {}).get("base", []), gb.get(n, {}).get("delta", []))
+        for n in names]
+    events = rd.from_arrow_refs(refs) if refs \
+        else rd.from_arrow(ev_schema.empty_table())
+
+    if not bootstrap:
+        # keys deleted from BOTH sides since the cursor exist in neither
+        # current state — only the feeds carry them (read_changes works
+        # across rebucket boundaries via its layout-independent
+        # fallback, so this also covers the resync path)
+        def _feed_deletes(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return ev_schema.empty_table()
+            d = t.filter(pc.equal(t["change_type"], "deleted"))
+            return cdc.conform_table(
+                pa.table({"repo": d["repo"], "path": d["path"],
+                          "op": pa.array(["delete"] * d.num_rows,
+                                         type=pa.string()),
+                          "commit_seq": pa.array([epoch] * d.num_rows,
+                                                 type=pa.int64())}),
+                ev_schema)
+
+        for root, frm, to in ((a_root, cur["a_version"], a_v),
+                              (b_root, cur["b_version"], b_v)):
+            if frm == to:
+                continue
+            feed = sink.read_changes(root, frm, to,
+                                     num_partitions=num_partitions)
+            events = events.union(feed.map_batches(
+                _feed_deletes, batch_format="pyarrow",
+                zero_copy_batch=True))
+
+    man = sink.apply_incremental_bucketed(
+        dst_root, events, num_buckets=dst_num_buckets,
+        num_partitions=num_partitions)
+    sink.atomic_write_json(os.path.join(dst_root, _JOIN_CURSOR),
+                           {"a_version": a_v, "b_version": b_v})
+    return man
