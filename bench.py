@@ -231,6 +231,74 @@ def run_trickle(mode: str) -> tuple[float, int, float, float]:
     return commit_sec, fresh_bytes, read_sec, cdf_sec
 
 
+def run_join_view() -> tuple[float, float]:
+    """Incrementally maintained join view: bootstrap A⋈B, then 8 tiny
+    repo-local commits to A each followed by a sync — per-sync cost must
+    track the COMMIT (touched buckets), not the table. Comparison line:
+    a fresh full bootstrap (= the per-refresh recompute the incremental
+    path avoids). Returns (sync_sec_total, recompute_sec)."""
+    import shutil
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from kettleray.gen.synthetic import EventGenConfig, generate_events
+    from kettleray.io import sink
+    from kettleray.ops.derived import sync_join_view
+    a_root = "/tmp/kettleray_bench/jv_a"
+    b_root = "/tmp/kettleray_bench/jv_b"
+    dst = "/tmp/kettleray_bench/jv_view"
+    dst2 = "/tmp/kettleray_bench/jv_view_recompute"
+    for d in (a_root, b_root, dst, dst2):
+        shutil.rmtree(d, ignore_errors=True)
+    n = max(200_000, N_SYNTH // 20)
+    cfg = EventGenConfig(n_events=n, n_repos=200, n_paths_per_repo=1000,
+                         p_delete=0.05, seed=51)
+    ev = generate_events(cfg, override_num_blocks=max(16, NUM_CPUS * 2))
+    cut = (n * 9) // 10
+    kw = dict(num_buckets=64, bucket_cols=("repo",),
+              num_partitions=_num_partitions())
+
+    def _b_events(ds):
+        def _fn(t):
+            c2 = pc.binary_join_element_wise(t["lang"], t["commit"], ":")
+            return t.set_column(t.column_names.index("content"),
+                                "content", c2)
+        return ds.map_batches(_fn, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    b1 = ev.map_batches(lambda b: b.filter(pc.less(b["commit_seq"], cut)),
+                        batch_format="pyarrow")
+    sink.apply_incremental_bucketed(a_root, b1, **kw)
+    sink.apply_incremental_bucketed(b_root, _b_events(ev), **kw)
+    sync_join_view(dst, a_root, b_root, how="inner", apply="mor",
+                   num_partitions=_num_partitions())     # bootstrap
+    repos = pa.array([f"repo_{i}" for i in range(100, 104)])
+    tail = ev.map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.greater_equal(b["commit_seq"], cut),
+            pc.is_in(b["repo"], value_set=repos))),
+        batch_format="pyarrow").materialize()
+    k = 8
+    step = max((n - cut) // k, 1)
+    t0 = time.time()
+    for i in range(k):
+        lo, hi = cut + i * step, (cut + (i + 1) * step if i < k - 1
+                                  else n)
+        w = tail.map_batches(
+            lambda b, lo=lo, hi=hi: b.filter(pc.and_(
+                pc.greater_equal(b["commit_seq"], lo),
+                pc.less(b["commit_seq"], hi))),
+            batch_format="pyarrow")
+        sink.apply_incremental_bucketed(a_root, w, **kw)
+        sync_join_view(dst, a_root, b_root, how="inner", apply="mor",
+                       num_partitions=_num_partitions())
+    sync_sec = time.time() - t0
+    t0 = time.time()
+    sync_join_view(dst2, a_root, b_root, how="inner", apply="mor",
+                   num_partitions=_num_partitions())     # full recompute
+    recompute_sec = time.time() - t0
+    return sync_sec, recompute_sec
+
+
 def run_ivm() -> tuple[float, float, float]:
     """Incremental view maintenance vs full recompute: build a bucketed
     state (backfill commit + repo-local micro-commit), then time the
@@ -550,7 +618,7 @@ def run_decontaminate() -> tuple[float, float, dict]:
 COMPARISON_LINES = frozenset({
     "lsh_batch_rerun", "trickle_commits_cow", "ivm_recompute",
     "skew_hotkey_plain", "ann_batch_rebuild", "inverted_batch_rebuild",
-    "decontaminate_join",
+    "decontaminate_join", "join_view_recompute",
 })
 
 
@@ -621,6 +689,9 @@ def main() -> None:
     queries["inverted_index_backfill"] = round(inv_back, 2)
     queries["inverted_commit_incremental"] = round(inv_inc, 2)
     queries["inverted_batch_rebuild"] = round(inv_rebuild, 2)
+    jv_sync, jv_recompute = run_join_view()
+    queries["join_view_sync8"] = round(jv_sync, 2)
+    queries["join_view_recompute"] = round(jv_recompute, 2)
     dec_bloom, dec_join, dec_counts = run_decontaminate()
     queries["decontaminate_bloom"] = round(dec_bloom, 2)
     queries["decontaminate_join"] = round(dec_join, 2)

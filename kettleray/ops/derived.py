@@ -193,7 +193,8 @@ def _key_strings(t: pa.Table) -> pa.Array:
 def sync_join_view(dst_root: str, a_root: str, b_root: str, *,
                    how: str = "inner", b_suffix: str = "_r",
                    num_partitions: int = 16,
-                   dst_num_buckets: int | None = None):
+                   dst_num_buckets: int | None = None,
+                   apply: str = "bucketed"):
     """Incrementally maintained JOIN of two sink tables (Δ(A⋈B) =
     ΔA⋈B ∪ A⋈ΔB — the delta-join rule of incremental view maintenance;
     ≙ a Kettle Merge Join Trans re-run per CDC batch, re-expressed as
@@ -206,12 +207,16 @@ def sync_join_view(dst_root: str, a_root: str, b_root: str, *,
     key's rows co-locate — each sync (1) discovers TOUCHED buckets by
     file-inode identity (metadata-only, no file opened), (2) re-joins
     only those buckets in independent per-bucket tasks (zero shuffle —
-    the co-partitioned merge), (3) derives delete tombstones from the
-    bucket universe plus both change feeds (a key deleted from BOTH
-    sides since the cursor appears in neither current state — only the
-    feed knows it existed). Per-sync cost tracks the COMMITS, not the
-    tables. Rebucket boundaries degrade to a full resync (the feeds'
-    own layout-independent fallback still supplies the tombstones).
+    the co-partitioned merge), (3) derives delete tombstones inside the
+    same task from the bucket's key universe at the CURSOR versions
+    plus now (a key deleted from BOTH sides since the cursor appears in
+    neither current state; the old-version reads are key-pruned —
+    keys+seq+op columns only). Per-sync cost tracks the COMMITS, not
+    the tables, and the normal path runs NO per-sync feed job. Rebucket
+    boundaries degrade to a full resync where the feeds'
+    layout-independent fallback supplies the tombstones instead.
+    ``apply='mor'`` commits the view merge-on-read (delta appends —
+    the cheap-commit layout for trickle syncs; pair with compact_mor).
 
     Exactly-once: events are stamped with the monotone epoch
     ``a_version + b_version`` (each sync advances at least one), so the
@@ -282,7 +287,7 @@ def sync_join_view(dst_root: str, a_root: str, b_root: str, *,
     b_pay_names = [f.name for f in b_pay]
 
     @ray.remote
-    def _join_bucket(a_base, a_delta, b_base, b_delta):
+    def _join_bucket(a_base, a_delta, b_base, b_delta, old_groups):
         A = sink.merged_bucket_state(a_base, a_delta)
         B = sink.merged_bucket_state(b_base, b_delta)
 
@@ -319,11 +324,21 @@ def sync_join_view(dst_root: str, a_root: str, b_root: str, *,
         up = up.append_column(
             "commit_seq", pa.array([epoch] * n, type=pa.int64()))
         up = cdc.conform_table(up, ev_schema)
-        # tombstones: bucket-universe keys that no longer produce a view
-        # row (inner: either side missing; left: A-side missing)
+        # tombstones: any key live in this bucket at the CURSOR versions
+        # or now, that no longer produces a view row (inner: either side
+        # missing; left: A-side missing). Old keys come from key-pruned
+        # bucket-local reads (keys+seq+op columns only) — a key deleted
+        # from BOTH sides since the cursor exists in neither current
+        # state, so the current universe alone would miss it.
         view_keys = _key_strings(At if how == "left" else joined)
-        uni = pa.concat_tables([At.select(["repo", "path"]),
-                                Bt.select(["repo", "path"])]) \
+        uni_parts = [At.select(["repo", "path"]),
+                     Bt.select(["repo", "path"])]
+        for obase, odelta in old_groups:
+            K = sink.merged_bucket_state(obase, odelta, columns=[],
+                                         with_sha=False)
+            if K.num_columns:
+                uni_parts.append(K.select(["repo", "path"]))
+        uni = pa.concat_tables(uni_parts) \
             .group_by(["repo", "path"]).aggregate([])
         gone = uni.filter(pc.invert(pc.is_in(
             _key_strings(uni), value_set=view_keys)))
@@ -336,18 +351,33 @@ def sync_join_view(dst_root: str, a_root: str, b_root: str, *,
             ev_schema)
         return pa.concat_tables([up, tomb])
 
+    # old bucket-file groups at the cursor versions: the per-bucket task
+    # derives its own tombstone universe from them — no per-sync feed
+    # job in the normal path (trickle syncs would otherwise pay a fixed
+    # Dataset-job latency per side for ~0 rows)
+    if not bootstrap and not resync:
+        ga_old = sink._bucket_file_groups(
+            sink._version_dir(a_root, cur["a_version"]))
+        gb_old = sink._bucket_file_groups(
+            sink._version_dir(b_root, cur["b_version"]))
+    else:
+        ga_old = gb_old = {}
+
+    def _grp(g, n):
+        e = g.get(n)
+        return (e["base"], e["delta"]) if e else ([], [])
+
     refs = [_join_bucket.remote(
-        ga.get(n, {}).get("base", []), ga.get(n, {}).get("delta", []),
-        gb.get(n, {}).get("base", []), gb.get(n, {}).get("delta", []))
+        *_grp(ga, n), *_grp(gb, n),
+        [_grp(ga_old, n), _grp(gb_old, n)])
         for n in names]
     events = rd.from_arrow_refs(refs) if refs \
         else rd.from_arrow(ev_schema.empty_table())
 
-    if not bootstrap:
-        # keys deleted from BOTH sides since the cursor exist in neither
-        # current state — only the feeds carry them (read_changes works
-        # across rebucket boundaries via its layout-independent
-        # fallback, so this also covers the resync path)
+    if resync and not bootstrap:
+        # rebucket boundary: old bucket names no longer correspond, so
+        # per-bucket old-universe reads are impossible — the feeds'
+        # layout-independent fallback supplies the deleted keys instead
         def _feed_deletes(t: pa.Table) -> pa.Table:
             if t.num_columns == 0 or t.num_rows == 0:
                 return ev_schema.empty_table()
@@ -370,7 +400,9 @@ def sync_join_view(dst_root: str, a_root: str, b_root: str, *,
                 _feed_deletes, batch_format="pyarrow",
                 zero_copy_batch=True))
 
-    man = sink.apply_incremental_bucketed(
+    apply_fn = (sink.apply_incremental_mor if apply == "mor"
+                else sink.apply_incremental_bucketed)
+    man = apply_fn(
         dst_root, events, num_buckets=dst_num_buckets,
         num_partitions=num_partitions)
     sink.atomic_write_json(os.path.join(dst_root, _JOIN_CURSOR),

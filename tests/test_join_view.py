@@ -152,6 +152,19 @@ def test_resync_is_noop_and_crash_retry_is_exactly_once(roots):
     _check(dst, a_root, b_root, "inner")
 
 
+def test_mor_apply_roundtrip(roots):
+    a_root, b_root, dst = roots
+    _seed(a_root, b_root)
+    sync_join_view(dst, a_root, b_root, how="inner", apply="mor", **KW)
+    _check(dst, a_root, b_root, "inner")
+    sink.apply_incremental_bucketed(a_root, _ev(
+        [("r0", "f0", "en", "a0-mor", "update"),
+         ("r1", "f4", "en", "", "delete")], seq0=500), **NB)
+    sync_join_view(dst, a_root, b_root, how="inner", apply="mor", **KW)
+    _check(dst, a_root, b_root, "inner")
+    assert "f4" not in set(_view(dst, "inner")["path"])
+
+
 def test_layout_mismatch_rejected(roots, tmp_path):
     a_root, b_root, dst = roots
     sink.apply_incremental_bucketed(
