@@ -648,6 +648,26 @@ def q_cdc_incremental_agg(sf_dir: str):
 # contract functions
 # ---------------------------------------------------------------------------
 
+def q_cdc_pruned_scan(sf_dir: str):
+    """Zone-map pruned scan: commit the replayed state through the
+    bucketed sink, range-cluster each bucket by ``lang``
+    (sink.cluster_state — disjoint per-file value envelopes), then
+    scan_state with a lang predicate: files whose manifest [min, max]
+    excludes 'zh' are never opened, the residual filter re-checks kept
+    rows exactly. Oracle = the plain LWW replay SQL with the same WHERE,
+    so a pruning bug that drops or fabricates rows fails the value-hash."""
+    import shutil
+    import tempfile
+    from kettleray.io import sink
+    root = tempfile.mkdtemp(prefix="kr_pruned_scan_")
+    shutil.rmtree(root, ignore_errors=True)
+    sink.apply_incremental_bucketed(root, _events(sf_dir), num_buckets=16,
+                                    num_partitions=_NUM_PARTITIONS)
+    sink.cluster_state(root, ("lang",), rows_per_file=64)
+    return sink.scan_state(root, [("lang", "==", "zh")]).select_columns(
+        list(cdc.FINAL_STATE_COLS))
+
+
 def entry() -> Any:
     """Flagship: full CDC ingest on sf0.001 — derive events, validate,
     LWW-replay through the exactly-once BUCKETED sink (copy-on-write file
@@ -699,6 +719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_log_compaction": q_cdc_log_compaction,
         "cdc_late_quarantine": q_cdc_late_quarantine,
         "cdc_incremental_agg": q_cdc_incremental_agg,
+        "cdc_pruned_scan": q_cdc_pruned_scan,
     }
     # Order matters: the driver snapshots the FIRST 50 entries into
     # CORRECTNESS_r{N}.json. The window ROTATES per round (round-3
@@ -766,6 +787,9 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
         "cdc_envelope_roundtrip":
             f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
+        "cdc_pruned_scan":
+            f"WITH {ev}, {_RANKED} SELECT * FROM ({_FINAL_STATE_SELECT}) "
+            "WHERE lang = 'zh'",
         "cdc_insert_update": (
             f"WITH {ev}, ev2 AS (SELECT * FROM ev WHERE op <> 'delete'), "
             'ranked AS (SELECT *, row_number() OVER (PARTITION BY repo, path '

@@ -84,14 +84,78 @@ def atomic_write_json(path: str, payload: dict) -> None:
     os.rename(tmp, path)
 
 
+# zone-map stats: JSON-safe scalar types eligible for manifest min/max
+# entries (strings capped — a multi-KB `content` value must not bloat the
+# manifest, and a truncated upper bound would be unsound).
+_STATS_MAX_STR = 64
+
+
+def _json_stat(v) -> "int | float | str | bool | None":
+    if v is None or isinstance(v, (int, float, bool)):
+        return v
+    if isinstance(v, bytes):
+        try:
+            v = v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, str):
+        return v
+    return None
+
+
+def _file_stats(md: "pq.FileMetaData") -> dict:
+    """Per-column [min, max] across all row groups from the parquet
+    footer (metadata-only — no data pages read). A bound is dropped
+    (null) when any row group lacks stats for the column, when the type
+    isn't JSON-scalar, or when a string bound exceeds the manifest cap
+    (a truncated min stays a valid lower bound; a truncated max would be
+    UNSOUND, so long-string columns simply become unprunable). Null
+    presence never blocks pruning: a null row can't satisfy any
+    comparison predicate, so [min, max] over non-null values is exactly
+    the envelope pruning needs."""
+    mins: dict = {}
+    maxs: dict = {}
+    dead: set = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for i in range(g.num_columns):
+            cc = g.column(i)
+            name = cc.path_in_schema
+            if name in dead or "." in name:      # skip nested leaves
+                continue
+            st = cc.statistics
+            if st is None or not st.has_min_max:
+                dead.add(name)
+                continue
+            lo, hi = _json_stat(st.min), _json_stat(st.max)
+            if lo is None or hi is None:
+                dead.add(name)
+                continue
+            if isinstance(lo, str) and len(lo) > _STATS_MAX_STR:
+                lo = lo[:_STATS_MAX_STR]        # still a lower bound
+            if isinstance(hi, str) and len(hi) > _STATS_MAX_STR:
+                dead.add(name)                  # no sound truncation up
+                continue
+            if name not in mins:
+                mins[name], maxs[name] = lo, hi
+            else:
+                mins[name] = min(mins[name], lo)
+                maxs[name] = max(maxs[name], hi)
+    return {n: [mins[n], maxs[n]] for n in mins if n not in dead}
+
+
 def _stage_lineage(stage: str) -> list[dict]:
-    """Per-file lineage entries (rel path, rows, bytes) of a staged
-    version dir — the manifest's files list."""
+    """Per-file lineage entries (rel path, rows, bytes, zone-map stats)
+    of a staged version dir — the manifest's files list. Stats come from
+    the parquet FOOTERS the writer already produced (metadata-only
+    reads), so lineage cost stays proportional to the files this commit
+    touched, not to their bytes."""
     out = []
     for fp in _parquet_files(stage):
         md = pq.read_metadata(fp)
         out.append({"file": os.path.relpath(fp, stage),
-                    "rows": md.num_rows, "bytes": os.path.getsize(fp)})
+                    "rows": md.num_rows, "bytes": os.path.getsize(fp),
+                    "stats": _file_stats(md)})
     return out
 
 
@@ -385,7 +449,11 @@ def read_state(root: str, version: int | None = None, *,
     base_files, delta_files = _split_base_delta(vdir)
     if not delta_files:
         return ray.data.read_parquet(_parquet_files(vdir))
+    return _mor_merge_ds(base_files, delta_files)
 
+
+def _mor_merge_ds(base_files: list[str],
+                  delta_files: list[str]) -> "ray.data.Dataset":
     # Merge-on-read: base and deltas were BUCKETED BY THE SAME KEY
     # FUNCTION (the writers enforce num_buckets/bucket_cols stability),
     # so every key's base row and delta events live in ONE bucket — the
@@ -511,6 +579,223 @@ def lookup_state(root: str, repo: str, path: str, *,
     # no bucket column on purpose: raw-file point reads don't infer the
     # hive partition either, so both layouts return the same schema
     return cdc.finalize_state_table(cdc.lww_reduce_table(merged))
+
+
+# ---------------------------------------------------------------------------
+# Zone-map pruned scans (manifest file-skipping) + clustered layout.
+# ---------------------------------------------------------------------------
+
+_PRUNE_OPS = ("==", "!=", "<", "<=", ">", ">=")
+
+
+def _file_prunable(stats: "dict | None", col: str, op: str, val) -> bool:
+    """True iff the manifest stats PROVE no row of the file can satisfy
+    ``col op val``. Missing stats (old manifests, unstated columns,
+    long-string bounds) → never prunable. Nulls in the column are
+    irrelevant: a null can satisfy no comparison, so the non-null
+    [min, max] envelope is sufficient evidence."""
+    if not stats or col not in stats:
+        return False
+    lo, hi = stats[col]
+    try:
+        if op == "==":
+            return (lo is not None and val < lo) or \
+                   (hi is not None and val > hi)
+        if op == "!=":
+            return lo is not None and hi is not None and lo == hi == val
+        if op == "<":
+            return lo is not None and lo >= val
+        if op == "<=":
+            return lo is not None and lo > val
+        if op == ">":
+            return hi is not None and hi <= val
+        if op == ">=":
+            return hi is not None and hi < val
+    except TypeError:
+        return False                 # cross-type comparison: keep the file
+    return False
+
+
+def _residual_mask(t: pa.Table, filters) -> pa.Array:
+    """AND of all filters evaluated exactly on a batch (the residual
+    predicate applied after file-level pruning)."""
+    import pyarrow.compute as pc
+    fn = {"==": pc.equal, "!=": pc.not_equal, "<": pc.less,
+          "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}
+    mask = None
+    for col, op, val in filters:
+        m = fn[op](t[col], val)
+        mask = m if mask is None else pc.and_(mask, m)
+    return mask
+
+
+def _drop_bucket(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    return ds.map_batches(
+        lambda b: b.drop_columns(
+            [c for c in ("bucket",) if c in b.column_names]),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def scan_state(root: str, filters, *, version: int | None = None,
+               columns: "list[str] | None" = None,
+               report: "dict | None" = None) -> "ray.data.Dataset":
+    """Predicate scan over a committed state version with MANIFEST-LEVEL
+    FILE SKIPPING (zone maps, ≙ Iceberg/Delta data skipping): base files
+    whose footer [min, max] envelope provably excludes the (ANDed)
+    ``filters`` are never opened. Pair with :func:`cluster_state` —
+    hash-bucketed files interleave every value, so skipping only bites
+    once files are range-clustered by the filter column.
+
+    ``filters``: list of ``(col, op, literal)`` with op in
+    ``==,!=,<,<=,>,>=``; all residual-checked exactly after pruning, so
+    pruning is a pure optimization, never a semantics change.
+
+    MOR safety: delta files are NEVER pruned (a delta row may be the
+    LWW winner that moves a key into/out of the predicate range), and
+    pruned-base buckets still merge their deltas — a base row whose file
+    was pruned either cannot match (stats proof) or is superseded by an
+    always-read delta row. The residual filter runs on MERGED rows.
+
+    Output: final-state rows (no bucket column — pruning can collapse
+    the hive depth, so the inferred partition column is stripped for a
+    stable schema). ``report`` (optional dict) is filled with
+    ``files_total / files_pruned / delta_files / rows_kept_files``.
+    """
+    for f in filters:
+        if len(f) != 3 or f[1] not in _PRUNE_OPS:
+            raise ValueError(f"bad filter {f!r}: want (col, op, literal) "
+                             f"with op in {_PRUNE_OPS}")
+    v = version if version is not None else current_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no committed state under {root}")
+    vdir = _version_dir(root, v)
+    man = read_manifest(root, v)
+    stats_by_rel = {e["file"]: e.get("stats") for e in (man.files if man
+                                                        else [])}
+    base_files, delta_files = _split_base_delta(vdir)
+    kept = [f for f in base_files
+            if not any(_file_prunable(
+                stats_by_rel.get(os.path.relpath(f, vdir)), c, op, val)
+                for c, op, val in filters)]
+    if report is not None:
+        rows_by_rel = {e["file"]: e.get("rows", 0)
+                       for e in (man.files if man else [])}
+        report.update({
+            "files_total": len(base_files),
+            "files_pruned": len(base_files) - len(kept),
+            "delta_files": len(delta_files),
+            "rows_kept_files": sum(
+                rows_by_rel.get(os.path.relpath(f, vdir), 0)
+                for f in kept)})
+    if not kept and not delta_files:
+        ds = ray.data.from_arrow(
+            state_schema(root, v).empty_table())
+    elif delta_files:
+        ds = _mor_merge_ds(kept, delta_files)
+    else:
+        ds = ray.data.read_parquet(kept)
+    ds = _drop_bucket(ds)
+
+    def _apply(t: pa.Table) -> pa.Table:
+        out = t.filter(_residual_mask(t, filters)) if filters else t
+        return out.select(columns) if columns else out
+
+    return ds.map_batches(_apply, batch_format="pyarrow",
+                          batch_size=None, zero_copy_batch=True)
+
+
+def cluster_state(root: str, cluster_by: "tuple | list", *,
+                  rows_per_file: int = 250_000,
+                  num_buckets: int | None = None) -> Manifest:
+    """Range-cluster every bucket by ``cluster_by`` (≙ Delta OPTIMIZE
+    ZORDER's 1-D case / Iceberg sort-order rewrite): each bucket's rows
+    are sorted by the cluster columns and written as ~``rows_per_file``
+    chunks with DISJOINT value ranges, so the zone maps
+    :func:`scan_state` reads become selective — a hash-bucketed file
+    interleaves every value and prunes nothing. Key-bucket routing is
+    unchanged (clustering reorders WITHIN buckets), so incremental
+    commits, changefeed diffs, and lookups keep working.
+
+    One Ray task per bucket (no shuffle — clustering is bucket-local);
+    deltas are folded first via ``compact_mor`` so positions/latest
+    values are in the base. Commits a new version atomically."""
+    cluster_by = list(cluster_by)
+    v = current_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no committed state under {root}")
+    if _split_base_delta(_version_dir(root, v))[1]:
+        compact_mor(root)
+        v = current_version(root)
+    man = read_manifest(root, v)
+    prev_dir = _version_dir(root, v)
+    nv = _next_version(root)
+    stage = os.path.join(root, f"_stage_v{nv:04d}.{uuid.uuid4().hex[:8]}")
+    os.makedirs(stage)
+    t0 = time.time()
+
+    buckets = [n for n in sorted(os.listdir(prev_dir))
+               if n.startswith("bucket=")]
+    items = [{"name": n, "files": _parquet_files(
+        os.path.join(prev_dir, n))} for n in buckets]
+
+    def _cluster_one(t: pa.Table) -> pa.Table:
+        import pyarrow as _pa
+        outs = []
+        for i in range(t.num_rows):
+            name = t["name"][i].as_py()
+            files = t["files"][i].as_py()
+            tbl = pa.concat_tables([pq.read_table(f) for f in files],
+                                   promote_options="permissive")
+            if "bucket" in tbl.column_names:
+                tbl = tbl.drop_columns(["bucket"])
+            tbl = tbl.sort_by([(c, "ascending") for c in cluster_by])
+            dst = os.path.join(stage, name)
+            os.makedirs(dst, exist_ok=True)
+            nfiles = 0
+            for off in range(0, max(tbl.num_rows, 1), rows_per_file):
+                chunk = tbl.slice(off, rows_per_file)
+                pq.write_table(chunk, os.path.join(
+                    dst, f"clustered-{off // rows_per_file}.parquet"))
+                nfiles += 1
+            outs.append({"name": name, "files_out": nfiles,
+                         "rows": tbl.num_rows})
+        return _pa.Table.from_pylist(outs) if outs else _pa.table(
+            {"name": _pa.array([], type=_pa.string()),
+             "files_out": _pa.array([], type=_pa.int64()),
+             "rows": _pa.array([], type=_pa.int64())})
+
+    res = ray.data.from_items(items, override_num_blocks=max(
+        len(items), 1)).map_batches(
+        _cluster_one, batch_format="pyarrow", batch_size=None)
+    done = res.to_pandas()          # one row per bucket — metadata-sized
+    files = _stage_lineage(stage)
+    man2 = Manifest(
+        version=nv, watermark=man.watermark, schema=man.schema,
+        files=files,
+        metrics={**{k: man.metrics[k] for k in
+                    ("num_buckets", "bucket_cols", "mode")
+                    if k in man.metrics},
+                 "write_sec": round(time.time() - t0, 3),
+                 "cluster_by": cluster_by,
+                 "rows_per_file": rows_per_file,
+                 "clustered_buckets": int(len(done)),
+                 "total_rows": sum(f["rows"] for f in files),
+                 "delta_rows": 0, "delta_files": 0,
+                 "clustering_of": v})
+    with open(os.path.join(stage, "manifest.json"), "w") as f:
+        f.write(man2.to_json())
+    try:
+        os.rename(stage, _version_dir(root, nv))
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)
+        if os.path.isdir(_version_dir(root, nv)):
+            raise RuntimeError(
+                f"cluster_state: version v{nv:04d} under {root} was "
+                f"committed concurrently — table services are "
+                f"single-writer; re-run to cluster on top of it")
+        raise
+    _write_current(root, nv)
+    return man2
 
 
 def commit_state(ds: "ray.data.Dataset", root: str, *, watermark: int,
