@@ -668,6 +668,81 @@ def q_cdc_pruned_scan(sf_dir: str):
         list(cdc.FINAL_STATE_COLS))
 
 
+def q_cdc_delete_where(sf_dir: str):
+    """Set-based DELETE as one CDC commit (≙ Kettle Delete step): replay
+    to a MOR state, dml.delete_where(lang = 'en') — a zone-map pruned
+    scan emits tombstone events at watermark+1, committed as per-bucket
+    deltas (no table rewrite) — then read the state back. Oracle = the
+    replay SQL with the rows removed."""
+    import shutil
+    import tempfile
+    from kettleray.io import sink
+    from kettleray.ops import dml
+    root = tempfile.mkdtemp(prefix="kr_delete_where_")
+    shutil.rmtree(root, ignore_errors=True)
+    sink.apply_incremental_mor(root, _events(sf_dir), num_buckets=16,
+                               num_partitions=_NUM_PARTITIONS)
+    dml.delete_where(root, [("lang", "==", "en")])
+    return sink.read_state(root).select_columns(
+        list(cdc.FINAL_STATE_COLS))
+
+
+def q_cdc_update_where(sf_dir: str):
+    """Set-based UPDATE as one CDC commit (≙ Kettle Update step):
+    dml.update_where(lang = 'zh', content -> '[REDACTED]') re-emits the
+    matched rows as update events at watermark+1; the sha256 invariant
+    is re-derived from the new content downstream. Oracle = the replay
+    SQL with a CASE on the matched rows."""
+    import shutil
+    import tempfile
+    from kettleray.io import sink
+    from kettleray.ops import dml
+    root = tempfile.mkdtemp(prefix="kr_update_where_")
+    shutil.rmtree(root, ignore_errors=True)
+    sink.apply_incremental_mor(root, _events(sf_dir), num_buckets=16,
+                               num_partitions=_NUM_PARTITIONS)
+    dml.update_where(root, [("lang", "==", "zh")],
+                     {"content": "[REDACTED]"})
+    return sink.read_state(root).select_columns(
+        list(cdc.FINAL_STATE_COLS))
+
+
+def q_cdc_merge_into(sf_dir: str):
+    """ANSI MERGE as one CDC commit: target = the prefix replay
+    (commit_seq < 1.5M) through the MOR sink; source = the key-unique
+    winners of the suffix. WHEN MATCHED AND t_lang='de' THEN DELETE,
+    WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED AND lang<>'fr' THEN
+    INSERT — routed per co-partitioned bucket join, committed as deltas.
+    Oracle = the same three clauses as SQL set algebra over the two
+    replayed snapshots."""
+    import shutil
+    import tempfile
+    import pyarrow.compute as pc
+    from kettleray.io import sink
+    from kettleray.ops import dml
+    root = tempfile.mkdtemp(prefix="kr_merge_into_")
+    shutil.rmtree(root, ignore_errors=True)
+    ev = _events(sf_dir)
+    cut = 1_500_000
+    prefix = ev.map_batches(
+        lambda b: b.filter(pc.less(b["commit_seq"], cut)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    suffix = ev.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["commit_seq"], cut)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    sink.apply_incremental_mor(root, prefix, num_buckets=16,
+                               num_partitions=_NUM_PARTITIONS)
+    source = cdc.replay_lww(
+        suffix, num_partitions=_NUM_PARTITIONS).select_columns(
+        ["repo", "path", "commit", "lang", "content"])
+    dml.merge_into(
+        root, source,
+        delete_condition=lambda j: pc.equal(j["t_lang"], "de"),
+        insert_condition=lambda j: pc.not_equal(j["lang"], "fr"))
+    return sink.read_state(root).select_columns(
+        list(cdc.FINAL_STATE_COLS))
+
+
 def entry() -> Any:
     """Flagship: full CDC ingest on sf0.001 — derive events, validate,
     LWW-replay through the exactly-once BUCKETED sink (copy-on-write file
@@ -720,6 +795,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_late_quarantine": q_cdc_late_quarantine,
         "cdc_incremental_agg": q_cdc_incremental_agg,
         "cdc_pruned_scan": q_cdc_pruned_scan,
+        "cdc_delete_where": q_cdc_delete_where,
+        "cdc_update_where": q_cdc_update_where,
+        "cdc_merge_into": q_cdc_merge_into,
     }
     # Order matters: the driver snapshots the FIRST 50 entries into
     # CORRECTNESS_r{N}.json. The window ROTATES per round (round-3
@@ -790,6 +868,55 @@ def oracle_sql() -> dict[str, str]:
         "cdc_pruned_scan":
             f"WITH {ev}, {_RANKED} SELECT * FROM ({_FINAL_STATE_SELECT}) "
             "WHERE lang = 'zh'",
+        "cdc_delete_where":
+            f"WITH {ev}, {_RANKED} SELECT * FROM ({_FINAL_STATE_SELECT}) "
+            "WHERE lang <> 'en'",
+        "cdc_update_where": (
+            f"WITH {ev}, {_RANKED}, "
+            "wm AS (SELECT max(commit_seq) AS m FROM ev) "
+            'SELECT repo, path, "commit", lang, '
+            "CASE WHEN lang = 'zh' THEN '[REDACTED]' ELSE content END "
+            "AS content, "
+            "CASE WHEN lang = 'zh' THEN sha256('[REDACTED]') "
+            "ELSE sha256(content) END AS content_sha256, "
+            "CASE WHEN lang = 'zh' THEN (SELECT m FROM wm) + 1 "
+            "ELSE commit_seq END AS last_commit_seq "
+            "FROM ranked WHERE rn = 1 AND op <> 'delete'"),
+        "cdc_merge_into": (
+            f"WITH {ev}, "
+            "tr AS (SELECT *, row_number() OVER (PARTITION BY repo, path "
+            'ORDER BY commit_seq DESC, "commit" DESC) AS rn FROM ev '
+            "WHERE commit_seq < 1500000), "
+            'tgt AS (SELECT repo, path, "commit", lang, content, '
+            "commit_seq FROM tr WHERE rn = 1 AND op <> 'delete'), "
+            "sr AS (SELECT *, row_number() OVER (PARTITION BY repo, path "
+            'ORDER BY commit_seq DESC, "commit" DESC) AS rn FROM ev '
+            "WHERE commit_seq >= 1500000), "
+            'srcw AS (SELECT repo, path, "commit", lang, content FROM sr '
+            "WHERE rn = 1 AND op <> 'delete'), "
+            "wm AS (SELECT max(commit_seq) AS m FROM ev "
+            "WHERE commit_seq < 1500000) "
+            # unmatched target rows ride unchanged
+            'SELECT t.repo, t.path, t."commit", t.lang, t.content, '
+            "sha256(t.content) AS content_sha256, "
+            "t.commit_seq AS last_commit_seq "
+            "FROM tgt t LEFT JOIN srcw s ON t.repo = s.repo "
+            "AND t.path = s.path WHERE s.repo IS NULL "
+            "UNION ALL "
+            # matched, not deleted (delete clause: t_lang = 'de')
+            'SELECT s.repo, s.path, s."commit", s.lang, s.content, '
+            "sha256(s.content) AS content_sha256, "
+            "(SELECT m FROM wm) + 1 AS last_commit_seq "
+            "FROM tgt t JOIN srcw s ON t.repo = s.repo "
+            "AND t.path = s.path WHERE t.lang <> 'de' "
+            "UNION ALL "
+            # not matched inserts (insert clause: lang <> 'fr')
+            'SELECT s.repo, s.path, s."commit", s.lang, s.content, '
+            "sha256(s.content) AS content_sha256, "
+            "(SELECT m FROM wm) + 1 AS last_commit_seq "
+            "FROM srcw s LEFT JOIN tgt t ON t.repo = s.repo "
+            "AND t.path = s.path WHERE t.repo IS NULL "
+            "AND s.lang <> 'fr'"),
         "cdc_insert_update": (
             f"WITH {ev}, ev2 AS (SELECT * FROM ev WHERE op <> 'delete'), "
             'ranked AS (SELECT *, row_number() OVER (PARTITION BY repo, path '
