@@ -612,13 +612,113 @@ def run_decontaminate() -> tuple[float, float, dict]:
     return bloom_sec, join_sec, counts
 
 
+def run_pruned_scan_and_dml() -> tuple[dict, dict]:
+    """Zone-map pruned scan vs full scan+filter on a lang-clustered
+    state, then set-based DML (DELETE / UPDATE as CDC commits) on the
+    same table. Returns (timings, pruning report)."""
+    import shutil
+    from kettleray.gen.synthetic import EventGenConfig, generate_events
+    from kettleray.io import sink
+    from kettleray.ops import dml
+    root = "/tmp/kettleray_bench/pruned_scan"
+    shutil.rmtree(root, ignore_errors=True)
+    n = max(1_000_000, N_SYNTH // 8)
+    cfg = EventGenConfig(n_events=n, n_repos=500, n_paths_per_repo=2000,
+                         p_delete=0.05, seed=57)
+    ev = generate_events(cfg, override_num_blocks=max(16, NUM_CPUS * 2))
+    sink.apply_incremental_bucketed(root, ev, num_buckets=64,
+                                    num_partitions=_num_partitions())
+    sink.cluster_state(root, ("lang",),
+                       rows_per_file=max(10_000, n // 64 // 8))
+    filters = [("lang", "==", "rs")]
+
+    def _pruned():
+        rep: dict = {}
+        t0 = time.time()
+        sink.scan_state(root, filters, report=rep).count()
+        return time.time() - t0, rep
+
+    def _full():
+        import pyarrow.compute as pc
+        t0 = time.time()
+        sink._drop_bucket(sink.read_state(root)).map_batches(
+            lambda t: t.filter(pc.equal(t["lang"], "rs")),
+            batch_format="pyarrow", batch_size=None).count()
+        return time.time() - t0
+
+    _pruned()                                   # warmup
+    pruned_sec, rep = min(_pruned() for _ in range(2))
+    _full()
+    full_sec = min(_full() for _ in range(2))
+
+    t0 = time.time()
+    man, _ = dml.delete_where(root, [("lang", "==", "go")])
+    delete_sec = time.time() - t0
+    t0 = time.time()
+    dml.update_where(root, [("lang", "==", "ts")],
+                     {"content": "[REDACTED]"})
+    update_sec = time.time() - t0
+    timings = {"pruned_scan": round(pruned_sec, 2),
+               "full_scan_filter": round(full_sec, 2),
+               "dml_delete_where": round(delete_sec, 2),
+               "dml_update_where": round(update_sec, 2)}
+    return timings, rep
+
+
+def run_substring_dedup() -> tuple[float, float, dict]:
+    """Cross-doc substring dedup over the sf documents replicated 8x
+    (exact replicas: worst-case duplication — every doc's text repeats
+    in 7 others). Times the span-stats pass and the full cut rewrite,
+    both in hashed (production) mode."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from kettleray.ops import dedup
+    docs = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    def _rep(k):
+        return docs.map_batches(
+            lambda t, k=k: t.set_column(
+                t.column_names.index("doc_id"), "doc_id",
+                pc.add(t["doc_id"], k * 10_000_000)),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    corpus = _rep(0)
+    for k in range(1, 8):
+        corpus = corpus.union(_rep(k))
+    corpus = corpus.materialize()
+    n = corpus.count()
+
+    def _stats():
+        t0 = time.time()
+        dedup.duplicate_span_stats(corpus, "doc_id", "text", k=8,
+                                   hashed=True,
+                                   num_partitions=_num_partitions()
+                                   ).count()
+        return time.time() - t0
+
+    def _cut():
+        t0 = time.time()
+        dedup.cut_duplicate_spans(corpus, "doc_id", "text", k=8,
+                                  hashed=True,
+                                  num_partitions=_num_partitions()
+                                  ).count()
+        return time.time() - t0
+
+    _stats()
+    stats_sec = min(_stats() for _ in range(2))
+    cut_sec = min(_cut() for _ in range(2))
+    return stats_sec, cut_sec, {"docs": n}
+
+
 # Comparison lines measure the COST THE ENGINE AVOIDS (batch re-runs,
-# recompute baselines, un-salted hot-key replay) — they are not engine
-# pipelines, so round-over-round suite totals compare engine vs engine.
+# recompute baselines, un-salted hot-key replay, unpruned scans) — they
+# are not engine pipelines, so round-over-round suite totals compare
+# engine vs engine.
 COMPARISON_LINES = frozenset({
     "lsh_batch_rerun", "trickle_commits_cow", "ivm_recompute",
     "skew_hotkey_plain", "ann_batch_rebuild", "inverted_batch_rebuild",
-    "decontaminate_join", "join_view_recompute",
+    "decontaminate_join", "join_view_recompute", "full_scan_filter",
 })
 
 
@@ -695,6 +795,11 @@ def main() -> None:
     dec_bloom, dec_join, dec_counts = run_decontaminate()
     queries["decontaminate_bloom"] = round(dec_bloom, 2)
     queries["decontaminate_join"] = round(dec_join, 2)
+    scan_timings, scan_report = run_pruned_scan_and_dml()
+    queries.update(scan_timings)
+    sub_stats, sub_cut, sub_counts = run_substring_dedup()
+    queries["substring_span_stats"] = round(sub_stats, 2)
+    queries["substring_dedup_cut"] = round(sub_cut, 2)
     total = round(time.time() - t_all, 2)
     engine = round(sum(v for k, v in queries.items()
                        if k not in COMPARISON_LINES), 2)
@@ -716,6 +821,8 @@ def main() -> None:
         "ann_index": ann_counts,
         "inverted_index": inv_counts,
         "decontaminate": dec_counts,
+        "pruned_scan": scan_report,
+        "substring_dedup": sub_counts,
     }))
     ray.shutdown()
 

@@ -1111,3 +1111,356 @@ def winnowing_neardup(ds, text_col: str, id_col: str = "doc_id", *,
 
     return shuf.map_batches(_final, batch_format="pyarrow",
                             batch_size=None, zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document substring dedup: duplicated k-gram spans (Lee et al. 2022
+# "Deduplicating Training Data Makes Language Models Better" — same goal as
+# the suffix-array ExactSubstr pass, re-expressed as hash-partitioned k-gram
+# matching so it runs as two Ray Data exchanges instead of a monolithic
+# suffix array).
+# ---------------------------------------------------------------------------
+
+def kgram_occurrences(ds, text_col: str, id_col: str = "doc_id", *,
+                      k: int = 8, lowercase: bool = True,
+                      hashed: bool = False):
+    """Every word k-gram occurrence as (id, pos, gram) rows — pos is
+    1-BASED (SQL-oracle parity). Vectorized flat-stream build: one
+    whitespace split per batch, k shifted Arrow slices joined
+    element-wise, doc-boundary mask — no per-doc Python loop.
+
+    ``hashed=True`` replaces the gram string with a 64-bit splitmix
+    combine of per-word hashes (computed once per DISTINCT word via
+    dictionary encoding): the production mode — the downstream exchange
+    ships 8 bytes per occurrence instead of the k-word string. Collision
+    odds at 10^12 grams are ~3·10^-8 per pair (64-bit birthday), and a
+    collision only ever OVER-marks a span as duplicated."""
+
+    def _fn(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        if lowercase:
+            col = pc.utf8_lower(col)
+        toks = pc.utf8_split_whitespace(
+            pc.fill_null(pc.utf8_trim_whitespace(col), ""))
+        counts = pc.list_value_length(toks) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        ids = t[id_col].combine_chunks() if isinstance(
+            t[id_col], pa.ChunkedArray) else t[id_col]
+        gtype = pa.uint64() if hashed else pa.string()
+        empty = pa.table({id_col: pa.array([], type=ids.type),
+                          "pos": pa.array([], type=pa.int64()),
+                          "gram": pa.array([], type=gtype)})
+        m = len(flat) - k + 1
+        if m <= 0:
+            return empty
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        same_doc = doc_of[:m] == doc_of[k - 1:]
+        if hashed:
+            enc = pc.dictionary_encode(flat)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            import zlib
+            dwords = enc.dictionary.to_pylist()
+            wh = np.fromiter(
+                (zlib.crc32(w.encode()) for w in dwords),
+                dtype=np.uint64, count=len(dwords))
+            # spread the 32-bit crc to 64 bits (splitmix finalizer)
+            from kettleray.gen.synthetic import _mix64
+            wh = _mix64(wh, 17)
+            codes = wh[enc.indices.to_numpy(zero_copy_only=False)]
+            with np.errstate(over="ignore"):
+                acc = np.zeros(m, dtype=np.uint64)
+                B = np.uint64(0x100000001B3)      # FNV-ish odd multiplier
+                for j in range(k):
+                    acc = acc * B + codes[j:j + m]
+            grams = pa.array(acc, type=pa.uint64())
+        else:
+            parts = [flat.slice(j, m) for j in range(k)]
+            grams = pc.binary_join_element_wise(*parts, " ")
+        sel = pa.array(same_doc)
+        grams = grams.filter(sel)
+        gdoc = doc_of[:m][same_doc]
+        # 1-based position within the doc
+        doc_start = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        pos = (np.arange(m)[same_doc] - doc_start[gdoc] + 1)
+        return pa.table({
+            id_col: ids.take(pa.array(gdoc, type=pa.int64())),
+            "pos": pa.array(pos, type=pa.int64()),
+            "gram": grams,
+        })
+
+    return ds.map_batches(_fn, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+
+
+def _mark_duplicated(occ, id_col: str, *, min_docs: int,
+                     num_partitions: int, keep_winner_flag: bool):
+    """ONE gram-hash exchange: co-locate each gram's occurrences, keep
+    the occurrences of grams appearing in >= min_docs distinct docs.
+    With ``keep_winner_flag`` each kept row also carries is_first —
+    whether it is the gram's global first occurrence by (doc, pos)
+    lexicographic order (the occurrence span-cutting preserves)."""
+    sh = occ.repartition(num_partitions, keys=["gram"])
+
+    def _filter(t: pa.Table) -> pa.Table:
+        cols = [id_col, "pos"] + (["is_first"] if keep_winner_flag
+                                  else [])
+        if t.num_rows == 0 or t.num_columns == 0:
+            arrs = {id_col: pa.array([], type=pa.int64()),
+                    "pos": pa.array([], type=pa.int64())}
+            if keep_winner_flag:
+                arrs["is_first"] = pa.array([], type=pa.bool_())
+            return pa.table(arrs).select(cols)
+        from kettleray.ops.cdc import _col_np, _composite_key_codes
+        codes = _composite_key_codes(t, ["gram"])
+        d = _col_np(t, id_col)
+        p = _col_np(t, "pos")
+        order = np.lexsort((p, d, codes))
+        sg, sd = codes[order], d[order]
+        n = len(sg)
+        start = np.empty(n, dtype=bool)
+        start[0] = True
+        start[1:] = sg[1:] != sg[:-1]
+        gid = np.cumsum(start) - 1
+        # distinct docs per gram: doc changes within a run (rows are
+        # sorted by (gram, doc, pos))
+        doc_change = np.empty(n, dtype=bool)
+        doc_change[0] = True
+        doc_change[1:] = start[1:] | (sd[1:] != sd[:-1])
+        ndocs = np.bincount(gid, weights=doc_change.astype(np.int64))
+        keep = ndocs[gid] >= min_docs
+        out = t.take(pa.array(order[keep], type=pa.int64()))
+        if keep_winner_flag:
+            out = out.append_column(
+                "is_first", pa.array(start[keep]))
+        return out.select([c for c in ([id_col, "pos", "is_first"]
+                                       if keep_winner_flag
+                                       else [id_col, "pos"])])
+
+    return sh.map_batches(_filter, batch_format="pyarrow",
+                          batch_size=None, zero_copy_batch=True)
+
+
+def _merge_islands(sd: np.ndarray, sp: np.ndarray, k: int):
+    """Island detection over (doc, pos)-sorted dup occurrences: a new
+    span starts when the doc changes or the gap exceeds k (intervals
+    [p, p+k) overlap or touch iff next_p <= p + k)."""
+    n = len(sd)
+    brk = np.empty(n, dtype=bool)
+    brk[0] = True
+    brk[1:] = (sd[1:] != sd[:-1]) | (sp[1:] - sp[:-1] > k)
+    return brk
+
+
+def duplicate_span_stats(docs, id_col: str = "doc_id",
+                         text_col: str = "text", *,
+                         k: int = 8, min_docs: int = 2,
+                         lowercase: bool = True, hashed: bool = False,
+                         num_partitions: int = 16):
+    """Per-doc duplicated-substring statistics: which spans of each
+    document also appear (verbatim, at k-word granularity) in at least
+    ``min_docs - 1`` other documents. Returns one row per affected doc:
+    ``dup_kgrams`` (duplicated k-gram occurrences), ``dup_spans``
+    (maximal merged spans), ``dup_tokens`` (tokens covered by them).
+
+    Scale shape: occurrence build is map-only; ONE gram exchange finds
+    cross-doc grams and filters occurrences in the same pass (each
+    gram's occurrences are co-located — no separate count + join);
+    ONE doc exchange merges islands. No pair emission anywhere, so a
+    gram occurring in a million docs costs a million rows, never a
+    million-squared."""
+    occ = kgram_occurrences(docs, text_col, id_col, k=k,
+                            lowercase=lowercase, hashed=hashed)
+    marked = _mark_duplicated(occ, id_col, min_docs=min_docs,
+                              num_partitions=num_partitions,
+                              keep_winner_flag=False)
+    byd = marked.repartition(max(4, num_partitions // 2),
+                             keys=[id_col])
+
+    def _stats(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "dup_kgrams": pa.array([], type=pa.int64()),
+                "dup_spans": pa.array([], type=pa.int64()),
+                "dup_tokens": pa.array([], type=pa.int64())})
+        from kettleray.ops.cdc import _col_np
+        d = _col_np(t, id_col)
+        p = _col_np(t, "pos")
+        order = np.lexsort((p, d))
+        sd, sp = d[order], p[order]
+        brk = _merge_islands(sd, sp, k)
+        sid = np.cumsum(brk) - 1
+        nspan = int(sid[-1]) + 1
+        first_pos = sp[brk]
+        last_pos = np.zeros(nspan, dtype=np.int64)
+        np.maximum.at(last_pos, sid, sp)
+        span_doc = sd[brk]
+        span_tokens = last_pos - first_pos + k
+        doc_change = np.empty(nspan, dtype=bool)
+        doc_change[0] = True
+        doc_change[1:] = span_doc[1:] != span_doc[:-1]
+        did = np.cumsum(doc_change) - 1
+        out_doc = span_doc[doc_change]
+        dup_spans = np.bincount(did)
+        dup_tokens = np.bincount(did, weights=span_tokens.astype(
+            np.int64)).astype(np.int64)
+        kcnt = np.bincount(sid)
+        dup_kgrams = np.bincount(did, weights=kcnt.astype(
+            np.int64)).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(out_doc).cast(t[id_col].type),
+            "dup_kgrams": pa.array(dup_kgrams, type=pa.int64()),
+            "dup_spans": pa.array(dup_spans, type=pa.int64()),
+            "dup_tokens": pa.array(dup_tokens, type=pa.int64())})
+
+    return byd.map_batches(_stats, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True)
+
+
+def cut_duplicate_spans(docs, id_col: str = "doc_id",
+                        text_col: str = "text", *,
+                        k: int = 8, min_docs: int = 2,
+                        lowercase: bool = True, hashed: bool = True,
+                        num_partitions: int = 16):
+    """Rewrite the corpus with duplicated substrings CUT (the ExactSubstr
+    removal pass): every token covered by a duplicated k-gram occurrence
+    that is NOT its gram's global first occurrence (min (doc, pos)) is
+    removed; the first occurrence survives its own gram's cut (though an
+    overlapping OTHER duplicated gram may still cut its tokens — same
+    behavior as removing each repeated span independently).
+
+    Returns (id, text) with the rewritten text; docs losing every token
+    come back with empty text (filter downstream if desired). Three
+    exchanges total: gram-hash (mark + winner flag), doc-hash (interval
+    build), doc-hash merge join against the original text. The rebuild
+    is vectorized: flat token stream + boolean keep-mask + ListArray
+    re-offsetting + one binary_join."""
+    occ = kgram_occurrences(docs, text_col, id_col, k=k,
+                            lowercase=lowercase, hashed=hashed)
+    marked = _mark_duplicated(occ, id_col, min_docs=min_docs,
+                              num_partitions=num_partitions,
+                              keep_winner_flag=True)
+    losers = marked.map_batches(
+        lambda t: t.filter(pc.invert(t["is_first"])).select(
+            [id_col, "pos"]),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+    def _intervals(t: pa.Table) -> pa.Table:
+        # Intervals ride the join as PACKED BINARY blobs (little-endian
+        # int64 pairs), not list<int64>: Arrow's acero hash join rejects
+        # nested types in non-key payload columns, and a fixed-width
+        # blob decodes zero-copy on the other side.
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "cut_blob": pa.array([], type=pa.binary())})
+        from kettleray.ops.cdc import _col_np
+        d = _col_np(t, id_col)
+        p = _col_np(t, "pos")
+        order = np.lexsort((p, d))
+        sd, sp = d[order], p[order]
+        brk = _merge_islands(sd, sp, k)
+        sid = np.cumsum(brk) - 1
+        nspan = int(sid[-1]) + 1
+        first_pos = sp[brk]
+        last_pos = np.zeros(nspan, dtype=np.int64)
+        np.maximum.at(last_pos, sid, sp)
+        span_doc = sd[brk]
+        doc_change = np.empty(nspan, dtype=bool)
+        doc_change[0] = True
+        doc_change[1:] = span_doc[1:] != span_doc[:-1]
+        per_doc = np.bincount(np.cumsum(doc_change) - 1)
+        # interleave (start, end_inclusive) pairs per span, then pack
+        pairs = np.empty(nspan * 2, dtype="<i8")
+        pairs[0::2] = first_pos
+        pairs[1::2] = last_pos + k - 1
+        byte_offs = (np.concatenate([[0], np.cumsum(per_doc)])
+                     * 16).astype(np.int32)
+        blob = pa.Array.from_buffers(
+            pa.binary(), len(per_doc),
+            [None, pa.py_buffer(byte_offs.tobytes()),
+             pa.py_buffer(pairs.tobytes())])
+        return pa.table({
+            id_col: pa.array(span_doc[doc_change]).cast(t[id_col].type),
+            "cut_blob": blob})
+
+    p2 = max(4, num_partitions // 2)
+    intervals = losers.repartition(p2, keys=[id_col]).map_batches(
+        _intervals, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True)
+
+    # the interval set can be SMALL or empty (a mostly-unique corpus):
+    # solidify below the empty-partition regime so acero never sees a
+    # zero-column join side (see incdedup._solidify_small), and skip
+    # the join entirely at zero cuts — every doc still goes through
+    # _rebuild so output text normalization is cut-count-independent.
+    from kettleray.ops.incdedup import _solidify_small
+    id_type = dict(zip(docs.schema().names,
+                       docs.schema().types))[id_col]
+    intervals = _solidify_small(intervals, schema=pa.schema(
+        [(id_col, id_type), ("cut_blob", pa.binary())]),
+        num_partitions=p2)
+    base_docs = docs.select_columns([id_col, text_col])
+    if intervals.count() == 0:
+        joined = base_docs.map_batches(
+            lambda t: t.append_column(
+                "cut_blob", pa.nulls(t.num_rows, pa.binary())),
+            batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        from kettleray.ops.joins import merge_join
+        joined = merge_join(base_docs, intervals, on=[id_col],
+                            how="left", num_partitions=p2)
+
+    def _rebuild(t: pa.Table) -> pa.Table:
+        # split the ORIGINAL text: the keep-mask is position-based, so
+        # matching may be case-folded while the output keeps its case
+        toks = pc.utf8_split_whitespace(
+            pc.fill_null(pc.utf8_trim_whitespace(t[text_col]), ""))
+        counts = pc.list_value_length(toks) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        doc_start = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        nflat = len(flat)
+        # decode the packed interval blobs (one concatenation — the
+        # binary values buffer is contiguous in row order) and build the
+        # keep-mask with a difference array: +1 at each cut start, -1
+        # past each cut end, covered = running sum > 0. No per-row loop.
+        blob = pc.fill_null(t["cut_blob"], b"")
+        if isinstance(blob, pa.ChunkedArray):
+            blob = blob.combine_chunks()
+        boffs = np.frombuffer(blob.buffers()[1], dtype=np.int32)[
+            blob.offset: blob.offset + len(blob) + 1].astype(np.int64)
+        data = np.frombuffer(blob.buffers()[2] or b"", dtype=np.uint8)
+        pairs = data[boffs[0]:boffs[-1]]
+        pairs = pairs.view("<i8") if len(pairs) else \
+            np.empty(0, dtype=np.int64)
+        nspans_per_doc = (np.diff(boffs) // 16)
+        span_doc = np.repeat(np.arange(t.num_rows), nspans_per_doc)
+        base = doc_start[span_doc]
+        # token positions are 1-based; intervals inclusive
+        s_flat = base + pairs[0::2] - 1
+        e_flat = np.minimum(base + pairs[1::2],
+                            doc_start[span_doc] + counts[span_doc])
+        delta = np.zeros(nflat + 1, dtype=np.int64)
+        np.add.at(delta, s_flat, 1)
+        np.add.at(delta, e_flat, -1)
+        keep = np.cumsum(delta[:-1]) == 0
+        kept_per_doc = np.zeros(len(counts), dtype=np.int64)
+        np.add.at(kept_per_doc,
+                  np.repeat(np.arange(len(counts)), counts), keep)
+        offs = np.concatenate([[0], np.cumsum(kept_per_doc)]) \
+            .astype(np.int64)
+        la = pa.LargeListArray.from_arrays(
+            pa.array(offs, type=pa.int64()),
+            flat.filter(pa.array(keep)))
+        rebuilt = pc.binary_join(la, " ")
+        return pa.table({id_col: t[id_col], text_col: rebuilt})
+
+    return joined.map_batches(_rebuild, batch_format="pyarrow",
+                              batch_size=None, zero_copy_batch=True)

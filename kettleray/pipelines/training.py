@@ -1463,3 +1463,91 @@ FROM ev LEFT JOIN tr USING (gram) GROUP BY ev.doc_id
 # bloom prefilter is exact end-to-end (no false negatives + exact
 # verify join) — same oracle as the unfiltered plan by construction
 ORACLES["decontaminate_bloom"] = ORACLES["decontaminate"]
+
+
+def q_substring_dup_spans(sf_dir):
+    """Cross-doc duplicated-substring stats (the ExactSubstr detection
+    pass of Lee et al. 2022, hash-partitioned instead of suffix-array):
+    per doc, how many word-8-gram occurrences also appear verbatim in
+    another doc, merged into maximal spans with their token coverage."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.duplicate_span_stats(docs, "doc_id", "text", k=8,
+                                      num_partitions=8)
+
+
+def q_substring_dedup_cut(sf_dir):
+    """Duplicated-substring REMOVAL: every token covered by a duplicated
+    8-gram occurrence that is not its gram's global-first occurrence
+    (min (doc_id, pos)) is cut; text is rebuilt from the surviving
+    tokens. Exact string mode so the DuckDB oracle reproduces the winner
+    choice bit-for-bit."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.cut_duplicate_spans(docs, "doc_id", "text", k=8,
+                                     hashed=False, num_partitions=8)
+
+
+QUERIES["substring_dup_spans"] = q_substring_dup_spans
+QUERIES["substring_dedup_cut"] = q_substring_dedup_cut
+
+_SUBSTR_GRAMS = r"""
+a AS (
+  SELECT doc_id,
+         CASE WHEN trim(coalesce(lower(text), '')) = ''
+              THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(
+                  trim(coalesce(lower(text), '')), '\s+')
+         END AS arr,
+         CASE WHEN trim(coalesce(text, '')) = ''
+              THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(coalesce(text, '')), '\s+')
+         END AS arro
+  FROM documents),
+g AS (
+  SELECT doc_id, u.i AS pos, array_to_string(arr[u.i:u.i+7], ' ') AS gram
+  FROM a, LATERAL (SELECT unnest(range(1, len(arr) - 6)) AS i) u
+  WHERE len(arr) >= 8),
+dup AS (SELECT gram FROM g GROUP BY gram
+        HAVING count(DISTINCT doc_id) >= 2)
+"""
+
+ORACLES["substring_dup_spans"] = rf"""
+WITH {_SUBSTR_GRAMS},
+m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+              OR pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS brk
+  FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+grp AS (SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+        FROM isl),
+sp AS (SELECT doc_id, gid, min(pos) AS s, max(pos) AS e,
+              count(*) AS c
+       FROM grp GROUP BY doc_id, gid)
+SELECT doc_id, sum(c)::BIGINT AS dup_kgrams,
+       count(*)::BIGINT AS dup_spans,
+       sum(e - s + 8)::BIGINT AS dup_tokens
+FROM sp GROUP BY doc_id
+"""
+
+ORACLES["substring_dedup_cut"] = rf"""
+WITH {_SUBSTR_GRAMS},
+m AS (SELECT g.doc_id, g.pos,
+             row_number() OVER (PARTITION BY g.gram
+                                ORDER BY g.doc_id, g.pos) AS rk
+      FROM g JOIN dup USING (gram)),
+losers AS (SELECT doc_id, pos FROM m WHERE rk > 1),
+cut AS (SELECT DISTINCT l.doc_id, p.pos
+        FROM losers l,
+             LATERAL (SELECT unnest(range(l.pos, l.pos + 8)) AS pos) p),
+toks AS (SELECT doc_id, u.i AS pos, arro[u.i] AS tok
+         FROM a, LATERAL (SELECT unnest(range(1, len(arro) + 1)) AS i) u),
+kept AS (SELECT t.doc_id, t.pos, t.tok
+         FROM toks t LEFT JOIN cut c
+           ON t.doc_id = c.doc_id AND t.pos = c.pos
+         WHERE c.doc_id IS NULL)
+SELECT a.doc_id,
+       coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS text
+FROM a LEFT JOIN kept k ON a.doc_id = k.doc_id
+GROUP BY a.doc_id
+"""

@@ -107,7 +107,17 @@ def _run_worker(name: str, cpus: int) -> None:
     from kettleray import configure_ray_data
     ray.init(address="local", num_cpus=cpus, include_dashboard=False,
              logging_level="ERROR")
-    configure_ray_data()
+    ctx = configure_ray_data()
+    # IDENTICAL job config at every parallelism level (the scaling
+    # criterion compares the same job at N and 4N) — pin the
+    # hash-shuffle pool like bench.py does. Without this,
+    # configure_ray_data sizes aggregator ACTORS to the cpu count, and
+    # at small corpus sizes the 4N leg pays a 4x aggregator-spawn storm
+    # per shuffle stage that swamps the compute (measured: dedup_corpus
+    # at 80k docs ran 77.6 s @8 cpus vs 131.3 s @32 — clean probes —
+    # entirely stage-setup overhead).
+    ctx.max_hash_shuffle_aggregators = 8
+    ctx.default_hash_shuffle_parallelism = 32
     fn = JOBS[name]
     fn()                                   # untimed warmup
     sec, units = min(fn() for _ in range(2)), None
