@@ -681,3 +681,281 @@ def univariate_stats(ds, col: str) -> pa.Table:
                        Max(col, alias_name=f"{col}_max"),
                        Quantile(col, q=0.5, alias_name=f"{col}_median"))
     return pa.Table.from_pylist([row])
+
+
+# ---------------------------------------------------------------------
+# Running (cumulative) window aggregates + rank family
+# ---------------------------------------------------------------------
+
+def _segmented_scan(x: np.ndarray, seg_begin_idx: np.ndarray,
+                    op) -> np.ndarray:
+    """Segmented inclusive prefix scan for an idempotent associative op
+    (np.minimum / np.maximum) via Hillis-Steele log-doubling: log2(n)
+    vectorized passes, each position folds in the value d back IF that
+    position is still inside its own segment. No per-group Python loop,
+    dtype-preserving (int64 min/max stays exact)."""
+    out = x.copy()
+    n = len(x)
+    idx = np.arange(n)
+    d = 1
+    while d < n:
+        src = idx - d
+        valid = src >= seg_begin_idx
+        prev = out.copy()
+        out[valid] = op(prev[idx[valid]], prev[src[valid]])
+        d <<= 1
+    return out
+
+
+def running_aggregate(ds, group: Sequence[str], order: str,
+                      specs: Sequence[tuple[str | None, str, str]], *,
+                      num_partitions: int = 32):
+    """Cumulative window aggregates within sorted groups — SQL
+    ``fn(col) OVER (PARTITION BY group ORDER BY order ROWS BETWEEN
+    UNBOUNDED PRECEDING AND CURRENT ROW)`` plus the rank family.
+
+    specs: ``(src_col, fn, out_col)`` with fn in {``sum``, ``count``,
+    ``mean``, ``min``, ``max``, ``row_number``, ``rank``,
+    ``dense_rank``}. ``rank``/``dense_rank``/``row_number`` rank by the
+    ORDER column (src ignored, pass None). SQL null semantics for the
+    aggregates: nulls in src are skipped; the running value is NULL
+    until the first non-null. Use a tie-free order column for the
+    cumulative fns (SQL's default RANGE frame folds peers together;
+    this kernel is ROWS — they agree iff the order key is unique per
+    group). rank/dense_rank are tie-stable either way.
+
+    Scale shape: ONE key-hash exchange co-locates each group, then
+    every kernel is a vectorized segmented prefix scan over the
+    block's lexsort order (cumsum for sum/count/mean, log-doubling
+    min/max, boundary-indicator scans for the ranks) — no per-group
+    Python loop, no driver materialization. Beyond the reference:
+    Kettle's Analytic Query step (AnalyticQuery.java) only ships
+    LAG/LEAD; running totals there need a scripted accumulator which
+    breaks on any parallel row split."""
+    group = list(group)
+    shuffled = ds.repartition(num_partitions, keys=group)
+
+    def _out_type(src_t: pa.DataType | None, fn: str) -> pa.DataType:
+        if fn in ("row_number", "rank", "dense_rank", "count"):
+            return pa.int64()
+        if fn == "mean":
+            return pa.float64()
+        if fn == "sum":
+            return src_t if src_t is not None and \
+                pa.types.is_integer(src_t) else pa.float64()
+        return src_t                                     # min / max
+
+    def _fn(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        from kettleray.ops.cdc import _composite_key_codes
+        if t.num_columns == 0:
+            return t
+        if t.num_rows == 0:
+            for src, fn, out in specs:
+                st = t.schema.field(src).type if src else None
+                t = t.append_column(
+                    out, pa.array([], type=_out_type(st, fn)))
+            return t
+        codes = _composite_key_codes(t, group)
+        oarr = t[order].combine_chunks() if isinstance(
+            t[order], pa.ChunkedArray) else t[order]
+        ov = oarr.to_numpy(zero_copy_only=False)
+        perm = np.lexsort((ov, codes))
+        t = t.take(pa.array(perm, type=pa.int64()))
+        sk, ov = codes[perm], ov[perm]
+        n = len(sk)
+        seg_start = np.empty(n, dtype=bool)
+        seg_start[0] = True
+        seg_start[1:] = sk[1:] != sk[:-1]
+        begins = np.nonzero(seg_start)[0]
+        run_id = np.cumsum(seg_start) - 1
+        seg_begin_idx = begins[run_id]
+        pos = np.arange(n) - seg_begin_idx          # 0-based in segment
+        new_val = seg_start.copy()
+        new_val[1:] |= ov[1:] != ov[:-1]
+        for src, fn, out in specs:
+            if fn == "row_number":
+                t = t.append_column(out, pa.array(pos + 1,
+                                                  type=pa.int64()))
+                continue
+            if fn == "rank":
+                last_new = np.maximum.accumulate(
+                    np.where(new_val, np.arange(n), -1))
+                t = t.append_column(out, pa.array(
+                    last_new - seg_begin_idx + 1, type=pa.int64()))
+                continue
+            if fn == "dense_rank":
+                dr = np.cumsum(new_val)
+                t = t.append_column(out, pa.array(
+                    dr - dr[seg_begin_idx] + 1, type=pa.int64()))
+                continue
+            col = t[src].combine_chunks() if isinstance(
+                t[src], pa.ChunkedArray) else t[src]
+            valid = np.asarray(pc.is_valid(col))
+            nn_c = np.cumsum(valid.astype(np.int64))
+            base_c = nn_c[seg_begin_idx] - valid[seg_begin_idx]
+            nn = nn_c - base_c              # running non-null count
+            never = nn == 0
+            if fn == "count":
+                t = t.append_column(out, pa.array(nn, type=pa.int64()))
+                continue
+            if fn in ("sum", "mean"):
+                x = np.asarray(pc.fill_null(col, 0).to_numpy(
+                    zero_copy_only=False))
+                c = np.cumsum(x)
+                run = c - (c[seg_begin_idx] - x[seg_begin_idx])
+                if fn == "mean":
+                    vals = run.astype(np.float64) / np.maximum(nn, 1)
+                    arr = pa.array(vals, type=pa.float64(),
+                                   mask=never)
+                else:
+                    arr = pa.array(run, mask=never).cast(
+                        _out_type(col.type, fn))
+                t = t.append_column(out, arr)
+                continue
+            if fn in ("min", "max"):
+                x = col.to_numpy(zero_copy_only=False)
+                if valid.all():
+                    xs = x
+                else:                       # nulls: fold-neutral fill
+                    if np.issubdtype(x.dtype, np.floating):
+                        sent = np.inf if fn == "min" else -np.inf
+                    else:
+                        info = np.iinfo(x.dtype if np.issubdtype(
+                            x.dtype, np.integer) else np.int64)
+                        sent = info.max if fn == "min" else info.min
+                    xs = np.where(valid, x, sent)
+                op = np.minimum if fn == "min" else np.maximum
+                run = _segmented_scan(np.asarray(xs), seg_begin_idx, op)
+                t = t.append_column(
+                    out, pa.array(run, mask=never).cast(col.type))
+                continue
+            raise ValueError(f"running_aggregate: unknown fn {fn!r}")
+        return t
+
+    return shuffled.map_batches(_fn, batch_format="pyarrow",
+                                batch_size=None, zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------
+# ROLLUP / CUBE grouping sets from ONE pass over the data
+# ---------------------------------------------------------------------
+
+def grouping_sets_aggregate(ds, keys: Sequence[str],
+                            aggs: Sequence[Agg],
+                            sets: Sequence[Sequence[str]], *,
+                            gid_col: str = "grouping_id",
+                            num_partitions: int | None = None):
+    """GROUP BY GROUPING SETS computed the OLAP way: the FINEST
+    grouping (all keys) runs as ONE native distributed group_by over
+    the input; every other set re-aggregates the finest result — which
+    is group-cardinality-sized, so the coarser levels never rescan the
+    data. Restricted to algebraic aggs (sum / count / min / max / avg;
+    avg decomposes to sum+count and is finalized per level).
+
+    ``gid_col`` carries SQL GROUPING(k1..kn) semantics: bit (n-1-i) set
+    iff keys[i] is rolled up in that output row (DuckDB bit order).
+    Rolled-up key columns are typed NULLs, so results value-match
+    ``GROUP BY ROLLUP/CUBE`` byte for byte."""
+    keys = list(keys)
+    for a in aggs:
+        if a.fn not in ("sum", "count", "min", "max", "avg"):
+            raise ValueError(
+                f"grouping_sets_aggregate: {a.fn} is not algebraic — "
+                f"rollup-from-partials needs sum/count/min/max/avg")
+    schema = ds.schema()
+    key_type = {n: t for n, t in zip(schema.names, schema.types)}
+
+    # decompose: avg -> (sum, count); count -> count at finest, then
+    # SUMMED at coarser levels
+    base_aggs: list[Agg] = []
+    for a in aggs:
+        if a.fn == "avg":
+            base_aggs.append(Agg(a.col, "sum", f"__sum_{a.alias}"))
+            base_aggs.append(Agg(a.col, "count", f"__cnt_{a.alias}"))
+        else:
+            base_aggs.append(Agg(a.col, a.fn, a.alias))
+    finest = group_by(ds, keys, base_aggs,
+                      num_partitions=num_partitions).materialize()
+
+    re_aggs = [Agg(a.alias, "sum" if a.fn == "count" else a.fn,
+                   a.alias) for a in base_aggs]
+    out_names = keys + [gid_col] + [a.alias for a in aggs]
+
+    def _level(sub: tuple[str, ...]):
+        gid = sum(1 << (len(keys) - 1 - i)
+                  for i, k in enumerate(keys) if k not in sub)
+        if len(sub) == len(keys):
+            lvl = finest
+        elif sub:
+            lvl = group_by(finest, list(sub), re_aggs)
+        else:                       # grand total: constant-key groupby
+            lvl = group_by(
+                finest.map_batches(
+                    lambda t: t.append_column(
+                        "__all__", pa.array(np.zeros(t.num_rows,
+                                                     dtype=np.int64))),
+                    batch_format="pyarrow", zero_copy_batch=True),
+                ["__all__"], re_aggs)
+
+        def _shape(t: pa.Table, sub=sub, gid=gid) -> pa.Table:
+            if t.num_columns == 0:
+                return t
+            n = t.num_rows
+            cols = {}
+            for k in keys:
+                cols[k] = t[k] if k in sub else pa.nulls(
+                    n, type=key_type[k])
+            cols[gid_col] = pa.array(np.full(n, gid, dtype=np.int64))
+            for a in aggs:
+                if a.fn == "avg":
+                    s = t[f"__sum_{a.alias}"].combine_chunks() \
+                        if isinstance(t[f"__sum_{a.alias}"],
+                                      pa.ChunkedArray) \
+                        else t[f"__sum_{a.alias}"]
+                    c = t[f"__cnt_{a.alias}"]
+                    import pyarrow.compute as pc
+                    cols[a.alias] = pc.divide(
+                        s.cast(pa.float64()),
+                        pa.array(np.maximum(
+                            np.asarray(c.to_numpy(
+                                zero_copy_only=False)), 1),
+                            type=pa.float64()))
+                else:
+                    cols[a.alias] = t[a.alias]
+            return pa.table({k: cols[k] for k in out_names})
+
+        return lvl.map_batches(_shape, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    out = None
+    for sub in sets:
+        lv = _level(tuple(sub))
+        out = lv if out is None else out.union(lv)
+    return out
+
+
+def rollup_aggregate(ds, keys: Sequence[str], aggs: Sequence[Agg], *,
+                     gid_col: str = "grouping_id",
+                     num_partitions: int | None = None):
+    """GROUP BY ROLLUP(keys): every key prefix + grand total."""
+    keys = list(keys)
+    sets = [tuple(keys[:i]) for i in range(len(keys), -1, -1)]
+    return grouping_sets_aggregate(ds, keys, aggs, sets,
+                                   gid_col=gid_col,
+                                   num_partitions=num_partitions)
+
+
+def cube_aggregate(ds, keys: Sequence[str], aggs: Sequence[Agg], *,
+                   gid_col: str = "grouping_id",
+                   num_partitions: int | None = None):
+    """GROUP BY CUBE(keys): all 2^k key subsets (k is small by
+    construction — this is an OLAP summary, not a shuffle fan-out; the
+    input is scanned ONCE regardless of k)."""
+    keys = list(keys)
+    import itertools
+    sets = [tuple(c) for r in range(len(keys), -1, -1)
+            for c in itertools.combinations(keys, r)]
+    return grouping_sets_aggregate(ds, keys, aggs, sets,
+                                   gid_col=gid_col,
+                                   num_partitions=num_partitions)

@@ -623,6 +623,53 @@ def q_script_values(sf_dir):
                                "taxed", "big", "bucket"])
 
 
+def q_window_running(sf_dir):
+    """Running totals per customer over a tie-free order key — the
+    cumulative window family Kettle's Analytic Query lacks."""
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_orderkey",
+                               "o_totalprice"])
+    return ag.running_aggregate(
+        ds, ["o_custkey"], "o_orderkey",
+        [("o_totalprice", "sum", "run_total"),
+         ("o_totalprice", "count", "run_n"),
+         ("o_totalprice", "max", "run_max"),
+         ("o_totalprice", "mean", "run_avg"),
+         (None, "row_number", "rn")],
+        num_partitions=8)
+
+
+def q_window_rank(sf_dir):
+    """RANK / DENSE_RANK per priority over a tie-heavy order column
+    (o_orderdate repeats within priority) — tie groups share ranks, so
+    the result is deterministic under any arrival order."""
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority",
+                               "o_orderdate"])
+    return ag.running_aggregate(
+        ds, ["o_orderpriority"], "o_orderdate",
+        [(None, "rank", "rk"), (None, "dense_rank", "drk")],
+        num_partitions=8)
+
+
+def q_rollup_sales(sf_dir):
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_linestatus",
+                                 "l_quantity", "l_extendedprice"])
+    return ag.rollup_aggregate(
+        ds, ["l_returnflag", "l_linestatus"],
+        [ag.Agg("l_quantity", "sum", "sum_qty"),
+         ag.Agg("l_extendedprice", "avg", "avg_price"),
+         ag.Agg(None, "count", "n_rows")])
+
+
+def q_cube_sales(sf_dir):
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_linestatus",
+                                 "l_quantity"])
+    return ag.cube_aggregate(
+        ds, ["l_returnflag", "l_linestatus"],
+        [ag.Agg("l_quantity", "sum", "sum_qty"),
+         ag.Agg("l_quantity", "min", "min_qty"),
+         ag.Agg("l_quantity", "max", "max_qty")])
+
+
 QUERIES = {
     "select_values": q_select_values,
     "filter_rows": q_filter_rows,
@@ -677,6 +724,10 @@ QUERIES = {
     "formula": q_formula,
     "split_fields": q_split_fields,
     "deterministic_sample": q_deterministic_sample,
+    "window_running": q_window_running,
+    "window_rank": q_window_rank,
+    "rollup_sales": q_rollup_sales,
+    "cube_sales": q_cube_sales,
 }
 
 
@@ -954,4 +1005,31 @@ ORACLES = {
         "SELECT o_orderkey, o_totalprice, "
         "md5(CAST(o_orderkey AS VARCHAR)) AS __h FROM orders "
         "ORDER BY __h LIMIT 20",
+    "window_running":
+        "SELECT o_custkey, o_orderkey, o_totalprice, "
+        "SUM(o_totalprice) OVER w AS run_total, "
+        "COUNT(o_totalprice) OVER w AS run_n, "
+        "MAX(o_totalprice) OVER w AS run_max, "
+        "AVG(o_totalprice) OVER w AS run_avg, "
+        "ROW_NUMBER() OVER w AS rn FROM orders "
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+    "window_rank":
+        "SELECT o_orderkey, o_orderpriority, o_orderdate, "
+        "RANK() OVER w AS rk, DENSE_RANK() OVER w AS drk FROM orders "
+        "WINDOW w AS (PARTITION BY o_orderpriority "
+        "ORDER BY o_orderdate)",
+    "rollup_sales":
+        "SELECT l_returnflag, l_linestatus, "
+        "GROUPING(l_returnflag, l_linestatus) AS grouping_id, "
+        "SUM(l_quantity) AS sum_qty, "
+        "AVG(l_extendedprice) AS avg_price, "
+        "COUNT(*) AS n_rows FROM lineitem "
+        "GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+    "cube_sales":
+        "SELECT l_returnflag, l_linestatus, "
+        "GROUPING(l_returnflag, l_linestatus) AS grouping_id, "
+        "SUM(l_quantity) AS sum_qty, MIN(l_quantity) AS min_qty, "
+        "MAX(l_quantity) AS max_qty FROM lineitem "
+        "GROUP BY CUBE (l_returnflag, l_linestatus)",
 }

@@ -1,0 +1,129 @@
+"""Running-window aggregates + ROLLUP/CUBE grouping sets vs DuckDB.
+
+Covers what the sf-table gate queries can't: nulls in the aggregated
+column (SQL skip-null semantics, NULL until first non-null), integer
+min/max through the segmented log-doubling scan (dtype-exact), and a
+NULL key value in a rollup (natural-NULL group at gid=0 vs rolled-up
+NULL at gid>0 stay distinct rows).
+"""
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from kettleray.ops import aggregates as ag
+
+
+def _cmp(ds, sql, tbl):
+    con = duckdb.connect()
+    con.register("t", tbl.to_pandas())
+    odf = con.execute(sql).fetchdf()
+    df = ds.to_pandas()
+    cols = sorted(df.columns)
+    assert cols == sorted(odf.columns), (cols, sorted(odf.columns))
+    a = df[cols].sort_values(cols).reset_index(drop=True)
+    b = odf[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                  check_exact=False, rtol=1e-9)
+
+
+def _nullable_tbl():
+    rng = np.random.RandomState(7)
+    n = 500
+    g = rng.randint(0, 8, n)
+    o = np.arange(n)                       # tie-free order key
+    x = rng.randint(-50, 50, n).astype(np.int64)
+    mask = rng.rand(n) < 0.3               # 30% nulls, incl. group heads
+    return pa.table({
+        "g": pa.array(g, type=pa.int64()),
+        "o": pa.array(o, type=pa.int64()),
+        "x": pa.array(x, mask=mask),
+    })
+
+
+def test_running_aggregate_null_semantics(ray_session):
+    tbl = _nullable_tbl()
+    ds = ag.running_aggregate(
+        ray.data.from_arrow(tbl), ["g"], "o",
+        [("x", "sum", "rs"), ("x", "count", "rc"),
+         ("x", "min", "rmin"), ("x", "max", "rmax"),
+         ("x", "mean", "rmean"), (None, "row_number", "rn")],
+        num_partitions=4)
+    _cmp(ds,
+         "SELECT g, o, x, SUM(x) OVER w AS rs, COUNT(x) OVER w AS rc, "
+         "MIN(x) OVER w AS rmin, MAX(x) OVER w AS rmax, "
+         "AVG(x) OVER w AS rmean, ROW_NUMBER() OVER w AS rn FROM t "
+         "WINDOW w AS (PARTITION BY g ORDER BY o ROWS BETWEEN "
+         "UNBOUNDED PRECEDING AND CURRENT ROW)", tbl)
+
+
+def test_running_min_max_int_exact(ray_session):
+    # large int64 values that would lose precision through float64
+    big = 2**62
+    tbl = pa.table({
+        "g": pa.array([1, 1, 1, 2, 2], type=pa.int64()),
+        "o": pa.array([1, 2, 3, 1, 2], type=pa.int64()),
+        "x": pa.array([big + 3, big + 1, big + 2, big + 9, big + 8],
+                      type=pa.int64()),
+    })
+    out = ag.running_aggregate(
+        ray.data.from_arrow(tbl), ["g"], "o",
+        [("x", "min", "rmin"), ("x", "max", "rmax")],
+        num_partitions=2).to_pandas().sort_values(["g", "o"])
+    assert out["rmin"].tolist() == [big + 3, big + 1, big + 1,
+                                    big + 9, big + 8]
+    assert out["rmax"].tolist() == [big + 3, big + 3, big + 3,
+                                    big + 9, big + 9]
+    assert out["rmin"].dtype == np.int64
+
+
+def test_rank_dense_rank_ties(ray_session):
+    tbl = pa.table({
+        "g": pa.array(["a"] * 5 + ["b"] * 3),
+        "o": pa.array([10, 10, 20, 20, 30, 5, 5, 5], type=pa.int64()),
+        "i": pa.array(list(range(8)), type=pa.int64()),
+    })
+    ds = ag.running_aggregate(
+        ray.data.from_arrow(tbl), ["g"], "o",
+        [(None, "rank", "rk"), (None, "dense_rank", "drk")],
+        num_partitions=2)
+    _cmp(ds,
+         "SELECT g, o, i, RANK() OVER w AS rk, "
+         "DENSE_RANK() OVER w AS drk FROM t "
+         "WINDOW w AS (PARTITION BY g ORDER BY o)", tbl)
+
+
+def test_rollup_with_null_key(ray_session):
+    tbl = pa.table({
+        "k1": pa.array(["x", "x", None, None, "y"]),
+        "k2": pa.array(["p", "q", "p", "p", None]),
+        "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+    })
+    ds = ag.rollup_aggregate(
+        ray.data.from_arrow(tbl), ["k1", "k2"],
+        [ag.Agg("v", "sum", "sv"), ag.Agg(None, "count", "n"),
+         ag.Agg("v", "avg", "av")])
+    _cmp(ds,
+         "SELECT k1, k2, GROUPING(k1, k2) AS grouping_id, "
+         "SUM(v) AS sv, COUNT(*) AS n, AVG(v) AS av FROM t "
+         "GROUP BY ROLLUP (k1, k2)", tbl)
+
+
+def test_cube_matches_duckdb(ray_session):
+    rng = np.random.RandomState(3)
+    n = 300
+    tbl = pa.table({
+        "k1": pa.array(rng.choice(["a", "b", "c"], n)),
+        "k2": pa.array(rng.randint(0, 4, n), type=pa.int64()),
+        "v": pa.array(rng.randint(0, 100, n).astype(np.int64)),
+    })
+    ds = ag.cube_aggregate(
+        ray.data.from_arrow(tbl), ["k1", "k2"],
+        [ag.Agg("v", "min", "mn"), ag.Agg("v", "max", "mx"),
+         ag.Agg("v", "sum", "sv")])
+    _cmp(ds,
+         "SELECT k1, k2, GROUPING(k1, k2) AS grouping_id, "
+         "MIN(v) AS mn, MAX(v) AS mx, "
+         "CAST(SUM(v) AS BIGINT) AS sv FROM t "
+         "GROUP BY CUBE (k1, k2)", tbl)
