@@ -714,15 +714,20 @@ def running_aggregate(ds, group: Sequence[str], order: str,
     ``fn(col) OVER (PARTITION BY group ORDER BY order ROWS BETWEEN
     UNBOUNDED PRECEDING AND CURRENT ROW)`` plus the rank family.
 
-    specs: ``(src_col, fn, out_col)`` with fn in {``sum``, ``count``,
-    ``mean``, ``min``, ``max``, ``row_number``, ``rank``,
-    ``dense_rank``}. ``rank``/``dense_rank``/``row_number`` rank by the
-    ORDER column (src ignored, pass None). SQL null semantics for the
-    aggregates: nulls in src are skipped; the running value is NULL
-    until the first non-null. Use a tie-free order column for the
-    cumulative fns (SQL's default RANGE frame folds peers together;
-    this kernel is ROWS — they agree iff the order key is unique per
-    group). rank/dense_rank are tie-stable either way.
+    specs: ``(src_col, fn, out_col)`` or ``(src_col, fn, out_col,
+    opt)`` with fn in {``sum``, ``count``, ``mean``, ``min``, ``max``,
+    ``first_value``, ``row_number``, ``rank``, ``dense_rank``,
+    ``percent_rank``, ``cume_dist``, ``ntile``}. The rank family ranks
+    by the ORDER column (src ignored, pass None). ``opt`` is the
+    moving-frame size in rows for sum/count/mean (SQL ``ROWS BETWEEN
+    opt-1 PRECEDING AND CURRENT ROW``; omitted = unbounded) and the
+    tile count for ``ntile``. SQL null semantics for the aggregates:
+    nulls in src are skipped; the running value is NULL until the
+    first non-null (``first_value`` keeps SQL's take-the-row rule —
+    a leading null IS the first value). Use a tie-free order column
+    for the cumulative fns (SQL's default RANGE frame folds peers
+    together; this kernel is ROWS — they agree iff the order key is
+    unique per group). The rank family is tie-stable either way.
 
     Scale shape: ONE key-hash exchange co-locates each group, then
     every kernel is a vectorized segmented prefix scan over the
@@ -733,17 +738,19 @@ def running_aggregate(ds, group: Sequence[str], order: str,
     LAG/LEAD; running totals there need a scripted accumulator which
     breaks on any parallel row split."""
     group = list(group)
+    specs = [s if len(s) == 4 else (*s, None) for s in specs]
     shuffled = ds.repartition(num_partitions, keys=group)
 
     def _out_type(src_t: pa.DataType | None, fn: str) -> pa.DataType:
-        if fn in ("row_number", "rank", "dense_rank", "count"):
+        if fn in ("row_number", "rank", "dense_rank", "count",
+                  "ntile"):
             return pa.int64()
-        if fn == "mean":
+        if fn in ("mean", "percent_rank", "cume_dist"):
             return pa.float64()
         if fn == "sum":
             return src_t if src_t is not None and \
                 pa.types.is_integer(src_t) else pa.float64()
-        return src_t                                     # min / max
+        return src_t                    # min / max / first_value
 
     def _fn(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -751,18 +758,21 @@ def running_aggregate(ds, group: Sequence[str], order: str,
         if t.num_columns == 0:
             return t
         if t.num_rows == 0:
-            for src, fn, out in specs:
+            for src, fn, out, _opt in specs:
                 st = t.schema.field(src).type if src else None
                 t = t.append_column(
                     out, pa.array([], type=_out_type(st, fn)))
             return t
         codes = _composite_key_codes(t, group)
-        oarr = t[order].combine_chunks() if isinstance(
-            t[order], pa.ChunkedArray) else t[order]
-        ov = oarr.to_numpy(zero_copy_only=False)
-        perm = np.lexsort((ov, codes))
+        ovs = []
+        for oc in ([order] if isinstance(order, str) else list(order)):
+            oarr = t[oc].combine_chunks() if isinstance(
+                t[oc], pa.ChunkedArray) else t[oc]
+            ovs.append(oarr.to_numpy(zero_copy_only=False))
+        perm = np.lexsort((*reversed(ovs), codes))
         t = t.take(pa.array(perm, type=pa.int64()))
-        sk, ov = codes[perm], ov[perm]
+        sk = codes[perm]
+        ovs = [ov[perm] for ov in ovs]
         n = len(sk)
         seg_start = np.empty(n, dtype=bool)
         seg_start[0] = True
@@ -772,30 +782,70 @@ def running_aggregate(ds, group: Sequence[str], order: str,
         seg_begin_idx = begins[run_id]
         pos = np.arange(n) - seg_begin_idx          # 0-based in segment
         new_val = seg_start.copy()
-        new_val[1:] |= ov[1:] != ov[:-1]
-        for src, fn, out in specs:
+        for ov in ovs:                  # tie = equal FULL order tuple
+            new_val[1:] |= ov[1:] != ov[:-1]
+        run_len = np.append(begins[1:], n) - begins
+        seg_len = run_len[run_id]           # partition size, per row
+        for src, fn, out, opt in specs:
             if fn == "row_number":
                 t = t.append_column(out, pa.array(pos + 1,
                                                   type=pa.int64()))
                 continue
-            if fn == "rank":
+            if fn in ("rank", "percent_rank"):
                 last_new = np.maximum.accumulate(
                     np.where(new_val, np.arange(n), -1))
-                t = t.append_column(out, pa.array(
-                    last_new - seg_begin_idx + 1, type=pa.int64()))
+                rk = last_new - seg_begin_idx + 1
+                if fn == "rank":
+                    t = t.append_column(out, pa.array(
+                        rk, type=pa.int64()))
+                else:           # SQL: (rank-1)/(n-1), 0 for n==1
+                    t = t.append_column(out, pa.array(
+                        (rk - 1) / np.maximum(seg_len - 1, 1),
+                        type=pa.float64()))
                 continue
             if fn == "dense_rank":
                 dr = np.cumsum(new_val)
                 t = t.append_column(out, pa.array(
                     dr - dr[seg_begin_idx] + 1, type=pa.int64()))
                 continue
+            if fn == "cume_dist":
+                # frame end of each PEER run (ties share the value)
+                starts = np.nonzero(new_val)[0]
+                peer_id = np.cumsum(new_val) - 1
+                peer_end = np.append(starts[1:], n) - 1
+                t = t.append_column(out, pa.array(
+                    (peer_end[peer_id] - seg_begin_idx + 1) / seg_len,
+                    type=pa.float64()))
+                continue
+            if fn == "ntile":
+                k = int(opt)
+                size = seg_len // k
+                rem = seg_len % k
+                cut = rem * (size + 1)      # rows in the fat tiles
+                fat = pos < cut
+                tile = np.where(
+                    fat, pos // np.maximum(size + 1, 1),
+                    rem + (pos - cut) // np.maximum(size, 1))
+                t = t.append_column(out, pa.array(
+                    tile + 1, type=pa.int64()))
+                continue
+            if fn == "first_value":
+                col = t[src].combine_chunks() if isinstance(
+                    t[src], pa.ChunkedArray) else t[src]
+                t = t.append_column(out, col.take(pa.array(
+                    seg_begin_idx, type=pa.int64())))
+                continue
             col = t[src].combine_chunks() if isinstance(
                 t[src], pa.ChunkedArray) else t[src]
             valid = np.asarray(pc.is_valid(col))
             nn_c = np.cumsum(valid.astype(np.int64))
-            base_c = nn_c[seg_begin_idx] - valid[seg_begin_idx]
-            nn = nn_c - base_c              # running non-null count
-            never = nn == 0
+            # frame start: unbounded = segment head; moving = opt rows
+            # ending at the current one (never crossing the segment)
+            fa = seg_begin_idx if opt is None else np.maximum(
+                np.arange(n) - (int(opt) - 1), seg_begin_idx)
+            fprev = fa - 1
+            nn = nn_c - np.where(fprev >= 0, nn_c[fprev], 0)
+            never = nn == 0                 # in-frame non-null count
             if fn == "count":
                 t = t.append_column(out, pa.array(nn, type=pa.int64()))
                 continue
@@ -803,7 +853,8 @@ def running_aggregate(ds, group: Sequence[str], order: str,
                 x = np.asarray(pc.fill_null(col, 0).to_numpy(
                     zero_copy_only=False))
                 c = np.cumsum(x)
-                run = c - (c[seg_begin_idx] - x[seg_begin_idx])
+                run = c - np.where(fprev >= 0, c[fprev],
+                                   np.zeros(1, dtype=c.dtype))
                 if fn == "mean":
                     vals = run.astype(np.float64) / np.maximum(nn, 1)
                     arr = pa.array(vals, type=pa.float64(),
@@ -814,6 +865,11 @@ def running_aggregate(ds, group: Sequence[str], order: str,
                 t = t.append_column(out, arr)
                 continue
             if fn in ("min", "max"):
+                if opt is not None:
+                    raise ValueError(
+                        "running_aggregate: moving-frame min/max is "
+                        "not supported (needs a monotone-deque sweep, "
+                        "not a prefix scan) — use unbounded frames")
                 x = col.to_numpy(zero_copy_only=False)
                 if valid.all():
                     xs = x

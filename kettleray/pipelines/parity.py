@@ -646,7 +646,23 @@ def q_window_rank(sf_dir):
                                "o_orderdate"])
     return ag.running_aggregate(
         ds, ["o_orderpriority"], "o_orderdate",
-        [(None, "rank", "rk"), (None, "dense_rank", "drk")],
+        [(None, "rank", "rk"), (None, "dense_rank", "drk"),
+         (None, "percent_rank", "prk"), (None, "cume_dist", "cd")],
+        num_partitions=8)
+
+
+def q_window_moving(sf_dir):
+    """Trailing 5-row moving sum/avg/count per customer + the
+    partition's first order value — the moving-frame family."""
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_orderkey",
+                               "o_totalprice"])
+    return ag.running_aggregate(
+        ds, ["o_custkey"], "o_orderkey",
+        [("o_totalprice", "sum", "mov_sum", 5),
+         ("o_totalprice", "mean", "mov_avg", 5),
+         ("o_totalprice", "count", "mov_n", 5),
+         ("o_totalprice", "first_value", "first_price"),
+         (None, "ntile", "tile", 7)],
         num_partitions=8)
 
 
@@ -726,6 +742,7 @@ QUERIES = {
     "deterministic_sample": q_deterministic_sample,
     "window_running": q_window_running,
     "window_rank": q_window_rank,
+    "window_moving": q_window_moving,
     "rollup_sales": q_rollup_sales,
     "cube_sales": q_cube_sales,
 }
@@ -1016,9 +1033,23 @@ ORACLES = {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
     "window_rank":
         "SELECT o_orderkey, o_orderpriority, o_orderdate, "
-        "RANK() OVER w AS rk, DENSE_RANK() OVER w AS drk FROM orders "
-        "WINDOW w AS (PARTITION BY o_orderpriority "
+        "RANK() OVER w AS rk, DENSE_RANK() OVER w AS drk, "
+        "PERCENT_RANK() OVER w AS prk, CUME_DIST() OVER w AS cd "
+        "FROM orders WINDOW w AS (PARTITION BY o_orderpriority "
         "ORDER BY o_orderdate)",
+    "window_moving":
+        "SELECT o_custkey, o_orderkey, o_totalprice, "
+        "SUM(o_totalprice) OVER w5 AS mov_sum, "
+        "AVG(o_totalprice) OVER w5 AS mov_avg, "
+        "COUNT(o_totalprice) OVER w5 AS mov_n, "
+        "FIRST_VALUE(o_totalprice) OVER wu AS first_price, "
+        "NTILE(7) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderkey) AS tile "
+        "FROM orders WINDOW "
+        "w5 AS (PARTITION BY o_custkey ORDER BY o_orderkey "
+        "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), "
+        "wu AS (PARTITION BY o_custkey ORDER BY o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
     "rollup_sales":
         "SELECT l_returnflag, l_linestatus, "
         "GROUPING(l_returnflag, l_linestatus) AS grouping_id, "

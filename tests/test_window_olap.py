@@ -127,3 +127,54 @@ def test_cube_matches_duckdb(ray_session):
          "MIN(v) AS mn, MAX(v) AS mx, "
          "CAST(SUM(v) AS BIGINT) AS sv FROM t "
          "GROUP BY CUBE (k1, k2)", tbl)
+
+
+def test_moving_frame_and_distribution_fns(ray_session):
+    tbl = _nullable_tbl()
+    ds = ag.running_aggregate(
+        ray.data.from_arrow(tbl), ["g"], "o",
+        [("x", "sum", "ms", 7), ("x", "count", "mc", 7),
+         ("x", "mean", "ma", 7), ("x", "first_value", "fv"),
+         (None, "percent_rank", "prk"), (None, "cume_dist", "cd"),
+         (None, "ntile", "t4", 4)],
+        num_partitions=4)
+    _cmp(ds,
+         "SELECT g, o, x, SUM(x) OVER w7 AS ms, COUNT(x) OVER w7 AS "
+         "mc, AVG(x) OVER w7 AS ma, FIRST_VALUE(x) OVER wu AS fv, "
+         "PERCENT_RANK() OVER (PARTITION BY g ORDER BY o) AS prk, "
+         "CUME_DIST() OVER (PARTITION BY g ORDER BY o) AS cd, "
+         "NTILE(4) OVER (PARTITION BY g ORDER BY o) AS t4 FROM t "
+         "WINDOW w7 AS (PARTITION BY g ORDER BY o ROWS BETWEEN 6 "
+         "PRECEDING AND CURRENT ROW), wu AS (PARTITION BY g ORDER BY "
+         "o ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", tbl)
+
+
+def test_ntile_more_tiles_than_rows(ray_session):
+    tbl = pa.table({"g": pa.array([1, 1, 2], type=pa.int64()),
+                    "o": pa.array([1, 2, 1], type=pa.int64())})
+    out = ag.running_aggregate(
+        ray.data.from_arrow(tbl), ["g"], "o",
+        [(None, "ntile", "t5", 5)],
+        num_partitions=2).to_pandas().sort_values(["g", "o"])
+    assert out["t5"].tolist() == [1, 2, 1]
+
+
+def test_multi_column_order_ties(ray_session):
+    # ties on o1 broken by o2; rank ties = equal FULL (o1, o2) tuple
+    tbl = pa.table({
+        "g": pa.array([1] * 6, type=pa.int64()),
+        "o1": pa.array([10, 10, 10, 20, 20, 30], type=pa.int64()),
+        "o2": pa.array([2, 1, 2, 1, 1, 1], type=pa.int64()),
+        "x": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0]),
+    })
+    ds = ag.running_aggregate(
+        ray.data.from_arrow(tbl), ["g"], ["o1", "o2"],
+        [(None, "rank", "rk"), (None, "dense_rank", "drk"),
+         ("x", "sum", "rs")],
+        num_partitions=2)
+    _cmp(ds,
+         "SELECT g, o1, o2, x, RANK() OVER w AS rk, "
+         "DENSE_RANK() OVER w AS drk, SUM(x) OVER (PARTITION BY g "
+         "ORDER BY o1, o2 ROWS BETWEEN UNBOUNDED PRECEDING AND "
+         "CURRENT ROW) AS rs FROM t "
+         "WINDOW w AS (PARTITION BY g ORDER BY o1, o2)", tbl)
