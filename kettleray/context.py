@@ -53,3 +53,24 @@ def configure_ray_data(
         ctx.enable_progress_bars = False
         ctx.execution_options.verbose_progress = False
     return ctx
+
+
+def auto_pool(lo: int = 1, *, per_actor_cpus: int = 1,
+              floor: int = 8) -> tuple[int, int]:
+    """Actor-pool bounds sized to the CLUSTER, not a constant.
+
+    ``(lo, max(floor, cluster_cpus // per_actor_cpus))`` — the
+    per-stage analog of the aggregator sizing in
+    :func:`configure_ray_data`. A fixed ``concurrency=(1, 8)`` caps a
+    stateful stage at 8 cores no matter the cluster: at 4x the nodes
+    the stage runs at exactly the same speed and the whole job's
+    scaling efficiency inherits the cap. Falls back to ``(lo, floor)``
+    with no Ray session (schema-inference contexts)."""
+    try:
+        import ray
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", floor))
+            return (lo, max(floor, cpus // max(per_actor_cpus, 1)))
+    except Exception:
+        pass
+    return (lo, floor)

@@ -1929,3 +1929,107 @@ def compact_state(root: str, *, max_files_per_bucket: int = 4) -> Manifest:
     os.rename(stage, _version_dir(root, nv))
     _write_current(root, nv)
     return man2
+
+
+def _link_version_tree(src_vdir: str, stage: str) -> int:
+    """Hardlink every parquet file of a committed version dir into
+    ``stage``, preserving the relative layout (bucket=K/, delta/,
+    quarantine sub-dirs all ride along). Metadata-only: no data bytes
+    move; COW discipline everywhere else means neither side can later
+    mutate a shared file in place. Returns files linked."""
+    n = 0
+    for base, _, names in os.walk(src_vdir):
+        rel = os.path.relpath(base, src_vdir)
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            dst = stage if rel == "." else os.path.join(stage, rel)
+            os.makedirs(dst, exist_ok=True)
+            os.link(os.path.join(base, name), os.path.join(dst, name))
+            n += 1
+    return n
+
+
+def clone_state(src_root: str, dst_root: str, *,
+                version: int | None = None) -> Manifest:
+    """Zero-copy shallow clone: publish ``src_root``'s committed
+    version (CURRENT by default) as ``dst_root``'s v0001 by
+    hardlinking its data files — O(files) metadata ops, zero data
+    bytes, regardless of table size (same filesystem; the object-store
+    analog is manifest-level file sharing). Clone and source then
+    evolve independently: every writer in this module stages new files
+    and never mutates committed ones, so shared files stay immutable
+    until the LAST table referencing them gc's its version (the
+    hardlink refcount is the share count — same mechanism
+    gc_versions already relies on across versions).
+
+    ≙ the lakehouse "shallow clone / snapshot export" (Kettle has no
+    table-state analog; closest is Copy rows to result as a dev-time
+    handoff). Use cases: dev/test forks of a production table,
+    experiment baselines, pre-migration safety copies."""
+    v = version if version is not None else current_version(src_root)
+    if v is None:
+        raise FileNotFoundError(f"no committed state under {src_root}")
+    man = read_manifest(src_root, v)
+    if os.path.exists(os.path.join(dst_root, "CURRENT")):
+        raise FileExistsError(
+            f"clone_state: {dst_root} already has committed state")
+    os.makedirs(dst_root, exist_ok=True)
+    stage = os.path.join(dst_root, f"_stage_v0001.{uuid.uuid4().hex[:8]}")
+    t0 = time.time()
+    linked = _link_version_tree(_version_dir(src_root, v), stage)
+    man2 = Manifest(version=1, watermark=man.watermark,
+                    schema=man.schema, files=man.files,
+                    metrics={**man.metrics,
+                             "write_sec": round(time.time() - t0, 3),
+                             "cloned_from": f"{src_root}@v{v}",
+                             "cloned_files": linked})
+    with open(os.path.join(stage, "manifest.json"), "w") as f:
+        f.write(man2.to_json())
+    try:
+        os.rename(stage, _version_dir(dst_root, 1))
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+    _write_current(dst_root, 1)
+    return man2
+
+
+def restore_version(root: str, version: int) -> Manifest:
+    """RESTORE TABLE ... TO VERSION AS OF — re-commit an OLD version's
+    exact content as a NEW version (roll-forward undo). History is
+    preserved: the bad versions stay readable for time travel until
+    gc_versions expires them, and the restore itself is one hardlink
+    commit (O(files), no data rewrite). The manifest watermark reverts
+    to the restored version's, so replay/feed cursors resume from the
+    restored point and the change feed between CURRENT-1 and CURRENT
+    shows exactly the rows the restore changed back."""
+    src_vdir = _version_dir(root, version)
+    if not os.path.isdir(src_vdir):
+        raise FileNotFoundError(
+            f"restore_version: v{version:04d} not found under {root} "
+            f"(expired by gc_versions?)")
+    man = read_manifest(root, version)
+    nv = _next_version(root)
+    stage = os.path.join(root, f"_stage_v{nv:04d}.{uuid.uuid4().hex[:8]}")
+    t0 = time.time()
+    linked = _link_version_tree(src_vdir, stage)
+    man2 = Manifest(version=nv, watermark=man.watermark,
+                    schema=man.schema, files=man.files,
+                    metrics={**man.metrics,
+                             "write_sec": round(time.time() - t0, 3),
+                             "restored_from": version,
+                             "restored_files": linked})
+    with open(os.path.join(stage, "manifest.json"), "w") as f:
+        f.write(man2.to_json())
+    try:
+        os.rename(stage, _version_dir(root, nv))
+    except OSError:
+        if os.path.isdir(_version_dir(root, nv)):
+            shutil.rmtree(stage, ignore_errors=True)
+            raise RuntimeError(
+                f"restore_version: v{nv} committed concurrently "
+                f"(single-writer table) — re-check and retry")
+        raise
+    _write_current(root, nv)
+    return man2

@@ -707,6 +707,59 @@ def _segmented_scan(x: np.ndarray, seg_begin_idx: np.ndarray,
     return out
 
 
+def _sliding_min_max(x: np.ndarray, pos: np.ndarray,
+                     seg_begin_idx: np.ndarray, w: int,
+                     op) -> np.ndarray:
+    """Per-row min/max over the trailing ``w``-row frame (clamped at
+    the segment head) — the two-scan block trick, segment-aligned:
+    blocks of size ``w`` restart at every segment start, ``left`` is
+    the prefix scan resetting at block starts, ``right`` the suffix
+    scan resetting at block ends; a full frame [i-w+1, i] tiles
+    exactly as right[frame start] ∪ left[i], and a head-truncated
+    frame sits inside its segment's first block where left[i] alone
+    covers it. O(n log w) vectorized passes, dtype-preserving."""
+    n = len(x)
+    if n == 0:
+        return x
+    block_begin = np.arange(n) - (pos % w)
+    # left: prefix op within blocks (log-doubling capped at w)
+    left = x.copy()
+    idx = np.arange(n)
+    d = 1
+    while d < w:
+        src = idx - d
+        valid = src >= block_begin
+        prev = left.copy()
+        left[valid] = op(prev[idx[valid]], prev[src[valid]])
+        d <<= 1
+    # right: suffix op within blocks = prefix op on the reversed
+    # array with reversed block boundaries. Forward block end =
+    # min(block_begin + w, next segment start) - 1; its reversed
+    # index is the reversed block's begin.
+    rx = x[::-1]
+    is_last = np.zeros(n, dtype=bool)           # segment last rows
+    is_last[-1] = True
+    is_last[:-1] = seg_begin_idx[1:] != seg_begin_idx[:-1]
+    ends = np.nonzero(is_last)[0]
+    seg_end = ends[np.searchsorted(ends, np.arange(n))]
+    bend = np.minimum(block_begin + w - 1, seg_end)
+    rbegin = (n - 1) - bend
+    right = rx.copy()
+    d = 1
+    while d < w:
+        src = idx - d
+        valid = src >= rbegin[::-1]
+        prev = right.copy()
+        right[valid] = op(prev[idx[valid]], prev[src[valid]])
+        d <<= 1
+    right = right[::-1]
+    a = idx - (w - 1)                       # full-frame start
+    truncated = pos < w                     # frame clamped at seg head
+    out = np.where(truncated, left,
+                   op(right[np.maximum(a, 0)], left))
+    return out
+
+
 def running_aggregate(ds, group: Sequence[str], order: str,
                       specs: Sequence[tuple[str | None, str, str]], *,
                       num_partitions: int = 32):
@@ -716,12 +769,14 @@ def running_aggregate(ds, group: Sequence[str], order: str,
 
     specs: ``(src_col, fn, out_col)`` or ``(src_col, fn, out_col,
     opt)`` with fn in {``sum``, ``count``, ``mean``, ``min``, ``max``,
-    ``first_value``, ``row_number``, ``rank``, ``dense_rank``,
-    ``percent_rank``, ``cume_dist``, ``ntile``}. The rank family ranks
-    by the ORDER column (src ignored, pass None). ``opt`` is the
-    moving-frame size in rows for sum/count/mean (SQL ``ROWS BETWEEN
-    opt-1 PRECEDING AND CURRENT ROW``; omitted = unbounded) and the
-    tile count for ``ntile``. SQL null semantics for the aggregates:
+    ``first_value``, ``nth_value``, ``row_number``, ``rank``,
+    ``dense_rank``, ``percent_rank``, ``cume_dist``, ``ntile``}. The
+    rank family ranks by the ORDER column (src ignored, pass None).
+    ``opt`` is the moving-frame size in rows for sum/count/mean/min/
+    max (SQL ``ROWS BETWEEN opt-1 PRECEDING AND CURRENT ROW``;
+    omitted = unbounded; moving min/max runs the segment-aligned
+    two-scan block trick, O(n log w)), the tile count for ``ntile``,
+    and the 1-based n for ``nth_value``. SQL null semantics for the aggregates:
     nulls in src are skipped; the running value is NULL until the
     first non-null (``first_value`` keeps SQL's take-the-row rule —
     a leading null IS the first value). Use a tie-free order column
@@ -750,7 +805,7 @@ def running_aggregate(ds, group: Sequence[str], order: str,
         if fn == "sum":
             return src_t if src_t is not None and \
                 pa.types.is_integer(src_t) else pa.float64()
-        return src_t                    # min / max / first_value
+        return src_t          # min / max / first_value / nth_value
 
     def _fn(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -829,11 +884,17 @@ def running_aggregate(ds, group: Sequence[str], order: str,
                 t = t.append_column(out, pa.array(
                     tile + 1, type=pa.int64()))
                 continue
-            if fn == "first_value":
+            if fn in ("first_value", "nth_value"):
                 col = t[src].combine_chunks() if isinstance(
                     t[src], pa.ChunkedArray) else t[src]
-                t = t.append_column(out, col.take(pa.array(
-                    seg_begin_idx, type=pa.int64())))
+                off = 0 if fn == "first_value" else int(opt) - 1
+                at = seg_begin_idx + off
+                got = col.take(pa.array(np.minimum(at, n - 1),
+                                        type=pa.int64()))
+                if off:         # frame shorter than n: SQL says NULL
+                    got = pc.if_else(pa.array(pos >= off), got,
+                                     pa.scalar(None, type=col.type))
+                t = t.append_column(out, got)
                 continue
             col = t[src].combine_chunks() if isinstance(
                 t[src], pa.ChunkedArray) else t[src]
@@ -865,11 +926,6 @@ def running_aggregate(ds, group: Sequence[str], order: str,
                 t = t.append_column(out, arr)
                 continue
             if fn in ("min", "max"):
-                if opt is not None:
-                    raise ValueError(
-                        "running_aggregate: moving-frame min/max is "
-                        "not supported (needs a monotone-deque sweep, "
-                        "not a prefix scan) — use unbounded frames")
                 x = col.to_numpy(zero_copy_only=False)
                 if valid.all():
                     xs = x
@@ -882,7 +938,12 @@ def running_aggregate(ds, group: Sequence[str], order: str,
                         sent = info.max if fn == "min" else info.min
                     xs = np.where(valid, x, sent)
                 op = np.minimum if fn == "min" else np.maximum
-                run = _segmented_scan(np.asarray(xs), seg_begin_idx, op)
+                if opt is None:
+                    run = _segmented_scan(np.asarray(xs),
+                                          seg_begin_idx, op)
+                else:
+                    run = _sliding_min_max(np.asarray(xs), pos,
+                                           seg_begin_idx, int(opt), op)
                 t = t.append_column(
                     out, pa.array(run, mask=never).cast(col.type))
                 continue

@@ -49,13 +49,15 @@ class _Assigner:
 
 def kmeans_assign(ds: "ray.data.Dataset", vec_col: str,
                   centroids: np.ndarray, *, out_col: str = "cluster",
-                  concurrency=(1, 8)) -> "ray.data.Dataset":
+                  concurrency=None) -> "ray.data.Dataset":
     """Assign every vector to its nearest centroid (squared L2,
     deterministic lowest-id tie-break). Centroids broadcast once."""
     cents = np.asarray(centroids, dtype=np.float64)
     ref = ray.put(cents)
+    from kettleray.context import auto_pool
     return ds.map_batches(_Assigner, batch_format="pyarrow",
-                          zero_copy_batch=True, concurrency=concurrency,
+                          zero_copy_batch=True,
+                          concurrency=concurrency or auto_pool(),
                           fn_constructor_args=(ref, vec_col, out_col))
 
 

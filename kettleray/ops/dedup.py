@@ -263,15 +263,16 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str, *,
                       num_perm: int = 64, bands: int = 16,
                       shingle_k: int = 3, num_partitions: int = 16,
                       max_bucket: int = 64,
-                      concurrency=(1, 8)):
+                      concurrency=None):
     """Candidate near-dup pairs via MinHash banding: docs sharing any
     (band_id, band_hash) bucket. Returns distinct (doc_a, doc_b) pairs,
     doc_a < doc_b. Buckets above ``max_bucket`` are dropped (logged) —
     the O(k^2) pair explosion of one hot boilerplate bucket must not
     dominate the job (see _bucket_pairs_table)."""
+    from kettleray.context import auto_pool
     sigs = ds.map_batches(
         MinHasher, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=concurrency,
+        concurrency=concurrency or auto_pool(),
         fn_constructor_args=(id_col, text_col, num_perm, shingle_k, bands))
     buckets = sigs.repartition(num_partitions,
                                keys=["band_id", "band_hash"])
@@ -363,8 +364,9 @@ def jaccard_verify(pairs, docs, id_col: str, text_col: str, *,
                                   pa.array(jac, type=pa.float64()))
             return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
+    from kettleray.context import auto_pool
     return pairs.map_batches(_Verify, batch_format="pyarrow",
-                             concurrency=(1, 4))
+                             concurrency=auto_pool())
 
 
 def _jaccard_verify_join(pairs, docs, id_col: str, text_col: str, *,
@@ -776,7 +778,7 @@ def decontaminate(train, eval_ds, text_col: str, id_col: str = "doc_id",
 
 def simhash(ds, id_col: str, text_col: str, *, seed: int = 42,
             hash_name: str = "blake2b",
-            concurrency=(1, 8)):
+            concurrency=None):
     """64-bit SimHash per document + 4 16-bit band keys (hamming<=3
     near-dup candidates share >=1 band by pigeonhole).
 
@@ -853,8 +855,10 @@ def simhash(ds, id_col: str, text_col: str, *, seed: int = 42,
                                    & np.uint64(0xFFFF)).astype(np.int32)),
             })
 
+    from kettleray.context import auto_pool
     return ds.map_batches(_SimHash, batch_format="pyarrow",
-                          zero_copy_batch=True, concurrency=concurrency)
+                          zero_copy_batch=True,
+                          concurrency=concurrency or auto_pool())
 
 
 def embedding_cosine_dups(ds, id_col: str, vec_col: str, *,
@@ -1002,8 +1006,10 @@ def _embedding_brute_pairs(ds, id_col: str, vec_col: str, *,
                                    type=pa.float64()),
             })
 
+    from kettleray.context import auto_pool
     return ds.map_batches(_Cos, batch_format="pyarrow",
-                          batch_size=block_rows, concurrency=(1, 8))
+                          batch_size=block_rows,
+                          concurrency=auto_pool())
 
 
 def semantic_dedup(emb, id_col: str, vec_col: str, centroids, *,

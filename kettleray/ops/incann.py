@@ -256,9 +256,10 @@ def apply_incremental_ann(root: str, docs, *,
                                   type=pa.int64()),
                     "bucket": pa.array(b, type=pa.int64())})
 
+        from kettleray.context import auto_pool
         bucketed = docs.select_columns([id_col, vec_col]).map_batches(
             _Bucket, batch_format="pyarrow", zero_copy_batch=True,
-            concurrency=(1, 8)).materialize()
+            concurrency=auto_pool()).materialize()
         n_fresh = bucketed.count()
 
     os.makedirs(root, exist_ok=True)

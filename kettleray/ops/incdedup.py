@@ -62,6 +62,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
+from kettleray.context import auto_pool
 from kettleray.ops.cdc import _composite_key_codes
 from kettleray.ops.dedup import MinHasher
 
@@ -769,7 +770,7 @@ def apply_incremental_lsh(root: str, docs, *,
     if docs is not None:
         signed = docs.select_columns([id_col, text_col]).map_batches(
             _SketchSigner, batch_format="pyarrow", zero_copy_batch=True,
-            concurrency=(1, 8),
+            concurrency=auto_pool(),
             fn_constructor_args=(id_col, text_col, num_perm, shingle_k,
                                  bands, seed))
         if del_ids.size:
@@ -1167,7 +1168,7 @@ def probe_lsh(root: str, docs, *, id_col: str = "doc_id",
 
     signed = docs.select_columns([id_col, text_col]).map_batches(
         _SketchSigner, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 8),
+        concurrency=auto_pool(),
         fn_constructor_args=(id_col, text_col, p["num_perm"],
                              p["shingle_k"], p["bands"],
                              p["seed"])).materialize()

@@ -66,7 +66,7 @@ class _BroadcastProbe:
 def stream_lookup(main, lookup, on: Sequence[str],
                   retain: Sequence[str], *,
                   defaults: Mapping[str, Any] | None = None,
-                  concurrency: int | tuple[int, int] = (2, 8),
+                  concurrency: "int | tuple[int, int] | None" = None,
                   batch_size: int | None = None):
     """Broadcast hash join: ``lookup`` (small) materialized once,
     ``ray.put`` once, left-join-probed from every batch of ``main``.
@@ -75,9 +75,11 @@ def stream_lookup(main, lookup, on: Sequence[str],
     # materialize small side on the driver (it must be broadcast-small)
     lk_table = pa.concat_tables(ray.get(lookup.to_arrow_refs()))
     ref = ray.put(lk_table)
+    from kettleray.context import auto_pool
     return main.map_batches(
         _BroadcastProbe, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=batch_size, concurrency=concurrency,
+        batch_size=batch_size,
+        concurrency=concurrency or auto_pool(2),
         fn_constructor_args=(ref, list(on), list(retain), dict(defaults or {}),
                              "left outer"))
 
@@ -149,8 +151,10 @@ def semi_join(main, lookup, on: Sequence[str], *, anti: bool = False,
                 mask = pc.invert(mask)
             return t.filter(mask)
 
+    from kettleray.context import auto_pool
     return main.map_batches(_Filter, batch_format="pyarrow",
-                            zero_copy_batch=True, concurrency=(1, 8))
+                            zero_copy_batch=True,
+                            concurrency=auto_pool())
 
 
 def multiway_merge_join(inputs, on: Sequence[str], *, how: str = "inner",
@@ -274,7 +278,7 @@ def fuzzy_match(main, lookup, main_field: str, lookup_field: str, *,
                 algo: str = "levenshtein", max_distance: int = 3,
                 min_similarity: float = 0.0,
                 out_match: str = "match", out_score: str = "score",
-                concurrency: int | tuple[int, int] = (1, 8)):
+                concurrency: "int | tuple[int, int] | None" = None):
     """≙ Fuzzy match (fuzzymatch/FuzzyMatch.java): nearest lookup value
     under the chosen algorithm. Broadcast lookup values once per actor;
     per batch, a band-limited candidate scan.
@@ -374,8 +378,10 @@ def fuzzy_match(main, lookup, main_field: str, lookup_field: str, *,
                 pa.float64() if algo in _FUZZY_SIMILARITY else pa.string())
             return t.append_column(out_score, pa.array(best_s, type=stype))
 
+    from kettleray.context import auto_pool
     return main.map_batches(_Fuzzy, batch_format="pyarrow",
-                            zero_copy_batch=True, concurrency=concurrency)
+                            zero_copy_batch=True,
+                            concurrency=concurrency or auto_pool())
 
 
 def closure_generator_distributed(pairs, parent_col: str, child_col: str,
@@ -591,7 +597,7 @@ def asof_join(left, right, *, by: Sequence[str], on: str,
 def range_join(left, bands, *, value_col: str,
                lo_col: str = "lo", hi_col: str = "hi",
                band_cols: Sequence[str], suffix: str = "_b",
-               concurrency=(1, 8)):
+               concurrency=None):
     """Range (interval) join: each left row matched to the band row with
     ``lo <= value < hi``. Bands are DIMENSION-sized (price bands, score
     buckets, time buckets): materialized once on the driver, broadcast
@@ -633,5 +639,7 @@ def range_join(left, bands, *, value_col: str,
                 t = t.append_column(name, col)
             return t
 
+    from kettleray.context import auto_pool
     return left.map_batches(_Probe, batch_format="pyarrow",
-                            zero_copy_batch=True, concurrency=concurrency)
+                            zero_copy_batch=True,
+                            concurrency=concurrency or auto_pool())

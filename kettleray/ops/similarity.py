@@ -65,8 +65,10 @@ def cosine_scores(ds, id_col: str, vec_col: str, query: np.ndarray, *,
                                    type=pa.float64()),
             })
 
+    from kettleray.context import auto_pool
     return ds.map_batches(_Score, batch_format="pyarrow",
-                          zero_copy_batch=True, concurrency=(1, 8))
+                          zero_copy_batch=True,
+                          concurrency=auto_pool())
 
 
 def brute_force_topk(ds, id_col: str, vec_col: str, query: np.ndarray,
@@ -122,8 +124,10 @@ def lsh_buckets(ds, id_col: str, vec_col: str, *, n_planes: int = 8,
             return t.append_column(out_col,
                                    pa.array(bucket.astype(np.int64)))
 
+    from kettleray.context import auto_pool
     return ds.map_batches(_Bucket, batch_format="pyarrow",
-                          zero_copy_batch=True, concurrency=(1, 8))
+                          zero_copy_batch=True,
+                          concurrency=auto_pool())
 
 
 def write_ann_index(ds, root: str, id_col: str, vec_col: str, *,

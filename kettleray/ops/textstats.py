@@ -562,11 +562,12 @@ class LangId:
             self.out_col, pa.array(preds.tolist(), type=pa.string()))
 
 
-def lang_id(ds, text_col: str = "text", *, concurrency=(1, 8),
+def lang_id(ds, text_col: str = "text", *, concurrency=None,
             batch_size: int = 4096):
+    from kettleray.context import auto_pool
     return ds.map_batches(LangId, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=batch_size,
-                          concurrency=concurrency,
+                          concurrency=concurrency or auto_pool(),
                           fn_constructor_args=(text_col,))
 
 

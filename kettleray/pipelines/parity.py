@@ -661,7 +661,10 @@ def q_window_moving(sf_dir):
         [("o_totalprice", "sum", "mov_sum", 5),
          ("o_totalprice", "mean", "mov_avg", 5),
          ("o_totalprice", "count", "mov_n", 5),
+         ("o_totalprice", "min", "mov_min", 5),
+         ("o_totalprice", "max", "mov_max", 5),
          ("o_totalprice", "first_value", "first_price"),
+         ("o_totalprice", "nth_value", "second_price", 2),
          (None, "ntile", "tile", 7)],
         num_partitions=8)
 
@@ -1042,7 +1045,10 @@ ORACLES = {
         "SUM(o_totalprice) OVER w5 AS mov_sum, "
         "AVG(o_totalprice) OVER w5 AS mov_avg, "
         "COUNT(o_totalprice) OVER w5 AS mov_n, "
+        "MIN(o_totalprice) OVER w5 AS mov_min, "
+        "MAX(o_totalprice) OVER w5 AS mov_max, "
         "FIRST_VALUE(o_totalprice) OVER wu AS first_price, "
+        "NTH_VALUE(o_totalprice, 2) OVER wu AS second_price, "
         "NTILE(7) OVER (PARTITION BY o_custkey "
         "ORDER BY o_orderkey) AS tile "
         "FROM orders WINDOW "

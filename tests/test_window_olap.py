@@ -178,3 +178,43 @@ def test_multi_column_order_ties(ray_session):
          "ORDER BY o1, o2 ROWS BETWEEN UNBOUNDED PRECEDING AND "
          "CURRENT ROW) AS rs FROM t "
          "WINDOW w AS (PARTITION BY g ORDER BY o1, o2)", tbl)
+
+
+def test_sliding_min_max_kernel_bruteforce():
+    # pure-numpy kernel check: random segments, every frame width
+    rng = np.random.RandomState(11)
+    for trial in range(20):
+        n = rng.randint(1, 120)
+        segs = np.sort(rng.choice(np.arange(1, n), size=min(
+            rng.randint(0, 6), n - 1), replace=False)) if n > 1 \
+            else np.array([], dtype=int)
+        bounds = np.concatenate([[0], segs, [n]]).astype(np.int64)
+        seg_begin_idx = np.zeros(n, dtype=np.int64)
+        pos = np.zeros(n, dtype=np.int64)
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            seg_begin_idx[a:b] = a
+            pos[a:b] = np.arange(b - a)
+        x = rng.randint(-1000, 1000, n).astype(np.int64)
+        for w in (1, 2, 3, 5, 8, 64):
+            for op, red in ((np.minimum, min), (np.maximum, max)):
+                got = ag._sliding_min_max(x, pos, seg_begin_idx, w, op)
+                want = np.array([
+                    red(x[max(i - w + 1, seg_begin_idx[i]):i + 1])
+                    for i in range(n)])
+                assert (got == want).all(), (trial, w, op)
+
+
+def test_moving_min_max_nth_value_vs_duckdb(ray_session):
+    tbl = _nullable_tbl()
+    ds = ag.running_aggregate(
+        ray.data.from_arrow(tbl), ["g"], "o",
+        [("x", "min", "mmin", 6), ("x", "max", "mmax", 6),
+         ("x", "nth_value", "n3", 3)],
+        num_partitions=4)
+    _cmp(ds,
+         "SELECT g, o, x, MIN(x) OVER w6 AS mmin, "
+         "MAX(x) OVER w6 AS mmax, "
+         "NTH_VALUE(x, 3) OVER wu AS n3 FROM t WINDOW "
+         "w6 AS (PARTITION BY g ORDER BY o ROWS BETWEEN 5 PRECEDING "
+         "AND CURRENT ROW), wu AS (PARTITION BY g ORDER BY o ROWS "
+         "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", tbl)

@@ -47,25 +47,30 @@ def probe(iters: int = 20_000_000) -> float:
 def _replicated_docs(k_from: int, k_to: int):
     """sf documents replicated with an interleaved per-replica marker:
     cross-replica 3-gram Jaccard ~0, intra-replica near-dup structure
-    preserved (same construction as bench.run_lsh_incremental)."""
+    preserved. Replication happens IN-TASK (one map_batches emitting
+    k_to-k_from transformed copies per input batch) — the previous
+    k-way ``union`` of per-replica datasets built a k-branch DAG whose
+    plan/scheduling work pinned the DRIVER at 100% of one core while
+    the pool idled, which is exactly the wrong thing to time in a
+    scaling capture."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd
     docs = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
-                           columns=["doc_id", "text"])
+                           columns=["doc_id", "text"]).repartition(32)
+    ks = list(range(k_from, k_to))
 
-    def _rep(k):
-        def _fn(t, k=k):
-            return pa.table({
+    def _fn(t: "pa.Table") -> "pa.Table":
+        outs = []
+        for k in ks:
+            outs.append(pa.table({
                 "doc_id": pc.add(t["doc_id"], k * 10_000_000),
-                "text": pc.replace_substring(t["text"], " ", f" zz{k} ")})
-        return docs.map_batches(_fn, batch_format="pyarrow",
-                                zero_copy_batch=True)
+                "text": pc.replace_substring(t["text"], " ",
+                                             f" zz{k} ")}))
+        return pa.concat_tables(outs)
 
-    out = _rep(k_from)
-    for k in range(k_from + 1, k_to):
-        out = out.union(_rep(k))
-    return out
+    return docs.map_batches(_fn, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
 
 def job_dedup_corpus() -> tuple[float, int]:
