@@ -56,21 +56,31 @@ def configure_ray_data(
 
 
 def auto_pool(lo: int = 1, *, per_actor_cpus: int = 1,
-              floor: int = 8) -> tuple[int, int]:
-    """Actor-pool bounds sized to the CLUSTER, not a constant.
+              floor: int = 8) -> int:
+    """FIXED actor-pool size tracking the CLUSTER, not a constant.
 
-    ``(lo, max(floor, cluster_cpus // per_actor_cpus))`` — the
-    per-stage analog of the aggregator sizing in
-    :func:`configure_ray_data`. A fixed ``concurrency=(1, 8)`` caps a
-    stateful stage at 8 cores no matter the cluster: at 4x the nodes
-    the stage runs at exactly the same speed and the whole job's
-    scaling efficiency inherits the cap. Falls back to ``(lo, floor)``
-    with no Ray session (schema-inference contexts)."""
+    ``max(lo, cluster_cpus // per_actor_cpus)`` — the per-stage analog
+    of the aggregator sizing in :func:`configure_ray_data`. Two
+    observed failure modes this replaces:
+
+    - a fixed ``concurrency=(1, 8)`` caps a stateful stage at 8 cores
+      no matter the cluster — at 4x the nodes the stage runs at
+      exactly the same speed and the job's scaling efficiency
+      inherits the cap;
+    - an AUTOSCALING range ``(1, N)`` was measured sitting at ONE
+      active actor for minutes on a fully-backlogged 32-block
+      MinHasher stage (Ray 2.49 pool upscaling never fired) — the
+      pool floor, not the cap, is what the stage actually gets.
+
+    A fixed size spawns the pool up front: deterministic parallelism,
+    and the spawn cost (~tens of ms per lightweight actor, paid in
+    parallel) amortizes over any non-trivial stage. Falls back to
+    ``floor`` with no Ray session (schema-inference contexts)."""
     try:
         import ray
         if ray.is_initialized():
             cpus = int(ray.cluster_resources().get("CPU", floor))
-            return (lo, max(floor, cpus // max(per_actor_cpus, 1)))
+            return max(lo, cpus // max(per_actor_cpus, 1))
     except Exception:
         pass
-    return (lo, floor)
+    return floor
