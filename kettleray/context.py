@@ -74,13 +74,19 @@ def auto_pool(lo: int = 1, *, per_actor_cpus: int = 1,
 
     A fixed size spawns the pool up front: deterministic parallelism,
     and the spawn cost (~tens of ms per lightweight actor, paid in
-    parallel) amortizes over any non-trivial stage. Falls back to
+    parallel) amortizes over any non-trivial stage. The pool leaves
+    ~1/8 of the cluster (min 2 cores) unreserved: a pool that claims
+    EVERY core starves the non-fused upstream stages feeding it in
+    the same streaming execution — observed as a full deadlock (32
+    idle signer actors, load 0.3, zero progress) when a
+    repartition -> actor-pool chain ran unfenced. Falls back to
     ``floor`` with no Ray session (schema-inference contexts)."""
     try:
         import ray
         if ray.is_initialized():
             cpus = int(ray.cluster_resources().get("CPU", floor))
-            return max(lo, cpus // max(per_actor_cpus, 1))
+            usable = max(1, cpus - max(2, cpus // 8))
+            return max(lo, usable // max(per_actor_cpus, 1))
     except Exception:
         pass
     return floor

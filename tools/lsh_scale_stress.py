@@ -72,18 +72,28 @@ def main() -> None:
                            columns=["doc_id", "text"])
     per_replica = docs.count()
 
-    def _rep(k):
-        def _fn(t, k=k):
-            return pa.table({
+    def _rep_range(k_from, k_to):
+        """Replicate IN-TASK (one map_batches emitting every replica
+        per input batch) — a k-way union DAG pins the driver at one
+        core while the pool idles (same fix as scaling_capture)."""
+        ks = list(range(k_from, k_to))
+
+        def _fn(t):
+            return pa.concat_tables([pa.table({
                 "doc_id": pc.add(t["doc_id"], k * 10_000_000),
-                "text": pc.replace_substring(t["text"], " ", f" zz{k} ")})
-        return docs.map_batches(_fn, batch_format="pyarrow",
-                                zero_copy_batch=True)
+                "text": pc.replace_substring(t["text"], " ",
+                                             f" zz{k} ")})
+                for k in ks])
+        return docs.repartition(32).map_batches(
+            _fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _rep(k):
+        return _rep_range(k, k + 1)
 
     kw = dict(num_perm=64, bands=16, shingle_k=3, threshold=0.5,
               num_buckets=128, num_partitions=16)
     n_back = replicas - n_commits
-    back = _rep(0).union(*[_rep(k) for k in range(1, n_back)])
+    back = _rep_range(0, n_back).materialize()
     t0 = time.time()
     incdedup.apply_incremental_lsh(root, back, **kw)
     print(json.dumps({"phase": "backfill",
