@@ -73,6 +73,27 @@ def run_synthetic_replay(n_events: int | None = None,
     return time.time() - t0, cfg.n_events
 
 
+def run_window() -> tuple[float, int]:
+    """Window family over the synthetic stream: running sum/count +
+    row_number/rank per (repo, path) ordered by commit_seq — 2M events
+    through ONE keyed exchange + segmented-scan kernels."""
+    from kettleray.gen.synthetic import EventGenConfig, generate_events
+    from kettleray.ops import aggregates as ag
+    n = max(1_000_000, N_SYNTH // 4)
+    cfg = EventGenConfig(n_events=n, n_repos=500,
+                         n_paths_per_repo=2000, p_delete=0.05,
+                         p_redeliver=0.01, seed=42)
+    ev = generate_events(cfg, override_num_blocks=BLOCKS).materialize()
+    t0 = time.time()
+    ag.running_aggregate(
+        ev, ["repo", "path"], "commit_seq",
+        [("commit_seq", "count", "n_so_far"),
+         (None, "row_number", "rn"), (None, "rank", "rk"),
+         ("commit_seq", "max", "max_seq")],
+        num_partitions=_num_partitions()).count()
+    return time.time() - t0, n
+
+
 def run_derived_replay() -> float:
     from kettleray.gen.derive import derive_events
     from kettleray.ops import cdc
@@ -762,6 +783,8 @@ def main() -> None:
     queries["synthetic_replay"] = round(sec, 2)
     eps = round(n / sec)
     queries["derived_replay"] = round(run_derived_replay(), 2)
+    win_sec, win_n = run_window()
+    queries["window_running_events"] = round(win_sec, 2)
     queries["scd2_history"] = round(run_scd2(), 2)
     queries["incremental_apply"] = round(run_incremental(), 2)
     queries["skew_hotkey_salted"] = round(run_skew(salted=True), 2)
