@@ -649,8 +649,11 @@ def run_pruned_scan_and_dml() -> tuple[dict, dict]:
     ev = generate_events(cfg, override_num_blocks=max(16, NUM_CPUS * 2))
     sink.apply_incremental_bucketed(root, ev, num_buckets=64,
                                     num_partitions=_num_partitions())
+    # rows_per_file must be a FRACTION of a bucket's rows or every
+    # bucket stays one file and zone maps have nothing to prune
+    # (state rows ≈ n/2 over 64 buckets -> aim ~8 files per bucket)
     sink.cluster_state(root, ("lang",),
-                       rows_per_file=max(10_000, n // 64 // 8))
+                       rows_per_file=max(1_000, n // 2 // 64 // 8))
     filters = [("lang", "==", "rs")]
 
     def _pruned():
