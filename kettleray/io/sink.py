@@ -521,12 +521,20 @@ def _mor_merge_ds(base_files: list[str],
 
 
 def lookup_state(root: str, repo: str, path: str, *,
-                 version: int | None = None) -> pa.Table:
+                 version: int | None = None, use_blooms: bool = True,
+                 report: "dict | None" = None) -> pa.Table:
     """Point lookup on the bucketed state: route the key to its bucket
     (same crc32 routing the writer used) and scan ONLY that bucket's
     files with a parquet predicate — O(one bucket), not O(table). This is
     the read side of a CDC-ingested serving table; no Ray tasks needed
-    for a single key."""
+    for a single key.
+
+    With ``use_blooms`` (default), files whose key-Bloom sidecar
+    (:mod:`kettleray.io.blooms`, built by ``build_key_blooms``) proves
+    the key absent are skipped — base and delta alike; a bloom skip is
+    a proof of absence, so the MOR merge result is unchanged. Files
+    without a sidecar are always read. ``report`` (optional dict) gets
+    ``files_bloom_probed`` / ``files_bloom_skipped``."""
     v = version if version is not None else current_version(root)
     if v is None:
         raise FileNotFoundError(f"no committed state under {root}")
@@ -544,6 +552,11 @@ def lookup_state(root: str, repo: str, path: str, *,
         files = _parquet_files(bdir) if os.path.isdir(bdir) else []
         ddir = os.path.join(vdir, "delta", f"bucket={b}")
         delta_files = _parquet_files(ddir) if os.path.isdir(ddir) else []
+    if use_blooms:
+        from kettleray.io import blooms as _blooms
+        kv = {"repo": repo, "path": path}
+        files = _blooms.filter_files_by_key(files, kv, report)
+        delta_files = _blooms.filter_files_by_key(delta_files, kv, report)
     import pyarrow.dataset as pads
     flt = (pads.field("repo") == repo) & (pads.field("path") == path)
     if files:

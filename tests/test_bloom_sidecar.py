@@ -1,0 +1,153 @@
+"""Per-file key-Bloom sidecars (kettleray.io.blooms) + lookup_state
+integration.
+
+Contract under test: a bloom skip is a PROOF of absence, so
+lookup_state(use_blooms=True) must equal use_blooms=False for every
+key and every layout (bucketed COW, MOR with deltas), while the report
+proves files were actually skipped for absent keys. Sidecars must ride
+forward through the COW hardlink loop and stay invisible to fsck.
+"""
+
+import os
+
+import pyarrow as pa
+import ray.data
+
+from kettleray.gen.synthetic import EventGenConfig, generate_events_local
+from kettleray.io import blooms, sink
+
+CFG = EventGenConfig(n_events=3000, n_repos=10, n_paths_per_repo=30,
+                     p_delete=0.08, seed=31)
+
+
+def _build(root, events, *, mor=False, num_buckets=8):
+    apply = sink.apply_incremental_mor if mor \
+        else sink.apply_incremental_bucketed
+    return apply(root, ray.data.from_arrow(events), num_buckets=num_buckets,
+                 num_partitions=4)
+
+
+def _some_keys(root, n=25):
+    t = sink.read_state(root).take_all()
+    keys = sorted({(r["repo"], r["path"]) for r in t})
+    step = max(1, len(keys) // n)
+    return keys[::step][:n]
+
+
+def _cmp(a: pa.Table, b: pa.Table):
+    assert a.column_names == b.column_names
+    assert a.sort_by([(c, "ascending") for c in
+                      ("repo", "path")]).equals(
+        b.sort_by([(c, "ascending") for c in ("repo", "path")]))
+
+
+def test_build_then_lookup_parity_and_skips(tmp_path):
+    root = str(tmp_path / "s")
+    _build(root, generate_events_local(CFG))
+    info = blooms.build_key_blooms(root)
+    assert info["built"] == info["files_total"] > 0
+    assert info["existing"] == 0
+    # rebuild is a no-op (all sidecars present)
+    again = blooms.build_key_blooms(root)
+    assert again["built"] == 0
+    assert again["existing"] == info["files_total"]
+    # present keys: blooms never change the answer (no false negatives)
+    for repo, path in _some_keys(root):
+        with_b = sink.lookup_state(root, repo, path)
+        without = sink.lookup_state(root, repo, path, use_blooms=False)
+        assert with_b.num_rows == 1
+        _cmp(with_b, without)
+    # absent key: same (empty) answer, and the report proves skipping
+    rep = {}
+    miss = sink.lookup_state(root, "no-such-repo", "no/such/path.py",
+                             report=rep)
+    miss_plain = sink.lookup_state(root, "no-such-repo", "no/such/path.py",
+                                   use_blooms=False)
+    assert miss.num_rows == 0
+    assert miss.column_names == miss_plain.column_names
+    assert rep["files_bloom_probed"] >= 1
+    # 10 bits/key -> ~1% FP; with a handful of files in one bucket an
+    # absent key should skip at least one file deterministically
+    assert rep["files_bloom_skipped"] >= 1
+
+
+def test_missing_sidecar_is_unprunable_not_wrong(tmp_path):
+    root = str(tmp_path / "s")
+    _build(root, generate_events_local(CFG))
+    # no sidecars built: lookups behave exactly as before, report says 0
+    rep = {}
+    repo, path = _some_keys(root, 1)[0]
+    t = sink.lookup_state(root, repo, path, report=rep)
+    assert t.num_rows == 1
+    assert rep["files_bloom_skipped"] == 0
+
+
+def test_sidecars_ride_hardlinks_across_commits(tmp_path):
+    root = str(tmp_path / "s")
+    ev = generate_events_local(CFG)
+    # tiny second commit over many buckets so most buckets go untouched
+    cut = ev.num_rows - 20
+    _build(root, ev.slice(0, cut), num_buckets=32)
+    blooms.build_key_blooms(root)
+    v1 = sink.current_version(root)
+    _build(root, ev.slice(cut), num_buckets=32)
+    v2 = sink.current_version(root)
+    assert v2 == v1 + 1
+    v2dir = sink._version_dir(root, v2)
+    carried = [os.path.join(dp, f) for dp, _, fs in os.walk(v2dir)
+               for f in fs if f.endswith(".bloom")]
+    # untouched buckets carried their sidecars forward via hardlink
+    assert carried
+    assert all(os.stat(p).st_nlink >= 2 for p in carried)
+    # build fills only the rewritten buckets' gap
+    info = blooms.build_key_blooms(root)
+    assert info["existing"] == len(carried)
+    assert info["built"] == info["files_total"] - len(carried)
+    # and the new version answers identically with blooms on/off
+    for repo, path in _some_keys(root, 10):
+        _cmp(sink.lookup_state(root, repo, path),
+             sink.lookup_state(root, repo, path, use_blooms=False))
+
+
+def test_mor_layout_deltas_skip_soundly(tmp_path):
+    root = str(tmp_path / "s")
+    ev = generate_events_local(CFG)
+    cut = ev.num_rows // 2
+    _build(root, ev.slice(0, cut), mor=True)
+    _build(root, ev.slice(cut), mor=True)   # second commit -> delta files
+    blooms.build_key_blooms(root)
+    man = sink.read_manifest(root)
+    assert any("delta" in e["file"] for e in man.files), \
+        "fixture must exercise the MOR merge path"
+    for repo, path in _some_keys(root, 15):
+        _cmp(sink.lookup_state(root, repo, path),
+             sink.lookup_state(root, repo, path, use_blooms=False))
+
+
+def test_probe_robustness(tmp_path):
+    fp = str(tmp_path / "x.parquet")
+    import pyarrow.parquet as pq
+    pq.write_table(pa.table({"repo": ["r1"], "path": ["p1"]}), fp)
+    # no sidecar -> unprunable
+    assert blooms.probe_sidecar(fp, {"repo": "r1", "path": "p1"})
+    blooms._build_sidecar(fp, ("repo", "path"), 10)
+    assert blooms.probe_sidecar(fp, {"repo": "r1", "path": "p1"})
+    # caller missing a key column the bloom was built over -> unprunable
+    assert blooms.probe_sidecar(fp, {"repo": "r1"})
+    # truncated sidecar -> unprunable, never an exception
+    sp = blooms.sidecar_path(fp)
+    with open(sp, "r+b") as f:
+        f.truncate(3)
+    assert blooms.probe_sidecar(fp, {"repo": "zz", "path": "zz"})
+    # garbage magic -> unprunable
+    with open(sp, "wb") as f:
+        f.write(b"\x00" * 64)
+    assert blooms.probe_sidecar(fp, {"repo": "zz", "path": "zz"})
+
+
+def test_fsck_ignores_sidecars(tmp_path):
+    root = str(tmp_path / "s")
+    _build(root, generate_events_local(CFG))
+    blooms.build_key_blooms(root)
+    rep = sink.fsck_state(root)
+    assert rep["ok"], rep
