@@ -668,6 +668,45 @@ def q_cdc_pruned_scan(sf_dir: str):
         list(cdc.FINAL_STATE_COLS))
 
 
+def q_cdc_point_lookup(sf_dir: str):
+    """Key-Bloom point lookups on the serving state (kettleray.io.blooms):
+    two MOR commits (base + delta files), build_key_blooms sidecars, then
+    lookup_state for every key whose path ends '0.txt' — each lookup
+    routes to ONE bucket and opens only files whose bloom might hold the
+    key (a skip is a proof of absence, so MOR merge is unchanged).
+    Deleted keys correctly return zero rows. Oracle = the LWW replay SQL
+    restricted to the same key set, so a false-negative bloom (dropped
+    row) or a merge drift fails the value-hash."""
+    import shutil
+    import tempfile
+    import pyarrow.compute as pc
+    from kettleray.io import blooms, sink
+    root = tempfile.mkdtemp(prefix="kr_point_lookup_")
+    shutil.rmtree(root, ignore_errors=True)
+    ev = _events(sf_dir)
+    mid = 1_500_000
+    for lo, hi in ((0, mid), (mid, 1 << 62)):
+        w = ev.map_batches(
+            lambda b, lo=lo, hi=hi: b.filter(pc.and_(
+                pc.greater_equal(b["commit_seq"], lo),
+                pc.less(b["commit_seq"], hi))),
+            batch_format="pyarrow", zero_copy_batch=True)
+        sink.apply_incremental_mor(root, w, num_buckets=16,
+                                   num_partitions=_NUM_PARTITIONS)
+    blooms.build_key_blooms(root)
+    from kettleray.ops.aggregates import unique_rows
+    keys = unique_rows(ev.map_batches(
+        lambda b: b.select(["repo", "path"]).filter(
+            pc.ends_with(b["path"], "0.txt")),
+        batch_format="pyarrow", zero_copy_batch=True),
+        ("repo", "path"), num_partitions=4).take_all()
+    hits = [sink.lookup_state(root, k["repo"], k["path"])
+            for k in sorted(keys, key=lambda r: (r["repo"], r["path"]))]
+    import pyarrow as pa
+    out = pa.concat_tables([t for t in hits if t.num_rows] or hits[:1])
+    return out.select(list(cdc.FINAL_STATE_COLS))
+
+
 def q_cdc_delete_where(sf_dir: str):
     """Set-based DELETE as one CDC commit (≙ Kettle Delete step): replay
     to a MOR state, dml.delete_where(lang = 'en') — a zone-map pruned
@@ -795,6 +834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_late_quarantine": q_cdc_late_quarantine,
         "cdc_incremental_agg": q_cdc_incremental_agg,
         "cdc_pruned_scan": q_cdc_pruned_scan,
+        "cdc_point_lookup": q_cdc_point_lookup,
         "cdc_delete_where": q_cdc_delete_where,
         "cdc_update_where": q_cdc_update_where,
         "cdc_merge_into": q_cdc_merge_into,
@@ -844,17 +884,17 @@ _SNAPSHOT_WINDOW = [
     "ann_incremental", "inverted_incremental", "minhash_neardup",
     "decontaminate", "decontaminate_bloom", "unigram_logprob",
     "pack_sequences", "dsir_score", "semantic_dedup",
-    # round-4 features, never driver-recorded (11)
-    "cdc_pruned_scan", "cdc_delete_where", "cdc_update_where",
-    "cdc_merge_into", "substring_dup_spans", "substring_dedup_cut",
-    "window_running", "window_rank", "window_moving",
-    "rollup_sales", "cube_sales",
-    # earlier queries never driver-recorded in r01..r03 (12)
+    # round-4 features, never driver-recorded (12)
+    "cdc_pruned_scan", "cdc_point_lookup", "cdc_delete_where",
+    "cdc_update_where", "cdc_merge_into", "substring_dup_spans",
+    "substring_dedup_cut", "window_running", "window_rank",
+    "window_moving", "rollup_sales", "cube_sales",
+    # earlier queries never driver-recorded in r01..r03 (11)
     "events_hopping_window", "quality_gate", "mixture_sample",
     "kmeans_assign", "stratified_sample", "text_scrub_normalize",
     "winnowing_fingerprints", "multimodal_audio_features",
     "multimodal_video_frames", "source_csv_roundtrip",
-    "source_jsonl_roundtrip", "multiway_merge_join",
+    "multiway_merge_join",
 ]
 
 
@@ -871,6 +911,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_pruned_scan":
             f"WITH {ev}, {_RANKED} SELECT * FROM ({_FINAL_STATE_SELECT}) "
             "WHERE lang = 'zh'",
+        "cdc_point_lookup":
+            f"WITH {ev}, {_RANKED} SELECT * FROM ({_FINAL_STATE_SELECT}) "
+            "WHERE path LIKE '%0.txt'",
         "cdc_delete_where":
             f"WITH {ev}, {_RANKED} SELECT * FROM ({_FINAL_STATE_SELECT}) "
             "WHERE lang <> 'en'",

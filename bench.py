@@ -675,6 +675,40 @@ def run_pruned_scan_and_dml() -> tuple[dict, dict]:
     _full()
     full_sec = min(_full() for _ in range(2))
 
+    # point lookups: key-Bloom sidecars vs plain bucket-routed reads.
+    # After lang-clustering a bucket holds ~8 files that ALL span the
+    # key space, so without blooms every lookup opens all of them.
+    from kettleray.io import blooms
+    binfo = blooms.build_key_blooms(root)
+    keys = [(f"repo_{i % 500:04d}", f"src/f_{(7 * i) % 2000:05d}.py")
+            for i in range(100)]
+    keys += [(f"absent_{i}", f"nope/{i}.py") for i in range(100)]
+    # resolve the generator's real key shape from one state row
+    sample = sink.read_state(root).take(1)[0]
+    keys[0] = (sample["repo"], sample["path"])
+
+    def _lookups_reader():
+        rdr = sink.StateReader(root)
+        rep: dict = {}
+        t0 = time.time()
+        for r, p in keys:
+            rdr.lookup(r, p, report=rep)
+        return time.time() - t0, rep
+
+    def _lookups_plain():
+        t0 = time.time()
+        for r, p in keys:
+            sink.lookup_state(root, r, p, use_blooms=False)
+        return time.time() - t0
+
+    _lookups_reader()                           # warmup (page cache)
+    bloom_sec, brep = _lookups_reader()
+    plain_sec = _lookups_plain()
+    rep["lookup_bloom_skip_frac"] = round(
+        brep["files_bloom_skipped"] / max(1, brep["files_bloom_probed"]),
+        3)
+    rep["bloom_sidecar_bytes"] = binfo["built_bytes"]
+
     t0 = time.time()
     man, _ = dml.delete_where(root, [("lang", "==", "go")])
     delete_sec = time.time() - t0
@@ -684,6 +718,8 @@ def run_pruned_scan_and_dml() -> tuple[dict, dict]:
     update_sec = time.time() - t0
     timings = {"pruned_scan": round(pruned_sec, 2),
                "full_scan_filter": round(full_sec, 2),
+               "point_lookups_bloom": round(bloom_sec, 2),
+               "point_lookups_plain": round(plain_sec, 2),
                "dml_delete_where": round(delete_sec, 2),
                "dml_update_where": round(update_sec, 2)}
     return timings, rep
@@ -743,6 +779,7 @@ COMPARISON_LINES = frozenset({
     "lsh_batch_rerun", "trickle_commits_cow", "ivm_recompute",
     "skew_hotkey_plain", "ann_batch_rebuild", "inverted_batch_rebuild",
     "decontaminate_join", "join_view_recompute", "full_scan_filter",
+    "point_lookups_plain",
 })
 
 

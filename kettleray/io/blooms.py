@@ -153,6 +153,53 @@ def build_key_blooms(root: str, *, key_cols=None, bits_per_key: int = 10,
             "built_bytes": built_bytes}
 
 
+class Sidecar:
+    """A sidecar loaded into memory for repeated probes (the serving
+    path: :class:`kettleray.io.sink.StateReader` caches one per file,
+    turning each probe into a few numpy bit tests — no file IO)."""
+
+    __slots__ = ("k", "m_bits", "key_cols", "bitmap")
+
+    def __init__(self, k: int, m_bits: int, key_cols: list,
+                 bitmap: np.ndarray):
+        self.k = k
+        self.m_bits = m_bits
+        self.key_cols = key_cols
+        self.bitmap = bitmap
+
+    def might_contain(self, key_values: dict) -> bool:
+        if any(c not in key_values for c in self.key_cols):
+            return True
+        key = combined_key(key_values[c] for c in self.key_cols)
+        h = hash_strings_u64(pa.array([key], type=pa.string()))
+        pos = _bit_positions(h, self.m_bits, self.k)[0]
+        byte = self.bitmap[(pos >> np.uint64(3)).astype(np.int64)]
+        bit = (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1
+        return bool(bit.all())
+
+
+def load_sidecar(parquet_path: str) -> "Sidecar | None":
+    """Load ``parquet_path``'s sidecar into memory; None means missing
+    or unreadable (= unprunable, same contract as probe_sidecar)."""
+    sp = sidecar_path(parquet_path)
+    try:
+        with open(sp, "rb") as f:
+            hdr = f.read(_HDR.size)
+            if len(hdr) != _HDR.size:
+                return None
+            magic, fmt, k, m_bits, _n, kc_len = _HDR.unpack(hdr)
+            if magic != _MAGIC or fmt != _FMT_VERSION or m_bits == 0:
+                return None
+            kc = f.read(kc_len).decode("utf-8").split(KEY_SEP)
+            bitmap = np.frombuffer(f.read((m_bits + 7) // 8),
+                                   dtype=np.uint8)
+            if bitmap.nbytes != (m_bits + 7) // 8:
+                return None
+        return Sidecar(int(k), int(m_bits), kc, bitmap)
+    except (FileNotFoundError, OSError):
+        return None
+
+
 def probe_sidecar(parquet_path: str, key_values: dict) -> bool:
     """True iff ``parquet_path`` MIGHT contain the key (no false
     negatives). ``key_values`` maps column name → value; the probe key

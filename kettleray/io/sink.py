@@ -578,9 +578,15 @@ def lookup_state(root: str, repo: str, path: str, *,
             base_t = pa.table({})
     if not delta_files:
         return base_t
-    # merge-on-read: fold this key's delta events over its base row
-    # locally (a handful of rows — no Ray tasks for a point lookup)
     delta_t = pads.dataset(delta_files).to_table(filter=flt)
+    return _merge_point(base_t, delta_t)
+
+
+def _merge_point(base_t: pa.Table, delta_t: pa.Table) -> pa.Table:
+    """Merge-on-read for a point lookup: fold one key's delta events
+    over its base row locally (a handful of rows — no Ray tasks). No
+    bucket column on purpose: raw-file point reads don't infer the hive
+    partition either, so both layouts return the same schema."""
     if "bucket" in delta_t.column_names:
         delta_t = delta_t.drop_columns(["bucket"])
     ev = [delta_t]
@@ -589,9 +595,124 @@ def lookup_state(root: str, repo: str, path: str, *,
             base_t.drop_columns([c for c in ("bucket",)
                                  if c in base_t.column_names])))
     merged = pa.concat_tables(ev, promote_options="permissive")
-    # no bucket column on purpose: raw-file point reads don't infer the
-    # hive partition either, so both layouts return the same schema
     return cdc.finalize_state_table(cdc.lww_reduce_table(merged))
+
+
+class StateReader:
+    """Cached serving handle over ONE committed state version — the
+    point-lookup hot path for a CDC-maintained serving table (≙ the
+    reader side of Kettle's Dimension Lookup, steps/dimensionlookup,
+    but against the lake instead of a DB).
+
+    ``lookup_state`` re-reads the manifest and rebuilds parquet dataset
+    objects on every call (~7 ms fixed overhead at any table size);
+    this class resolves version, manifest, bucket routing, per-bucket
+    file lists, per-file dataset handles and IN-MEMORY Bloom sidecars
+    once, so a repeated lookup costs a few numpy bit tests plus ONE
+    cached single-file predicate read (~1 ms, 100 TB or not — the
+    bucket count and file sizes are bounded by compaction, not by
+    table size).
+
+    Versions are immutable (COW commits), so the cache can never go
+    stale; open a new reader to see a newer commit. Typical use: one
+    reader per serving actor, refreshed on a changefeed notification.
+    """
+
+    def __init__(self, root: str, *, version: int | None = None,
+                 use_blooms: bool = True):
+        self.root = root
+        v = version if version is not None else current_version(root)
+        if v is None:
+            raise FileNotFoundError(f"no committed state under {root}")
+        self.version = v
+        self.manifest = read_manifest(root, v)
+        m = self.manifest.metrics if self.manifest else {}
+        self.num_buckets = m.get("num_buckets")
+        self.use_blooms = use_blooms
+        self._vdir = _version_dir(root, v)
+        self._bucket_files: dict = {}
+        self._ds: dict = {}
+        self._blooms: dict = {}
+        self._empty: "pa.Table | None" = None
+
+    def _files_for(self, b) -> tuple[list, list]:
+        hit = self._bucket_files.get(b)
+        if hit is None:
+            if b is None:
+                hit = (_parquet_files(self._vdir), [])
+            else:
+                bdir = os.path.join(self._vdir, f"bucket={b}")
+                ddir = os.path.join(self._vdir, "delta", f"bucket={b}")
+                hit = (_parquet_files(bdir) if os.path.isdir(bdir) else [],
+                       _parquet_files(ddir) if os.path.isdir(ddir) else [])
+            self._bucket_files[b] = hit
+        return hit
+
+    def _kept(self, files: list, kv: dict, report) -> list:
+        if not self.use_blooms:
+            return files
+        from kettleray.io import blooms as _blooms
+        kept = []
+        for f in files:
+            sc = self._blooms.get(f, False)
+            if sc is False:
+                sc = _blooms.load_sidecar(f)
+                self._blooms[f] = sc
+            if sc is None or sc.might_contain(kv):
+                kept.append(f)
+        if report is not None:
+            report["files_bloom_probed"] = report.get(
+                "files_bloom_probed", 0) + len(files)
+            report["files_bloom_skipped"] = report.get(
+                "files_bloom_skipped", 0) + len(files) - len(kept)
+        return kept
+
+    def _read(self, files: list, flt) -> "pa.Table | None":
+        import pyarrow.dataset as pads
+        tabs = []
+        for f in files:
+            d = self._ds.get(f)
+            if d is None:
+                d = self._ds[f] = pads.dataset(f)
+            tabs.append(d.to_table(filter=flt))
+        return pa.concat_tables(tabs, promote_options="permissive") \
+            if tabs else None
+
+    def _empty_table(self) -> pa.Table:
+        if self._empty is None:
+            self._empty = state_schema(
+                self.root, self.version).empty_table()
+            drop = [c for c in ("bucket",) if c in self._empty.column_names]
+            if drop:
+                self._empty = self._empty.drop_columns(drop)
+        return self._empty
+
+    def lookup(self, repo: str, path: str, *,
+               report: "dict | None" = None) -> pa.Table:
+        """Same contract and result as :func:`lookup_state` on this
+        reader's pinned version."""
+        import pyarrow.dataset as pads
+        if self.num_buckets is None:
+            b = None
+        else:
+            key = pa.table({"repo": pa.array([repo]),
+                            "path": pa.array([path])})
+            b = int(cdc.stable_key_buckets(
+                key, ("repo", "path"), int(self.num_buckets))[0])
+        base_files, delta_files = self._files_for(b)
+        kv = {"repo": repo, "path": path}
+        base_files = self._kept(base_files, kv, report)
+        delta_files = self._kept(delta_files, kv, report)
+        flt = (pads.field("repo") == repo) & (pads.field("path") == path)
+        base_t = self._read(base_files, flt)
+        if base_t is None:
+            base_t = self._empty_table()
+        elif "bucket" in base_t.column_names:
+            base_t = base_t.drop_columns(["bucket"])
+        delta_t = self._read(delta_files, flt)
+        if delta_t is None:
+            return base_t
+        return _merge_point(base_t, delta_t)
 
 
 # ---------------------------------------------------------------------------
@@ -651,6 +772,7 @@ def _drop_bucket(ds: "ray.data.Dataset") -> "ray.data.Dataset":
 
 def scan_state(root: str, filters, *, version: int | None = None,
                columns: "list[str] | None" = None,
+               use_blooms: bool = True,
                report: "dict | None" = None) -> "ray.data.Dataset":
     """Predicate scan over a committed state version with MANIFEST-LEVEL
     FILE SKIPPING (zone maps, ≙ Iceberg/Delta data skipping): base files
@@ -663,11 +785,22 @@ def scan_state(root: str, filters, *, version: int | None = None,
     ``==,!=,<,<=,>,>=``; all residual-checked exactly after pruning, so
     pruning is a pure optimization, never a semantics change.
 
-    MOR safety: delta files are NEVER pruned (a delta row may be the
-    LWW winner that moves a key into/out of the predicate range), and
-    pruned-base buckets still merge their deltas — a base row whose file
-    was pruned either cannot match (stats proof) or is superseded by an
-    always-read delta row. The residual filter runs on MERGED rows.
+    MOR safety: delta files are NEVER zone-map pruned (a delta row may
+    be the LWW winner that moves a key into/out of the predicate
+    range), and pruned-base buckets still merge their deltas — a base
+    row whose file was pruned either cannot match (stats proof) or is
+    superseded by an always-read delta row. The residual filter runs on
+    MERGED rows.
+
+    Bloom pruning (``use_blooms``): when the ANDed ``==`` filters pin
+    EVERY key column a file's Bloom sidecar was built over (see
+    :mod:`kettleray.io.blooms`), files whose bloom proves that exact
+    key absent are skipped — base AND delta, which is sound even under
+    MOR: every row that could survive the residual filter carries that
+    key, and a bloom skip proves the file holds no row with it. A
+    sidecar recording columns the filters don't pin keeps its file
+    (unprunable, never unsound). This is the equality complement of the
+    zone maps, which are blind on hash-distributed key columns.
 
     Output: final-state rows (no bucket column — pruning can collapse
     the hive depth, so the inferred partition column is stripped for a
@@ -690,6 +823,24 @@ def scan_state(root: str, filters, *, version: int | None = None,
             if not any(_file_prunable(
                 stats_by_rel.get(os.path.relpath(f, vdir)), c, op, val)
                 for c, op, val in filters)]
+    # only string literals probe soundly (the builder hashes
+    # pc.cast(col, string); str(1.0) != cast repr for non-strings)
+    key_eq = {c: val for c, op, val in filters
+              if op == "==" and isinstance(val, str)}
+    # sidecars are built over bucket_cols — skip the per-file header
+    # reads entirely unless the filters pin that whole key
+    bcols = (man.metrics.get("bucket_cols") if man else None) or \
+        ("repo", "path")
+    if not set(bcols) <= set(key_eq):
+        key_eq = {}
+    if use_blooms and key_eq:
+        from kettleray.io import blooms as _blooms
+        # probe_sidecar keeps any file whose sidecar records a key
+        # column the filters don't pin, so passing the == subset is
+        # always sound
+        kept = _blooms.filter_files_by_key(kept, key_eq, report)
+        delta_files = _blooms.filter_files_by_key(delta_files, key_eq,
+                                                  report)
     if report is not None:
         rows_by_rel = {e["file"]: e.get("rows", 0)
                        for e in (man.files if man else [])}

@@ -124,6 +124,56 @@ def test_mor_layout_deltas_skip_soundly(tmp_path):
              sink.lookup_state(root, repo, path, use_blooms=False))
 
 
+def _scan_rows(root, filters, **kw):
+    ds = sink.scan_state(root, filters, **kw)
+    return sorted((r["repo"], r["path"], r["content_sha256"])
+                  for r in ds.take_all())
+
+
+def _exact_rows(root, filters):
+    ds = sink._drop_bucket(sink.read_state(root))
+    ds = ds.map_batches(
+        lambda t: t.filter(sink._residual_mask(t, filters)),
+        batch_format="pyarrow", batch_size=None)
+    return sorted((r["repo"], r["path"], r["content_sha256"])
+                  for r in ds.take_all())
+
+
+def test_scan_state_bloom_prunes_full_key_equality(tmp_path):
+    root = str(tmp_path / "s")
+    _build(root, generate_events_local(CFG), mor=True)
+    _build(root, generate_events_local(
+        EventGenConfig(n_events=400, n_repos=10, n_paths_per_repo=30,
+                       p_delete=0.08, seed=32)), mor=True)
+    blooms.build_key_blooms(root)
+    repo, path = _some_keys(root, 1)[0]
+    flt = [("repo", "==", repo), ("path", "==", path)]
+    rep = {}
+    got = _scan_rows(root, flt, report=rep)
+    assert got == _exact_rows(root, flt)
+    assert len(got) == 1
+    assert rep["files_bloom_skipped"] >= 1
+    # absent key: empty result, heavy skipping
+    rep2 = {}
+    flt2 = [("repo", "==", "no-such-repo"), ("path", "==", "zz")]
+    assert _scan_rows(root, flt2, report=rep2) == []
+    assert rep2["files_bloom_skipped"] >= rep2["files_bloom_probed"] - 2
+
+
+def test_scan_state_partial_key_equality_never_bloom_pruned(tmp_path):
+    root = str(tmp_path / "s")
+    _build(root, generate_events_local(CFG))
+    blooms.build_key_blooms(root)
+    repo = _some_keys(root, 1)[0][0]
+    flt = [("repo", "==", repo)]
+    rep = {}
+    got = _scan_rows(root, flt, report=rep)
+    assert got == _exact_rows(root, flt)
+    assert len(got) > 1
+    # sidecars record (repo, path); pinning repo alone is unprunable
+    assert rep.get("files_bloom_skipped", 0) == 0
+
+
 def test_probe_robustness(tmp_path):
     fp = str(tmp_path / "x.parquet")
     import pyarrow.parquet as pq
@@ -143,6 +193,62 @@ def test_probe_robustness(tmp_path):
     with open(sp, "wb") as f:
         f.write(b"\x00" * 64)
     assert blooms.probe_sidecar(fp, {"repo": "zz", "path": "zz"})
+
+
+def test_state_reader_matches_lookup_state(tmp_path):
+    root = str(tmp_path / "s")
+    ev = generate_events_local(CFG)
+    cut = ev.num_rows // 2
+    _build(root, ev.slice(0, cut), mor=True)
+    _build(root, ev.slice(cut), mor=True)
+    blooms.build_key_blooms(root)
+    rdr = sink.StateReader(root)
+    rep = {}
+    for repo, path in _some_keys(root, 20):
+        _cmp(rdr.lookup(repo, path, report=rep),
+             sink.lookup_state(root, repo, path, use_blooms=False))
+    # absent key: identical empty schema on both paths
+    miss = rdr.lookup("no-such-repo", "no/such/path.py")
+    assert miss.num_rows == 0
+    assert miss.column_names == sink.lookup_state(
+        root, "no-such-repo", "no/such/path.py",
+        use_blooms=False).column_names
+    assert rep["files_bloom_skipped"] > 0
+    # the reader is pinned to its version: compaction publishes a new
+    # one, invisible until a reader is reopened
+    v = rdr.version
+    sink.compact_mor(root)
+    assert rdr.version == v
+    assert sink.StateReader(root).version == v + 1
+
+
+def test_state_reader_flat_layout(tmp_path):
+    import ray.data
+    root = str(tmp_path / "flat")
+    ev = generate_events_local(CFG)
+    from kettleray.ops import cdc as _cdc
+    state = _cdc.replay_lww(ray.data.from_arrow(ev), num_partitions=2)
+    import json
+
+    import pyarrow.parquet as pq
+    import ray
+    vdir = os.path.join(root, "v0001")
+    os.makedirs(vdir)
+    state_t = pa.concat_tables(ray.get(state.to_arrow_refs()),
+                               promote_options="permissive")
+    pq.write_table(state_t, os.path.join(vdir, "part-0.parquet"))
+    with open(os.path.join(vdir, "manifest.json"), "w") as f:
+        f.write(sink.Manifest(version=1, watermark=0, schema="",
+                              files=[], metrics={}).to_json())
+    with open(os.path.join(root, "CURRENT"), "w") as f:
+        json.dump({"version": 1}, f)
+    rdr = sink.StateReader(root)
+    row = state_t.slice(0, 1)
+    repo, path = row["repo"][0].as_py(), row["path"][0].as_py()
+    got = rdr.lookup(repo, path)
+    want = sink.lookup_state(root, repo, path, use_blooms=False)
+    _cmp(got, want)
+    assert got.num_rows == 1
 
 
 def test_fsck_ignores_sidecars(tmp_path):
