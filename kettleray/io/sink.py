@@ -870,7 +870,8 @@ def scan_state(root: str, filters, *, version: int | None = None,
 
 def cluster_state(root: str, cluster_by: "tuple | list", *,
                   rows_per_file: int = 250_000,
-                  num_buckets: int | None = None) -> Manifest:
+                  num_buckets: int | None = None,
+                  build_blooms: bool = False) -> Manifest:
     """Range-cluster every bucket by ``cluster_by`` (≙ Delta OPTIMIZE
     ZORDER's 1-D case / Iceberg sort-order rewrite): each bucket's rows
     are sorted by the cluster columns and written as ~``rows_per_file``
@@ -959,6 +960,12 @@ def cluster_state(root: str, cluster_by: "tuple | list", *,
                 f"single-writer; re-run to cluster on top of it")
         raise
     _write_current(root, nv)
+    if build_blooms:
+        # serving tables: refresh key-Bloom sidecars right after the
+        # rewrite (only the new files are missing one — untouched
+        # buckets' sidecars rode the hardlinks)
+        from kettleray.io.blooms import build_key_blooms
+        build_key_blooms(root, version=nv)
     return man2
 
 
@@ -1719,7 +1726,8 @@ def maybe_compact_mor(root: str, *, max_delta_ratio: float = 0.2,
     return compact_mor(root, num_partitions=num_partitions)
 
 
-def compact_mor(root: str, *, num_partitions: int = 16) -> Manifest:
+def compact_mor(root: str, *, num_partitions: int = 16,
+                build_blooms: bool = False) -> Manifest:
     """Fold merge-on-read deltas into the base: buckets WITH delta files
     are re-replayed (base-as-events ∪ deltas → LWW) and rewritten; every
     delta-free bucket is hardlinked forward untouched. Commits a new
@@ -1732,6 +1740,9 @@ def compact_mor(root: str, *, num_partitions: int = 16) -> Manifest:
     vdir = _version_dir(root, v)
     base_files, delta_files = _split_base_delta(vdir)
     if not delta_files:
+        if build_blooms:
+            from kettleray.io.blooms import build_key_blooms
+            build_key_blooms(root, version=v)
         return man
     nb = int(man.metrics.get("num_buckets", 64))
     bc = tuple(man.metrics.get("bucket_cols", ("repo", "path")))
@@ -1790,6 +1801,9 @@ def compact_mor(root: str, *, num_partitions: int = 16) -> Manifest:
         f.write(man2.to_json())
     os.rename(stage, _version_dir(root, nv))
     _write_current(root, nv)
+    if build_blooms:
+        from kettleray.io.blooms import build_key_blooms
+        build_key_blooms(root, version=nv)
     return man2
 
 

@@ -251,6 +251,59 @@ def test_state_reader_flat_layout(tmp_path):
     assert got.num_rows == 1
 
 
+def test_maintenance_hooks_build_blooms(tmp_path):
+    root = str(tmp_path / "s")
+    ev = generate_events_local(CFG)
+    cut = ev.num_rows // 2
+    _build(root, ev.slice(0, cut), mor=True)
+    _build(root, ev.slice(cut), mor=True)
+    # compaction with the hook: the new version is fully bloomed
+    sink.compact_mor(root, build_blooms=True)
+    info = blooms.build_key_blooms(root)
+    assert info["built"] == 0 and info["existing"] == info["files_total"]
+    # clustering rewrites every bucket; the hook re-blooms them all
+    sink.cluster_state(root, ("lang",), rows_per_file=64,
+                       build_blooms=True)
+    info = blooms.build_key_blooms(root)
+    assert info["built"] == 0 and info["existing"] == info["files_total"]
+    for repo, path in _some_keys(root, 5):
+        _cmp(sink.lookup_state(root, repo, path),
+             sink.lookup_state(root, repo, path, use_blooms=False))
+
+
+def test_changefeed_driven_reader_refresh(tmp_path):
+    """The serving pattern end-to-end: a pinned StateReader serves a
+    version while a ChangeSubscription watches the feed; when a commit
+    lands, the poll is the signal to reopen — the fresh reader sees the
+    new state, the old one keeps serving its immutable version."""
+    root = str(tmp_path / "s")
+    cur = str(tmp_path / "cursor.json")
+    ev = generate_events_local(CFG)
+    cut = ev.num_rows - 200
+    _build(root, ev.slice(0, cut), mor=True)
+    blooms.build_key_blooms(root)
+    sub = sink.ChangeSubscription(root, cur)
+    assert sub.poll() is not None           # bootstrap window
+    sub.ack()
+    rdr = sink.StateReader(root)
+    assert sub.poll() is None               # caught up -> keep serving
+    _build(root, ev.slice(cut), mor=True)   # a commit lands
+    changes = sub.poll()
+    assert changes is not None              # signal: reopen
+    sub.ack()
+    fresh = sink.StateReader(root)
+    assert fresh.version == rdr.version + 1
+    # the fresh reader agrees with the ground-truth point read on the
+    # new version; the pinned reader still serves the OLD version
+    changed = {(r["repo"], r["path"]) for r in changes.take_all()}
+    for repo, path in sorted(changed)[:10]:
+        _cmp(fresh.lookup(repo, path),
+             sink.lookup_state(root, repo, path, use_blooms=False))
+        _cmp(rdr.lookup(repo, path),
+             sink.lookup_state(root, repo, path, use_blooms=False,
+                               version=rdr.version))
+
+
 def test_fsck_ignores_sidecars(tmp_path):
     root = str(tmp_path / "s")
     _build(root, generate_events_local(CFG))
