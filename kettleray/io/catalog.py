@@ -88,7 +88,12 @@ def _advance_current(root: str) -> int:
                                 {"snapshot": mx})
 
 
-def read_snapshot(root: str, snapshot: int | None = None) -> dict:
+def read_snapshot(root: str, snapshot: int | None = None, *,
+                  ref: str | None = None) -> dict:
+    if ref is not None:
+        if snapshot is not None:
+            raise ValueError("pass snapshot or ref, not both")
+        snapshot = resolve_ref(root, ref)
     n = snapshot if snapshot is not None else current_snapshot_id(root)
     if n is None:
         raise FileNotFoundError(f"no committed snapshot under {root}")
@@ -144,10 +149,12 @@ def commit_snapshot(root: str, tables: dict[str, tuple[str, int]], *,
         return n
 
 
-def read_table(root: str, name: str, *, snapshot: int | None = None):
+def read_table(root: str, name: str, *, snapshot: int | None = None,
+               ref: str | None = None):
     """Open one table AT THE SNAPSHOT-PINNED VERSION (never the table
-    root's own CURRENT — that may already be ahead of the snapshot)."""
-    entry = read_snapshot(root, snapshot)["tables"][name]
+    root's own CURRENT — that may already be ahead of the snapshot).
+    ``ref`` resolves a named tag/branch instead of an explicit id."""
+    entry = read_snapshot(root, snapshot, ref=ref)["tables"][name]
     return _sink.read_state(entry["root"], entry["version"])
 
 
@@ -159,13 +166,124 @@ def pinned_versions(root: str, *, keep_last: int = 2
     cur = current_snapshot_id(root)
     if cur is None:
         return {}
+    keep = set(range(max(1, cur - keep_last + 1), cur + 1))
+    # named refs protect their snapshots regardless of age: a tagged
+    # audit state or a lagging "prod" branch must survive gc
+    keep.update(int(r["snapshot"]) for r in list_refs(root).values())
     out: dict[str, set[int]] = {}
-    for n in range(max(1, cur - keep_last + 1), cur + 1):
+    for n in sorted(keep):
         p = _snap_path(root, n)
         if not os.path.exists(p):
             continue
         for name, e in read_snapshot(root, n)["tables"].items():
             out.setdefault(e["root"], set()).add(e["version"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Named refs: tags (immutable) + branches (movable pointers).
+# ---------------------------------------------------------------------------
+# ≙ Iceberg table refs / Nessie named references, scoped to this
+# catalog's single LINEAR snapshot chain: commit_snapshot always
+# extends the one chain; a ref NAMES a position on it. That covers the
+# serving patterns ("prod" pinned at the last validated snapshot while
+# ingest advances CURRENT; "nightly-2026-08-19" tags an auditable
+# state) without divergent-history merge semantics, which are out of
+# scope and documented as such.
+
+def _ref_path(root: str, name: str) -> str:
+    if not name or "/" in name or name.startswith("."):
+        raise ValueError(f"bad ref name {name!r}")
+    return os.path.join(root, "refs", f"{name}.json")
+
+
+def create_tag(root: str, name: str, *,
+               snapshot: int | None = None) -> int:
+    """Immutable named pointer. Creation is exclusive (os.link claim):
+    re-tagging an existing name raises instead of silently moving —
+    delete_ref first if you really mean it."""
+    import uuid
+    n = snapshot if snapshot is not None else current_snapshot_id(root)
+    if n is None:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    read_snapshot(root, n)                  # must exist
+    p = _ref_path(root, name)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = f"{p}.{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"type": "tag", "snapshot": n, "ts": time.time()}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, p)
+    except FileExistsError:
+        raise FileExistsError(f"ref {name!r} already exists") from None
+    finally:
+        os.unlink(tmp)
+    return n
+
+
+def create_branch(root: str, name: str, *,
+                  snapshot: int | None = None) -> int:
+    """Movable named pointer, created at ``snapshot`` (default: the
+    current one). Move it with advance_branch."""
+    n = snapshot if snapshot is not None else current_snapshot_id(root)
+    if n is None:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    read_snapshot(root, n)
+    p = _ref_path(root, name)
+    if os.path.exists(p):
+        raise FileExistsError(f"ref {name!r} already exists")
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    _sink.atomic_write_json(p, {"type": "branch", "snapshot": n,
+                                "ts": time.time()})
+    return n
+
+
+def advance_branch(root: str, name: str, snapshot: int, *,
+                   expect: int | None = None) -> None:
+    """Move a branch to ``snapshot``. Tags refuse. With ``expect``,
+    compare-and-swap: raises if the branch moved since you read it —
+    the optimistic-concurrency handshake for promotion pipelines
+    (validate snapshot N, then advance prod N-1 -> N iff still N-1)."""
+    ref = _read_ref(root, name)
+    if ref["type"] != "branch":
+        raise ValueError(f"ref {name!r} is a tag (immutable)")
+    if expect is not None and ref["snapshot"] != expect:
+        raise RuntimeError(
+            f"branch {name!r} moved: at {ref['snapshot']}, "
+            f"expected {expect}")
+    read_snapshot(root, snapshot)           # must exist
+    _sink.atomic_write_json(_ref_path(root, name),
+                            {"type": "branch", "snapshot": int(snapshot),
+                             "ts": time.time()})
+
+
+def _read_ref(root: str, name: str) -> dict:
+    p = _ref_path(root, name)
+    if not os.path.exists(p):
+        raise FileNotFoundError(f"no ref {name!r} under {root}")
+    with open(p) as f:
+        return json.load(f)
+
+
+def resolve_ref(root: str, name: str) -> int:
+    return int(_read_ref(root, name)["snapshot"])
+
+
+def delete_ref(root: str, name: str) -> None:
+    os.unlink(_ref_path(root, name))
+
+
+def list_refs(root: str) -> dict[str, dict]:
+    d = os.path.join(root, "refs")
+    if not os.path.isdir(d):
+        return {}
+    out = {}
+    for fn in sorted(os.listdir(d)):
+        if fn.endswith(".json"):
+            with open(os.path.join(d, fn)) as f:
+                out[fn[:-5]] = json.load(f)
     return out
 
 

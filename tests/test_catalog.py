@@ -107,3 +107,68 @@ def test_gc_respects_catalog_pins(tmp_path):
     assert 1 not in deleted and deleted == [2, 3]
     # the pinned snapshot still reads
     assert catalog.read_table(croot, "state").count() == 10
+
+
+def test_refs_tag_branch_semantics(tmp_path):
+    import os
+    croot = str(tmp_path / "catalog")
+    sroot = str(tmp_path / "state")
+    rows = [_r(f"r{i % 2}", f"f{i}.py", i) for i in range(1, 11)]
+    m1 = sink.apply_incremental_mor(sroot, ray.data.from_arrow(_mk(rows)),
+                                    num_buckets=2, num_partitions=2)
+    s1 = catalog.commit_snapshot(croot, {"state": (sroot, m1.version)})
+    catalog.create_tag(croot, "audit-2026-08-19")
+    catalog.create_branch(croot, "prod")
+    # ingest advances the chain; refs stay where they were
+    m2 = sink.apply_incremental_mor(
+        sroot, ray.data.from_arrow(_mk([_r("r0", "f1.py", 100,
+                                           content="XX")])),
+        num_buckets=2, num_partitions=2)
+    s2 = catalog.commit_snapshot(croot, {"state": (sroot, m2.version)})
+    assert s2 == s1 + 1
+    assert catalog.resolve_ref(croot, "prod") == s1
+    assert catalog.resolve_ref(croot, "audit-2026-08-19") == s1
+    # readers through the branch see the OLD validated state
+    old = _state(catalog.read_table(croot, "state", ref="prod"))
+    new = _state(catalog.read_table(croot, "state"))
+    assert old != new and len(old) == 10 and len(new) == 11
+    # promotion: CAS advance; a stale expectation refuses
+    catalog.advance_branch(croot, "prod", s2, expect=s1)
+    assert _state(catalog.read_table(croot, "state", ref="prod")) == new
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        catalog.advance_branch(croot, "prod", s1, expect=s1)
+    # tags are immutable and exclusive
+    with _pytest.raises(ValueError):
+        catalog.advance_branch(croot, "audit-2026-08-19", s2)
+    with _pytest.raises(FileExistsError):
+        catalog.create_tag(croot, "audit-2026-08-19", snapshot=s2)
+    refs = catalog.list_refs(croot)
+    assert refs["prod"]["type"] == "branch"
+    assert refs["audit-2026-08-19"]["type"] == "tag"
+    catalog.delete_ref(croot, "audit-2026-08-19")
+    assert "audit-2026-08-19" not in catalog.list_refs(croot)
+
+
+def test_refs_protect_versions_from_gc(tmp_path):
+    import os
+    croot = str(tmp_path / "catalog")
+    sroot = str(tmp_path / "state")
+    rows = [_r(f"r{i % 2}", f"f{i}.py", i) for i in range(1, 11)]
+    m1 = sink.apply_incremental_mor(sroot, ray.data.from_arrow(_mk(rows)),
+                                    num_buckets=2, num_partitions=2)
+    catalog.commit_snapshot(croot, {"state": (sroot, m1.version)})
+    catalog.create_tag(croot, "keep-me")
+    # four more snapshots push the tag far outside keep_last=2
+    for seq in (100, 101, 102, 103):
+        m = sink.apply_incremental_mor(
+            sroot, ray.data.from_arrow(_mk([_r("r0", "f1.py", seq)])),
+            num_buckets=2, num_partitions=2)
+        catalog.commit_snapshot(croot, {"state": (sroot, m.version)})
+    pins = catalog.pinned_versions(croot, keep_last=2).get(
+        os.path.abspath(sroot), set())
+    assert 1 in pins, "tagged snapshot's table version must stay pinned"
+    deleted = sink.gc_versions(sroot, keep_last=1, pinned=pins)
+    assert 1 not in deleted
+    # the tagged state still reads exactly
+    assert catalog.read_table(croot, "state", ref="keep-me").count() == 10
