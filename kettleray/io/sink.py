@@ -1976,6 +1976,66 @@ class ChangeSubscription:
         self._pending = None
 
 
+def table_history(root: str) -> pa.Table:
+    """≙ Delta ``DESCRIBE HISTORY`` / the Iceberg snapshots metadata
+    table: one row per committed version still on disk, manifest reads
+    only (no data IO — metadata-sized at any table scale). ``bytes``
+    counts manifest-listed bytes; hardlinked carry-forward files are
+    listed in every version that references them (logical size)."""
+    rows = []
+    cur = current_version(root)
+    vs = sorted(int(n[1:]) for n in os.listdir(root)
+                if n.startswith("v") and n[1:].isdigit()) \
+        if os.path.isdir(root) else []
+    for v in vs:
+        try:
+            man = read_manifest(root, v)
+        except FileNotFoundError:
+            continue
+        if man is None:
+            continue
+        m = man.metrics or {}
+        rows.append({
+            "version": v,
+            "watermark": man.watermark,
+            "rows": sum(e.get("rows", 0) for e in man.files),
+            "files": len(man.files),
+            "bytes": sum(e.get("bytes", 0) for e in man.files),
+            "delta_files": sum(1 for e in man.files
+                               if "delta" in e.get("file", "")),
+            "operation": m.get("operation",
+                               "compact" if "compaction_of" in m
+                               else "commit"),
+            "is_current": v == cur,
+            "metrics": json.dumps(m, default=str),
+        })
+    return pa.Table.from_pylist(rows) if rows else pa.table({
+        "version": pa.array([], pa.int64())})
+
+
+def table_files(root: str, version: int | None = None) -> pa.Table:
+    """≙ the Iceberg ``files`` metadata table: one row per
+    manifest-listed file of one version, with zone-map stats as JSON.
+    Manifest-only read."""
+    v = version if version is not None else current_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no committed state under {root}")
+    man = read_manifest(root, v)
+    rows = []
+    for e in (man.files if man else []):
+        rows.append({
+            "version": v,
+            "file": e.get("file", ""),
+            "rows": e.get("rows", 0),
+            "bytes": e.get("bytes", 0),
+            "is_delta": "delta" in e.get("file", ""),
+            "stats": json.dumps(e.get("stats"), default=str)
+            if e.get("stats") is not None else None,
+        })
+    return pa.Table.from_pylist(rows) if rows else pa.table({
+        "version": pa.array([], pa.int64())})
+
+
 def gc_versions(root: str, *, keep_last: int = 2,
                 stage_min_age_s: float = 3600.0,
                 pinned: "set[int] | None" = None) -> list[int]:

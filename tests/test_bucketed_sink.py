@@ -253,3 +253,41 @@ def test_concurrent_commit_rename_race_reapplies_loser(tmp_path,
     assert len(got) == 20                       # 10 base + 5 + 5
     assert all((f"r{i % 3}", f"f{i}") in got for i in range(100, 105))
     assert all((f"r{i % 3}", f"f{i}") in got for i in range(200, 205))
+
+
+def test_table_history_and_files_metadata(tmp_path):
+    import json as _json
+
+    import ray.data
+
+    from kettleray.gen.synthetic import EventGenConfig, generate_events_local
+    root = str(tmp_path / "s")
+    ev = generate_events_local(EventGenConfig(
+        n_events=1200, n_repos=6, n_paths_per_repo=25, p_delete=0.05,
+        seed=9))
+    cut = ev.num_rows // 2
+    sink.apply_incremental_mor(root, ray.data.from_arrow(ev.slice(0, cut)),
+                               num_buckets=4, num_partitions=2)
+    sink.apply_incremental_mor(root, ray.data.from_arrow(ev.slice(cut)),
+                               num_buckets=4, num_partitions=2)
+    sink.compact_mor(root)
+    h = sink.table_history(root)
+    versions = h["version"].to_pylist()
+    assert versions == sorted(versions) and len(versions) == 3
+    cur = [r for r in h.to_pylist() if r["is_current"]]
+    assert len(cur) == 1 and cur[0]["version"] == 3
+    assert cur[0]["operation"] == "compact"
+    assert cur[0]["delta_files"] == 0
+    v2 = [r for r in h.to_pylist() if r["version"] == 2][0]
+    assert v2["delta_files"] > 0
+    # watermarks are monotone across versions
+    wms = [r["watermark"] for r in h.to_pylist()]
+    assert wms == sorted(wms)
+    f = sink.table_files(root)
+    assert f.num_rows == cur[0]["files"]
+    assert sum(f["rows"].to_pylist()) == cur[0]["rows"]
+    assert not any(f["is_delta"].to_pylist())
+    fv2 = sink.table_files(root, 2)
+    assert any(fv2["is_delta"].to_pylist())
+    st = [_json.loads(s) for s in fv2["stats"].to_pylist() if s]
+    assert st and all(isinstance(d, dict) for d in st)
