@@ -707,6 +707,45 @@ def q_cdc_point_lookup(sf_dir: str):
     return out.select(list(cdc.FINAL_STATE_COLS))
 
 
+def q_cdc_bulk_lookup(sf_dir: str):
+    """Distributed bulk lookup (sink.lookup_many): route requested keys
+    to buckets with the writer's hash, one task per touched bucket reads
+    base+delta once with isin pushdown, MOR-merges and semi-joins the
+    request exactly — the batch-serving path (enrich a key stream
+    against the state without a full scan or a driver loop). Requests
+    include duplicates and ghosts; oracle = the LWW replay SQL
+    restricted to the same key predicate."""
+    import shutil
+    import tempfile
+    import pyarrow.compute as pc
+    from kettleray.io import sink
+    root = tempfile.mkdtemp(prefix="kr_bulk_lookup_")
+    shutil.rmtree(root, ignore_errors=True)
+    ev = _events(sf_dir)
+    mid = 1_500_000
+    for lo, hi in ((0, mid), (mid, 1 << 62)):
+        w = ev.map_batches(
+            lambda b, lo=lo, hi=hi: b.filter(pc.and_(
+                pc.greater_equal(b["commit_seq"], lo),
+                pc.less(b["commit_seq"], hi))),
+            batch_format="pyarrow", zero_copy_batch=True)
+        sink.apply_incremental_mor(root, w, num_buckets=16,
+                                   num_partitions=_NUM_PARTITIONS)
+    # requests: every key ending '5.txt' (dupes arrive naturally — one
+    # request row per EVENT, not per key) plus ghosts that must miss
+    keys = ev.map_batches(
+        lambda b: b.select(["repo", "path"]).filter(
+            pc.ends_with(b["path"], "5.txt")),
+        batch_format="pyarrow", zero_copy_batch=True)
+    import pyarrow as pa
+    import ray.data as rd
+    ghosts = rd.from_arrow(pa.table({
+        "repo": ["ghost"] * 3, "path": ["a.py", "b.py", "c.py"]}))
+    return sink.lookup_many(root, keys.union(ghosts)).map_batches(
+        lambda t: t.select(list(cdc.FINAL_STATE_COLS)),
+        batch_format="pyarrow", batch_size=None)
+
+
 def q_cdc_delete_where(sf_dir: str):
     """Set-based DELETE as one CDC commit (≙ Kettle Delete step): replay
     to a MOR state, dml.delete_where(lang = 'en') — a zone-map pruned
@@ -835,6 +874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_incremental_agg": q_cdc_incremental_agg,
         "cdc_pruned_scan": q_cdc_pruned_scan,
         "cdc_point_lookup": q_cdc_point_lookup,
+        "cdc_bulk_lookup": q_cdc_bulk_lookup,
         "cdc_delete_where": q_cdc_delete_where,
         "cdc_update_where": q_cdc_update_where,
         "cdc_merge_into": q_cdc_merge_into,
@@ -894,7 +934,7 @@ _SNAPSHOT_WINDOW = [
     "kmeans_assign", "stratified_sample", "text_scrub_normalize",
     "winnowing_fingerprints", "multimodal_audio_features",
     "multimodal_video_frames", "source_csv_roundtrip",
-    "multiway_merge_join",
+    "cdc_bulk_lookup",
 ]
 
 
@@ -914,6 +954,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_point_lookup":
             f"WITH {ev}, {_RANKED} SELECT * FROM ({_FINAL_STATE_SELECT}) "
             "WHERE path LIKE '%0.txt'",
+        "cdc_bulk_lookup":
+            f"WITH {ev}, {_RANKED} SELECT * FROM ({_FINAL_STATE_SELECT}) "
+            "WHERE path LIKE '%5.txt'",
         "cdc_delete_where":
             f"WITH {ev}, {_RANKED} SELECT * FROM ({_FINAL_STATE_SELECT}) "
             "WHERE lang <> 'en'",

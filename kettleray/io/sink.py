@@ -1976,6 +1976,90 @@ class ChangeSubscription:
         self._pending = None
 
 
+def lookup_many(root: str, keys: "ray.data.Dataset", *,
+                version: int | None = None,
+                num_partitions: int | None = None) -> "ray.data.Dataset":
+    """Distributed bulk point-lookup — the batch-serving complement of
+    :class:`StateReader` (≙ Kettle's Database Lookup step run against
+    the lake, engine/.../steps/databaselookup, cache-all mode): given a
+    Dataset of requested ``(repo, path)`` keys, route each to its
+    bucket with the writer's own hash, shuffle ONLY the keys, then one
+    task per touched bucket reads that bucket's base+delta files once
+    (parquet ``isin`` pushdown on the requested values), MOR-merges,
+    and left-semi-joins the requested keys exactly.
+
+    Scale shape: IO ∝ touched buckets, exchange ∝ keys + hits — never
+    a full-table scan and never a driver-side loop; enriching a 100M-key
+    stream against a 100 TB state touches each bucket once.
+    """
+    import pyarrow.dataset as pads
+    v = version if version is not None else current_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no committed state under {root}")
+    man = read_manifest(root, v)
+    nb = man.metrics.get("num_buckets") if man else None
+    vdir = _version_dir(root, v)
+
+    def _distinct_keys(t: pa.Table) -> pa.Table:
+        return t.select(["repo", "path"]).group_by(
+            ["repo", "path"]).aggregate([])
+
+    if nb is None:
+        # flat layout: one filtered read over the version's files
+        def _flat(t: pa.Table) -> pa.Table:
+            kt = _distinct_keys(t)
+            files = _parquet_files(vdir)
+            if not files or kt.num_rows == 0:
+                return state_schema(root, v).empty_table()
+            flt = (pads.field("repo").isin(kt["repo"].to_pylist())
+                   & pads.field("path").isin(kt["path"].to_pylist()))
+            st = pads.dataset(files).to_table(filter=flt)
+            return st.join(kt, keys=["repo", "path"],
+                           join_type="left semi")
+        return keys.repartition(1).map_batches(
+            _flat, batch_format="pyarrow", batch_size=None)
+
+    nb = int(nb)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        kt = _distinct_keys(t)
+        b = cdc.stable_key_buckets(kt, ("repo", "path"), nb)
+        return kt.append_column("bucket_id",
+                                pa.array(b, type=pa.int32()))
+
+    keyed = keys.map_batches(_assign, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def _probe(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return state_schema(root, v).empty_table()
+        b = group["bucket_id"][0].as_py()
+        kt = group.drop_columns(["bucket_id"]).group_by(
+            ["repo", "path"]).aggregate([])
+        bdir = os.path.join(vdir, f"bucket={b}")
+        ddir = os.path.join(vdir, "delta", f"bucket={b}")
+        files = _parquet_files(bdir) if os.path.isdir(bdir) else []
+        dfiles = _parquet_files(ddir) if os.path.isdir(ddir) else []
+        # isin pushdown overselects pairs (r1,p2) — exact semantics come
+        # from the semi-join below; the filter only bounds the IO
+        flt = (pads.field("repo").isin(kt["repo"].to_pylist())
+               & pads.field("path").isin(kt["path"].to_pylist()))
+        base_t = pads.dataset(files).to_table(filter=flt) if files \
+            else state_schema(root, v).empty_table()
+        if "bucket" in base_t.column_names:
+            base_t = base_t.drop_columns(["bucket"])
+        if dfiles:
+            delta_t = pads.dataset(dfiles).to_table(filter=flt)
+            merged = _merge_point(base_t, delta_t)
+        else:
+            merged = base_t
+        return merged.join(kt, keys=["repo", "path"],
+                           join_type="left semi")
+
+    return keyed.groupby("bucket_id").map_groups(
+        _probe, batch_format="pyarrow")
+
+
 def table_history(root: str) -> pa.Table:
     """≙ Delta ``DESCRIBE HISTORY`` / the Iceberg snapshots metadata
     table: one row per committed version still on disk, manifest reads

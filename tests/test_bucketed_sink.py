@@ -291,3 +291,64 @@ def test_table_history_and_files_metadata(tmp_path):
     assert any(fv2["is_delta"].to_pylist())
     st = [_json.loads(s) for s in fv2["stats"].to_pylist() if s]
     assert st and all(isinstance(d, dict) for d in st)
+
+
+def test_lookup_many_bulk_matches_point_lookups(tmp_path):
+    import ray.data
+
+    from kettleray.gen.synthetic import EventGenConfig, generate_events_local
+    root = str(tmp_path / "s")
+    ev = generate_events_local(EventGenConfig(
+        n_events=3000, n_repos=10, n_paths_per_repo=30, p_delete=0.08,
+        seed=41))
+    cut = ev.num_rows // 2
+    sink.apply_incremental_mor(root, ray.data.from_arrow(ev.slice(0, cut)),
+                               num_buckets=8, num_partitions=4)
+    sink.apply_incremental_mor(root, ray.data.from_arrow(ev.slice(cut)),
+                               num_buckets=8, num_partitions=4)
+    state = {(r["repo"], r["path"]): r["content_sha256"]
+             for r in sink.read_state(root).take_all()}
+    live = sorted(state)[::3][:40]
+    dead = [("ghost", f"g{i}.py") for i in range(5)]
+    # duplicate requests must not duplicate results
+    req = live + live[:7] + dead
+    keys = ray.data.from_arrow(pa.table({
+        "repo": [k[0] for k in req], "path": [k[1] for k in req]}))
+    got = {(r["repo"], r["path"]): r["content_sha256"]
+           for r in sink.lookup_many(root, keys).take_all()}
+    assert got == {k: state[k] for k in live}
+    # every row agrees with the point-lookup ground truth
+    for k in live[:10]:
+        t = sink.lookup_state(root, *k, use_blooms=False)
+        assert t["content_sha256"][0].as_py() == got[k]
+
+
+def test_lookup_many_flat_layout(tmp_path):
+    import json as _json
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from kettleray.gen.synthetic import EventGenConfig, generate_events_local
+    from kettleray.ops import cdc as _cdc
+    root = str(tmp_path / "flat")
+    ev = generate_events_local(EventGenConfig(
+        n_events=1000, n_repos=5, n_paths_per_repo=20, p_delete=0.05,
+        seed=43))
+    state = _cdc.replay_lww(ray.data.from_arrow(ev), num_partitions=2)
+    vdir = os.path.join(root, "v0001")
+    os.makedirs(vdir)
+    st = pa.concat_tables(ray.get(state.to_arrow_refs()),
+                          promote_options="permissive")
+    pq.write_table(st, os.path.join(vdir, "part-0.parquet"))
+    with open(os.path.join(vdir, "manifest.json"), "w") as f:
+        f.write(sink.Manifest(version=1, watermark=0, schema="",
+                              files=[], metrics={}).to_json())
+    with open(os.path.join(root, "CURRENT"), "w") as f:
+        _json.dump({"version": 1}, f)
+    want = {(r["repo"], r["path"]) for r in st.slice(0, 15).to_pylist()}
+    keys = ray.data.from_arrow(pa.table({
+        "repo": [k[0] for k in want], "path": [k[1] for k in want]}))
+    got = sink.lookup_many(root, keys).take_all()
+    assert {(r["repo"], r["path"]) for r in got} == want
