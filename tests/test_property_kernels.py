@@ -412,3 +412,41 @@ def test_patch_replay_kernels_match_oracle(t, cut):
     got = {(r["repo"], r["path"]): (r["content"], r["last_commit_seq"])
            for r in got_t.to_pylist()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Key-Bloom sidecars: NO FALSE NEGATIVES, for any key set and any probe.
+# ---------------------------------------------------------------------------
+
+_key_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)),
+    min_size=0, max_size=24)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(_key_text, _key_text), min_size=0, max_size=60),
+       st.lists(st.tuples(_key_text, _key_text), min_size=1, max_size=20))
+def test_bloom_sidecar_never_false_negative(tmp_path_factory, present,
+                                            probes):
+    import pyarrow.parquet as pq
+
+    from kettleray.io import blooms
+
+    d = tmp_path_factory.mktemp("bl")
+    fp = str(d / "f.parquet")
+    t = pa.table({"repo": pa.array([k[0] for k in present],
+                                   type=pa.string()),
+                  "path": pa.array([k[1] for k in present],
+                                   type=pa.string())})
+    pq.write_table(t, fp)
+    blooms._build_sidecar(fp, ("repo", "path"), 10)
+    sc = blooms.load_sidecar(fp)
+    for r, p in present:
+        kv = {"repo": r, "path": p}
+        assert blooms.probe_sidecar(fp, kv), "file-probe false negative"
+        assert sc.might_contain(kv), "in-memory false negative"
+    # absent probes may false-positive but must agree between the two
+    # probe implementations (same header, same bits)
+    for r, p in probes:
+        kv = {"repo": r, "path": p}
+        assert blooms.probe_sidecar(fp, kv) == sc.might_contain(kv)
