@@ -49,10 +49,24 @@ class Pipeline:
     """A declared chain of registered operators over one input Dataset."""
     steps: Sequence[Mapping[str, Any]] = field(default_factory=list)
 
-    def run(self, ds: "ray.data.Dataset") -> "ray.data.Dataset":
-        for step in self.steps:
+    def run(self, ds: "ray.data.Dataset",
+            metrics: "Any | None" = None) -> "ray.data.Dataset":
+        """Apply the declared steps left-to-right. With ``metrics`` (a
+        :class:`kettleray.metrics.PipelineMetrics`), a zero-copy
+        pass-through counter is spliced after the input and after every
+        step — Kettle's BaseStep linesRead/linesWritten counters; read
+        them via ``metrics.step_status()`` after execution. Steps may
+        carry an optional ``"name"`` (Kettle step names) used for the
+        counter label; default is ``{i}:{op}``."""
+        if metrics is not None:
+            ds = metrics.count(ds, "input")
+        for i, step in enumerate(self.steps):
             op = get_operator(step["op"])
-            ds = op(ds, **{k: v for k, v in step.items() if k != "op"})
+            ds = op(ds, **{k: v for k, v in step.items()
+                           if k not in ("op", "name")})
+            if metrics is not None:
+                ds = metrics.count(ds, step.get("name",
+                                                f"{i}:{step['op']}"))
         return ds
 
     @staticmethod

@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-cpus", type=int, default=None,
                    help="local-mode CPU count (ignored on a cluster "
                         "where ray.init is already done)")
+    p.add_argument("--metrics", action="store_true",
+                   help="print per-step StepStatus counters (lines "
+                        "read/written, active seconds, rows/s) after "
+                        "the run — ≙ Kettle BaseStep/StepStatus")
     return p
 
 
@@ -78,7 +82,11 @@ def main(argv=None) -> int:
     cols = args.columns.split(",") if args.columns else None
     ds = ray.data.read_parquet(args.input, columns=cols)
     pipe = Pipeline.from_json(args.spec, variables=parse_vars(args.var))
-    out = pipe.run(ds)
+    metrics = None
+    if args.metrics:
+        from kettleray.metrics import PipelineMetrics
+        metrics = PipelineMetrics("run")
+    out = pipe.run(ds, metrics=metrics)
 
     if args.output_mode == "state":
         from kettleray.io import sink
@@ -93,6 +101,9 @@ def main(argv=None) -> int:
     else:
         out.write_parquet(args.output)
         print(json.dumps({"written": args.output}))
+    if metrics is not None:
+        for row in metrics.step_status().to_pylist():
+            print(json.dumps({"step_status": row}))
     return 0
 
 
