@@ -5,6 +5,8 @@ are rows-only checks (driver records the weaker check)."""
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -898,6 +900,103 @@ def q_inverted_incremental(sf_dir):
     return res
 
 
+def q_approx_distinct(sf_dir):
+    """HLL approximate distinct counts (ops.sketches) with a
+    verdict-style oracle: the engine computes BOTH the exact distinct
+    (distributed unique_rows) and the HLL estimate, and emits
+    (col, exact_distinct, hll_ok) where hll_ok asserts the estimate is
+    within 5x the theoretical RSE (1.04/sqrt(2^p)) of the exact count.
+    The hash function is deterministic, so the verdict is stable across
+    runs/partitionings; the oracle re-derives the exact counts in SQL
+    and asserts hll_ok=true."""
+    from kettleray.ops import sketches as sk
+    ev = _t(sf_dir, "events", ["event_id", "user_id"])
+    rows = []
+    for col in ("event_id", "user_id"):
+        est = sk.approx_distinct(ev, col, p=14)
+        exact = ag.unique_rows(ev.select_columns([col]), [col]).count()
+        tol = 5 * 1.04 / (2 ** 14) ** 0.5
+        rows.append({"col": col, "exact_distinct": int(exact),
+                     "hll_ok": abs(est - exact) <= tol * exact + 1})
+    return pa.table({
+        "col": pa.array([r["col"] for r in rows]),
+        "exact_distinct": pa.array(
+            [r["exact_distinct"] for r in rows], pa.int64()),
+        "hll_ok": pa.array([r["hll_ok"] for r in rows]),
+    })
+
+
+def q_approx_distinct_by(sf_dir):
+    """Per-group HLL distinct (ops.sketches.approx_distinct_by): one
+    (key, 4 KB sketch)-row exchange instead of shuffling every value.
+    Verdict oracle: per event_type, exact distinct user_id (distributed)
+    + a bool asserting the sketch estimate is within 5x RSE(p=12)."""
+    from kettleray.ops import sketches as sk
+    ev = _t(sf_dir, "events", ["event_type", "user_id"])
+    approx = {r["event_type"]: r["approx_distinct"]
+              for r in sk.approx_distinct_by(
+                  ev, "event_type", "user_id", p=12).take_all()}
+    uniq = ag.unique_rows(ev, ["event_type", "user_id"])
+    exact = {r["event_type"]: r["count()"]
+             for r in uniq.groupby("event_type").count().take_all()}
+    tol = 5 * 1.04 / (2 ** 12) ** 0.5
+    keys = sorted(exact)
+    return pa.table({
+        "event_type": pa.array(keys),
+        "exact_distinct": pa.array(
+            [int(exact[k]) for k in keys], pa.int64()),
+        "hll_ok": pa.array(
+            [abs(approx[k] - exact[k]) <= tol * exact[k] + 1
+             for k in keys]),
+    })
+
+
+def q_approx_quantiles(sf_dir):
+    """DDSketch quantiles (ops.sketches.approx_quantiles) with its
+    PROVABLE guarantee as the oracle: |est - x| <= alpha*|x| where x is
+    the exact element at the sketch's target rank floor(q*(n-1)).
+    Emits (q, exact_q, dd_ok): exact_q follows DuckDB's quantile_disc
+    rank (ceil(q*n)-1) so the oracle can recompute it; dd_ok checks the
+    sketch against the sketch's own rank convention."""
+    from kettleray.ops import sketches as sk
+    qs = [0.1, 0.5, 0.9, 0.99]
+    ev = _t(sf_dir, "events", ["value"])
+    est = sk.approx_quantiles(ev, "value", qs, alpha=0.01)
+    # exact side: one numeric column to the driver (8 B/row) — this is
+    # the ORACLE arm of the check, not the operator under test
+    vals = np.sort(np.concatenate(
+        [b["value"] for b in ev.iter_batches(batch_format="numpy")]))
+    n = len(vals)
+    exact_disc = [float(vals[max(math.ceil(q * n) - 1, 0)]) for q in qs]
+    exact_dd = [float(vals[int(math.floor(q * (n - 1)))]) for q in qs]
+    ok = [abs(e - x) <= 0.0101 * abs(x) + 1e-12
+          for e, x in zip(est, exact_dd)]
+    return pa.table({"q": pa.array(qs, pa.float64()),
+                     "exact_q": pa.array(exact_disc, pa.float64()),
+                     "dd_ok": pa.array(ok)})
+
+
+def q_heavy_hitters(sf_dir):
+    """Misra-Gries heavy hitters (ops.sketches.approx_heavy_hitters):
+    zero-shuffle per-block sketches, k-counter partials. The MG
+    guarantee makes an EXACT oracle possible: every key with true share
+    > min_share + 1/(k+1) is guaranteed in the sketch output, so
+    filtering the sketch's candidates by exact count > that threshold
+    yields exactly SQL's 'HAVING count(*) > thr' set."""
+    from kettleray.ops import sketches as sk
+    docs = _t(sf_dir, "documents", ["lang"])
+    k, min_share = 64, 0.05
+    hh = sk.approx_heavy_hitters(docs, "lang", k=k, min_share=min_share)
+    counts = {r["lang"]: r["count()"]
+              for r in docs.groupby("lang").count().take_all()}
+    n = sum(counts.values())
+    thr = (min_share + 1.0 / (k + 1)) * n
+    keys = sorted(kk for kk in hh if counts.get(kk, 0) > thr)
+    return pa.table({"lang": pa.array(keys),
+                     "cnt": pa.array([int(counts[kk]) for kk in keys],
+                                     pa.int64())})
+
+
 # the tail and stay verified by tools/check_queries.
 QUERIES = {
     "token_count": q_token_count,
@@ -943,6 +1042,10 @@ QUERIES = {
     "bigram_counts": q_bigram_counts,
     "multimodal_audio_features": q_multimodal_audio,
     "multimodal_video_frames": q_multimodal_video_frames,
+    "approx_distinct": q_approx_distinct,
+    "approx_distinct_by": q_approx_distinct_by,
+    "approx_quantiles": q_approx_quantiles,
+    "heavy_hitters": q_heavy_hitters,
 }
 
 ORACLES = {
@@ -1550,4 +1653,38 @@ SELECT a.doc_id,
        coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS text
 FROM a LEFT JOIN kept k ON a.doc_id = k.doc_id
 GROUP BY a.doc_id
+"""
+
+# Sketch gate oracles: the engine emits (exact value computed
+# distributedly, sketch-verdict bool); SQL re-derives the exact values
+# and asserts the verdict. A wrong sketch flips the bool -> hash
+# mismatch; a wrong distributed-exact kernel mismatches the counts.
+ORACLES["approx_distinct"] = """
+SELECT 'event_id' AS col,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS exact_distinct,
+       true AS hll_ok FROM events
+UNION ALL
+SELECT 'user_id', CAST(count(DISTINCT user_id) AS BIGINT), true
+FROM events
+"""
+
+ORACLES["approx_distinct_by"] = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       true AS hll_ok
+FROM events GROUP BY event_type
+"""
+
+ORACLES["approx_quantiles"] = """
+WITH x AS (SELECT quantile_disc(value, [0.1, 0.5, 0.9, 0.99]) AS qq
+           FROM events)
+SELECT [0.1, 0.5, 0.9, 0.99][i] AS q, qq[i] AS exact_q, true AS dd_ok
+FROM x, (SELECT unnest(range(1, 5)) AS i) u
+"""
+
+ORACLES["heavy_hitters"] = """
+SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+FROM documents GROUP BY lang
+HAVING count(*) > (0.05 + 1.0/65)
+                  * (SELECT count(*) FROM documents)
 """

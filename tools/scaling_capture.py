@@ -44,6 +44,37 @@ def probe(iters: int = 20_000_000) -> float:
     return round(iters / (time.time() - t0) / 1e6, 1)
 
 
+def _spin(iters: int) -> float:
+    t0 = time.time()
+    x = 0
+    for i in range(iters):
+        x += i
+    return iters / (time.time() - t0) / 1e6
+
+
+def probe_wide(levels=LEVELS, iters: int = 20_000_000) -> dict:
+    """Multi-core steal/turbo probe: per-proc M iter/s at each
+    parallelism level. A single-core probe misses what a 4N leg
+    actually experiences — hosts deliver LOWER per-core throughput at
+    full width (turbo falloff + multi-core steal), which caps the
+    measurable (T_4N/T_N)/4 of a CPU-bound job below 1.0 regardless of
+    the engine. The HARDWARE CEILING on measured efficiency is
+    (agg_4N / agg_N) / 4; report raw efficiency alongside it, and
+    raw/ceiling as the algorithm-attributable efficiency."""
+    import multiprocessing as mp
+    out = {}
+    for n in levels:
+        with mp.Pool(n) as p:
+            rates = p.map(_spin, [iters] * n)
+        out[n] = {"per_proc_M": round(sum(rates) / len(rates), 1),
+                  "min_M": round(min(rates), 1),
+                  "agg_M": round(sum(rates), 1)}
+    lo, hi = min(levels), max(levels)
+    out["hw_ceiling"] = round(
+        (out[hi]["agg_M"] / out[lo]["agg_M"]) / (hi / lo), 3)
+    return out
+
+
 def _replicated_docs(k_from: int, k_to: int):
     """sf documents replicated with an interleaved per-replica marker:
     cross-replica 3-gram Jaccard ~0, intra-replica near-dup structure
