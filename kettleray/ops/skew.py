@@ -37,13 +37,30 @@ from kettleray.ops.cdc import KEY_COLS, SEQ_COL
 
 def detect_hot_keys(events, *, keys: Sequence[str] = KEY_COLS,
                     top_k: int = 16, min_count: int = 10_000,
-                    sample_rate: float = 1.0) -> pa.Table:
+                    sample_rate: float = 1.0,
+                    method: str = "exact",
+                    sketch_k: int = 4096) -> pa.Table:
     """Cheap pre-pass: per-batch partial counts (combiner) -> small
     groupby -> top-k keys above ``min_count``. Only the two key columns
     leave the scan. With ``sample_rate`` < 1 the scan counts a seeded
     row sample and scales the threshold — hot keys by definition
-    dominate, so sampling finds them at a fraction of the cost."""
+    dominate, so sampling finds them at a fraction of the cost.
+
+    ``method="sketch"``: zero-shuffle Misra-Gries path
+    (:func:`kettleray.ops.sketches.approx_heavy_hitters` machinery) —
+    per-block k-counter sketches, ONE small row per block to the
+    driver, no key-hash exchange at all. Counts are lower bounds with
+    error <= n/(sketch_k+1); every key with true count >
+    min_count + n/(sketch_k+1) is GUARANTEED found, and no key below
+    ``min_count`` minus nothing is reported above its true count (MG
+    never over-counts). The right detector when even the combined
+    partials are too many to exchange; feeding salting only needs the
+    key set, not exact counts."""
     keys = list(keys)
+    if method == "sketch":
+        return _detect_hot_keys_sketch(events, keys=keys, top_k=top_k,
+                                       min_count=min_count,
+                                       sketch_k=sketch_k)
     if sample_rate < 1.0:
         events = events.random_sample(sample_rate, seed=42)
         min_count = max(1, int(min_count * sample_rate))
@@ -103,6 +120,55 @@ def detect_hot_keys(events, *, keys: Sequence[str] = KEY_COLS,
         return cand
     t = cand.sort_by([("n_events", "descending")]).slice(0, top_k)
     return t.filter(pc.greater_equal(t["n_events"], min_count))
+
+
+def _detect_hot_keys_sketch(events, *, keys: Sequence[str], top_k: int,
+                            min_count: int, sketch_k: int) -> pa.Table:
+    """Misra-Gries hot-key detection: per-block sketches, driver merge
+    of #blocks x sketch_k counters, NO shuffle. Returns the same
+    (keys..., n_events) schema as the exact path; n_events is the MG
+    lower-bound count (true count <= n_events + n/(sketch_k+1))."""
+    import pickle
+
+    from kettleray.ops.sketches import MisraGries
+
+    keys = list(keys)
+
+    def _sk(t: pa.Table) -> pa.Table:
+        mg = MisraGries(sketch_k)
+        if len(keys) == 1:
+            mg.update_column(t[keys[0]])
+        else:
+            mg.update_column(pc.binary_join_element_wise(
+                *[pc.cast(t[k], pa.string()) for k in keys], "\x1f"))
+        return pa.table({"sketch": pa.array(
+            [pickle.dumps((mg.k, mg.counters, mg.n))], pa.binary())})
+
+    part = events.select_columns(keys).map_batches(
+        _sk, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None)
+    out = MisraGries(sketch_k)
+    for r in part.take_all():
+        kk, counters, n = pickle.loads(r["sketch"])
+        out.merge(MisraGries(kk, counters, n))
+    err = out.error_bound()
+    # keep keys whose count could plausibly reach min_count (upper
+    # bound = counter + err), rank by lower bound, cut at top_k, then
+    # apply the caller's threshold on the lower bound for parity with
+    # the exact path's contract ("reported keys have >= min_count").
+    cand = sorted(((ct, it) for it, ct in out.counters.items()
+                   if ct + err >= min_count), reverse=True)[:top_k]
+    cand = [(ct, it) for ct, it in cand if ct >= min_count]
+    cols: dict = {k: [] for k in keys}
+    counts = []
+    for ct, it in cand:
+        parts = it.split("\x1f") if len(keys) > 1 else [it]
+        for k, v in zip(keys, parts):
+            cols[k].append(v)
+        counts.append(int(ct))
+    return pa.table({**{k: pa.array(cols[k], pa.string())
+                        for k in keys},
+                     "n_events": pa.array(counts, pa.int64())})
 
 
 def _add_salt(events, hot_keys: pa.Table, *,

@@ -62,3 +62,35 @@ def test_salted_scd2_no_hot_keys_degenerates_to_plain():
         hot_min_count=10**9).take_all()   # nothing qualifies as hot
     want = scd2_oracle(events)
     assert len(got) == len(want)
+
+
+def test_detect_hot_keys_sketch_matches_exact():
+    """Zero-shuffle Misra-Gries detector finds the same hot keys as the
+    exact path, with lower-bound counts within n/(k+1) of exact."""
+    ev = ray.data.from_arrow(_events())
+    exact = skew.detect_hot_keys(ev, top_k=4, min_count=1000)
+    approx = skew.detect_hot_keys(ev, top_k=4, min_count=1000,
+                                  method="sketch", sketch_k=512)
+    ek = set(zip(exact["repo"].to_pylist(), exact["path"].to_pylist()))
+    ak = set(zip(approx["repo"].to_pylist(), approx["path"].to_pylist()))
+    assert ("repo_0", "src/f_-1.txt") in ak
+    assert ak == ek
+    exact_counts = dict(zip(zip(exact["repo"].to_pylist(),
+                                exact["path"].to_pylist()),
+                            exact["n_events"].to_pylist()))
+    err = CFG.n_events / (512 + 1)
+    for repo, path, lb in zip(approx["repo"].to_pylist(),
+                              approx["path"].to_pylist(),
+                              approx["n_events"].to_pylist()):
+        true = exact_counts[(repo, path)]
+        assert lb <= true <= lb + err
+
+
+def test_detect_hot_keys_sketch_no_hot_keys_empty():
+    cfg = EventGenConfig(n_events=3000, n_repos=20, n_paths_per_repo=50,
+                         seed=7, hot_key_share=0.0)
+    ev = ray.data.from_arrow(generate_events_local(cfg))
+    approx = skew.detect_hot_keys(ev, top_k=4, min_count=1000,
+                                  method="sketch", sketch_k=512)
+    assert approx.num_rows == 0
+    assert approx.column_names == ["repo", "path", "n_events"]
