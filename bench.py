@@ -771,6 +771,49 @@ def run_substring_dedup() -> tuple[float, float, dict]:
     return stats_sec, cut_sec, {"docs": n}
 
 
+def run_sketches() -> tuple[float, float, float, dict]:
+    """Approximate aggregates over the synthetic stream: HLL distinct
+    keys (zero shuffle, one 16 KB partial per block) vs the exact
+    distinct (hash exchange of every key), plus the Misra-Gries
+    hot-key detector (zero shuffle) on the same input."""
+    from kettleray.gen.synthetic import EventGenConfig, generate_events
+    from kettleray.ops import aggregates as ag
+    from kettleray.ops import sketches as sk
+    from kettleray.ops import skew
+
+    n = max(1_000_000, N_SYNTH // 4)
+    cfg = EventGenConfig(n_events=n, n_repos=500,
+                         n_paths_per_repo=2000, p_delete=0.05,
+                         p_redeliver=0.01, seed=42,
+                         hot_key_share=0.05)
+    ev = generate_events(cfg, override_num_blocks=BLOCKS) \
+        .select_columns(["repo", "path"]).materialize()
+
+    def _hll():
+        t0 = time.time()
+        est = sk.approx_distinct(ev, ["repo", "path"], p=14)
+        return time.time() - t0, est
+
+    def _exact():
+        t0 = time.time()
+        cnt = ag.unique_rows(ev, ["repo", "path"],
+                             num_partitions=_num_partitions()).count()
+        return time.time() - t0, cnt
+
+    def _hot():
+        t0 = time.time()
+        skew.detect_hot_keys(ev, top_k=8, min_count=n // 100,
+                             method="sketch", sketch_k=2048)
+        return time.time() - t0
+
+    hll_sec, est = min(_hll() for _ in range(2))
+    exact_sec, cnt = min(_exact() for _ in range(2))
+    hot_sec = min(_hot() for _ in range(2))
+    return hll_sec, exact_sec, hot_sec, {
+        "n_events": n, "approx": round(est), "exact": cnt,
+        "rel_err": round(abs(est - cnt) / cnt, 4)}
+
+
 # Comparison lines measure the COST THE ENGINE AVOIDS (batch re-runs,
 # recompute baselines, un-salted hot-key replay, unpruned scans) — they
 # are not engine pipelines, so round-over-round suite totals compare
@@ -779,7 +822,7 @@ COMPARISON_LINES = frozenset({
     "lsh_batch_rerun", "trickle_commits_cow", "ivm_recompute",
     "skew_hotkey_plain", "ann_batch_rebuild", "inverted_batch_rebuild",
     "decontaminate_join", "join_view_recompute", "full_scan_filter",
-    "point_lookups_plain",
+    "point_lookups_plain", "exact_distinct_shuffle",
 })
 
 
@@ -863,6 +906,10 @@ def main() -> None:
     sub_stats, sub_cut, sub_counts = run_substring_dedup()
     queries["substring_span_stats"] = round(sub_stats, 2)
     queries["substring_dedup_cut"] = round(sub_cut, 2)
+    hll_sec, exact_sec, hot_sec, sk_counts = run_sketches()
+    queries["approx_distinct_hll"] = round(hll_sec, 2)
+    queries["exact_distinct_shuffle"] = round(exact_sec, 2)
+    queries["hotkey_detect_sketch"] = round(hot_sec, 2)
     total = round(time.time() - t_all, 2)
     engine = round(sum(v for k, v in queries.items()
                        if k not in COMPARISON_LINES), 2)
@@ -886,6 +933,7 @@ def main() -> None:
         "decontaminate": dec_counts,
         "pruned_scan": scan_report,
         "substring_dedup": sub_counts,
+        "sketches": sk_counts,
     }))
     ray.shutdown()
 
