@@ -976,6 +976,48 @@ def q_approx_quantiles(sf_dir):
                      "dd_ok": pa.array(ok)})
 
 
+def q_approx_quantiles_by(sf_dir):
+    """Per-group DDSketch quantiles (ops.sketches.approx_quantiles_by):
+    ONE (key, ~2 KB sketch) exchange instead of a full (key, value)
+    shuffle + per-group sort. Verdict oracle mirrors q_approx_quantiles
+    per group: emits (event_type, q, exact_q, dd_ok) where exact_q uses
+    DuckDB's quantile_disc rank (ceil(q*n)-1) so SQL can recompute it,
+    and dd_ok asserts the sketch against ITS OWN rank convention
+    (floor(q*(n-1))) within the alpha guarantee."""
+    from kettleray.ops import sketches as sk
+    qs = [0.5, 0.9]
+    alpha = 0.01
+    ev = _t(sf_dir, "events", ["event_type", "value"])
+    est = {(r["event_type"], r["q"]): r["approx_q"]
+           for r in sk.approx_quantiles_by(
+               ev, "event_type", "value", qs, alpha=alpha).take_all()}
+    # exact side: (group, value) pairs to the driver — the ORACLE arm
+    # of the check, not the operator under test
+    groups: dict = {}
+    for b in ev.iter_batches(batch_format="pyarrow"):
+        for g, v in zip(b["event_type"].to_pylist(),
+                        b["value"].to_pylist()):
+            if v is not None:
+                groups.setdefault(g, []).append(v)
+    keys, qcol, exact_col, ok_col = [], [], [], []
+    for g in sorted(groups):
+        vals = np.sort(np.asarray(groups[g], dtype=np.float64))
+        n = len(vals)
+        for q in qs:
+            exact_disc = float(vals[max(math.ceil(q * n) - 1, 0)])
+            exact_dd = float(vals[int(math.floor(q * (n - 1)))])
+            e = est[(g, q)]
+            keys.append(g)
+            qcol.append(q)
+            exact_col.append(exact_disc)
+            ok_col.append(abs(e - exact_dd)
+                          <= (alpha + 0.0001) * abs(exact_dd) + 1e-12)
+    return pa.table({"event_type": pa.array(keys),
+                     "q": pa.array(qcol, pa.float64()),
+                     "exact_q": pa.array(exact_col, pa.float64()),
+                     "dd_ok": pa.array(ok_col)})
+
+
 def q_heavy_hitters(sf_dir):
     """Misra-Gries heavy hitters (ops.sketches.approx_heavy_hitters):
     zero-shuffle per-block sketches, k-counter partials. The MG
@@ -1045,6 +1087,7 @@ QUERIES = {
     "approx_distinct": q_approx_distinct,
     "approx_distinct_by": q_approx_distinct_by,
     "approx_quantiles": q_approx_quantiles,
+    "approx_quantiles_by": q_approx_quantiles_by,
     "heavy_hitters": q_heavy_hitters,
 }
 
@@ -1680,6 +1723,13 @@ WITH x AS (SELECT quantile_disc(value, [0.1, 0.5, 0.9, 0.99]) AS qq
            FROM events)
 SELECT [0.1, 0.5, 0.9, 0.99][i] AS q, qq[i] AS exact_q, true AS dd_ok
 FROM x, (SELECT unnest(range(1, 5)) AS i) u
+"""
+
+ORACLES["approx_quantiles_by"] = """
+WITH x AS (SELECT event_type, quantile_disc(value, [0.5, 0.9]) AS qq
+           FROM events WHERE value IS NOT NULL GROUP BY event_type)
+SELECT event_type, [0.5, 0.9][i] AS q, qq[i] AS exact_q, true AS dd_ok
+FROM x, (SELECT unnest(range(1, 3)) AS i) u
 """
 
 ORACLES["heavy_hitters"] = """

@@ -178,3 +178,51 @@ def test_approx_distinct_by_group():
     assert set(out) == set(exact.index)
     for repo, ex in exact.items():
         assert abs(out[repo] - ex) / ex < 0.06, (repo, out[repo], ex)
+
+
+def test_approx_quantiles_by_group():
+    from kettleray.ops.sketches import approx_quantiles_by
+    ds, t = _events_ds()
+    qs = [0.1, 0.5, 0.9]
+    out = {(r["repo"], r["q"]): r["approx_q"]
+           for r in approx_quantiles_by(ds, "repo", "size", qs,
+                                        alpha=0.01).take_all()}
+    df = t.to_pandas()
+    for repo, sub in df.groupby("repo"):
+        vals = np.sort(sub["size"].to_numpy())
+        n = len(vals)
+        for q in qs:
+            # DDSketch rank convention: element at floor(q*(n-1))
+            true = vals[int(np.floor(q * (n - 1)))]
+            est = out[(repo, q)]
+            assert abs(est - true) <= 0.0101 * abs(true), (repo, q)
+
+
+def test_approx_quantiles_by_partition_invariant():
+    """Same rows, different partitioning -> bitwise-identical results
+    (DDSketch merge is deterministic; group reduce merges per key)."""
+    from kettleray.ops.sketches import approx_quantiles_by
+    _, t = _events_ds(n=8_000)
+    a = ray.data.from_arrow(t).repartition(3)
+    b = ray.data.from_arrow(t).repartition(11)
+    qs = [0.25, 0.75]
+    ra = sorted((r["repo"], r["q"], r["approx_q"])
+                for r in approx_quantiles_by(a, "repo", "size", qs)
+                .take_all())
+    rb = sorted((r["repo"], r["q"], r["approx_q"])
+                for r in approx_quantiles_by(b, "repo", "size", qs)
+                .take_all())
+    assert ra == rb
+
+
+def test_approx_quantiles_by_nulls_dropped():
+    from kettleray.ops.sketches import approx_quantiles_by
+    t = pa.table({"g": ["a"] * 4 + ["b"] * 4,
+                  "v": [1.0, None, 3.0, None, 10.0, 20.0, None, 40.0]})
+    ds = ray.data.from_arrow(t).repartition(2)
+    out = {(r["g"], r["q"]): r["approx_q"]
+           for r in approx_quantiles_by(ds, "g", "v", [0.5]).take_all()}
+    # group a non-null values [1, 3]: rank floor(0.5*1) = 0 -> 1.0
+    assert abs(out[("a", 0.5)] - 1.0) <= 0.0101
+    # group b non-null values [10, 20, 40]: rank 1 -> 20.0
+    assert abs(out[("b", 0.5)] - 20.0) <= 0.0101 * 20.0
