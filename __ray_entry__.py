@@ -929,11 +929,15 @@ _SNAPSHOT_WINDOW = [
     "cdc_update_where", "cdc_merge_into", "substring_dup_spans",
     "substring_dedup_cut", "window_running", "window_rank",
     "window_moving", "rollup_sales", "cube_sales",
-    # earlier queries never driver-recorded in r01..r03 (11)
+    # earlier queries never driver-recorded in r01..r03 (9) + the
+    # sketch family (2; exact-oracle MG heavy hitters and the
+    # per-group DDSketch quantiles; source_csv_roundtrip and
+    # text_scrub_normalize rotate out — both pytest-covered and
+    # still gate-checked by tools/check_queries.py)
     "events_hopping_window", "quality_gate", "mixture_sample",
-    "kmeans_assign", "stratified_sample", "text_scrub_normalize",
+    "kmeans_assign", "stratified_sample", "heavy_hitters",
     "winnowing_fingerprints", "multimodal_audio_features",
-    "multimodal_video_frames", "source_csv_roundtrip",
+    "multimodal_video_frames", "approx_quantiles_by",
     "cdc_bulk_lookup",
 ]
 
