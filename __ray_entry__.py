@@ -267,6 +267,52 @@ def q_cdc_changefeed(sf_dir: str):
                               "change_type"])
 
 
+def q_cdc_key_history(sf_dir: str):
+    """Per-key audit trail over the sink's version chain
+    (sink.key_history): three MOR commits, then the full
+    new/changed/deleted history of the 5 most-edited keys of the
+    lexicographically-first repo — bucket-pruned, bloom-gated point
+    reads per retained version. Oracle = per-watermark LWW snapshots
+    diffed pairwise in SQL, so any drift in version-walk pruning,
+    tombstone handling or delete-payload convention (deletes carry the
+    PREVIOUS winner's payload) fails the value-hash."""
+    import shutil
+    import tempfile
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from kettleray.io import sink
+    root = tempfile.mkdtemp(prefix="kr_keyhist_")
+    shutil.rmtree(root, ignore_errors=True)
+    ev = _events(sf_dir)
+    for lo, hi in ((0, 1_000_000), (1_000_000, 2_000_000),
+                   (2_000_000, 1 << 62)):
+        w = ev.map_batches(
+            lambda b, lo=lo, hi=hi: b.filter(pc.and_(
+                pc.greater_equal(b["commit_seq"], lo),
+                pc.less(b["commit_seq"], hi))),
+            batch_format="pyarrow", zero_copy_batch=True)
+        sink.apply_incremental_mor(root, w, num_buckets=16,
+                                   num_partitions=_NUM_PARTITIONS)
+    # the 5 most-edited paths of the first repo (deterministic:
+    # count DESC, path ASC) — small driver pull, key-list-sized
+    keys = ev.map_batches(
+        lambda t: t.select(["repo", "path"]),
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["repo", "path"]).count().to_pandas()
+    keys = keys[keys["repo"] == keys["repo"].min()]
+    keys = keys.sort_values(["count()", "path"],
+                            ascending=[False, True]).head(5)
+    parts = []
+    for _, k in keys.iterrows():
+        h = sink.key_history(root, k["repo"], k["path"])
+        if h.num_rows:
+            parts.append(h.select(
+                ["version", "change_type", "repo", "path",
+                 "content_sha256", "last_commit_seq"]))
+    return pa.concat_tables(parts) if parts else pa.table(
+        {"version": pa.array([], pa.int64())})
+
+
 def q_cdc_derived_view(sf_dir: str):
     """Changefeed-driven DERIVED table (delta-chained sinks): an
     upstream bucketed sink takes two commits; a downstream sink is
@@ -859,6 +905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_bucketed_state": q_cdc_bucketed_state,
         "cdc_mor_state": q_cdc_mor_state,
         "cdc_changefeed": q_cdc_changefeed,
+        "cdc_key_history": q_cdc_key_history,
         "cdc_derived_view": q_cdc_derived_view,
         "cdc_join_view": q_cdc_join_view,
         "cdc_scd2_incremental": q_cdc_scd2_incremental,
@@ -916,7 +963,7 @@ _SNAPSHOT_WINDOW = [
     "cdc_replay_twopass", "cdc_mor_state", "cdc_changefeed",
     "cdc_catalog_txn", "cdc_incremental_agg", "cdc_streaming_state",
     "cdc_schema_evolution", "cdc_snapshot_at", "cdc_scd3_state",
-    "cdc_join_view",
+    "cdc_join_view", "cdc_key_history",
     # pinned training flagships (12, incl. the round-4 ops
     # unigram_logprob, pack_sequences, dsir_score, semantic_dedup —
     # none driver-recorded before)
@@ -937,8 +984,9 @@ _SNAPSHOT_WINDOW = [
     "events_hopping_window", "quality_gate", "mixture_sample",
     "kmeans_assign", "stratified_sample", "heavy_hitters",
     "winnowing_fingerprints", "multimodal_audio_features",
-    "multimodal_video_frames", "approx_quantiles_by",
-    "cdc_bulk_lookup",
+    "approx_quantiles_by", "cdc_bulk_lookup",
+    # (multimodal_video_frames rotates out for cdc_key_history —
+    # pytest-covered and still gate-checked by tools/check_queries.py)
 ]
 
 
@@ -1167,6 +1215,51 @@ def oracle_sql() -> dict[str, str]:
             "WHEN s1.content_sha256 = s2.content_sha256 THEN 'identical' "
             "ELSE 'changed' END AS change_type "
             "FROM s1 FULL OUTER JOIN s2 USING (repo, path)"),
+        "cdc_key_history": (
+            f"WITH {ev}, "
+            "keys AS (SELECT repo, path FROM ev "
+            "WHERE repo = (SELECT min(repo) FROM ev) "
+            "GROUP BY repo, path ORDER BY count(*) DESC, path LIMIT 5), "
+            "ke AS (SELECT ev.* FROM ev JOIN keys USING (repo, path)), "
+            "s1 AS (SELECT repo, path, sha256(content) AS sha, "
+            "commit_seq AS seq FROM (SELECT *, row_number() OVER "
+            '(PARTITION BY repo, path ORDER BY commit_seq DESC, "commit" '
+            "DESC) AS rn FROM ke WHERE commit_seq < 1000000) "
+            "WHERE rn = 1 AND op <> 'delete'), "
+            "s2 AS (SELECT repo, path, sha256(content) AS sha, "
+            "commit_seq AS seq FROM (SELECT *, row_number() OVER "
+            '(PARTITION BY repo, path ORDER BY commit_seq DESC, "commit" '
+            "DESC) AS rn FROM ke WHERE commit_seq < 2000000) "
+            "WHERE rn = 1 AND op <> 'delete'), "
+            "s3 AS (SELECT repo, path, sha256(content) AS sha, "
+            "commit_seq AS seq FROM (SELECT *, row_number() OVER "
+            '(PARTITION BY repo, path ORDER BY commit_seq DESC, "commit" '
+            "DESC) AS rn FROM ke) WHERE rn = 1 AND op <> 'delete'), "
+            "h1 AS (SELECT CAST(1 AS BIGINT) AS version, "
+            "'new' AS change_type, repo, path, sha AS content_sha256, "
+            "seq AS last_commit_seq FROM s1), "
+            "h2 AS (SELECT CAST(2 AS BIGINT) AS version, "
+            "CASE WHEN p.sha IS NULL THEN 'new' "
+            "WHEN c.sha IS NULL THEN 'deleted' "
+            "ELSE 'changed' END AS change_type, repo, path, "
+            "CASE WHEN c.sha IS NULL THEN p.sha ELSE c.sha END AS "
+            "content_sha256, "
+            "CASE WHEN c.sha IS NULL THEN p.seq ELSE c.seq END AS "
+            "last_commit_seq "
+            "FROM s1 p FULL OUTER JOIN s2 c USING (repo, path) "
+            "WHERE p.sha IS NULL OR c.sha IS NULL OR p.sha <> c.sha), "
+            "h3 AS (SELECT CAST(3 AS BIGINT) AS version, "
+            "CASE WHEN p.sha IS NULL THEN 'new' "
+            "WHEN c.sha IS NULL THEN 'deleted' "
+            "ELSE 'changed' END AS change_type, repo, path, "
+            "CASE WHEN c.sha IS NULL THEN p.sha ELSE c.sha END AS "
+            "content_sha256, "
+            "CASE WHEN c.sha IS NULL THEN p.seq ELSE c.seq END AS "
+            "last_commit_seq "
+            "FROM s2 p FULL OUTER JOIN s3 c USING (repo, path) "
+            "WHERE p.sha IS NULL OR c.sha IS NULL OR p.sha <> c.sha) "
+            "SELECT * FROM h1 UNION ALL SELECT * FROM h2 "
+            "UNION ALL SELECT * FROM h3"),
         "cdc_streaming_state":
             f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
         "cdc_sync_roundtrip":

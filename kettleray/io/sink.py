@@ -2097,6 +2097,87 @@ def table_history(root: str) -> pa.Table:
         "version": pa.array([], pa.int64())})
 
 
+def key_history(root: str, repo: str, path: str, *,
+                from_version: int | None = None,
+                to_version: int | None = None,
+                use_blooms: bool = True) -> pa.Table:
+    """Per-key audit trail across the sink's retained version chain —
+    Delta CDF restricted to one key / row-granularity DESCRIBE HISTORY
+    (≙ the audit question Kettle answers by re-running Merge Rows per
+    snapshot pair, engine/.../steps/mergerows): one row per retained
+    version where the key's LWW state CHANGED, flagged new / changed /
+    deleted, with the winner's payload (the previous winner's payload
+    for deletes, matching read_changes's reference-side convention).
+    The oldest retained version emits 'new' if the key exists there
+    (same contract as ChangeSubscription's first poll).
+
+    Scale shape: driver-side and bucket-pruned — the key routes to ONE
+    bucket with the writer's own hash, and versions whose bucket file
+    identity is unchanged from the previous inspected version are
+    skipped WITHOUT opening a file (hardlink inode equality — the
+    overwhelming majority under trickle commits). Each inspected
+    version costs one bloom-gated point lookup, so the walk is
+    O(versions that touched the key's bucket), never O(table)."""
+    v_hi = to_version if to_version is not None else current_version(root)
+    if v_hi is None:
+        raise FileNotFoundError(f"no committed state under {root}")
+    vs = sorted(int(n[1:]) for n in os.listdir(root)
+                if n.startswith("v") and n[1:].isdigit()
+                and os.path.exists(os.path.join(root, n, "manifest.json")))
+    vs = [v for v in vs if v <= v_hi
+          and (from_version is None or v >= from_version)]
+
+    key = pa.table({"repo": pa.array([repo]), "path": pa.array([path])})
+
+    def _ident(v: int) -> tuple:
+        """(layout, inode identity) of the key's bucket at version v —
+        equal tuples mean the key's state cannot have changed."""
+        man = read_manifest(root, v)
+        nb = man.metrics.get("num_buckets") if man else None
+        if nb is None:
+            # non-bucketed version: identity = every file's inode
+            return (None, _bucket_identity(
+                {"base": _parquet_files(_version_dir(root, v)),
+                 "delta": []}))
+        b = int(cdc.stable_key_buckets(key, ("repo", "path"), int(nb))[0])
+        vdir = _version_dir(root, v)
+        bdir = os.path.join(vdir, f"bucket={b}")
+        ddir = os.path.join(vdir, "delta", f"bucket={b}")
+        return ((int(nb), b), _bucket_identity(
+            {"base": _parquet_files(bdir) if os.path.isdir(bdir) else [],
+             "delta": _parquet_files(ddir) if os.path.isdir(ddir)
+             else []}))
+
+    out_rows: list[dict] = []
+    prev_row: "dict | None" = None
+    prev_ident: "tuple | None" = None
+    for v in vs:
+        ident = _ident(v)
+        if prev_ident is not None and ident == prev_ident:
+            continue                      # bucket bytes untouched
+        prev_ident = ident
+        t = lookup_state(root, repo, path, version=v,
+                         use_blooms=use_blooms)
+        row = t.to_pylist()[0] if t.num_rows else None
+        if row is not None:
+            row.pop("bucket", None)
+        if row is None and prev_row is None:
+            continue
+        if row is None:
+            out_rows.append({"version": v, "change_type": "deleted",
+                             **prev_row})
+        elif prev_row is None:
+            out_rows.append({"version": v, "change_type": "new", **row})
+        elif row.get("content_sha256") != prev_row.get("content_sha256"):
+            out_rows.append({"version": v, "change_type": "changed",
+                             **row})
+        prev_row = row
+    if not out_rows:
+        return pa.table({"version": pa.array([], pa.int64()),
+                         "change_type": pa.array([], pa.string())})
+    return pa.Table.from_pylist(out_rows)
+
+
 def table_files(root: str, version: int | None = None) -> pa.Table:
     """≙ the Iceberg ``files`` metadata table: one row per
     manifest-listed file of one version, with zone-map stats as JSON.
