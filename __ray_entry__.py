@@ -267,6 +267,37 @@ def q_cdc_changefeed(sf_dir: str):
                               "change_type"])
 
 
+def q_cdc_rename_column(sf_dir: str):
+    """Metadata-only column RENAME (sink.alter_table_columns, ≙ Delta
+    column mapping; Kettle renames via Select Values per-pipeline):
+    first MOR commit writes files with physical 'lang', the alter is
+    O(1) metadata, the second commit's events arrive under the new
+    logical name 'language', and read_state merges ACROSS the rename
+    boundary — mixed-generation base+delta files logicalize to one
+    column. Oracle = the plain LWW replay SQL with lang AS language."""
+    import shutil
+    import tempfile
+    import pyarrow.compute as pc
+    from kettleray.io import sink
+    root = tempfile.mkdtemp(prefix="kr_rename_")
+    shutil.rmtree(root, ignore_errors=True)
+    ev = _events(sf_dir)
+    cut = 1_500_000
+    b1 = ev.map_batches(lambda b: b.filter(pc.less(b["commit_seq"], cut)),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    sink.apply_incremental_mor(root, b1, num_buckets=16,
+                               num_partitions=_NUM_PARTITIONS)
+    sink.alter_table_columns(root, rename={"lang": "language"})
+    b2 = ev.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["commit_seq"], cut))
+        .rename_columns([c if c != "lang" else "language"
+                         for c in b.column_names]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    sink.apply_incremental_mor(root, b2, num_buckets=16,
+                               num_partitions=_NUM_PARTITIONS)
+    return sink.read_state(root).drop_columns(["bucket"])
+
+
 def q_cdc_key_history(sf_dir: str):
     """Per-key audit trail over the sink's version chain
     (sink.key_history): three MOR commits, then the full
@@ -906,6 +937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_mor_state": q_cdc_mor_state,
         "cdc_changefeed": q_cdc_changefeed,
         "cdc_key_history": q_cdc_key_history,
+        "cdc_rename_column": q_cdc_rename_column,
         "cdc_derived_view": q_cdc_derived_view,
         "cdc_join_view": q_cdc_join_view,
         "cdc_scd2_incremental": q_cdc_scd2_incremental,
@@ -963,7 +995,7 @@ _SNAPSHOT_WINDOW = [
     "cdc_replay_twopass", "cdc_mor_state", "cdc_changefeed",
     "cdc_catalog_txn", "cdc_incremental_agg", "cdc_streaming_state",
     "cdc_schema_evolution", "cdc_snapshot_at", "cdc_scd3_state",
-    "cdc_join_view", "cdc_key_history",
+    "cdc_join_view", "cdc_key_history", "cdc_rename_column",
     # pinned training flagships (12, incl. the round-4 ops
     # unigram_logprob, pack_sequences, dsir_score, semantic_dedup —
     # none driver-recorded before)
@@ -981,12 +1013,13 @@ _SNAPSHOT_WINDOW = [
     # per-group DDSketch quantiles; source_csv_roundtrip and
     # text_scrub_normalize rotate out — both pytest-covered and
     # still gate-checked by tools/check_queries.py)
-    "events_hopping_window", "quality_gate", "mixture_sample",
+    "events_hopping_window", "quality_gate",
     "kmeans_assign", "stratified_sample", "heavy_hitters",
     "winnowing_fingerprints", "multimodal_audio_features",
     "approx_quantiles_by", "cdc_bulk_lookup",
-    # (multimodal_video_frames rotates out for cdc_key_history —
-    # pytest-covered and still gate-checked by tools/check_queries.py)
+    # (multimodal_video_frames and mixture_sample rotate out for
+    # cdc_key_history + cdc_rename_column — pytest-covered and still
+    # gate-checked by tools/check_queries.py)
 ]
 
 
@@ -1260,6 +1293,12 @@ def oracle_sql() -> dict[str, str]:
             "WHERE p.sha IS NULL OR c.sha IS NULL OR p.sha <> c.sha) "
             "SELECT * FROM h1 UNION ALL SELECT * FROM h2 "
             "UNION ALL SELECT * FROM h3"),
+        "cdc_rename_column": (
+            f"WITH {ev}, {_RANKED} "
+            'SELECT repo, path, "commit", lang AS language, content, '
+            "sha256(content) AS content_sha256, commit_seq AS "
+            "last_commit_seq FROM ranked WHERE rn = 1 AND "
+            "op <> 'delete'"),
         "cdc_streaming_state":
             f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
         "cdc_sync_roundtrip":

@@ -277,7 +277,8 @@ def _read_pruned(f: str, want: "list[str] | None") -> pa.Table:
 def merged_bucket_state(base_files: list[str],
                         delta_files: list[str], *,
                         columns: "list[str] | None" = None,
-                        with_sha: bool = True) -> pa.Table:
+                        with_sha: bool = True,
+                        colmap: "dict | None" = None) -> pa.Table:
     """One bucket's merged state rows: base rows LWW-merged with its
     delta events (merge-on-read), tombstone winners dropped. Runs inside
     a task — base and deltas are co-partitioned by the bucket function,
@@ -292,12 +293,17 @@ def merged_bucket_state(base_files: list[str],
     (pair with ``with_sha=False``)."""
     want_base = want_delta = None
     if columns is not None:
+        # pruned reads must accept any PHYSICAL alias a logical column
+        # carries in pre-rename files (column mapping)
+        cols_phys = [a for c in columns
+                     for a in sorted(physical_aliases(colmap, c))]
         want_base = list(dict.fromkeys(
-            [*cdc.KEY_COLS, "last_commit_seq", *columns]))
+            [*cdc.KEY_COLS, "last_commit_seq", *cols_phys]))
         want_delta = list(dict.fromkeys(
-            [*cdc.KEY_COLS, cdc.SEQ_COL, "op", *columns]))
+            [*cdc.KEY_COLS, cdc.SEQ_COL, "op", *cols_phys]))
     base_t = pa.concat_tables(
-        [_read_pruned(f, want_base) for f in base_files],
+        [apply_column_mapping(_read_pruned(f, want_base), colmap)
+         for f in base_files],
         promote_options="permissive") if base_files else None
     if not delta_files:
         return base_t if base_t is not None else pa.table({})
@@ -313,7 +319,7 @@ def merged_bucket_state(base_files: list[str],
         parts.append(p.append_column(
             "op", pa.array(["insert"] * p.num_rows)))
     for f in delta_files:
-        dt = _read_pruned(f, want_delta)
+        dt = apply_column_mapping(_read_pruned(f, want_delta), colmap)
         if "bucket" in dt.column_names:
             dt = dt.drop_columns(["bucket"])
         parts.append(dt)
@@ -423,9 +429,152 @@ def state_schema(root: str, version: int | None = None) -> pa.Schema:
             pq.read_schema(base_files[0]).empty_table()).schema)
     if not ev_schemas:
         raise FileNotFoundError(f"version {v} under {root} has no files")
+    cm = read_column_mapping(root)
+    if cm:
+        # physical file schemas may predate a rename — unify in LOGICAL
+        # space or a renamed column would appear twice
+        ev_schemas = [apply_column_mapping(s.empty_table(), cm).schema
+                      for s in ev_schemas]
     from kettleray.ops.cdc import unify_event_schemas
     target_ev = unify_event_schemas(ev_schemas)
     return cdc.finalize_state_table(target_ev.empty_table()).schema
+
+
+# ---------------------------------------------------------------------------
+# Column mapping: metadata-only RENAME / DROP (≙ Delta column mapping /
+# Iceberg schema evolution beyond add+widen; Kettle expresses renames as
+# Select Values, engine/.../steps/selectvalues — here they are TABLE
+# metadata so 100 TB of committed files never rewrite).
+# ---------------------------------------------------------------------------
+
+# columns the engine itself addresses by name: keys (bucket routing,
+# blooms), LWW ordering + tie-break, op routing, the sha invariant and
+# its source. Renaming/dropping any of these would corrupt merge
+# semantics, so alter refuses.
+_PROTECTED_COLS = frozenset(("repo", "path", "commit", "op", "bucket",
+                             "commit_seq", "last_commit_seq",
+                             "content", "content_sha256"))
+
+
+def read_column_mapping(root: str) -> "dict | None":
+    """The table's column mapping — {"renames": [[old, new], ...],
+    "dropped": [...]} — or None. A root-level pointer file (like
+    CURRENT), NOT per-version manifest state: committers never need to
+    carry it forward, and GC of the version that performed the alter
+    cannot lose it. One tiny JSON read; callers cache per operation."""
+    p = os.path.join(root, "COLUMNS")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def apply_column_mapping(t: pa.Table, cm: "dict | None") -> pa.Table:
+    """Present a physical table in logical column space. CONDITIONAL on
+    purpose: files written before a rename carry the old name, files
+    written after carry the new one — each rename applies only where
+    its old name exists and its new name doesn't, so any mix of file
+    generations logicalizes to the same schema. Drops are stored in
+    logical (post-rename) space and applied after."""
+    if not cm:
+        return t
+    names = list(t.column_names)
+    for old, new in cm.get("renames", ()):
+        if old in names and new not in names:
+            names[names.index(old)] = new
+    if names != t.column_names:
+        t = t.rename_columns(names)
+    drops = [c for c in cm.get("dropped", ()) if c in t.column_names]
+    return t.drop_columns(drops) if drops else t
+
+
+def physical_aliases(cm: "dict | None", col: str) -> "set[str]":
+    """Every physical name a logical column may carry on disk (the
+    rename chain closed transitively) — zone-map lookups and pruned
+    column reads must accept any of them."""
+    out = {col}
+    if cm:
+        changed = True
+        while changed:
+            changed = False
+            for old, new in cm.get("renames", ()):
+                if new in out and old not in out:
+                    out.add(old)
+                    changed = True
+    return out
+
+
+def _read_files_logical(files: list[str], cm: "dict",
+                        with_bucket: bool = True) -> "ray.data.Dataset":
+    """Per-file read tasks that logicalize BEFORE any cross-file concat.
+    A fused multi-file read task may unify a renamed column under BOTH
+    its old and new names (null-filled halves), which the conditional
+    mapping cannot repair — so under an active mapping each file maps
+    individually. ``with_bucket`` re-adds the hive partition column the
+    plain ``read_parquet`` path would have inferred."""
+    items = [{"f": f} for f in files]
+
+    def _rd(t: pa.Table) -> pa.Table:
+        tabs = []
+        for f in t["f"].to_pylist():
+            ft = apply_column_mapping(pq.read_table(f), cm)
+            bname = os.path.basename(os.path.dirname(f))
+            if with_bucket and bname.startswith("bucket=") \
+                    and "bucket" not in ft.column_names:
+                ft = ft.append_column("bucket", pa.array(
+                    [bname.split("=", 1)[1]] * ft.num_rows,
+                    type=pa.string()))
+            tabs.append(ft)
+        return pa.concat_tables(tabs, promote_options="permissive")
+
+    return ray.data.from_items(
+        items, override_num_blocks=len(items)).map_batches(
+        _rd, batch_format="pyarrow", batch_size=None)
+
+
+def alter_table_columns(root: str, *, rename: "dict[str, str] | None" =
+                        None, drop: "list | tuple | None" = None) -> dict:
+    """Metadata-only column RENAME / DROP: appends to the table's
+    mapping pointer — zero data files touched, O(1) at any table size.
+    Readers logicalize lazily; files rewritten later (compaction,
+    clustering, rebucket, incremental merges of touched buckets)
+    naturally carry logical names, and the conditional application
+    makes retained old files and already-rewritten ones coexist.
+
+    Renames/drops resolve against the CURRENT logical schema; engine
+    columns (:data:`_PROTECTED_COLS`) are refused, as is renaming onto
+    a live or previously-used name (old physical names must stay
+    unambiguous for the conditional application to be sound)."""
+    rename = dict(rename or {})
+    drop = list(drop or ())
+    if not rename and not drop:
+        raise ValueError("alter_table_columns: nothing to do")
+    live = set(state_schema(root).names) - {"bucket"}
+    cm = read_column_mapping(root) or {"renames": [], "dropped": []}
+    used = ({o for o, _ in cm["renames"]} | {n for _, n in cm["renames"]}
+            | set(cm["dropped"]))
+    for old, new in rename.items():
+        if old in _PROTECTED_COLS or new in _PROTECTED_COLS:
+            raise ValueError(f"cannot rename engine column {old!r}->"
+                             f"{new!r} (protected: sorted set of "
+                             f"{sorted(_PROTECTED_COLS)})")
+        if old not in live:
+            raise ValueError(f"rename source {old!r} is not a live "
+                             f"column (have {sorted(live)})")
+        if new in live or new in used or new in rename:
+            raise ValueError(f"rename target {new!r} collides with a "
+                             "live or previously-used column name")
+    for c in drop:
+        if c in _PROTECTED_COLS:
+            raise ValueError(f"cannot drop engine column {c!r}")
+        eff = rename.get(c, c)
+        if eff not in (live - set(rename)) | set(rename.values()):
+            raise ValueError(f"drop target {c!r} is not a live column")
+    cm["renames"].extend([o, n] for o, n in rename.items())
+    cm["dropped"].extend(rename.get(c, c) for c in drop
+                         if rename.get(c, c) not in cm["dropped"])
+    atomic_write_json(os.path.join(root, "COLUMNS"), cm)
+    return cm
 
 
 def read_state(root: str, version: int | None = None, *,
@@ -447,13 +596,18 @@ def read_state(root: str, version: int | None = None, *,
         raise FileNotFoundError(
             f"version {v} not found under {root} (GC'd or never committed)")
     base_files, delta_files = _split_base_delta(vdir)
+    cm = read_column_mapping(root)
     if not delta_files:
-        return ray.data.read_parquet(_parquet_files(vdir))
-    return _mor_merge_ds(base_files, delta_files)
+        files = _parquet_files(vdir)
+        if cm and files:
+            return _read_files_logical(files, cm)
+        return ray.data.read_parquet(files)
+    return _mor_merge_ds(base_files, delta_files, colmap=cm)
 
 
 def _mor_merge_ds(base_files: list[str],
-                  delta_files: list[str]) -> "ray.data.Dataset":
+                  delta_files: list[str], *,
+                  colmap: "dict | None" = None) -> "ray.data.Dataset":
     # Merge-on-read: base and deltas were BUCKETED BY THE SAME KEY
     # FUNCTION (the writers enforce num_buckets/bucket_cols stability),
     # so every key's base row and delta events live in ONE bucket — the
@@ -486,11 +640,13 @@ def _mor_merge_ds(base_files: list[str],
     ev_schemas = []
     for g in groups.values():
         if g["base"]:
-            ev_schemas.append(_state_rows_as_events(
-                pq.read_schema(g["base"][0]).empty_table()).schema)
+            ev_schemas.append(_state_rows_as_events(apply_column_mapping(
+                pq.read_schema(g["base"][0]).empty_table(),
+                colmap)).schema)
     dsch = pq.read_schema(delta_files[0])
     if dsch.get_field_index("bucket") >= 0:
         dsch = dsch.remove(dsch.get_field_index("bucket"))
+    dsch = apply_column_mapping(dsch.empty_table(), colmap).schema
     ev_schemas.append(dsch)
     from kettleray.ops.cdc import unify_event_schemas
     target_ev = unify_event_schemas(ev_schemas)
@@ -506,7 +662,7 @@ def _mor_merge_ds(base_files: list[str],
             bkt = t["bucket"][i].as_py()
             bf = t["base"][i].as_py()
             df = t["delta"][i].as_py()
-            win = merged_bucket_state(bf, df)
+            win = merged_bucket_state(bf, df, colmap=colmap)
             if "bucket" not in win.column_names:
                 win = win.append_column(
                     "bucket",
@@ -558,9 +714,18 @@ def lookup_state(root: str, repo: str, path: str, *,
         files = _blooms.filter_files_by_key(files, kv, report)
         delta_files = _blooms.filter_files_by_key(delta_files, kv, report)
     import pyarrow.dataset as pads
+    cm = read_column_mapping(root)
     flt = (pads.field("repo") == repo) & (pads.field("path") == path)
     if files:
-        base_t = pads.dataset(files).to_table(filter=flt)
+        if cm:
+            # per-file under an active column mapping (mixed-generation
+            # schemas must logicalize before concat)
+            base_t = pa.concat_tables(
+                [apply_column_mapping(
+                    pads.dataset(f).to_table(filter=flt), cm)
+                 for f in files], promote_options="permissive")
+        else:
+            base_t = pads.dataset(files).to_table(filter=flt)
     else:
         # empty-bucket miss: return an EMPTY table with the same state
         # schema a hit would have (callers index expected columns on
@@ -568,17 +733,25 @@ def lookup_state(root: str, repo: str, path: str, *,
         # of this version rather than a schema-less pa.table({})
         other_base, other_delta = _split_base_delta(vdir)
         if other_base:
-            base_t = pq.read_schema(other_base[0]).empty_table()
+            base_t = apply_column_mapping(
+                pq.read_schema(other_base[0]).empty_table(), cm)
         elif other_delta and not delta_files:
             # delta-only version: synthesize the final-state schema the
             # merge path below would produce
             base_t = cdc.finalize_state_table(cdc.lww_reduce_table(
-                pq.read_schema(other_delta[0]).empty_table()))
+                apply_column_mapping(
+                    pq.read_schema(other_delta[0]).empty_table(), cm)))
         else:
             base_t = pa.table({})
     if not delta_files:
         return base_t
-    delta_t = pads.dataset(delta_files).to_table(filter=flt)
+    if cm:
+        delta_t = pa.concat_tables(
+            [apply_column_mapping(pads.dataset(f).to_table(filter=flt),
+                                  cm) for f in delta_files],
+            promote_options="permissive")
+    else:
+        delta_t = pads.dataset(delta_files).to_table(filter=flt)
     return _merge_point(base_t, delta_t)
 
 
@@ -626,6 +799,7 @@ class StateReader:
             raise FileNotFoundError(f"no committed state under {root}")
         self.version = v
         self.manifest = read_manifest(root, v)
+        self.colmap = read_column_mapping(root)
         m = self.manifest.metrics if self.manifest else {}
         self.num_buckets = m.get("num_buckets")
         self.use_blooms = use_blooms
@@ -674,7 +848,8 @@ class StateReader:
             d = self._ds.get(f)
             if d is None:
                 d = self._ds[f] = pads.dataset(f)
-            tabs.append(d.to_table(filter=flt))
+            tabs.append(apply_column_mapping(d.to_table(filter=flt),
+                                             self.colmap))
         return pa.concat_tables(tabs, promote_options="permissive") \
             if tabs else None
 
@@ -816,12 +991,17 @@ def scan_state(root: str, filters, *, version: int | None = None,
         raise FileNotFoundError(f"no committed state under {root}")
     vdir = _version_dir(root, v)
     man = read_manifest(root, v)
+    cm = read_column_mapping(root)
     stats_by_rel = {e["file"]: e.get("stats") for e in (man.files if man
                                                         else [])}
     base_files, delta_files = _split_base_delta(vdir)
+    # column mapping: a pre-rename file's stats live under the OLD
+    # physical name — a file is prunable if the proof holds under ANY
+    # alias (each file records exactly one of them)
     kept = [f for f in base_files
-            if not any(_file_prunable(
-                stats_by_rel.get(os.path.relpath(f, vdir)), c, op, val)
+            if not any(any(_file_prunable(
+                stats_by_rel.get(os.path.relpath(f, vdir)), a, op, val)
+                for a in physical_aliases(cm, c))
                 for c, op, val in filters)]
     # only string literals probe soundly (the builder hashes
     # pc.cast(col, string); str(1.0) != cast repr for non-strings)
@@ -855,7 +1035,9 @@ def scan_state(root: str, filters, *, version: int | None = None,
         ds = ray.data.from_arrow(
             state_schema(root, v).empty_table())
     elif delta_files:
-        ds = _mor_merge_ds(kept, delta_files)
+        ds = _mor_merge_ds(kept, delta_files, colmap=cm)
+    elif cm:
+        ds = _read_files_logical(kept, cm, with_bucket=False)
     else:
         ds = ray.data.read_parquet(kept)
     ds = _drop_bucket(ds)
@@ -903,14 +1085,17 @@ def cluster_state(root: str, cluster_by: "tuple | list", *,
     items = [{"name": n, "files": _parquet_files(
         os.path.join(prev_dir, n))} for n in buckets]
 
+    cl_cm = read_column_mapping(root)
+
     def _cluster_one(t: pa.Table) -> pa.Table:
         import pyarrow as _pa
         outs = []
         for i in range(t.num_rows):
             name = t["name"][i].as_py()
             files = t["files"][i].as_py()
-            tbl = pa.concat_tables([pq.read_table(f) for f in files],
-                                   promote_options="permissive")
+            tbl = pa.concat_tables(
+                [apply_column_mapping(pq.read_table(f), cl_cm)
+                 for f in files], promote_options="permissive")
             if "bucket" in tbl.column_names:
                 tbl = tbl.drop_columns(["bucket"])
             tbl = tbl.sort_by([(c, "ascending") for c in cluster_by])
@@ -1186,7 +1371,9 @@ def apply_incremental_bucketed(root: str, events: "ray.data.Dataset", *,
                                                       f"bucket={b}"))]
         old_files = [f for d in touched_dirs for f in _parquet_files(d)]
         if old_files:
-            old = ray.data.read_parquet(old_files)
+            cm = read_column_mapping(root)
+            old = _read_files_logical(old_files, cm, with_bucket=False) \
+                if cm else ray.data.read_parquet(old_files)
             pseudo = old.map_batches(_state_rows_as_events,
                                      batch_format="pyarrow",
                                      batch_size=None)
@@ -1406,13 +1593,16 @@ def apply_incremental_scd2(root: str, events: "ray.data.Dataset", *,
                 os.link(os.path.join(prev_dir, name, f),
                         os.path.join(stage, name, f))
 
+    scd2_cm = read_column_mapping(root)
+
     def _append(t: pa.Table) -> pa.Table:
         outs = []
         for bkt in pc.unique(t["bucket"]).to_pylist():
             sub = t.filter(pc.equal(t["bucket"], bkt))
             old_files = old_by_bucket.get(int(bkt), [])
             hist = pa.concat_tables(
-                [pq.read_table(f) for f in old_files],
+                [apply_column_mapping(pq.read_table(f), scd2_cm)
+                 for f in old_files],
                 promote_options="permissive") if old_files else None
             h = cdc.scd2_append_table(hist, sub)
             outs.append(h.append_column(
@@ -1752,12 +1942,18 @@ def compact_mor(root: str, *, num_partitions: int = 16,
                     if os.path.basename(os.path.dirname(f)) in
                     delta_buckets]
 
-    deltas = ray.data.read_parquet(delta_files).map_batches(
+    mor_cm = read_column_mapping(root)
+    deltas = (_read_files_logical(delta_files, mor_cm, with_bucket=False)
+              if mor_cm else ray.data.read_parquet(delta_files)) \
+        .map_batches(
         lambda b: b.drop_columns(
             [c for c in ("bucket",) if c in b.column_names]),
         batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     if touched_base:
-        pseudo = ray.data.read_parquet(touched_base).map_batches(
+        pseudo = (_read_files_logical(touched_base, mor_cm,
+                                      with_bucket=False)
+                  if mor_cm else ray.data.read_parquet(touched_base)) \
+            .map_batches(
             _state_rows_as_events, batch_format="pyarrow", batch_size=None)
         from kettleray.ops.cdc import evolve_to_schema, unify_event_schemas
         target = unify_event_schemas(
@@ -1883,14 +2079,17 @@ def read_changes(root: str, from_version: int,
             "delta2": e2["delta"] if e2 else []})
 
     from kettleray.ops.cdc import classify_tagged_diff
+    feed_cm = read_column_mapping(root)
 
     def _diff_bucket(t: pa.Table) -> pa.Table:
         outs = []
         for i in range(t.num_rows):
             old = merged_bucket_state(t["base1"][i].as_py(),
-                                      t["delta1"][i].as_py())
+                                      t["delta1"][i].as_py(),
+                                      colmap=feed_cm)
             new = merged_bucket_state(t["base2"][i].as_py(),
-                                      t["delta2"][i].as_py())
+                                      t["delta2"][i].as_py(),
+                                      colmap=feed_cm)
             parts = []
             for side, tbl in ((0, old), (1, new)):
                 # keep 0-row tables too: a bucket whose merged state is
@@ -2004,6 +2203,8 @@ def lookup_many(root: str, keys: "ray.data.Dataset", *,
         return t.select(["repo", "path"]).group_by(
             ["repo", "path"]).aggregate([])
 
+    lm_cm = read_column_mapping(root)
+
     if nb is None:
         # flat layout: one filtered read over the version's files
         def _flat(t: pa.Table) -> pa.Table:
@@ -2013,7 +2214,13 @@ def lookup_many(root: str, keys: "ray.data.Dataset", *,
                 return state_schema(root, v).empty_table()
             flt = (pads.field("repo").isin(kt["repo"].to_pylist())
                    & pads.field("path").isin(kt["path"].to_pylist()))
-            st = pads.dataset(files).to_table(filter=flt)
+            if lm_cm:
+                st = pa.concat_tables(
+                    [apply_column_mapping(
+                        pads.dataset(f).to_table(filter=flt), lm_cm)
+                     for f in files], promote_options="permissive")
+            else:
+                st = pads.dataset(files).to_table(filter=flt)
             return st.join(kt, keys=["repo", "path"],
                            join_type="left semi")
         return keys.repartition(1).map_batches(
@@ -2044,12 +2251,25 @@ def lookup_many(root: str, keys: "ray.data.Dataset", *,
         # from the semi-join below; the filter only bounds the IO
         flt = (pads.field("repo").isin(kt["repo"].to_pylist())
                & pads.field("path").isin(kt["path"].to_pylist()))
-        base_t = pads.dataset(files).to_table(filter=flt) if files \
-            else state_schema(root, v).empty_table()
+        if files and lm_cm:
+            base_t = pa.concat_tables(
+                [apply_column_mapping(
+                    pads.dataset(f).to_table(filter=flt), lm_cm)
+                 for f in files], promote_options="permissive")
+        elif files:
+            base_t = pads.dataset(files).to_table(filter=flt)
+        else:
+            base_t = state_schema(root, v).empty_table()
         if "bucket" in base_t.column_names:
             base_t = base_t.drop_columns(["bucket"])
         if dfiles:
-            delta_t = pads.dataset(dfiles).to_table(filter=flt)
+            if lm_cm:
+                delta_t = pa.concat_tables(
+                    [apply_column_mapping(
+                        pads.dataset(f).to_table(filter=flt), lm_cm)
+                     for f in dfiles], promote_options="permissive")
+            else:
+                delta_t = pads.dataset(dfiles).to_table(filter=flt)
             merged = _merge_point(base_t, delta_t)
         else:
             merged = base_t
@@ -2288,6 +2508,7 @@ def compact_state(root: str, *, max_files_per_bucket: int = 4) -> Manifest:
     stage = os.path.join(root, f"_stage_v{nv:04d}.{uuid.uuid4().hex[:8]}")
     os.makedirs(stage)
     t0 = time.time()
+    cm = read_column_mapping(root)
     compacted = linked = 0
     for name in sorted(os.listdir(prev_dir)):
         if not name.startswith("bucket="):
@@ -2305,7 +2526,11 @@ def compact_state(root: str, *, max_files_per_bucket: int = 4) -> Manifest:
                 for f in frags:
                     pf = pq.ParquetFile(f)
                     for rg in range(pf.num_row_groups):
-                        t = pf.read_row_group(rg)
+                        # logicalize: rewritten fragments physicalize an
+                        # active column mapping (mixed-generation frags
+                        # must converge on ONE writer schema)
+                        t = apply_column_mapping(pf.read_row_group(rg),
+                                                 cm)
                         if writer is None:
                             writer = pq.ParquetWriter(
                                 os.path.join(dst, "compacted-0.parquet"),
@@ -2381,6 +2606,9 @@ def clone_state(src_root: str, dst_root: str, *,
     stage = os.path.join(dst_root, f"_stage_v0001.{uuid.uuid4().hex[:8]}")
     t0 = time.time()
     linked = _link_version_tree(_version_dir(src_root, v), stage)
+    src_cm = read_column_mapping(src_root)
+    if src_cm:
+        atomic_write_json(os.path.join(dst_root, "COLUMNS"), src_cm)
     man2 = Manifest(version=1, watermark=man.watermark,
                     schema=man.schema, files=man.files,
                     metrics={**man.metrics,

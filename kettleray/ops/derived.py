@@ -286,10 +286,13 @@ def sync_join_view(dst_root: str, a_root: str, b_root: str, *,
     a_pay_names = [f.name for f in a_pay]
     b_pay_names = [f.name for f in b_pay]
 
+    a_cm = sink.read_column_mapping(a_root)
+    b_cm = sink.read_column_mapping(b_root)
+
     @ray.remote
     def _join_bucket(a_base, a_delta, b_base, b_delta, old_groups):
-        A = sink.merged_bucket_state(a_base, a_delta)
-        B = sink.merged_bucket_state(b_base, b_delta)
+        A = sink.merged_bucket_state(a_base, a_delta, colmap=a_cm)
+        B = sink.merged_bucket_state(b_base, b_delta, colmap=b_cm)
 
         def _side(t, pay, suffix):
             if t.num_columns == 0:

@@ -213,6 +213,8 @@ def merge_into(root: str, source: "ray.data.Dataset", *,
         key_cols = list(bc) if set(bc) >= set(cdc.KEY_COLS) else \
             list(cdc.KEY_COLS)
 
+        mi_cm = sink.read_column_mapping(root)
+
         def _merge_bucket(t: pa.Table) -> pa.Table:
             import pyarrow.parquet as pq
             outs = []
@@ -231,7 +233,8 @@ def merge_into(root: str, source: "ray.data.Dataset", *,
                         "merge_into: source is not key-unique "
                         f"(bucket {t['bucket'][i].as_py()})")
                 tgt = sink.merged_bucket_state(
-                    t["base"][i].as_py(), t["delta"][i].as_py())
+                    t["base"][i].as_py(), t["delta"][i].as_py(),
+                    colmap=mi_cm)
                 if tgt.num_rows:
                     if "bucket" in tgt.column_names:
                         tgt = tgt.drop_columns(["bucket"])

@@ -241,7 +241,35 @@ def ensure_partials(root: str, view_id: str, group_cols: Sequence[str],
         # layout. 'bucket' arrives via hive-path inference (string).
         read_cols = None if cols is None else \
             [*cols, "bucket"] if "bucket" not in cols else cols
-        ds = ray.data.read_parquet(changed_files, columns=read_cols)
+        ivm_cm = _sink.read_column_mapping(root)
+        if ivm_cm:
+            # column mapping active: per-file pruned reads accepting any
+            # physical alias, logicalized before the partial kernel
+            want = None if read_cols is None else list(dict.fromkeys(
+                [a for c in read_cols
+                 for a in sorted(_sink.physical_aliases(ivm_cm, c))]))
+
+            def _rd_logical(t: pa.Table) -> pa.Table:
+                tabs = []
+                for f in t["f"].to_pylist():
+                    ft = _sink.apply_column_mapping(
+                        _sink._read_pruned(f, want), ivm_cm)
+                    bname = os.path.basename(os.path.dirname(f))
+                    if bname.startswith("bucket=") and \
+                            "bucket" not in ft.column_names:
+                        ft = ft.append_column("bucket", pa.array(
+                            [bname.split("=", 1)[1]] * ft.num_rows,
+                            type=pa.string()))
+                    tabs.append(ft)
+                return pa.concat_tables(tabs,
+                                        promote_options="permissive")
+
+            ds = ray.data.from_items(
+                [{"f": f} for f in changed_files],
+                override_num_blocks=len(changed_files)).map_batches(
+                _rd_logical, batch_format="pyarrow", batch_size=None)
+        else:
+            ds = ray.data.read_parquet(changed_files, columns=read_cols)
 
         def _block_partial(t: pa.Table) -> pa.Table:
             d = _derive_values(t, group_cols, aggs, extra_cols=("bucket",))
@@ -266,6 +294,8 @@ def ensure_partials(root: str, view_id: str, group_cols: Sequence[str],
         mor_cols = (list(dict.fromkeys([*cols, "content"]))
                     if want_sha else cols)
 
+        ivm_mor_cm = _sink.read_column_mapping(root)
+
         def _mor_partial(t: pa.Table) -> pa.Table:
             outs = []
             for i in range(t.num_rows):
@@ -275,7 +305,8 @@ def ensure_partials(root: str, view_id: str, group_cols: Sequence[str],
                 st = _sink.merged_bucket_state(t["base"][i].as_py(),
                                                t["delta"][i].as_py(),
                                                columns=mor_cols,
-                                               with_sha=want_sha)
+                                               with_sha=want_sha,
+                                               colmap=ivm_mor_cm)
                 st = st.append_column(
                     "bucket", pa.array([t["bucket"][i].as_py()]
                                        * st.num_rows, type=pa.string()))
@@ -394,7 +425,25 @@ def recompute_view(root: str, group_cols: Sequence[str],
         # can't push below the merge — acceptable for a reference path
         ds = _sink.read_state(root, v)
     else:
-        ds = ray.data.read_parquet(base_files, columns=cols)
+        rv_cm = _sink.read_column_mapping(root)
+        if rv_cm:
+            want = None if cols is None else list(dict.fromkeys(
+                [a for c in cols
+                 for a in sorted(_sink.physical_aliases(rv_cm, c))]))
+
+            def _rv_read(t: pa.Table) -> pa.Table:
+                return pa.concat_tables(
+                    [_sink.apply_column_mapping(
+                        _sink._read_pruned(f, want), rv_cm)
+                     for f in t["f"].to_pylist()],
+                    promote_options="permissive")
+
+            ds = ray.data.from_items(
+                [{"f": f} for f in base_files],
+                override_num_blocks=len(base_files)).map_batches(
+                _rv_read, batch_format="pyarrow", batch_size=None)
+        else:
+            ds = ray.data.read_parquet(base_files, columns=cols)
     ds = ds.map_batches(_block_partial, batch_format="pyarrow",
                         batch_size=None)
     return _merge_partials_dataset(ds, group_cols, aggs)
