@@ -478,6 +478,103 @@ def q_cdc_quarantine_sink(sf_dir: str):
     return sink.read_log(qroot)
 
 
+def q_cdc_schema_registry(sf_dir: str):
+    """Schema registry gating ingest (kettleray.io.schemareg, ≙
+    Confluent compatibility modes over Kettle's implicit getFields()
+    contract): gen-1 events auto-register v1; gen-2 arrives with an
+    additive 'branch' column and auto-registers v2 under BACKWARD (a
+    driver-side metadata check — no cluster work for the decision); an
+    incompatible producer (content narrowed to int) must raise BEFORE
+    any data moves. Both conformed generations upsert through the MOR
+    sink across the evolution boundary. Oracle = LWW replay with
+    branch derived only for gen-2 winners (gen-1 rows backfill null)."""
+    import shutil
+    import tempfile
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from kettleray.io import schemareg, sink
+    root = tempfile.mkdtemp(prefix="kr_reg_")
+    shutil.rmtree(root, ignore_errors=True)
+    ev = _events(sf_dir)
+    cut = 1_500_000
+    b1 = ev.map_batches(lambda b: b.filter(pc.less(b["commit_seq"], cut)),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    g1, v1 = schemareg.ingest_guard(root, b1)
+    sink.apply_incremental_mor(root, g1, num_buckets=16,
+                               num_partitions=_NUM_PARTITIONS)
+
+    def _add_branch(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b["commit_seq"], cut))
+        br = pc.if_else(pc.equal(b["lang"], "en"), "main", "dev")
+        return b.append_column("branch", br)
+
+    b2 = ev.map_batches(_add_branch, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    g2, v2 = schemareg.ingest_guard(root, b2)
+    if (v1, v2) != (1, 2):
+        raise RuntimeError(f"registry versions drifted: {(v1, v2)}")
+    # an incompatible producer (content narrowed string -> int64) is
+    # rejected by the registry before any cluster work
+    bad = ev.map_batches(
+        lambda b: b.set_column(b.column_names.index("content"),
+                               "content", pc.cast(pc.binary_length(
+                                   b["content"]), pa.int64())),
+        batch_format="pyarrow", zero_copy_batch=True)
+    try:
+        schemareg.ingest_guard(root, bad)
+    except schemareg.SchemaIncompatibleError:
+        pass
+    else:
+        raise RuntimeError("incompatible producer was admitted")
+    sink.apply_incremental_mor(root, g2, num_buckets=16,
+                               num_partitions=_NUM_PARTITIONS)
+    return sink.read_state(root).drop_columns(["bucket"])
+
+
+def q_cdc_constraints(sf_dir: str):
+    """Declarative table constraints enforced at ingest
+    (kettleray.io.constraints, ≙ Kettle Data Validator hoisted to a
+    Delta-style table contract): lang NOT NULL + op IN (insert, update,
+    delete) + commit_seq >= 0 declared once on the root; events with
+    lang deterministically nulled (doc_id % 11 == 5) are quarantined
+    with error_constraint instead of applied, so a key whose newest
+    event violates keeps its previous good state. Oracle = LWW replay
+    over the constraint-filtered log with the same null-planting rule."""
+    import shutil
+    import tempfile
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from kettleray.io import constraints as ct
+    from kettleray.io import sink
+    sroot = tempfile.mkdtemp(prefix="kr_ct_state_")
+    qroot = tempfile.mkdtemp(prefix="kr_ct_log_")
+    shutil.rmtree(sroot, ignore_errors=True)
+    shutil.rmtree(qroot, ignore_errors=True)
+    ct.set_constraints(sroot, [
+        {"name": "lang_set", "kind": "not_null", "col": "lang"},
+        {"name": "known_op", "kind": "in", "col": "op",
+         "values": ["insert", "update", "delete"]},
+        {"name": "seq_pos", "kind": "check",
+         "expr": ["commit_seq", ">=", 0]},
+    ])
+
+    def _plant(b: pa.Table) -> pa.Table:
+        seq = b["commit_seq"].to_numpy()        # no mod kernel in pc
+        bad = (seq % 1_000_000) % 11 == 5
+        lang = pc.if_else(pa.array(bad), pa.scalar(None, pa.string()),
+                          b["lang"])
+        return b.set_column(b.column_names.index("lang"), "lang", lang)
+
+    ev = _events(sf_dir).map_batches(_plant, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    _, qman, n_bad = ct.apply_with_constraints(
+        sroot, qroot, ev, mode="mor", num_buckets=16,
+        num_partitions=_NUM_PARTITIONS)
+    if (n_bad == 0) or (qman is None):
+        raise RuntimeError("expected planted violations to quarantine")
+    return sink.read_state(sroot).drop_columns(["bucket"])
+
+
 def q_cdc_scd2_incremental(sf_dir: str):
     """Dimension Lookup/Update maintained INCREMENTALLY: three
     micro-commits through the SCD2 sink (per-bucket history append,
@@ -942,6 +1039,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_join_view": q_cdc_join_view,
         "cdc_scd2_incremental": q_cdc_scd2_incremental,
         "cdc_quarantine_sink": q_cdc_quarantine_sink,
+        "cdc_schema_registry": q_cdc_schema_registry,
+        "cdc_constraints": q_cdc_constraints,
         "cdc_catalog_txn": q_cdc_catalog_txn,
         "cdc_rebucket": q_cdc_rebucket,
         "cdc_streaming_state": q_cdc_streaming_state,
@@ -1091,6 +1190,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM srcw s LEFT JOIN tgt t ON t.repo = s.repo "
             "AND t.path = s.path WHERE t.repo IS NULL "
             "AND s.lang <> 'fr'"),
+        "cdc_schema_registry": (
+            f"WITH {ev}, {_RANKED} "
+            'SELECT repo, path, "commit", lang, content, '
+            "sha256(content) AS content_sha256, "
+            "commit_seq AS last_commit_seq, "
+            "CASE WHEN commit_seq >= 1500000 THEN "
+            "(CASE WHEN lang = 'en' THEN 'main' ELSE 'dev' END) "
+            "ELSE NULL END AS branch "
+            "FROM ranked WHERE rn = 1 AND op <> 'delete'"),
+        "cdc_constraints": (
+            f"WITH {ev}, "
+            'ev2 AS (SELECT repo, path, "commit", '
+            "CASE WHEN (commit_seq % 1000000) % 11 = 5 THEN NULL "
+            "ELSE lang END AS lang, content, op, commit_seq FROM ev), "
+            "ev3 AS (SELECT * FROM ev2 WHERE lang IS NOT NULL), "
+            "ranked AS (SELECT *, row_number() OVER (PARTITION BY repo, "
+            'path ORDER BY commit_seq DESC, "commit" DESC) AS rn '
+            "FROM ev3) "
+            'SELECT repo, path, "commit", lang, content, '
+            "sha256(content) AS content_sha256, "
+            "commit_seq AS last_commit_seq "
+            "FROM ranked WHERE rn = 1 AND op <> 'delete'"),
         "cdc_insert_update": (
             f"WITH {ev}, ev2 AS (SELECT * FROM ev WHERE op <> 'delete'), "
             'ranked AS (SELECT *, row_number() OVER (PARTITION BY repo, path '
