@@ -98,6 +98,54 @@ def q_events_window(sf_dir):
         calc.CalcOp("sum_value", "round", a="sum_value", const_b=4)])
 
 
+def q_events_window_final(sf_dir):
+    """Event-time tumbling windows with watermark finalization
+    (kettleray.ops.eventtime — the streaming-window operator): the
+    events table arrives as three OUT-OF-ORDER micro-batches (split by
+    event_id % 3, not by time), each ingest advances the monotone
+    watermark (max event time − 30 min lateness), finalizes complete 1h
+    windows exactly once, and routes events older than the watermark to
+    the late log. Also proves the redelivery fence (re-ingesting batch
+    1 is a manifest no-op). Oracle = the same per-batch watermark
+    recursion in SQL: an event is dropped iff its window end ≤ the
+    watermark BEFORE its batch; finalized = windows ending ≤ the final
+    watermark, aggregated over surviving events."""
+    import shutil
+    import tempfile
+    from kettleray.ops import eventtime as et
+    root = tempfile.mkdtemp(prefix="kr_ewf_")
+    shutil.rmtree(root, ignore_errors=True)
+    ds = _t(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+    manifests = {}
+    for k in (0, 1, 2):
+        b = ds.map_batches(
+            lambda t, k=k: t.filter(pa.array(
+                t["event_id"].to_numpy() % 3 == k)),
+            batch_format="pyarrow", zero_copy_batch=True)
+        manifests[k] = et.ingest(
+            root, b, time_col="ts", window_s=3600, lateness_s=1800,
+            group_cols=("event_type",),
+            aggs={"n": ("count", None), "sum_value": ("sum", "value")},
+            batch_id=f"b{k}")
+    # redelivery fence (in-order retry semantics: the id guards the
+    # LAST applied batch): batch 2 again under its id → exact no-op
+    b2 = ds.map_batches(
+        lambda t: t.filter(pa.array(t["event_id"].to_numpy() % 3 == 2)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    again = et.ingest(root, b2, time_col="ts", window_s=3600,
+                      lateness_s=1800, group_cols=("event_type",),
+                      aggs={"n": ("count", None),
+                            "sum_value": ("sum", "value")},
+                      batch_id="b2")
+    if again != manifests[2] or et.current_version(root) != 3:
+        raise RuntimeError("redelivery fence failed")
+    return et.finalized(root).map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("sum_value"), "sum_value",
+            pc.round(t["sum_value"], 4)),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_events_hopping_window(sf_dir):
     """1h windows hopping every 30min (overlap 2x) per user."""
     ds = _t(sf_dir, "events", ["user_id", "ts", "value"])
@@ -1054,6 +1102,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "multimodal_image_features": q_multimodal_image,
     "events_window": q_events_window,
+    "events_window_final": q_events_window_final,
     "events_sessionize": q_events_sessionize,
     "minhash_neardup": q_minhash_neardup,
     "dedup_corpus": q_dedup_corpus,
@@ -1158,6 +1207,27 @@ ORACLES = {
         "SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS "
         "window_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS "
         "sum_value FROM events GROUP BY user_id, window_id",
+    "events_window_final": (
+        "WITH e AS (SELECT event_id % 3 AS b, event_type, value, "
+        "epoch_us(ts) AS us FROM events), "
+        "m AS (SELECT b, max(us) AS mx FROM e GROUP BY b), "
+        "wm0 AS (SELECT (SELECT mx FROM m WHERE b = 0) - 1800000000 "
+        "AS w), "
+        "wm1 AS (SELECT greatest((SELECT w FROM wm0), "
+        "(SELECT mx FROM m WHERE b = 1) - 1800000000) AS w), "
+        "wm2 AS (SELECT greatest((SELECT w FROM wm1), "
+        "(SELECT mx FROM m WHERE b = 2) - 1800000000) AS w), "
+        "good AS (SELECT event_type, value, "
+        "(us // 3600000000) * 3600000000 AS ws FROM e WHERE NOT ("
+        "(b = 1 AND (us // 3600000000) * 3600000000 + 3600000000 <= "
+        "(SELECT w FROM wm0)) OR "
+        "(b = 2 AND (us // 3600000000) * 3600000000 + 3600000000 <= "
+        "(SELECT w FROM wm1)))) "
+        "SELECT event_type, ws AS window_start, "
+        "ws + 3600000000 AS window_end, COUNT(*) AS n, "
+        "ROUND(SUM(value), 4) AS sum_value FROM good "
+        "GROUP BY event_type, ws "
+        "HAVING ws + 3600000000 <= (SELECT w FROM wm2)"),
     "events_hopping_window":
         "SELECT user_id, window_start, COUNT(*) AS n_events, "
         "ROUND(SUM(value), 4) AS sum_value FROM ("
