@@ -94,6 +94,90 @@ def run_window() -> tuple[float, int]:
     return time.time() - t0, n
 
 
+def run_eventtime() -> tuple[float, int, dict]:
+    """Event-time windowed ingest (ops.eventtime): 2M events as 4
+    in-order micro-batches through the watermark/finalize loop —
+    distributed window-stamp + per-block partials, only partials reach
+    the driver. Returns (sec, n_events, counts)."""
+    import shutil
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from kettleray.gen.synthetic import EventGenConfig, generate_events
+    from kettleray.ops import eventtime as et
+    root = "/tmp/kettleray_bench/eventtime"
+    shutil.rmtree(root, ignore_errors=True)
+    n = max(1_000_000, N_SYNTH // 4)
+    cfg = EventGenConfig(n_events=n, n_repos=500,
+                         n_paths_per_repo=2000, p_delete=0.05,
+                         p_redeliver=0.01, seed=44)
+    ev = generate_events(cfg, override_num_blocks=BLOCKS).map_batches(
+        lambda t: t.append_column(
+            "ev_us", pc.multiply(t["commit_seq"], 1_000_000)),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    t0 = time.time()
+    step = n // 4 + 1
+    for k in range(4):
+        lo, hi = k * step, (k + 1) * step
+        b = ev.map_batches(
+            lambda t, lo=lo, hi=hi: t.filter(pc.and_(
+                pc.greater_equal(t["commit_seq"], lo),
+                pc.less(t["commit_seq"], hi))),
+            batch_format="pyarrow", zero_copy_batch=True)
+        et.ingest(root, b, time_col="ev_us",
+                  window_s=n // 256, lateness_s=n // 512,
+                  group_cols=("repo",),
+                  aggs={"n": ("count", None),
+                        "max_seq": ("max", "commit_seq")},
+                  batch_id=f"b{k}")
+    sec = time.time() - t0
+    fin = et.finalized(root)
+    return sec, n, {"finalized_windows": fin.count() if fin else 0,
+                    "open_windows": et.open_windows(root).num_rows,
+                    "versions": et.current_version(root)}
+
+
+def run_constrained_apply() -> tuple[float, dict]:
+    """Constraint-guarded MOR apply (io.constraints): 2M events with
+    ~9% planted violations through 3 declared rules + quarantine
+    routing. Overhead vs the plain path is the routing map_batches +
+    one materialize (compare incremental_apply / trickle lines)."""
+    import shutil
+    import numpy as np
+    import pyarrow as pa
+    from kettleray.gen.synthetic import EventGenConfig, generate_events
+    from kettleray.io import constraints as ct
+    sroot = "/tmp/kettleray_bench/ct_state"
+    qroot = "/tmp/kettleray_bench/ct_quar"
+    shutil.rmtree(sroot, ignore_errors=True)
+    shutil.rmtree(qroot, ignore_errors=True)
+    n = max(1_000_000, N_SYNTH // 4)
+    cfg = EventGenConfig(n_events=n, n_repos=500,
+                         n_paths_per_repo=2000, p_delete=0.05,
+                         p_redeliver=0.01, seed=45)
+
+    def _plant(t: pa.Table) -> pa.Table:
+        seq = t["commit_seq"].to_numpy()
+        bad = seq % 11 == 5
+        lang = pa.array(np.where(bad, None, t["lang"].to_numpy(
+            zero_copy_only=False)), type=pa.string())
+        return t.set_column(t.column_names.index("lang"), "lang", lang)
+
+    ev = generate_events(cfg, override_num_blocks=BLOCKS).map_batches(
+        _plant, batch_format="pyarrow",
+        zero_copy_batch=True).materialize()
+    ct.set_constraints(sroot, [
+        {"name": "lang_set", "kind": "not_null", "col": "lang"},
+        {"name": "known_op", "kind": "in", "col": "op",
+         "values": ["insert", "update", "delete"]},
+        {"name": "seq_pos", "kind": "check",
+         "expr": ["commit_seq", ">=", 0]}])
+    t0 = time.time()
+    _, _, n_bad = ct.apply_with_constraints(
+        sroot, qroot, ev, mode="mor", num_buckets=64,
+        num_partitions=_num_partitions())
+    return time.time() - t0, {"n_events": n, "quarantined": n_bad}
+
+
 def run_derived_replay() -> float:
     from kettleray.gen.derive import derive_events
     from kettleray.ops import cdc
@@ -868,6 +952,10 @@ def main() -> None:
     queries["derived_replay"] = round(run_derived_replay(), 2)
     win_sec, win_n = run_window()
     queries["window_running_events"] = round(win_sec, 2)
+    et_sec, et_n, et_counts = run_eventtime()
+    queries["eventtime_windows"] = round(et_sec, 2)
+    ct_sec, ct_counts = run_constrained_apply()
+    queries["constrained_apply"] = round(ct_sec, 2)
     queries["scd2_history"] = round(run_scd2(), 2)
     queries["incremental_apply"] = round(run_incremental(), 2)
     queries["skew_hotkey_salted"] = round(run_skew(salted=True), 2)
@@ -934,6 +1022,8 @@ def main() -> None:
         "pruned_scan": scan_report,
         "substring_dedup": sub_counts,
         "sketches": sk_counts,
+        "eventtime": {**et_counts, "n_events": et_n},
+        "constrained_apply": ct_counts,
     }))
     ray.shutdown()
 
