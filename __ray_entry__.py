@@ -1107,15 +1107,19 @@ _SNAPSHOT_WINDOW = [
     "cdc_update_where", "cdc_merge_into", "substring_dup_spans",
     "substring_dedup_cut", "window_running", "window_rank",
     "window_moving", "rollup_sales", "cube_sales",
-    # earlier queries never driver-recorded in r01..r03 (9) + the
+    # session-5 features, never driver-recorded (3; kmeans_assign,
+    # stratified_sample and cdc_bulk_lookup rotate out to make room —
+    # all still gate-checked by tools/check_queries.py and are
+    # round-5 rotation candidates)
+    "cdc_schema_registry", "cdc_constraints", "events_window_final",
+    # earlier queries never driver-recorded in r01..r03 (6) + the
     # sketch family (2; exact-oracle MG heavy hitters and the
     # per-group DDSketch quantiles; source_csv_roundtrip and
     # text_scrub_normalize rotate out — both pytest-covered and
     # still gate-checked by tools/check_queries.py)
-    "events_hopping_window", "quality_gate",
-    "kmeans_assign", "stratified_sample", "heavy_hitters",
+    "events_hopping_window", "quality_gate", "heavy_hitters",
     "winnowing_fingerprints", "multimodal_audio_features",
-    "approx_quantiles_by", "cdc_bulk_lookup",
+    "approx_quantiles_by",
     # (multimodal_video_frames and mixture_sample rotate out for
     # cdc_key_history + cdc_rename_column — pytest-covered and still
     # gate-checked by tools/check_queries.py)
