@@ -42,9 +42,11 @@ Store layout::
     root/v000N/manifest.json      {version, watermark, batch_id, counts}
     root/CURRENT                   {"version": N}
 
-Aggregate fns are restricted to count/sum/min/max on purpose: their
-partial and final representations coincide, so open state, merge and
-finalize all share one schema (count partials merge by sum).
+Aggregate fns are restricted to MERGEABLE forms on purpose —
+count/sum/min/max (partial == final representation; count partials
+merge by sum) plus ``approx_distinct`` (HLL registers in the open
+state, register-max merge, int64 estimate in the finalized log) — so
+open state, merge and finalize share one algebra.
 """
 from __future__ import annotations
 
@@ -65,6 +67,12 @@ import ray.data
 from kettleray.io.sink import atomic_write_json, current_version
 
 _MERGE_FN = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+# approx_distinct rides mergeable HLL sketches (ops.sketches): the open
+# state stores REGISTERS (binary, 2^p bytes per group-window), merge is
+# register-max, finalize emits the int64 estimate. Same partial/merge/
+# finalize algebra as count/sum/min/max, so watermarks, exactly-once
+# and the bounded-driver contract all hold unchanged.
+_SKETCH_FN = "approx_distinct"
 
 
 def _vdir(root: str, v: int) -> str:
@@ -105,9 +113,11 @@ def _check_spec(root: str, spec: dict) -> dict:
 def _validate_aggs(aggs: Mapping[str, tuple]) -> "dict[str, list]":
     out = {}
     for name, (fn, col) in aggs.items():
-        if fn not in _MERGE_FN:
-            raise ValueError(f"agg fn {fn!r} not in {sorted(_MERGE_FN)} "
-                             f"(algebraic fns only — partials must merge)")
+        if fn not in _MERGE_FN and fn != _SKETCH_FN:
+            raise ValueError(
+                f"agg fn {fn!r} not in "
+                f"{sorted(_MERGE_FN) + [_SKETCH_FN]} "
+                f"(mergeable fns only — partials must merge)")
         if fn != "count" and col is None:
             raise ValueError(f"agg {name!r}: {fn} needs a column")
         out[name] = [fn, col]
@@ -166,12 +176,39 @@ def _time_us(col: "pa.ChunkedArray") -> "pa.ChunkedArray":
     return pc.cast(col, pa.int64())
 
 
+def _group_sketches(lists: "pa.ChunkedArray", p: int, *,
+                    merge_bytes: bool) -> pa.Array:
+    """Per-group HLL registers from an arrow ``list`` aggregate column:
+    partial stage sketches each group's raw values, merge stage
+    register-maxes its already-built sketches. One Python iteration per
+    GROUP (partial-row bounded — the per-value work is the vectorized
+    hash kernel inside HLL.update_column)."""
+    from kettleray.ops.sketches import HLL
+    la = lists.combine_chunks()
+    out = []
+    for i in range(len(la)):
+        vals = la[i].values
+        h = HLL(p)
+        if merge_bytes:
+            for b in vals:
+                h.merge(HLL.from_bytes(b.as_py()))
+        else:
+            h.update_column(vals)
+        out.append(h.to_bytes())
+    return pa.array(out, type=pa.binary())
+
+
 def _partial_table(t: pa.Table, group_cols: Sequence[str],
-                   aggs: "dict[str, list]") -> pa.Table:
+                   aggs: "dict[str, list]", hll_p: int) -> pa.Table:
     """Per-block partial aggregates over (group_cols, window bounds)."""
     keys = list(group_cols) + ["window_start", "window_end"]
-    plan, src_cols = [], {}
+    plan, src_cols, sk_lists = [], {}, {}
     for name, (fn, col) in aggs.items():
+        if fn == _SKETCH_FN:
+            if (col, "list") not in plan:
+                plan.append((col, "list"))
+            sk_lists[name] = f"{col}_list"
+            continue
         src = col if fn != "count" else "window_start"
         arrow_fn = "count" if fn == "count" else fn
         if (src, arrow_fn) not in plan:    # two aggs may share a kernel
@@ -182,23 +219,48 @@ def _partial_table(t: pa.Table, group_cols: Sequence[str],
         .group_by(keys).aggregate(plan)
     cols = {k: g[k] for k in keys}
     for name in aggs:
-        cols[name] = g[src_cols[name]]
+        if name in sk_lists:
+            cols[name] = _group_sketches(g[sk_lists[name]], hll_p,
+                                         merge_bytes=False)
+        else:
+            cols[name] = g[src_cols[name]]
     return pa.table(cols)
 
 
 def _merge_partials(parts: "list[pa.Table]", group_cols: Sequence[str],
-                    aggs: "dict[str, list]") -> pa.Table:
-    """Merge partial tables (associative: count merges by sum)."""
+                    aggs: "dict[str, list]", hll_p: int) -> pa.Table:
+    """Merge partial tables (associative: count merges by sum,
+    sketches by register max)."""
     t = pa.concat_tables([p for p in parts if p.num_rows],
                          promote_options="permissive") \
         if any(p.num_rows for p in parts) else parts[0]
     keys = list(group_cols) + ["window_start", "window_end"]
-    plan = [(name, _MERGE_FN[fn]) for name, (fn, _) in aggs.items()]
+    plan = [(name, "list" if fn == _SKETCH_FN else _MERGE_FN[fn])
+            for name, (fn, _) in aggs.items()]
     g = t.group_by(keys).aggregate(plan)
     cols = {k: g[k] for k in keys}
     for name, (fn, _) in aggs.items():
-        cols[name] = g[f"{name}_{_MERGE_FN[fn]}"]
+        if fn == _SKETCH_FN:
+            cols[name] = _group_sketches(g[f"{name}_list"], hll_p,
+                                         merge_bytes=True)
+        else:
+            cols[name] = g[f"{name}_{_MERGE_FN[fn]}"]
     return pa.table(cols)
+
+
+def _finalize_sketches(fin: pa.Table, aggs: "dict[str, list]") -> pa.Table:
+    """Emitted (finalized) rows carry int64 ESTIMATES, not registers —
+    the log is the queryable result; open state keeps the mergeable
+    form."""
+    from kettleray.ops.sketches import HLL
+    for name, (fn, _) in aggs.items():
+        if fn != _SKETCH_FN:
+            continue
+        est = pa.array(
+            [int(round(HLL.from_bytes(b.as_py()).estimate()))
+             for b in fin[name].combine_chunks()], type=pa.int64())
+        fin = fin.set_column(fin.column_names.index(name), name, est)
+    return fin
 
 
 def ingest(root: str, events: "ray.data.Dataset", *,
@@ -207,6 +269,7 @@ def ingest(root: str, events: "ray.data.Dataset", *,
            lateness_s: int = 0,
            group_cols: Sequence[str] = (),
            aggs: Mapping[str, tuple],
+           hll_p: int = 12,
            batch_id: "str | None" = None) -> dict:
     """Apply one micro-batch and return the new manifest (see module
     docstring for semantics and the atomicity/exactly-once contract).
@@ -224,7 +287,7 @@ def ingest(root: str, events: "ray.data.Dataset", *,
     aggs = _validate_aggs(aggs)
     spec = {"window_us": w_us, "lateness_us": l_us,
             "group_cols": list(group_cols),
-            "aggs": aggs, "time_col": time_col}
+            "aggs": aggs, "time_col": time_col, "hll_p": int(hll_p)}
     _check_spec(root, spec)
     man = read_manifest(root)
     if man and batch_id is not None and man.get("batch_id") == batch_id:
@@ -257,21 +320,21 @@ def ingest(root: str, events: "ray.data.Dataset", *,
         # distributed per-block partials; only partial rows (bounded by
         # groups x windows x blocks) ever reach the driver
         good_partials = routed.map_batches(
-            lambda b, gc=tuple(group_cols), ag=aggs: _partial_table(
-                b.filter(pc.invert(b["_late"])), gc, ag),
+            lambda b, gc=tuple(group_cols), ag=aggs, p=hll_p:
+            _partial_table(b.filter(pc.invert(b["_late"])), gc, ag, p),
             batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
         parts = list(ray.get(good_partials.to_arrow_refs()))
         # typed zero-row fallback derived from the routed schema, so an
         # all-late / empty batch still writes schema-stable files
         empty = _partial_table(
             routed.schema().base_schema.empty_table().drop_columns(
-                ["_late"]), group_cols, aggs)
+                ["_late"]), group_cols, aggs, hll_p)
         prev_open = open_windows(root)
         merged = _merge_partials(
             [p for p in parts if p.num_rows]
             + ([prev_open] if prev_open is not None and prev_open.num_rows
                else []) or [empty],
-            group_cols, aggs)
+            group_cols, aggs, hll_p)
 
         # watermark: monotone max-event-time − lateness
         hi = routed.map_batches(
@@ -283,7 +346,7 @@ def ingest(root: str, events: "ray.data.Dataset", *,
                      + [h - l_us for h in hs])
 
         ripe = pc.less_equal(merged["window_end"], new_wm)
-        fin = merged.filter(ripe)
+        fin = _finalize_sketches(merged.filter(ripe), aggs)
         still_open = merged.filter(pc.invert(ripe))
         pq.write_table(still_open, os.path.join(stage, "open.parquet"))
         pq.write_table(fin, os.path.join(stage, "finalized.parquet"))

@@ -132,3 +132,43 @@ def test_timestamp_column(tmp_path):
               lateness_s=L, group_cols=("k",),
               aggs={"n": ("count", None), "sum_value": ("sum", "value")})
     assert _fin(root) == [("a", 0, 1, 1.0)]
+
+
+class TestApproxDistinct:
+    def _ingest(self, root, rows, batch_id=None):
+        """rows: (ts_seconds, key, user)"""
+        ds = ray.data.from_arrow(pa.table({
+            "ts": pa.array([int(r[0]) * 1_000_000 for r in rows],
+                           pa.int64()),
+            "k": [r[1] for r in rows],
+            "user": pa.array([r[2] for r in rows], pa.int64())}))
+        return et.ingest(root, ds, time_col="ts", window_s=W,
+                         lateness_s=L, group_cols=("k",),
+                         aggs={"n": ("count", None),
+                               "users": ("approx_distinct", "user")},
+                         hll_p=12, batch_id=batch_id)
+
+    def test_exact_at_small_cardinality(self, tmp_path):
+        """p=12 HLL is exact (linear counting) at tiny cardinalities;
+        duplicates across rows AND across batches collapse."""
+        root = str(tmp_path / "w")
+        self._ingest(root, [(1, "a", 7), (2, "a", 7), (3, "a", 9)])
+        # same window, new batch, one repeat + one new user
+        self._ingest(root, [(4, "a", 9), (5, "a", 11), (18, "a", 1)])
+        ds = et.finalized(root).take_all()
+        fin = {(r["k"], r["window_start"] // 1_000_000):
+               (r["n"], r["users"]) for r in ds}
+        assert fin[("a", 0)] == (5, 3)        # users {7, 9, 11}
+        # open state holds REGISTERS (mergeable binary), not estimates
+        ow = et.open_windows(root)
+        assert ow.schema.field("users").type == pa.binary()
+        assert ow.schema.field("n").type == pa.int64()
+
+    def test_estimate_accuracy_at_1k(self, tmp_path):
+        root = str(tmp_path / "w")
+        rows = [(1 + (i % 9), "a", i) for i in range(1000)]
+        self._ingest(root, rows)
+        self._ingest(root, [(25, "a", 0)])    # push watermark past [0,10)
+        r = et.finalized(root).take_all()
+        est = {x["k"]: x["users"] for x in r}["a"]
+        assert abs(est - 1000) / 1000 < 0.05
