@@ -1223,7 +1223,17 @@ def commit_state(ds: "ray.data.Dataset", root: str, *, watermark: int,
 
 
 def _write_current(root: str, v: int) -> None:
-    """Atomically advance the CURRENT pointer."""
+    """Atomically advance the CURRENT pointer.
+
+    This is the ONE choke point every committer funnels through to make
+    a version visible, so it is where writer-lease fencing lives: if
+    this process holds a :mod:`kettleray.io.lease` epoch for ``root``
+    that a newer acquirer has superseded, raise FencedWriterError
+    instead of publishing — the staged version stays an invisible
+    orphan (readers trust only CURRENT) that _next_version skips and
+    gc_versions reaps."""
+    from kettleray.io import lease as _lease
+    _lease.check_registered(root)
     atomic_write_json(os.path.join(root, "CURRENT"), {"version": v})
 
 
