@@ -398,6 +398,50 @@ def q_cdc_derived_view(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_cdc_replication(sf_dir: str):
+    """Cross-lake REPLICATION (DR / read-replica): a primary bucketed
+    sink takes three commits; after EACH commit the replica is advanced
+    by the change data feed only (bootstrap at v1, deltas after). The
+    result is the replica's final state, so the value-hash proves
+    byte-parity of the mirrored lake against the plain LWW replay SQL;
+    the in-query parity audit (verify_replica — one pruned (key, sha)
+    exchange) and the metadata-only lag probe must both report in-sync
+    or the query raises."""
+    import shutil
+    import tempfile
+    import pyarrow.compute as pc
+    from kettleray.io import sink
+    from kettleray.ops import replicate
+    src = tempfile.mkdtemp(prefix="kr_rep_src_")
+    dst = tempfile.mkdtemp(prefix="kr_rep_dst_")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+    ev = _events(sf_dir)
+    for lo, hi in ((0, 1_000_000), (1_000_000, 2_000_000),
+                   (2_000_000, 1 << 62)):
+        b = ev.map_batches(
+            lambda t, lo=lo, hi=hi: t.filter(pc.and_(
+                pc.greater_equal(t["commit_seq"], lo),
+                pc.less(t["commit_seq"], hi))),
+            batch_format="pyarrow", zero_copy_batch=True)
+        sink.apply_incremental_bucketed(src, b, num_buckets=16,
+                                        num_partitions=_NUM_PARTITIONS)
+        replicate.replicate_sink(src, dst,
+                                 num_partitions=_NUM_PARTITIONS)
+    lag = replicate.replication_lag(src, dst)
+    if not lag["in_sync"]:
+        raise AssertionError(f"replica lagging after sync: {lag}")
+    audit = replicate.verify_replica(src, dst,
+                                     num_partitions=_NUM_PARTITIONS)
+    if audit["missing"] or audit["extra"] or audit["mismatched"]:
+        raise AssertionError(f"replica diverged: {audit}")
+    out = sink.read_state(dst)
+    return out.map_batches(
+        lambda t: t.select(["repo", "path", "commit", "lang",
+                            "content_sha256"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_cdc_join_view(sf_dir: str):
     """Incrementally maintained JOIN view (delta join over two
     co-partitioned sinks): table A replays the event log, table B the
@@ -1036,6 +1080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_key_history": q_cdc_key_history,
         "cdc_rename_column": q_cdc_rename_column,
         "cdc_derived_view": q_cdc_derived_view,
+        "cdc_replication": q_cdc_replication,
         "cdc_join_view": q_cdc_join_view,
         "cdc_scd2_incremental": q_cdc_scd2_incremental,
         "cdc_quarantine_sink": q_cdc_quarantine_sink,
@@ -1093,8 +1138,12 @@ _SNAPSHOT_WINDOW = [
     "cdc_replay_final_state", "cdc_scd2_history", "cdc_sync_roundtrip",
     "cdc_replay_twopass", "cdc_mor_state", "cdc_changefeed",
     "cdc_catalog_txn", "cdc_incremental_agg", "cdc_streaming_state",
-    "cdc_schema_evolution", "cdc_snapshot_at", "cdc_scd3_state",
+    "cdc_schema_evolution", "cdc_replication", "cdc_scd3_state",
     "cdc_join_view", "cdc_key_history", "cdc_rename_column",
+    # (cdc_snapshot_at and cdc_replay_twopass rotate out — both
+    # driver-recorded green in r03 and still gate-checked by
+    # tools/check_queries.py — making room for the session-6
+    # replication and BPE gates)
     # pinned training flagships (12, incl. the round-4 ops
     # unigram_logprob, pack_sequences, dsir_score, semantic_dedup —
     # none driver-recorded before)
@@ -1316,6 +1365,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM ranked WHERE rn = 1 AND op <> 'delete'"),
         "cdc_bucketed_state":
             f"WITH {ev}, {_RANKED} {_FINAL_STATE_SELECT}",
+        "cdc_replication": (
+            f"WITH {ev}, {_RANKED} "
+            'SELECT repo, path, "commit", lang, '
+            "sha256(content) AS content_sha256 "
+            "FROM ranked WHERE rn = 1 AND op <> 'delete'"),
         "cdc_derived_view": (
             f"WITH {ev}, {_RANKED} "
             'SELECT repo, path, "commit", lang, '
