@@ -1136,7 +1136,7 @@ _SNAPSHOT_WINDOW = [
     # pinned CDC core + lake layer (15)
     "cdc_diff_snapshots", "cdc_insert_update",
     "cdc_replay_final_state", "cdc_scd2_history", "cdc_sync_roundtrip",
-    "cdc_replay_twopass", "cdc_mor_state", "cdc_changefeed",
+    "bpe_pair_counts", "cdc_mor_state", "cdc_changefeed",
     "cdc_catalog_txn", "cdc_incremental_agg", "cdc_streaming_state",
     "cdc_schema_evolution", "cdc_replication", "cdc_scd3_state",
     "cdc_join_view", "cdc_key_history", "cdc_rename_column",

@@ -190,6 +190,19 @@ def q_vocab_counts(sf_dir):
     return textstats.word_counts(docs, "text", num_partitions=8)
 
 
+def q_bpe_pair_counts(sf_dir):
+    """Iteration-0 BPE statistics (tokenizer LEARNING, not just token
+    counting): frequency-weighted adjacent character-pair counts over
+    the corpus vocabulary. Two small exchanges (word, then pair);
+    corpus text never moves past the first map-side combine. The full
+    merge loop (ops.bpe.learn_bpe) and the actor-pool encoder are
+    pytest-verified against a naive Sennrich reference — this gate
+    value-hashes the distributed statistics layer they stand on."""
+    from kettleray.ops import bpe
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return bpe.pair_counts(docs, num_partitions=8)
+
+
 def q_text_scrub_normalize(sf_dir):
     """PII scrub + canonical normalization over documents — the standard
     pre-dedup cleaning pass. The fixture has no PII, so scrubbing is
@@ -1119,6 +1132,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "dsir_score": q_dsir_score,
     "semantic_dedup": q_semantic_dedup,
+    "bpe_pair_counts": q_bpe_pair_counts,
     "lang_id": q_lang_id,
     # below the driver's 50-entry snapshot line (still gate-checked
     # by tools/check_queries.py)
@@ -1296,6 +1310,16 @@ ORACLES = {
     # stopword-vote heuristic oracle GENERATED from textstats._STOPWORDS
     # + TOKEN_PATTERN, so the SQL cannot drift from the implementation
     "lang_id": None,  # filled below by lang_id_oracle_sql()
+    "bpe_pair_counts": (
+        "WITH toks AS (SELECT lower(t.tok) AS tok FROM documents, "
+        "unnest(regexp_split_to_array(text, '\\s+')) AS t(tok)), "
+        "w AS (SELECT tok, count(*) AS cnt FROM toks WHERE "
+        "regexp_matches(tok, '^[a-z]+$') AND length(tok) >= 2 "
+        "GROUP BY tok) "
+        "SELECT substr(tok, CAST(i AS INT), 2) AS pair, "
+        "CAST(sum(cnt) AS BIGINT) AS cnt "
+        "FROM w, unnest(generate_series(1, length(tok)-1)) AS g(i) "
+        "GROUP BY pair"),
     "vocab_counts": (
         "SELECT word, CAST(count(*) AS BIGINT) AS n FROM (SELECT "
         "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS "
