@@ -445,10 +445,34 @@ def connected_components(pairs, *, max_iters: int = 10,
         return pa.concat_tables([fwd, bwd, self_a, self_b])
 
     adj = edges.map_batches(_sym, batch_format="pyarrow").materialize()
+    id_type = edges.schema().base_schema.field("doc_a").type
 
-    # labels: node -> current component label (init: self)
-    def _init(t: pa.Table) -> pa.Table:
-        return pa.table({"node": t["node"], "label": t["nbr"]})
+    def _tag_adj(t: pa.Table) -> pa.Table:
+        # side-0 rows: (key=nbr, node, lab=null) — lab validity is the
+        # side marker (labels are node ids, never null)
+        return pa.table({"key": t["nbr"], "node": t["node"],
+                         "lab": pa.nulls(t.num_rows, id_type)})
+
+    def _tag_labels(t: pa.Table) -> pa.Table:
+        # side-1 rows: (key=node, node=null, lab=label)
+        return pa.table({"key": t["node"],
+                         "node": pa.nulls(t.num_rows, id_type),
+                         "lab": t["label"]})
+
+    def _join_block(t: pa.Table) -> pa.Table:
+        # per-partition hash join (each key's rows co-located by the
+        # repartition): node rows pick up their neighbor's label
+        m1 = pc.is_valid(t["lab"])
+        s1 = t.filter(m1)
+        s0 = t.filter(pc.invert(m1))
+        if s0.num_rows == 0 or s1.num_rows == 0:
+            return pa.table({"node": pa.array([], id_type),
+                             "cand": pa.array([], id_type)})
+        idx = pc.index_in(s0["key"], value_set=s1["key"].combine_chunks())
+        ok = pc.is_valid(idx)
+        s0 = s0.filter(ok)
+        cand = pc.take(s1["lab"].combine_chunks(), idx.filter(ok))
+        return pa.table({"node": s0["node"], "cand": cand})
 
     labels = None
     prev_sum = None
@@ -459,15 +483,23 @@ def connected_components(pairs, *, max_iters: int = 10,
                 lambda t: pa.table({"node": t["node"], "cand": t["nbr"]}),
                 batch_format="pyarrow")
         else:
-            joined = adj.join(
-                labels.rename_columns({"node": "nbr",
-                                       "label": "nbr_label"}),
-                join_type="inner", num_partitions=num_partitions,
-                on=("nbr",))
-            src = joined.map_batches(
-                lambda t: pa.table({"node": t["node"],
-                                    "cand": t["nbr_label"]}),
-                batch_format="pyarrow")
+            # label lookup as ONE co-partitioned exchange + a per-block
+            # vectorized hash join (tag sides -> union -> repartition on
+            # the key -> index_in within the block; the same pattern as
+            # diff_snapshots). Deliberately NOT Dataset.join: acero
+            # rejects join partitions made only of the zero-column
+            # empty blocks the aggregate's hash shuffle can emit — a
+            # runtime-block-layout-dependent (i.e. flaky) failure —
+            # and the fix must not pull blocks to the driver (the
+            # dedup_corpus tail is poison-tested against that).
+            a = adj.map_batches(_tag_adj, batch_format="pyarrow",
+                                zero_copy_batch=True)
+            b = labels.map_batches(_tag_labels, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+            src = a.union(b) \
+                .repartition(num_partitions, keys=["key"]) \
+                .map_batches(_join_block, batch_format="pyarrow",
+                             batch_size=None, zero_copy_batch=True)
         from ray.data.aggregate import Min
         labels = src.groupby("node").aggregate(
             Min("cand", alias_name="label")).materialize()
