@@ -336,6 +336,116 @@ def run_trickle(mode: str) -> tuple[float, int, float, float]:
     return commit_sec, fresh_bytes, read_sec, cdf_sec
 
 
+def run_replication() -> tuple[float, float, float, float, float]:
+    """Cross-lake replication: backfill a primary, bootstrap the
+    replica, then 8 trickle commits each followed by a feed-driven
+    delta sync — once into a COW replica, once into a MOR replica
+    (delta appends, no per-sync replay job). Returns (bootstrap_sec,
+    sync8_sec, sync8_mor_sec, full_resync_sec, audit_sec): sync cost
+    tracks the COMMIT (touched buckets), the full-resync comparison
+    line is what a non-incremental mirror pays PER refresh, and the
+    parity audit is the distributed (key, sha) diff over both lakes."""
+    import shutil
+    import pyarrow.compute as pc
+    from kettleray.gen.synthetic import EventGenConfig, generate_events
+    from kettleray.io import sink
+    from kettleray.ops import replicate
+    src = "/tmp/kettleray_bench/repl_src"
+    dst = "/tmp/kettleray_bench/repl_dst"
+    dstm = "/tmp/kettleray_bench/repl_dst_mor"
+    dst2 = "/tmp/kettleray_bench/repl_dst_resync"
+    for d in (src, dst, dstm, dst2):
+        shutil.rmtree(d, ignore_errors=True)
+    n = max(200_000, N_SYNTH // 20)
+    cfg = EventGenConfig(n_events=n, n_repos=200, n_paths_per_repo=1000,
+                         p_delete=0.05, seed=50)
+    ev = generate_events(cfg, override_num_blocks=max(16, NUM_CPUS * 2))
+    cut = (n * 9) // 10
+    b1 = ev.map_batches(lambda b: b.filter(pc.less(b["commit_seq"], cut)),
+                        batch_format="pyarrow")
+    sink.apply_incremental_bucketed(src, b1, num_buckets=64,
+                                    bucket_cols=("repo",),
+                                    num_partitions=_num_partitions())
+    t0 = time.time()
+    replicate.replicate_sink(src, dst, num_partitions=_num_partitions())
+    bootstrap_sec = time.time() - t0
+    replicate.replicate_sink(src, dstm, mode="mor",
+                             num_partitions=_num_partitions())
+    # trickle commits are repo-local (the realistic CDC tail shape —
+    # same protocol as run_trickle) so the feed's file-identity bucket
+    # pruning and the apply's touched-bucket routing have something to
+    # prune; a tail spread over every repo is a full-table refresh and
+    # belongs to the full_resync comparison line instead
+    import pyarrow as pa
+    repos = pa.array([f"repo_{i}" for i in range(100, 104)])
+    tail = ev.map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.greater_equal(b["commit_seq"], cut),
+            pc.is_in(b["repo"], value_set=repos))),
+        batch_format="pyarrow").materialize()
+    k = 8
+    step = (n - cut) // k
+    sync_sec = 0.0
+    sync_mor_sec = 0.0
+    for i in range(k):
+        lo, hi = cut + i * step, (cut + (i + 1) * step if i < k - 1
+                                  else n)
+        w = tail.map_batches(
+            lambda b, lo=lo, hi=hi: b.filter(pc.and_(
+                pc.greater_equal(b["commit_seq"], lo),
+                pc.less(b["commit_seq"], hi))),
+            batch_format="pyarrow")
+        sink.apply_incremental_bucketed(src, w, num_buckets=64,
+                                        bucket_cols=("repo",),
+                                        num_partitions=_num_partitions())
+        t0 = time.time()
+        replicate.replicate_sink(src, dst,
+                                 num_partitions=_num_partitions())
+        sync_sec += time.time() - t0
+        t0 = time.time()
+        replicate.replicate_sink(src, dstm, mode="mor",
+                                 num_partitions=_num_partitions())
+        sync_mor_sec += time.time() - t0
+    # comparison: a non-incremental mirror re-bootstraps from the FULL
+    # state every refresh — time one such refresh at the final version
+    t0 = time.time()
+    replicate.replicate_sink(src, dst2, num_partitions=_num_partitions())
+    full_resync_sec = time.time() - t0
+    t0 = time.time()
+    audit = replicate.verify_replica(src, dst,
+                                     num_partitions=_num_partitions())
+    audit_sec = time.time() - t0
+    assert audit["missing"] == audit["extra"] == audit["mismatched"] == 0
+    audit_m = replicate.verify_replica(src, dstm,
+                                       num_partitions=_num_partitions())
+    assert audit_m["missing"] == audit_m["extra"] == \
+        audit_m["mismatched"] == 0
+    return bootstrap_sec, sync_sec, sync_mor_sec, full_resync_sec, \
+        audit_sec
+
+
+def run_bpe() -> tuple[float, float, dict]:
+    """BPE tokenizer learning over the sf corpus: distributed word +
+    pair statistics feeding the driver-side merge loop (vocab-bounded),
+    then the actor-pool encode of the whole corpus with the learned
+    merges. Returns (learn_sec, encode_sec, counts)."""
+    import ray.data
+    from kettleray.ops import bpe
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    rep: dict = {}
+    t0 = time.time()
+    merges = bpe.learn_bpe(docs, 200, top_k_vocab=200_000, report=rep)
+    learn_sec = time.time() - t0
+    t0 = time.time()
+    n = bpe.bpe_token_counts(docs, merges,
+                             concurrency=max(2, NUM_CPUS // 4)).count()
+    encode_sec = time.time() - t0
+    rep.update({"merges": len(merges), "docs": n,
+                "docs_per_sec": round(n / encode_sec)})
+    return learn_sec, encode_sec, rep
+
+
 def run_join_view() -> tuple[float, float]:
     """Incrementally maintained join view: bootstrap A⋈B, then 8 tiny
     repo-local commits to A each followed by a sync — per-sync cost must
@@ -907,6 +1017,7 @@ COMPARISON_LINES = frozenset({
     "skew_hotkey_plain", "ann_batch_rebuild", "inverted_batch_rebuild",
     "decontaminate_join", "join_view_recompute", "full_scan_filter",
     "point_lookups_plain", "exact_distinct_shuffle",
+    "replica_full_resync",
 })
 
 
@@ -986,6 +1097,16 @@ def main() -> None:
     jv_sync, jv_recompute = run_join_view()
     queries["join_view_sync8"] = round(jv_sync, 2)
     queries["join_view_recompute"] = round(jv_recompute, 2)
+    rep_boot, rep_sync, rep_sync_mor, rep_resync, rep_audit = \
+        run_replication()
+    queries["replica_bootstrap"] = round(rep_boot, 2)
+    queries["replication_sync8"] = round(rep_sync, 2)
+    queries["replication_sync8_mor"] = round(rep_sync_mor, 2)
+    queries["replica_full_resync"] = round(rep_resync, 2)
+    queries["replica_parity_audit"] = round(rep_audit, 2)
+    bpe_learn, bpe_encode, bpe_counts = run_bpe()
+    queries["bpe_learn"] = round(bpe_learn, 2)
+    queries["bpe_encode_corpus"] = round(bpe_encode, 2)
     dec_bloom, dec_join, dec_counts = run_decontaminate()
     queries["decontaminate_bloom"] = round(dec_bloom, 2)
     queries["decontaminate_join"] = round(dec_join, 2)

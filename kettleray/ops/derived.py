@@ -70,7 +70,9 @@ def _feed_to_events(ds, src_version: int, *, bootstrap: bool):
 
 
 def sync_derived_view(src_root: str, dst_root: str, transform=None, *,
-                      num_buckets: int = 16, num_partitions: int = 16):
+                      num_buckets: int = 16, num_partitions: int = 16,
+                      bucket_cols: tuple = ("repo", "path"),
+                      mode: str = "bucketed"):
     """Advance the derived table at ``dst_root`` to reflect the current
     version of ``src_root``. First call bootstraps from the full
     upstream state; later calls apply only the change feed between the
@@ -95,8 +97,14 @@ def sync_derived_view(src_root: str, dst_root: str, transform=None, *,
         fresh = _feed_to_events(sink.read_state(src_root, src_v),
                                 src_v, bootstrap=True)
     else:
+        # materialize ONCE: the feed is commit-sized (touched keys, not
+        # the table), and without this the schema probe below, the
+        # transform-contract check and the downstream apply each
+        # re-execute the whole per-bucket diff DAG (measured 3x the
+        # sync latency at trickle scale)
         feed = sink.read_changes(src_root, applied, src_v,
-                                 num_partitions=num_partitions)
+                                 num_partitions=num_partitions) \
+            .materialize()
         schema = feed.schema()
         if schema is not None and schema.names and \
                 "content" not in schema.names:
@@ -149,9 +157,14 @@ def sync_derived_view(src_root: str, dst_root: str, transform=None, *,
                 f"columns {missing} — it must preserve key/op/"
                 f"commit_seq and may only add or rewrite payload "
                 f"columns")
-    man = sink.apply_incremental_bucketed(
+    # mode="mor": delta-append the feed window instead of replaying
+    # touched buckets — per-sync cost drops to the feed itself + one
+    # append; compaction (sink.maybe_compact_mor) runs out-of-band
+    apply = sink.apply_incremental_mor if mode == "mor" \
+        else sink.apply_incremental_bucketed
+    man = apply(
         dst_root, fresh, num_buckets=num_buckets,
-        num_partitions=num_partitions)
+        num_partitions=num_partitions, bucket_cols=bucket_cols)
     sink.atomic_write_json(os.path.join(dst_root, _CURSOR),
                            {"src_version": src_v})
     return man

@@ -38,19 +38,31 @@ from kettleray.ops.derived import _applied_version, sync_derived_view
 
 def replicate_sink(src_root: str, dst_root: str, *,
                    num_buckets: int | None = None,
-                   num_partitions: int = 16) -> "sink.Manifest":
+                   bucket_cols: tuple | None = None,
+                   num_partitions: int = 16,
+                   mode: str = "bucketed") -> "sink.Manifest":
     """Advance the replica at ``dst_root`` to source CURRENT. First
     call bootstraps from the full source state; later calls apply only
-    the change feed. ``num_buckets`` defaults to the SOURCE layout so
-    feed reads and replica writes stay co-partitioned (no shuffle
-    beyond the apply's own touched-bucket routing)."""
+    the change feed. ``num_buckets`` AND ``bucket_cols`` default to the
+    SOURCE layout so feed reads and replica writes stay co-partitioned —
+    a repo-bucketed source whose trickle commits touch 4 repos must
+    touch ~4 replica buckets per sync, not all of them.
+    ``mode="mor"`` keeps the replica merge-on-read: each sync is a
+    delta append (no touched-bucket replay job), the right default for
+    high-cadence mirrors; compact out-of-band with
+    ``sink.maybe_compact_mor(dst_root)``."""
+    man = sink.read_manifest(src_root)
     if num_buckets is None:
-        man = sink.read_manifest(src_root)
         num_buckets = int(man.metrics.get("num_buckets", 64)) if man \
             else 64
+    if bucket_cols is None:
+        bucket_cols = tuple(man.metrics.get("bucket_cols",
+                                            ("repo", "path"))) \
+            if man else ("repo", "path")
     return sync_derived_view(src_root, dst_root, None,
                              num_buckets=num_buckets,
-                             num_partitions=num_partitions)
+                             bucket_cols=bucket_cols,
+                             num_partitions=num_partitions, mode=mode)
 
 
 def replication_lag(src_root: str, dst_root: str) -> dict:

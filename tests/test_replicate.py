@@ -53,6 +53,27 @@ def test_replica_tracks_source_across_commits(tmp_path):
     assert lag["src_version"] == 3 and lag["applied_src_version"] == 3
 
 
+def test_mor_replica_tracks_source(tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    ev, batches = _thirds()
+    applied = []
+    for b in batches:
+        _apply(src, b)
+        applied.append(b)
+        replicate.replicate_sink(src, dst, mode="mor", num_partitions=2)
+    want = {k: v["content_sha256"] for k, v in
+            replay_oracle(pa.concat_tables(applied)).items()}
+    assert _state(dst) == want
+    # the replica is genuinely merge-on-read: later versions carry
+    # delta dirs, and compaction folds them without changing state
+    vdir = os.path.join(dst, f"v{sink.current_version(dst):04d}")
+    assert os.path.isdir(os.path.join(vdir, "delta"))
+    rep = replicate.verify_replica(src, dst, num_partitions=2)
+    assert rep["missing"] == rep["extra"] == rep["mismatched"] == 0
+    sink.compact_mor(dst, num_partitions=2)
+    assert _state(dst) == want
+
+
 def test_lag_probe_and_catchup(tmp_path):
     src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
     ev, batches = _thirds()
