@@ -305,15 +305,27 @@ def jaccard_verify(pairs, docs, id_col: str, text_col: str, *,
     pair — nothing is ever materialized on the driver; memory per task
     is one partition of pairs + texts.
 
+    ``method='sketch'`` (preferred scale path): shingles every doc ONCE
+    corpus-wide via the vectorized sketch signer (cost ∝ docs, never
+    pairs), then joins 8-byte-per-gram hash sketches instead of full
+    texts and scores with the flat numpy intersection kernel — no
+    per-pair Python set ops, no per-batch re-shingling of documents
+    that appear in many pairs.
+
     ``method='auto'`` (default): counts the (materialized) pair set and
-    picks broadcast below ``broadcast_limit`` pairs, join above it — a
-    web-scale candidate stream can never silently fall into the
+    picks broadcast below ``broadcast_limit`` pairs, sketch-join above
+    it — a web-scale candidate stream can never silently fall into the
     driver-materializing path."""
     import ray
     if method == "auto":
         pairs = pairs.materialize()
         method = ("broadcast" if pairs.count() <= broadcast_limit
-                  else "join")
+                  else "sketch")
+    if method == "sketch":
+        sketches = sign_sketches(docs, id_col, text_col,
+                                 shingle_k=shingle_k)
+        return _verify_sketch_join(pairs, sketches, threshold=threshold,
+                                   num_partitions=num_partitions)
     if method == "join":
         return _jaccard_verify_join(pairs, docs, id_col, text_col,
                                     shingle_k=shingle_k,
@@ -423,6 +435,99 @@ def _jaccard_verify_join(pairs, docs, id_col: str, text_col: str, *,
                          batch_size=None, zero_copy_batch=True)
 
 
+def _sketch_flat_u64(col) -> tuple[np.ndarray, np.ndarray]:
+    """pa.Binary(Chunked)Array of 8-byte-packed sorted u64 gram hashes
+    -> (flat values, per-row gram counts). Zero-copy off the Arrow value
+    buffer (one view, no per-row frombuffer)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    if col.type == pa.large_binary():
+        off_dt = np.int64
+    else:
+        off_dt = np.int32
+    offs = np.frombuffer(col.buffers()[1], dtype=off_dt)[
+        col.offset: col.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    flat = data[offs[0]:offs[-1]]
+    vals = flat.view(np.uint64) if flat.size else \
+        np.empty(0, np.uint64)
+    counts = (offs[1:] - offs[:-1]) // 8
+    return vals, counts
+
+
+def pairwise_sketch_jaccard(sh_a, sh_b) -> np.ndarray:
+    """Exact Jaccard for a batch of pairs of distinct-gram-hash sketches
+    — fully vectorized, no per-pair Python loop: flatten both sides with
+    a pair index, one lexsort of (pair, value), duplicates across the
+    a/b boundary ARE the intersection (each side is internally
+    distinct), per-pair counts via bincount."""
+    va, ca = _sketch_flat_u64(sh_a)
+    vb, cb = _sketch_flat_u64(sh_b)
+    n = len(ca)
+    if n == 0:
+        return np.empty(0, np.float64)
+    ia = np.repeat(np.arange(n, dtype=np.int64), ca)
+    ib = np.repeat(np.arange(n, dtype=np.int64), cb)
+    vals = np.concatenate([va, vb])
+    idx = np.concatenate([ia, ib])
+    order = np.lexsort((vals, idx))
+    v, i = vals[order], idx[order]
+    if len(v) > 1:
+        dup = (i[1:] == i[:-1]) & (v[1:] == v[:-1])
+        inter = np.bincount(i[1:][dup], minlength=n).astype(np.float64)
+    else:
+        inter = np.zeros(n, np.float64)
+    union = ca.astype(np.float64) + cb.astype(np.float64) - inter
+    return inter / np.maximum(union, 1.0)
+
+
+def score_sketch_pairs(t: pa.Table, threshold: float) -> pa.Table:
+    """(doc_a, doc_b, __sh_a, __sh_b, ...) -> threshold-filtered
+    (doc_a, doc_b, jaccard). The shared scoring kernel for every
+    sketch-join verify (batch dedup_corpus AND the incremental index)."""
+    if t.num_rows == 0:
+        return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                         "doc_b": pa.array([], type=pa.int64()),
+                         "jaccard": pa.array([], type=pa.float64())})
+    jac = pairwise_sketch_jaccard(t["__sh_a"], t["__sh_b"])
+    out = t.select(["doc_a", "doc_b"]).append_column(
+        "jaccard", pa.array(jac, type=pa.float64()))
+    return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+
+def sign_sketches(docs, id_col: str, text_col: str, *,
+                  num_perm: int = 64, shingle_k: int = 3,
+                  bands: int = 16, concurrency=None):
+    """One vectorized actor-pool pass over the corpus producing BOTH the
+    LSH band hashes and the exact-verify gram sketch per doc:
+    (doc_id:int64, bh:fixed_size_list<int64>[bands], sh:binary sorted
+    distinct u64 gram hashes, n_sh:int64). Reuses the incremental
+    index's oracle-proven signer so batch and incremental dedup share
+    bit-identical candidate recall and verify semantics."""
+    from kettleray.context import auto_pool
+    from kettleray.ops.incdedup import _SketchSigner
+    return docs.select_columns([id_col, text_col]).map_batches(
+        _SketchSigner, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency or auto_pool(),
+        fn_constructor_args=(id_col, text_col, num_perm, shingle_k,
+                             bands))
+
+
+def _verify_sketch_join(pairs, sketches, *, threshold: float,
+                        num_partitions: int):
+    """Distributed verify against precomputed sketches: pairs ⋈ sketch
+    twice (hash-partitioned; sketch payload is a binary blob — acero
+    passes it through zero-copy), then the flat vectorized Jaccard
+    kernel. Shingling cost was paid once per DOC at sign time, never
+    per pair."""
+    from kettleray.ops.incdedup import _verify_from_sketches
+    return _verify_from_sketches(pairs, sketches, threshold=threshold,
+                                 num_partitions=num_partitions)
+
+
 def connected_components(pairs, *, max_iters: int = 10,
                          num_partitions: int = 8):
     """Min-label propagation over (doc_a, doc_b) edges -> (doc_id, component).
@@ -517,26 +622,71 @@ def dedup_corpus(docs, id_col: str, text_col: str, *,
                  num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
                  threshold: float = 0.7, num_partitions: int = 16,
                  max_bucket: int = 64, cc_iters: int = 10,
-                 verify_method: str = "join"):
+                 verify_method: str = "sketch"):
     """End-to-end near-dup corpus dedup — THE flagship LLM-training-data
     pipeline: MinHash sign -> LSH band buckets -> capped candidate pairs
     -> exact-Jaccard verify -> distributed connected components ->
     keep the min-id representative per component, drop other members.
 
     Every stage is a Dataset transform with NO driver materialization:
-    the verify default is the hash-partitioned join path and the final
-    representative filter is Ray's native ``left_anti`` join — the
-    dropped-id set (which scales with corpus size, not near-dup rate)
-    never leaves the object store. Returns the SURVIVING documents with
-    their original columns."""
-    pairs = minhash_lsh_pairs(docs, id_col, text_col, num_perm=num_perm,
-                              bands=bands, shingle_k=shingle_k,
-                              num_partitions=num_partitions,
-                              max_bucket=max_bucket)
-    verified = jaccard_verify(pairs, docs, id_col, text_col,
-                              shingle_k=shingle_k, threshold=threshold,
-                              method=verify_method,
-                              num_partitions=num_partitions)
+    the verify default is the hash-partitioned SKETCH join path (docs
+    are signed ONCE — the same vectorized pass emits both the LSH band
+    hashes and the exact-verify gram sketch, so verify never touches
+    corpus text and never re-shingles) and the final representative
+    filter is Ray's native ``left_anti`` join — the dropped-id set
+    (which scales with corpus size, not near-dup rate) never leaves the
+    object store. Returns the SURVIVING documents with their original
+    columns."""
+    if verify_method == "sketch":
+        signed = sign_sketches(docs, id_col, text_col,
+                               num_perm=num_perm, shingle_k=shingle_k,
+                               bands=bands).materialize()
+
+        def _explode(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].combine_chunks().to_numpy(
+                zero_copy_only=False) if isinstance(
+                    t["doc_id"], pa.ChunkedArray) else \
+                t["doc_id"].to_numpy(zero_copy_only=False)
+            col = t["bh"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            nb = col.type.list_size
+            bh = col.values.to_numpy(zero_copy_only=False)
+            n = len(ids)
+            return pa.table({
+                "doc_id": pa.array(np.repeat(ids, nb), type=pa.int64()),
+                "band_id": pa.array(np.tile(
+                    np.arange(nb, dtype=np.int32), n)),
+                "band_hash": pa.array(bh, type=pa.int64())})
+
+        band_rows = signed.select_columns(["doc_id", "bh"]).map_batches(
+            _explode, batch_format="pyarrow", zero_copy_batch=True)
+        buckets = band_rows.repartition(num_partitions,
+                                        keys=["band_id", "band_hash"])
+
+        def _pairs(t: pa.Table) -> pa.Table:
+            return _bucket_pairs_table(t, ["band_id", "band_hash"],
+                                       "doc_id", max_bucket)
+
+        from kettleray.ops.aggregates import unique_rows
+        pairs = unique_rows(
+            buckets.map_batches(_pairs, batch_format="pyarrow",
+                                batch_size=None, zero_copy_batch=True),
+            ["doc_a", "doc_b"], num_partitions=num_partitions)
+        verified = _verify_sketch_join(
+            pairs, signed.select_columns(["doc_id", "sh", "n_sh"]),
+            threshold=threshold, num_partitions=num_partitions)
+    else:
+        pairs = minhash_lsh_pairs(docs, id_col, text_col,
+                                  num_perm=num_perm,
+                                  bands=bands, shingle_k=shingle_k,
+                                  num_partitions=num_partitions,
+                                  max_bucket=max_bucket)
+        verified = jaccard_verify(pairs, docs, id_col, text_col,
+                                  shingle_k=shingle_k,
+                                  threshold=threshold,
+                                  method=verify_method,
+                                  num_partitions=num_partitions)
     comps = connected_components(verified, max_iters=cc_iters,
                                  num_partitions=max(4,
                                                     num_partitions // 2))

@@ -290,19 +290,31 @@ def _solidify_small(ds, *, schema: pa.Schema, num_partitions: int = 16,
     That failure mode only exists in the small regime: with >=
     ``rows_per_part`` distinct-keyed rows per downstream join partition
     the probability of an all-empty partition is ~P*e^-rows_per_part —
-    so below that the dataset is rebuilt as one schema'd block (a
-    driver pull bounded by the threshold, never by the corpus); above
-    it the stream is returned untouched."""
+    so below that the dataset is rebuilt as one schema'd block (merged
+    INSIDE one Ray task — block bytes never cross the driver, bounded
+    by the threshold, never by the corpus); above it the stream is
+    returned untouched."""
     ds = ds.materialize()
     if limit is None:
         limit = rows_per_part * max(num_partitions, 1)
     if ds.count() > limit:
         return ds
-    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns]
-    tables = [t.select(schema.names).cast(schema) for t in tables]
-    merged = pa.concat_tables(tables) if tables else \
-        schema.empty_table()
-    return ray.data.from_arrow(merged)
+    refs = [blk for bundle in ds.iter_internal_ref_bundles()
+            for blk in bundle.block_refs]
+    merged = _solidify_merge_task.remote(
+        schema.serialize().to_pybytes(), *refs)
+    return ray.data.from_arrow_refs([merged])
+
+
+@ray.remote
+def _solidify_merge_task(schema_ser: bytes, *tables) -> pa.Table:
+    """Merge small shuffle blocks into one schema'd table in a WORKER
+    (see _solidify_small — schema-less empties are dropped, survivors
+    cast to the target schema)."""
+    schema = pa.ipc.read_schema(pa.py_buffer(schema_ser))
+    tabs = [t.select(schema.names).cast(schema)
+            for t in tables if t.num_columns]
+    return pa.concat_tables(tabs) if tabs else schema.empty_table()
 
 
 def _pairs_vs_new(t: pa.Table, max_bucket: int) -> pa.Table:
@@ -444,26 +456,14 @@ def _verify_from_sketches(pairs, sketches, *, threshold: float,
                num_partitions=num_partitions)
 
     def _score(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"doc_a": pa.array([], type=pa.int64()),
-                             "doc_b": pa.array([], type=pa.int64()),
-                             "jaccard": pa.array([], type=pa.float64())})
-        sh_a = t["__sh_a"].to_pylist()
-        sh_b = t["__sh_b"].to_pylist()
-        na = _np_col(t, "__n_a")
-        nb = _np_col(t, "__n_b")
-        jac = np.empty(t.num_rows, dtype=np.float64)
-        for i in range(t.num_rows):
-            a = np.frombuffer(sh_a[i], dtype=np.uint64)
-            b = np.frombuffer(sh_b[i], dtype=np.uint64)
-            inter = np.intersect1d(a, b, assume_unique=True).size
-            jac[i] = inter / (int(na[i]) + int(nb[i]) - inter)
-        out = t.select(["doc_a", "doc_b"]).append_column(
-            "jaccard", pa.array(jac, type=pa.float64()))
-        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+        from kettleray.ops.dedup import score_sketch_pairs
+        return score_sketch_pairs(t, threshold)
 
+    # bounded batches: a scoring batch holds both sketches per pair, so
+    # cap rows (16k pairs x ~2x200 grams x 8 B ≈ 50 MB flat) instead of
+    # scoring a whole join partition in one numpy allocation
     return j.map_batches(_score, batch_format="pyarrow",
-                         batch_size=None, zero_copy_batch=True)
+                         batch_size=16384, zero_copy_batch=True)
 
 
 @ray.remote

@@ -123,7 +123,8 @@ def job_dedup_corpus() -> tuple[float, int]:
     dedup.dedup_corpus(corpus, "doc_id", "text", num_perm=64, bands=16,
                        shingle_k=3, threshold=0.5,
                        num_partitions=_cluster_partitions(),
-                       verify_method="join").count()
+                       verify_method=os.environ.get(
+                           "KETTLERAY_VERIFY_METHOD", "sketch")).count()
     return time.time() - t0, n
 
 
