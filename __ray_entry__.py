@@ -1166,12 +1166,17 @@ _SNAPSHOT_WINDOW = [
     # per-group DDSketch quantiles; source_csv_roundtrip and
     # text_scrub_normalize rotate out — both pytest-covered and
     # still gate-checked by tools/check_queries.py)
-    "events_hopping_window", "quality_gate", "heavy_hitters",
-    "winnowing_fingerprints", "multimodal_audio_features",
-    "approx_quantiles_by",
+    "events_hopping_window", "heavy_hitters",
+    "multimodal_audio_features", "approx_quantiles_by",
     # (multimodal_video_frames and mixture_sample rotate out for
     # cdc_key_history + cdc_rename_column — pytest-covered and still
     # gate-checked by tools/check_queries.py)
+    # session-7 ops, never driver-recorded (2; quality_gate and
+    # winnowing_fingerprints rotate out — the former overlaps the
+    # recorded repetition_stats/text_quality pair, the latter is a
+    # subset of the r03-recorded winnowing_neardup; both stay
+    # gate-checked by tools/check_queries.py)
+    "lm_perplexity", "bm25_scores",
 ]
 
 

@@ -765,6 +765,37 @@ def run_inverted_incremental() -> tuple[float, float, float, dict]:
     return backfill_sec, commit_sec, rebuild_sec, counts
 
 
+def run_dedup_corpus() -> tuple[float, dict]:
+    """Flagship near-dup corpus dedup end-to-end on sf documents with
+    the round-4 sketch-join verify (sign once -> band pairs -> sketch
+    verify -> CC -> left_anti representative filter)."""
+    import ray.data as rd
+    from kettleray.ops import dedup
+    docs = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                           columns=["doc_id", "text"]).materialize()
+    n = docs.count()
+    t0 = time.time()
+    kept = dedup.dedup_corpus(docs, "doc_id", "text", num_perm=64,
+                              bands=16, shingle_k=3, threshold=0.5,
+                              num_partitions=32).count()
+    return time.time() - t0, {"corpus_docs": n, "survivors": kept}
+
+
+def run_lm_perplexity() -> tuple[float, dict]:
+    """Bigram Stupid-Backoff LM scoring of the whole corpus under its
+    own model: two count shuffles + three hash joins + one doc-keyed
+    reduce — the CCNet-style perplexity quality gate."""
+    import ray.data as rd
+    from kettleray.ops import textstats
+    docs = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                           columns=["doc_id", "text"]).materialize()
+    n = docs.count()
+    t0 = time.time()
+    scored = textstats.bigram_backoff_logprob(
+        docs, "doc_id", "text", num_partitions=32).count()
+    return time.time() - t0, {"corpus_docs": n, "scored_docs": scored}
+
+
 def run_decontaminate() -> tuple[float, float, dict]:
     """Bloom-prefiltered vs exact-join decontamination at a
     production-shaped ratio: train = the non-eval docs replicated 20x
@@ -1110,6 +1141,10 @@ def main() -> None:
     dec_bloom, dec_join, dec_counts = run_decontaminate()
     queries["decontaminate_bloom"] = round(dec_bloom, 2)
     queries["decontaminate_join"] = round(dec_join, 2)
+    dc_sec, dc_counts = run_dedup_corpus()
+    queries["dedup_corpus_sketch"] = round(dc_sec, 2)
+    lm_sec, lm_counts = run_lm_perplexity()
+    queries["lm_perplexity"] = round(lm_sec, 2)
     scan_timings, scan_report = run_pruned_scan_and_dml()
     queries.update(scan_timings)
     sub_stats, sub_cut, sub_counts = run_substring_dedup()

@@ -768,6 +768,301 @@ def unigram_logprob(docs, id_col: str, text_col: str, *,
                            zero_copy_batch=True)
 
 
+def _doc_bigram_triples(docs, id_col: str, text_col: str):
+    """Map-side-combined position rows for the bigram LM: one row per
+    distinct (doc, prev, w) transition per block with its occurrence
+    count ``k``. First-token positions carry ``prev=''`` (the sentinel
+    can never be a token — empty tokens are dropped), so the downstream
+    hash joins never see null keys. Fully vectorized: one Arrow split +
+    dictionary-encode per block, transitions combined via np.unique
+    over (doc, prev_code, w_code) composite codes."""
+
+    def _fn(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(pc.utf8_trim_whitespace(texts), "")
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+        counts0 = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ndocs = len(counts0)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(ndocs), counts0)[nonempty]
+        enc = pc.dictionary_encode(flat.filter(pa.array(nonempty)))
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        vocab = enc.dictionary
+        # vocab code 0 is reserved for the '' sentinel -> shift by 1
+        w = enc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64) + 1
+        n = len(w)
+        prev = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            same = doc_of[1:] == doc_of[:-1]
+            prev[1:][same] = w[:-1][same]
+        V = len(vocab) + 1
+        codes = (doc_of * V + prev) * V + w
+        uniq, k = np.unique(codes, return_counts=True)
+        wi = uniq % V
+        pi = (uniq // V) % V
+        di = (uniq // V // V).astype(np.int64)
+        sent = pa.concat_arrays([pa.array([""], type=vocab.type), vocab])
+        ids = t[id_col].combine_chunks() if isinstance(
+            t[id_col], pa.ChunkedArray) else t[id_col]
+        return pa.table({
+            id_col: ids.take(pa.array(di)),
+            "prev": sent.take(pa.array(pi)),
+            "w": sent.take(pa.array(wi)),
+            "k": pa.array(k, type=pa.int64())})
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        _fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bigram_backoff_logprob(docs, id_col: str, text_col: str, *,
+                           alpha: float = 0.4,
+                           num_partitions: int = 16,
+                           round_digits: int = 6):
+    """CCNet/DataComp-style language-model perplexity filter, bigram
+    Stupid Backoff (Brants et al. 2007) trained on the corpus itself:
+
+    - first token of a doc:      p = c(w) / T
+    - bigram seen in corpus:     p = c(prev, w) / c(prev)
+    - unseen bigram (backoff):   p = alpha * c(w) / T
+
+    Returns (doc_id, n_tokens, avg_neg_logprob) — the per-doc mean
+    negative natural log-probability (high = improbable/garbled text,
+    the classic quality-filtering signal; exp() of it is the
+    perplexity). Empty docs are excluded.
+
+    Scale shape: position rows are map-side combined to distinct
+    (doc, prev, w) transitions with counts; unigram and bigram model
+    tables are built with ONE word-keyed and ONE pair-keyed shuffle of
+    combined partials; scoring attaches the three needed counts with
+    three hash-partitioned joins (model tables are corpus-vocabulary
+    sized and NEVER broadcast or driver-materialized — only the scalar
+    total T crosses the driver); per-doc reduction is one native
+    doc-keyed aggregate."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    triples = _doc_bigram_triples(docs, id_col, text_col).materialize()
+
+    uni = triples.groupby("w").aggregate(Sum("k", alias_name="c_w"))
+    uni = uni.materialize()
+    total = float(uni.aggregate(Sum("c_w", alias_name="t"))["t"])
+
+    def _pair_key(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "pw", pc.binary_join_element_wise(t["prev"], t["w"], "\x1f"))
+
+    def _bi_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["prev"], ""))
+        return _pair_key(t).select(["pw", "k"])
+
+    bi = triples.map_batches(_bi_rows, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby("pw").aggregate(Sum("k", alias_name="c_pw"))
+
+    # tiny-regime repair: Ray's hash shuffle emits schema-less empty
+    # blocks that acero joins reject; _solidify_small rebuilds small
+    # datasets as one schema'd block INSIDE a Ray task and is a no-op
+    # pass-through above its row threshold (see incdedup)
+    from kettleray.ops.incdedup import _solidify_small
+    idt = pa.schema(triples.schema().base_schema).field(id_col).type \
+        if hasattr(triples.schema(), "base_schema") else pa.int64()
+    s_str, s_i64 = pa.string(), pa.int64()
+    uni = _solidify_small(uni, schema=pa.schema(
+        [("w", s_str), ("c_w", s_i64)]),
+        num_partitions=num_partitions)
+    bi = _solidify_small(bi, schema=pa.schema(
+        [("pw", s_str), ("c_pw", s_i64)]),
+        num_partitions=num_partitions)
+
+    base_fields = [(id_col, idt), ("prev", s_str), ("w", s_str),
+                   ("k", s_i64), ("pw", s_str)]
+    scored = triples.map_batches(_pair_key, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    scored = scored.join(bi, join_type="left_outer", on=("pw",),
+                         num_partitions=num_partitions)
+    scored = _solidify_small(scored, schema=pa.schema(
+        base_fields + [("c_pw", s_i64)]),
+        num_partitions=num_partitions)
+    scored = scored.join(
+        uni.rename_columns({"w": "prev", "c_w": "c_prev"}),
+        join_type="left_outer", on=("prev",),
+        num_partitions=num_partitions)
+    scored = _solidify_small(scored, schema=pa.schema(
+        base_fields + [("c_pw", s_i64), ("c_prev", s_i64)]),
+        num_partitions=num_partitions)
+    scored = scored.join(uni, join_type="inner", on=("w",),
+                         num_partitions=num_partitions)
+
+    def _nlp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "k": pa.array([], type=pa.float64()),
+                "knlp": pa.array([], type=pa.float64())})
+        k = t["k"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cw = t["c_w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cpw = t["c_pw"].to_numpy(zero_copy_only=False)
+        cprev = t["c_prev"].to_numpy(zero_copy_only=False)
+        first = pc.equal(t["prev"], "").to_numpy(zero_copy_only=False)
+        seen = ~np.isnan(cpw.astype(np.float64)) & ~first
+        nlp = np.empty(len(k), dtype=np.float64)
+        # first token AND backoff share the unigram term
+        nlp[:] = np.log(total) - np.log(cw)
+        nlp[~first & ~seen] -= np.log(alpha)
+        if seen.any():
+            nlp[seen] = (np.log(cprev.astype(np.float64)[seen])
+                         - np.log(cpw.astype(np.float64)[seen]))
+        return pa.table({
+            id_col: t[id_col],
+            "k": pa.array(k, type=pa.float64()),
+            "knlp": pa.array(k * nlp, type=pa.float64())})
+
+    parts = scored.map_batches(_nlp, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    agg = parts.groupby(id_col).aggregate(
+        Sum("k", alias_name="n_tokens_f"),
+        Sum("knlp", alias_name="sum_nlp"))
+
+    def _fin(t: pa.Table) -> pa.Table:
+        nt = t["n_tokens_f"].to_numpy(zero_copy_only=False)
+        s = t["sum_nlp"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: t[id_col],
+            "n_tokens": pa.array(nt.astype(np.int64)),
+            "avg_neg_logprob": pa.array(
+                np.round(s / nt, round_digits), type=pa.float64())})
+
+    return agg.map_batches(_fin, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def bm25_scores(docs, query: str, id_col: str, text_col: str, *,
+                k1: float = 1.2, b: float = 0.75,
+                round_digits: int = 6):
+    """BM25 relevance of every document against ONE query string
+    (Robertson/Lucene idf variant: ln((N - df + .5)/(df + .5) + 1)) —
+    the retrieval-scoring primitive for data curation (query-targeted
+    corpus slicing) and RAG-style selection.
+
+    Scale shape: tf AND doc length come out of the same vectorized
+    per-block kernel (a doc is one row — no shuffle to compute dl);
+    only rows matching the query's terms survive the block (output ∝
+    matching docs x query terms, never corpus tokens); df per term is a
+    |query|-sized aggregate; N and avgdl are two scalars. The final
+    per-doc sum is the ONLY shuffle, keyed on doc_id over the filtered
+    rows. The query-term table is broadcast by contract (queries are
+    human-sized)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    terms = sorted({w for w in query.lower().split() if w})
+    if not terms:
+        raise ValueError("bm25_scores: empty query")
+    term_arr = pa.array(terms, type=pa.string())
+
+    def _tf_dl(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(pc.utf8_trim_whitespace(texts), "")
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+        counts0 = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ndocs = len(counts0)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(ndocs), counts0)[nonempty]
+        dl = np.bincount(doc_of, minlength=ndocs).astype(np.int64)
+        enc = pc.dictionary_encode(flat.filter(pa.array(nonempty)))
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        vocab = enc.dictionary
+        is_q = pc.is_in(vocab, value_set=term_arr).to_numpy(
+            zero_copy_only=False)
+        widx = enc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        mask = is_q[widx] if len(widx) else np.zeros(0, bool)
+        codes = doc_of[mask] * len(vocab) + widx[mask]
+        uniq, tf = np.unique(codes, return_counts=True)
+        di = (uniq // max(len(vocab), 1)).astype(np.int64)
+        wi = (uniq % max(len(vocab), 1)).astype(np.int64)
+        ids = t[id_col].combine_chunks() if isinstance(
+            t[id_col], pa.ChunkedArray) else t[id_col]
+        return pa.table({
+            id_col: ids.take(pa.array(di)),
+            "word": vocab.take(pa.array(wi)),
+            "tf": pa.array(tf, type=pa.int64()),
+            "dl": pa.array(dl[di], type=pa.int64())})
+
+    def _stats(t: pa.Table) -> pa.Table:
+        # N and avgdl: per-block scalar partials (token counting only —
+        # no dictionary encode), summed in one scalar-sized aggregate
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(pc.utf8_trim_whitespace(texts), "")
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+        flat = pc.list_flatten(toks)
+        ntok = int(pc.sum(pc.cast(pc.not_equal(flat, ""),
+                                  pa.int64())).as_py() or 0)
+        return pa.table({"n_docs": pa.array([t.num_rows],
+                                            type=pa.int64()),
+                         "n_tokens": pa.array([ntok], type=pa.int64())})
+
+    sel = docs.select_columns([id_col, text_col])
+    rows = sel.map_batches(_tf_dl, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    st = sel.map_batches(_stats, batch_format="pyarrow",
+                         zero_copy_batch=True).aggregate(
+        Sum("n_docs", alias_name="n"),
+        Sum("n_tokens", alias_name="tok"))
+    n_docs = float(st["n"])
+    avgdl = float(st["tok"]) / max(n_docs, 1.0)
+
+    df_rows = rows.groupby("word").aggregate(
+        ray.data.aggregate.Count(alias_name="df")).take_all()
+    idf = {r["word"]: float(np.log(
+        (n_docs - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0))
+        for r in df_rows}
+
+    def _score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "part": pa.array([], type=pa.float64())})
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = t["word"].to_pylist()
+        iv = np.array([idf[x] for x in w], dtype=np.float64)
+        part = iv * tf * (k1 + 1.0) / (
+            tf + k1 * (1.0 - b + b * dl / avgdl))
+        return pa.table({id_col: t[id_col],
+                         "part": pa.array(part, type=pa.float64())})
+
+    parts = rows.map_batches(_score, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    agg = parts.groupby(id_col).aggregate(
+        Sum("part", alias_name="s"))
+
+    def _fin(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        return pa.table({id_col: t[id_col],
+                         "bm25": pa.array(np.round(s, round_digits),
+                                          type=pa.float64())})
+
+    return agg.map_batches(_fin, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def _hashed_bucket_counts(docs, id_col: str, text_col: str,
                           num_buckets: int):
     """Dense token counts over ``num_buckets`` md5-hashed feature

@@ -384,6 +384,30 @@ def q_unigram_logprob(sf_dir):
                                      vocab_size=64, num_partitions=8)
 
 
+def q_lm_perplexity(sf_dir):
+    """Bigram Stupid-Backoff LM perplexity filter (Brants et al. 2007;
+    the CCNet/DataComp quality gate with a relational, SQL-matchable
+    model instead of KenLM): the corpus trains its own unigram + bigram
+    count tables, every token position scores c(prev,w)/c(prev) when
+    the bigram was seen, alpha*c(w)/T when not, c(w)/T for first
+    tokens. Model tables stay distributed (three hash joins, never a
+    broadcast); only the scalar grand total crosses the driver."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return textstats.bigram_backoff_logprob(docs, "doc_id", "text",
+                                            num_partitions=8)
+
+
+def q_bm25_scores(sf_dir):
+    """BM25 (Robertson/Lucene idf variant, k1=1.2 b=0.75) of every doc
+    against the fixed query 'hash join stream' — the retrieval-scoring
+    primitive for query-targeted corpus curation. tf and dl come from
+    one vectorized block kernel; only matching (doc, term) rows leave
+    the block; ONE doc-keyed shuffle."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return textstats.bm25_scores(docs, "hash join stream",
+                                 "doc_id", "text")
+
+
 def q_semantic_dedup(sf_dir):
     """SemDeDup over a copy-augmented corpus (the raw fixture's max
     pairwise cosine is ~0.51, so like q_embedding_neardup the corpus is
@@ -1129,6 +1153,8 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "tfidf": q_tfidf,
     "unigram_logprob": q_unigram_logprob,
+    "lm_perplexity": q_lm_perplexity,
+    "bm25_scores": q_bm25_scores,
     "pack_sequences": q_pack_sequences,
     "dsir_score": q_dsir_score,
     "semantic_dedup": q_semantic_dedup,
@@ -1434,6 +1460,57 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
            AS avg_neg_logprob
 FROM tok2 LEFT JOIN top USING (w) CROSS JOIN tot
 GROUP BY doc_id
+"""
+
+ORACLES["lm_perplexity"] = r"""
+WITH ws AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(
+      trim(coalesce(lower(text), '')), '\s+'), x -> x <> '') AS w
+  FROM documents),
+tokp AS (
+  SELECT doc_id, i, w[i] AS w,
+         CASE WHEN i > 1 THEN w[i-1] ELSE '' END AS prev
+  FROM ws, unnest(range(1, len(w) + 1)) AS u(i)
+  WHERE len(w) >= 1),
+cnt1 AS (SELECT w, count(*)::DOUBLE AS c FROM tokp GROUP BY w),
+tot AS (SELECT sum(c) AS total FROM cnt1),
+cnt2 AS (SELECT prev, w, count(*)::DOUBLE AS c2 FROM tokp
+         WHERE prev <> '' GROUP BY prev, w),
+nlp AS (
+  SELECT t.doc_id,
+    CASE WHEN t.prev = '' THEN ln(tot.total) - ln(c1w.c)
+         WHEN b.c2 IS NOT NULL THEN ln(c1p.c) - ln(b.c2)
+         ELSE -ln(0.4) + ln(tot.total) - ln(c1w.c) END AS v
+  FROM tokp t
+  JOIN cnt1 c1w ON c1w.w = t.w
+  LEFT JOIN cnt1 c1p ON c1p.w = t.prev
+  LEFT JOIN cnt2 b ON b.prev = t.prev AND b.w = t.w
+  CROSS JOIN tot)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       ROUND(avg(v), 6) AS avg_neg_logprob
+FROM nlp GROUP BY doc_id
+"""
+
+ORACLES["bm25_scores"] = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(
+      trim(coalesce(lower(text), '')), '\s+')) AS w
+  FROM documents),
+tok2 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok2 GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                 (SELECT avg(dl) FROM dl) AS avgdl),
+q AS (SELECT unnest(['hash', 'join', 'stream']) AS term),
+tf AS (SELECT doc_id, w AS term, count(*)::DOUBLE AS tf FROM tok2
+       JOIN q ON q.term = tok2.w GROUP BY doc_id, w),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
+SELECT tf.doc_id,
+       ROUND(sum(ln((s.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))),
+             6) AS bm25
+FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+GROUP BY tf.doc_id
 """
 
 ORACLES["semantic_dedup"] = r"""
