@@ -886,6 +886,29 @@ def q_cdc_pruned_scan(sf_dir: str):
         list(cdc.FINAL_STATE_COLS))
 
 
+def q_cdc_zorder_scan(sf_dir: str):
+    """Multi-dimensional OPTIMIZE ZORDER scan: cluster each bucket by
+    the Morton interleave of (last_commit_seq, lang) dense ranks
+    (sink.cluster_state(order='zorder')), so every file gets a bounded
+    min/max envelope in BOTH columns, then scan_state with a range
+    predicate on one dimension AND an equality on the other — zone maps
+    prune on both (a lexicographic sort prunes only the leading
+    column). Oracle = the plain LWW replay SQL with the same WHERE, so
+    pruning that drops or fabricates rows fails the value-hash."""
+    import shutil
+    import tempfile
+    from kettleray.io import sink
+    root = tempfile.mkdtemp(prefix="kr_zorder_scan_")
+    shutil.rmtree(root, ignore_errors=True)
+    sink.apply_incremental_bucketed(root, _events(sf_dir), num_buckets=16,
+                                    num_partitions=_NUM_PARTITIONS)
+    sink.cluster_state(root, ("last_commit_seq", "lang"),
+                       rows_per_file=64, order="zorder")
+    return sink.scan_state(root, [("last_commit_seq", "<", 1_500_000),
+                                  ("lang", "==", "zh")]).select_columns(
+        list(cdc.FINAL_STATE_COLS))
+
+
 def q_cdc_point_lookup(sf_dir: str):
     """Key-Bloom point lookups on the serving state (kettleray.io.blooms):
     two MOR commits (base + delta files), build_key_blooms sidecars, then
@@ -1096,6 +1119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_late_quarantine": q_cdc_late_quarantine,
         "cdc_incremental_agg": q_cdc_incremental_agg,
         "cdc_pruned_scan": q_cdc_pruned_scan,
+        "cdc_zorder_scan": q_cdc_zorder_scan,
         "cdc_point_lookup": q_cdc_point_lookup,
         "cdc_bulk_lookup": q_cdc_bulk_lookup,
         "cdc_delete_where": q_cdc_delete_where,
@@ -1193,6 +1217,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_pruned_scan":
             f"WITH {ev}, {_RANKED} SELECT * FROM ({_FINAL_STATE_SELECT}) "
             "WHERE lang = 'zh'",
+        "cdc_zorder_scan":
+            f"WITH {ev}, {_RANKED} SELECT * FROM ({_FINAL_STATE_SELECT}) "
+            "WHERE lang = 'zh' AND last_commit_seq < 1500000",
         "cdc_point_lookup":
             f"WITH {ev}, {_RANKED} SELECT * FROM ({_FINAL_STATE_SELECT}) "
             "WHERE path LIKE '%0.txt'",

@@ -1050,22 +1050,64 @@ def scan_state(root: str, filters, *, version: int | None = None,
                           batch_size=None, zero_copy_batch=True)
 
 
+def _zorder_codes(tbl: pa.Table, cluster_by: "list[str]",
+                  bits: int = 16) -> "np.ndarray":
+    """Morton (Z-order) sort key per row: each cluster column is dense-
+    ranked within the table, quantized to ``bits`` bits, and the bit
+    planes are interleaved — so sorting by the code gives every output
+    file a bounded envelope in EVERY cluster dimension, not just the
+    leading one (lexicographic sort concentrates only the first
+    column). Vectorized: one np.unique per column + bits x ncols shift/
+    or passes; strings rank lexicographically, numerics numerically."""
+    import numpy as _np
+    n = tbl.num_rows
+    ncols = len(cluster_by)
+    code = _np.zeros(n, dtype=_np.uint64)
+    if n == 0:
+        return code
+    for ci, c in enumerate(cluster_by):
+        col = tbl[c]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = col.to_numpy(zero_copy_only=False)
+        _, inv = _np.unique(vals, return_inverse=True)
+        nd = int(inv.max()) + 1
+        q = ((inv.astype(_np.uint64) * ((1 << bits) - 1)) //
+             max(nd - 1, 1)) if nd > 1 else _np.zeros(n, _np.uint64)
+        for b in range(bits):
+            code |= ((q >> _np.uint64(b)) & _np.uint64(1)) << \
+                _np.uint64(b * ncols + ci)
+    return code
+
+
 def cluster_state(root: str, cluster_by: "tuple | list", *,
                   rows_per_file: int = 250_000,
                   num_buckets: int | None = None,
-                  build_blooms: bool = False) -> Manifest:
+                  build_blooms: bool = False,
+                  order: str = "lex") -> Manifest:
     """Range-cluster every bucket by ``cluster_by`` (≙ Delta OPTIMIZE
-    ZORDER's 1-D case / Iceberg sort-order rewrite): each bucket's rows
-    are sorted by the cluster columns and written as ~``rows_per_file``
+    ZORDER / Iceberg sort-order rewrite): each bucket's rows are
+    reordered by the cluster columns and written as ~``rows_per_file``
     chunks with DISJOINT value ranges, so the zone maps
     :func:`scan_state` reads become selective — a hash-bucketed file
     interleaves every value and prunes nothing. Key-bucket routing is
     unchanged (clustering reorders WITHIN buckets), so incremental
     commits, changefeed diffs, and lookups keep working.
 
+    ``order='lex'`` sorts lexicographically — maximal pruning on the
+    LEADING column, none on trailing ones once the leading column
+    varies within a file. ``order='zorder'`` sorts by the Morton
+    interleave of per-column dense ranks (:func:`_zorder_codes`), the
+    true multi-dimensional OPTIMIZE ZORDER: every output file gets a
+    bounded min/max envelope in EVERY cluster column, so range filters
+    on ANY of them prune files (at ~sqrt selectivity per dim for two
+    columns instead of all-or-nothing).
+
     One Ray task per bucket (no shuffle — clustering is bucket-local);
     deltas are folded first via ``compact_mor`` so positions/latest
     values are in the base. Commits a new version atomically."""
+    if order not in ("lex", "zorder"):
+        raise ValueError(f"cluster_state: unknown order {order!r}")
     cluster_by = list(cluster_by)
     v = current_version(root)
     if v is None:
@@ -1098,7 +1140,13 @@ def cluster_state(root: str, cluster_by: "tuple | list", *,
                  for f in files], promote_options="permissive")
             if "bucket" in tbl.column_names:
                 tbl = tbl.drop_columns(["bucket"])
-            tbl = tbl.sort_by([(c, "ascending") for c in cluster_by])
+            if order == "zorder":
+                import numpy as _np
+                z = _zorder_codes(tbl, cluster_by)
+                tbl = tbl.take(pa.array(
+                    _np.argsort(z, kind="stable"), type=pa.int64()))
+            else:
+                tbl = tbl.sort_by([(c, "ascending") for c in cluster_by])
             dst = os.path.join(stage, name)
             os.makedirs(dst, exist_ok=True)
             nfiles = 0
@@ -1127,6 +1175,7 @@ def cluster_state(root: str, cluster_by: "tuple | list", *,
                     if k in man.metrics},
                  "write_sec": round(time.time() - t0, 3),
                  "cluster_by": cluster_by,
+                 "cluster_order": order,
                  "rows_per_file": rows_per_file,
                  "clustered_buckets": int(len(done)),
                  "total_rows": sum(f["rows"] for f in files),

@@ -171,3 +171,75 @@ def test_prunable_logic_units():
     assert not P(st, "y", "==", 1)          # unstated column
     assert not P(None, "x", "==", 1)        # no stats at all
     assert not P(st, "x", "==", "str")      # cross-type: keep
+
+
+def test_zorder_scan_prunes_both_dimensions_and_matches(tmp_path):
+    """order='zorder' gives every file a bounded envelope in EVERY
+    cluster column: a range filter on the leading dim AND an equality
+    on the trailing dim both prune files, and results stay exact."""
+    root = str(tmp_path / "s")
+    _build(root, generate_events_local(CFG))
+    man = sink.cluster_state(root, ("last_commit_seq", "lang"),
+                             rows_per_file=16, order="zorder")
+    assert man.metrics["cluster_order"] == "zorder"
+
+    # final-state seqs skew high (a key keeps its LAST event's seq);
+    # ~25th percentile keeps rows on every filter while leaving whole
+    # files above the cut for the zone maps to prune
+    mid = 3100
+    for filters in ([("last_commit_seq", "<", mid)],
+                    [("lang", "==", "py")],
+                    [("last_commit_seq", "<", mid), ("lang", "==", "py")]):
+        rep = {}
+        got = _rows(sink.scan_state(root, filters, report=rep))
+        want = _rows(_exact(root, filters))
+        assert got == want, filters
+        assert len(got) > 0, filters
+        assert rep["files_pruned"] > 0, (filters, rep)
+
+
+def test_zorder_prunes_trailing_dim_where_lex_cannot(tmp_path):
+    """The discriminating case: lexicographic clustering by
+    (last_commit_seq, lang) leaves lang interleaved in every file;
+    z-order bounds it. Same corpus, same filter, strictly more pruning
+    from zorder on the TRAILING column."""
+    root_lex = str(tmp_path / "lex")
+    root_z = str(tmp_path / "z")
+    ev = generate_events_local(CFG)
+    _build(root_lex, ev)
+    _build(root_z, ev)
+    sink.cluster_state(root_lex, ("last_commit_seq", "lang"),
+                       rows_per_file=16, order="lex")
+    sink.cluster_state(root_z, ("last_commit_seq", "lang"),
+                       rows_per_file=16, order="zorder")
+    f = [("lang", "==", "py")]
+    rep_lex, rep_z = {}, {}
+    got_lex = _rows(sink.scan_state(root_lex, f, report=rep_lex))
+    got_z = _rows(sink.scan_state(root_z, f, report=rep_z))
+    assert got_lex == got_z
+    assert rep_z["files_pruned"] > rep_lex["files_pruned"], \
+        (rep_lex, rep_z)
+
+
+def test_zorder_codes_envelope_property():
+    """Sorting by the Morton code and chunking gives each chunk a
+    tighter 2-D envelope than interleaved (unsorted) order: total
+    envelope AREA across chunks must shrink."""
+    import numpy as np
+    rng = np.random.RandomState(3)
+    n = 1024
+    t = pa.table({"a": rng.permutation(n).astype("int64"),
+                  "b": rng.permutation(n).astype("int64")})
+    z = sink._zorder_codes(t, ["a", "b"])
+    order = np.argsort(z, kind="stable")
+    a = t["a"].to_numpy()[order]
+    b = t["b"].to_numpy()[order]
+
+    def area(av, bv, chunk=64):
+        tot = 0
+        for i in range(0, len(av), chunk):
+            sa, sb = av[i:i + chunk], bv[i:i + chunk]
+            tot += (sa.max() - sa.min()) * (sb.max() - sb.min())
+        return tot
+
+    assert area(a, b) < area(t["a"].to_numpy(), t["b"].to_numpy()) / 4
