@@ -549,26 +549,37 @@ def _verify_broadcast_tbl(pairs_tbl: pa.Table, signed, root: str,
         futs.append(_filter_signed_task.remote(ref, need_ref, v))
     tabs = [t for t in ray.get(futs) if t.num_rows]
     sk = pa.concat_tables(tabs) if tabs else None
-    lut: dict = {}
-    if sk is not None and sk.num_rows:
+    jac = np.full(len(da), -1.0, dtype=np.float64)
+    if sk is not None and sk.num_rows and len(da):
+        # winner sketch per doc id = highest version; then one
+        # searchsorted gather per side + the shared flat Jaccard
+        # kernel (no per-pair Python loop — this runs on EVERY
+        # trickle commit)
         ids_ = _np_col(sk, "doc_id")
         vs_ = _np_col(sk, "v")
-        ns_ = _np_col(sk, "n_sh")
-        blobs = sk["sh"].to_pylist()
-        order = np.lexsort((vs_, ids_))   # latest version wins
-        for i in order:
-            lut[int(ids_[i])] = (blobs[i], int(ns_[i]))
-    jac = np.empty(len(da), dtype=np.float64)
-    for i in range(len(da)):
-        ea = lut.get(int(da[i]))
-        eb = lut.get(int(db[i]))
-        if ea is None or eb is None:
-            jac[i] = -1.0
-            continue
-        a = np.frombuffer(ea[0], dtype=np.uint64)
-        b = np.frombuffer(eb[0], dtype=np.uint64)
-        inter = np.intersect1d(a, b, assume_unique=True).size
-        jac[i] = inter / (ea[1] + eb[1] - inter)
+        order = np.lexsort((vs_, ids_))   # latest version last per id
+        ids_o = ids_[order]
+        last = np.ones(len(ids_o), dtype=bool)
+        last[:-1] = ids_o[1:] != ids_o[:-1]
+        win_idx = order[last]
+        win_ids = ids_[win_idx]           # sorted ascending
+        sh_col = sk["sh"].combine_chunks() if isinstance(
+            sk["sh"], pa.ChunkedArray) else sk["sh"]
+        winners = sh_col.take(pa.array(win_idx, type=pa.int64()))
+
+        def _locate(keys):
+            pos = np.searchsorted(win_ids, keys)
+            pos_c = np.minimum(pos, len(win_ids) - 1)
+            return pos_c, win_ids[pos_c] == keys
+
+        pa_pos, a_ok = _locate(da)
+        pb_pos, b_ok = _locate(db)
+        ok = a_ok & b_ok
+        if ok.any():
+            from kettleray.ops.dedup import pairwise_sketch_jaccard
+            sh_a = winners.take(pa.array(pa_pos[ok], type=pa.int64()))
+            sh_b = winners.take(pa.array(pb_pos[ok], type=pa.int64()))
+            jac[ok] = pairwise_sketch_jaccard(sh_a, sh_b)
     out = pa.table({"doc_a": pa.array(da, type=pa.int64()),
                     "doc_b": pa.array(db, type=pa.int64()),
                     "jaccard": pa.array(jac, type=pa.float64())})
