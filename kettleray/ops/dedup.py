@@ -321,6 +321,9 @@ def jaccard_verify(pairs, docs, id_col: str, text_col: str, *,
         pairs = pairs.materialize()
         method = ("broadcast" if pairs.count() <= broadcast_limit
                   else "sketch")
+    if method == "sketch" and not _int_id_col(docs, id_col):
+        method = "join"   # sketch signer packs int64 ids; strings take
+        # the text-join path (same results, heavier wire format)
     if method == "sketch":
         sketches = sign_sketches(docs, id_col, text_col,
                                  shingle_k=shingle_k)
@@ -433,6 +436,17 @@ def _jaccard_verify_join(pairs, docs, id_col: str, text_col: str, *,
 
     return j.map_batches(_score, batch_format="pyarrow",
                          batch_size=None, zero_copy_batch=True)
+
+
+def _int_id_col(ds, id_col: str) -> bool:
+    """True when ``id_col`` is an integer column (the sketch signer's
+    wire format packs ids as int64)."""
+    try:
+        sch = ds.schema()
+        sch = getattr(sch, "base_schema", sch)
+        return pa.types.is_integer(pa.schema(sch).field(id_col).type)
+    except Exception:
+        return False
 
 
 def _sketch_flat_u64(col) -> tuple[np.ndarray, np.ndarray]:
@@ -637,6 +651,14 @@ def dedup_corpus(docs, id_col: str, text_col: str, *,
     (which scales with corpus size, not near-dup rate) never leaves the
     object store. Returns the SURVIVING documents with their original
     columns."""
+    if not _int_id_col(docs, id_col):
+        # the whole MinHash-LSH family packs pair ids as int64
+        # (_bucket_pairs_table) — fail at the API edge, not inside a
+        # shuffle task three stages in
+        raise ValueError(
+            f"dedup_corpus: id column {id_col!r} must be integer "
+            f"(int64 pair wire format); map string ids first, e.g. "
+            f"rowops.add_sequence or a stable hash")
     if verify_method == "sketch":
         signed = sign_sketches(docs, id_col, text_col,
                                num_perm=num_perm, shingle_k=shingle_k,

@@ -114,3 +114,27 @@ def test_sign_sketches_schema_and_counts():
     for b in sh:
         v = np.frombuffer(b, np.uint64)
         assert (np.diff(v) > 0).all()
+
+
+def test_string_ids_rejected_at_api_edge():
+    # the MinHash-LSH family's pair wire format is int64; a string id
+    # column must fail fast with a clear message, not deep in a task
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": ["d0", "d1"], "text": ["a b c", "a b d"]}))
+    with pytest.raises(ValueError, match="must be integer"):
+        dedup.dedup_corpus(docs, "doc_id", "text", num_partitions=2)
+
+
+def test_jaccard_verify_sketch_string_ids_fall_back_to_join():
+    # jaccard_verify itself supports string ids on the text-join path;
+    # method='sketch' must silently route them there
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": ["d0", "d1"],
+        "text": ["alpha beta gamma delta", "alpha beta gamma zz"]}))
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": ["d0"], "doc_b": ["d1"]}))
+    out = dedup.jaccard_verify(pairs, docs, "doc_id", "text",
+                               shingle_k=2, threshold=0.1,
+                               method="sketch",
+                               num_partitions=2).take_all()
+    assert len(out) == 1 and out[0]["doc_a"] == "d0"
