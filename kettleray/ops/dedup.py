@@ -125,13 +125,51 @@ class MinHasher:
             order = np.argsort(all_doc, kind="stable")
             all_sh, all_doc = all_sh[order], all_doc[order]
             # per-doc minima over num_perm permutations; Mersenne-prime
-            # reduction via shift-add (no u64 division in the hot loop)
-            V = all_sh[:, None] * self.a[None, :] + self.b[None, :]
-            V = (V & _MERSENNE) + (V >> np.uint64(61))
-            V = np.where(V >= _MERSENNE, V - _MERSENNE, V)
-            starts_sh = np.searchsorted(all_doc, np.arange(ndocs))
-            sig = np.minimum.reduceat(V, starts_sh, axis=0)
+            # reduction via shift-add (no u64 division in the hot loop).
+            # The (grams x num_perm) matrix is materialized in ~64 MB
+            # gram slices aligned by doc run, with partial minima merged
+            # per slice — an unbounded V was ~1.6 GB for a 40k-doc
+            # block, and at 32 concurrent signer actors that ~50 GB in
+            # flight thrashed the node (measured: sign barely scaled
+            # 8 -> 32 cpus until this cap)
+            sig = np.full((ndocs, self.num_perm), np.uint64(~0),
+                          dtype=np.uint64)
+            ngr = len(all_sh)
+            # grams repeat across documents (near-dup corpora, shared
+            # vocabulary): permute each UNIQUE gram once and gather,
+            # when the dedup pays and the unique matrix stays small
+            uniq, inv = np.unique(all_sh, return_inverse=True)
+            use_uniq = (len(uniq) * self.num_perm * 8 <= (128 << 20)
+                        and len(uniq) * 3 <= ngr)
+            VU = self._permute(uniq) if use_uniq else None
+            chunk = max(1, (64 << 20) // (8 * self.num_perm))
+            for s in range(0, ngr, chunk):
+                e = min(s + chunk, ngr)
+                V = VU[inv[s:e]] if use_uniq else \
+                    self._permute(all_sh[s:e])
+                d0, d1 = int(all_doc[s]), int(all_doc[e - 1])
+                # every doc in (d0, d1) has its full gram run inside the
+                # slice (all_doc is sorted); d0/d1 may be partial, which
+                # the minimum-merge makes harmless
+                local = np.searchsorted(all_doc[s:e],
+                                        np.arange(d0, d1 + 1))
+                part = np.minimum.reduceat(V, local, axis=0)
+                np.minimum(sig[d0:d1 + 1], part, out=sig[d0:d1 + 1])
         return sig
+
+    def _permute(self, sh: np.ndarray) -> np.ndarray:
+        """(len(sh), num_perm) permuted values — in-place arithmetic
+        (one matrix + one shift temp instead of five temporaries; the
+        signer is memory-bandwidth-bound when many actors share a
+        node's bus, so every avoided pass is wall time)."""
+        with np.errstate(over="ignore"):
+            V = sh[:, None] * self.a[None, :]
+            V += self.b
+            hi = V >> np.uint64(61)
+            V &= _MERSENNE
+            V += hi
+            np.subtract(V, _MERSENNE, out=V, where=V >= _MERSENNE)
+        return V
 
     def band_hashes(self, sig: np.ndarray) -> np.ndarray:
         """(ndocs, bands) int64 band hashes from a signature matrix.
