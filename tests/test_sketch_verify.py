@@ -138,3 +138,35 @@ def test_jaccard_verify_sketch_string_ids_fall_back_to_join():
                                method="sketch",
                                num_partitions=2).take_all()
     assert len(out) == 1 and out[0]["doc_a"] == "d0"
+
+
+def test_minhash_signatures_unique_gram_path_bit_identical():
+    """A gram-repetitive block takes the unique-gram gather path in
+    MinHasher.signatures (permute each distinct gram once); signatures
+    must stay bit-identical to an independent per-doc brute compute."""
+    import hashlib
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = [base + f" tail{i % 7}" for i in range(500)]
+    batch = pa.table({"doc_id": list(range(500)), "text": texts})
+    mh = dedup.MinHasher("doc_id", "text", 64, 3, 16)
+    sig = mh.signatures(batch)
+
+    M = np.uint64((1 << 61) - 1)
+
+    def ref(text):
+        toks = text.lower().split()
+        th = np.array([int.from_bytes(hashlib.blake2b(
+            w.encode(), digest_size=8).digest(), "little")
+            for w in toks], dtype=np.uint64)
+        roll = np.uint64(0x100000001B3) ** np.arange(3, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            sh = np.zeros(len(th) - 2, dtype=np.uint64)
+            for j in range(3):
+                sh += th[j:len(th) - 2 + j] * roll[j]
+            V = sh[:, None] * mh.a[None, :] + mh.b[None, :]
+            V = (V & M) + (V >> np.uint64(61))
+            V = np.where(V >= M, V - M, V)
+        return V.min(axis=0)
+
+    for d in (0, 3, 250, 499):
+        assert np.array_equal(sig[d], ref(texts[d]))
