@@ -536,6 +536,30 @@ def mixture_sample(ds, group_col: str, key: Sequence[str],
                                 batch_size=None, zero_copy_batch=True)
 
 
+def temperature_mixture_sample(ds, group_col: str, key: Sequence[str],
+                               *, budget: int, alpha: float = 0.5,
+                               num_partitions: int = 32):
+    """Temperature-scaled data mixing (the LLaMA/multilingual-LM
+    upsampling rule): source g gets quota floor(budget * n_g^alpha /
+    sum_h n_h^alpha) — alpha < 1 flattens the mix toward rare sources,
+    alpha = 1 is proportional sampling, alpha = 0 is uniform. Rows are
+    then chosen by the same deterministic md5-rank rule as
+    :func:`mixture_sample`.
+
+    Scale shape: group counts are ONE metadata-sized aggregate (rows =
+    distinct sources — a mixture spec, never data); the weighted quota
+    table is computed on the driver from those scalars; the data pass
+    is mixture_sample's single hash shuffle."""
+    import numpy as np
+    counts = {r[group_col]: int(r["count()"])
+              for r in ds.groupby(group_col).count().take_all()}
+    w = {g: float(c) ** alpha for g, c in counts.items()}
+    z = sum(w[g] for g in sorted(w))
+    quotas = {g: int(np.floor(budget * w[g] / z)) for g in w}
+    return mixture_sample(ds, group_col, key, quotas,
+                          num_partitions=num_partitions)
+
+
 def append_streams(*datasets):
     """≙ Append streams / Prioritize streams: ordered concatenation.
     Row order beyond stream order is not guaranteed (document ordering

@@ -511,6 +511,18 @@ def q_mixture_sample(sf_dir):
                              num_partitions=8)
 
 
+def q_temperature_mix(sf_dir):
+    """Temperature-scaled mixing at alpha=0.5 over a 100-row budget:
+    rare sources are upsampled relative to their corpus share
+    (quota_g = floor(100 * sqrt(n_g) / sum sqrt(n_h))); row choice is
+    the md5-rank rule. Oracle recomputes weights, quotas and ranks
+    relationally."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "source"])
+    return ag.temperature_mixture_sample(docs, "source", ["doc_id"],
+                                         budget=100, alpha=0.5,
+                                         num_partitions=8)
+
+
 def q_lang_id(sf_dir):
     docs = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
     return textstats.lang_id(docs, "text")
@@ -1155,6 +1167,7 @@ QUERIES = {
     "unigram_logprob": q_unigram_logprob,
     "lm_perplexity": q_lm_perplexity,
     "bm25_scores": q_bm25_scores,
+    "temperature_mix": q_temperature_mix,
     "pack_sequences": q_pack_sequences,
     "dsir_score": q_dsir_score,
     "semantic_dedup": q_semantic_dedup,
@@ -1634,6 +1647,19 @@ SELECT doc_id, text, source FROM (
 WHERE rn <= CASE source WHEN 'src0' THEN 15 WHEN 'src1' THEN 10
             WHEN 'src2' THEN 5 WHEN 'src3' THEN 3 WHEN 'src4' THEN 1
             ELSE 0 END
+"""
+
+ORACLES["temperature_mix"] = """
+WITH cnt AS (SELECT source, count(*)::DOUBLE AS n FROM documents
+             GROUP BY source),
+z AS (SELECT sum(pow(n, 0.5)) AS z FROM cnt),
+q AS (SELECT source, CAST(floor(100 * pow(n, 0.5) / z.z) AS BIGINT)
+          AS quota FROM cnt CROSS JOIN z),
+r AS (SELECT doc_id, text, source, row_number() OVER (
+        PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+      FROM documents)
+SELECT doc_id, text, source FROM r JOIN q USING (source)
+WHERE rn <= quota
 """
 
 ORACLES["stratified_sample"] = """
