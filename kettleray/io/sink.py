@@ -1057,11 +1057,20 @@ def _zorder_codes(tbl: pa.Table, cluster_by: "list[str]",
     planes are interleaved — so sorting by the code gives every output
     file a bounded envelope in EVERY cluster dimension, not just the
     leading one (lexicographic sort concentrates only the first
-    column). Vectorized: one np.unique per column + bits x ncols shift/
-    or passes; strings rank lexicographically, numerics numerically."""
+    column). Vectorized: one dense rank per column + bits x ncols shift/
+    or passes; strings rank lexicographically, numerics numerically,
+    nulls rank lowest. ``bits`` is clamped to ``64 // ncols`` so the
+    interleaved bit positions never exceed the uint64 code (a shift
+    >= 64 is undefined in numpy and would silently garble the order)."""
     import numpy as _np
+    import pyarrow.compute as pc
     n = tbl.num_rows
     ncols = len(cluster_by)
+    if ncols > 64:
+        raise ValueError(
+            f"_zorder_codes: {ncols} cluster columns exceed the 64-bit "
+            f"Morton code budget (max 64)")
+    bits = max(1, min(bits, 64 // ncols))
     code = _np.zeros(n, dtype=_np.uint64)
     if n == 0:
         return code
@@ -1069,11 +1078,17 @@ def _zorder_codes(tbl: pa.Table, cluster_by: "list[str]",
         col = tbl[c]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        vals = col.to_numpy(zero_copy_only=False)
-        _, inv = _np.unique(vals, return_inverse=True)
+        # dense 0-based rank via Arrow (handles every column type incl.
+        # strings with nulls, where np.unique raises on None<str)
+        inv = (pc.rank(col, sort_keys="ascending",
+                       null_placement="at_start",
+                       tiebreaker="dense")
+               .to_numpy(zero_copy_only=False).astype(_np.uint64)
+               - _np.uint64(1))
         nd = int(inv.max()) + 1
-        q = ((inv.astype(_np.uint64) * ((1 << bits) - 1)) //
-             max(nd - 1, 1)) if nd > 1 else _np.zeros(n, _np.uint64)
+        q = ((inv * _np.uint64((1 << bits) - 1)) //
+             _np.uint64(max(nd - 1, 1))) if nd > 1 else \
+            _np.zeros(n, _np.uint64)
         for b in range(bits):
             code |= ((q >> _np.uint64(b)) & _np.uint64(1)) << \
                 _np.uint64(b * ncols + ci)

@@ -132,8 +132,8 @@ class MinHasher:
             # block, and at 32 concurrent signer actors that ~50 GB in
             # flight thrashed the node (measured: sign barely scaled
             # 8 -> 32 cpus until this cap)
-            sig = np.full((ndocs, self.num_perm), np.uint64(~0),
-                          dtype=np.uint64)
+            sig = np.full((ndocs, self.num_perm),
+                          np.iinfo(np.uint64).max, dtype=np.uint64)
             ngr = len(all_sh)
             # grams repeat across documents (near-dup corpora, shared
             # vocabulary): permute each UNIQUE gram once and gather,
@@ -364,7 +364,7 @@ def jaccard_verify(pairs, docs, id_col: str, text_col: str, *,
         # the text-join path (same results, heavier wire format)
     if method == "sketch":
         sketches = sign_sketches(docs, id_col, text_col,
-                                 shingle_k=shingle_k)
+                                 shingle_k=shingle_k, with_bands=False)
         return _verify_sketch_join(pairs, sketches, threshold=threshold,
                                    num_partitions=num_partitions)
     if method == "join":
@@ -552,20 +552,26 @@ def score_sketch_pairs(t: pa.Table, threshold: float) -> pa.Table:
 
 def sign_sketches(docs, id_col: str, text_col: str, *,
                   num_perm: int = 64, shingle_k: int = 3,
-                  bands: int = 16, concurrency=None):
+                  bands: int = 16, concurrency=None,
+                  with_bands: bool = True):
     """One vectorized actor-pool pass over the corpus producing BOTH the
     LSH band hashes and the exact-verify gram sketch per doc:
     (doc_id:int64, bh:fixed_size_list<int64>[bands], sh:binary sorted
     distinct u64 gram hashes, n_sh:int64). Reuses the incremental
     index's oracle-proven signer so batch and incremental dedup share
-    bit-identical candidate recall and verify semantics."""
+    bit-identical candidate recall and verify semantics.
+
+    ``with_bands=False`` skips the MinHash signature matrix + band fold
+    and emits (doc_id, sh, n_sh) only — the cheap mode for verify-only
+    callers that already have a candidate pair stream."""
     from kettleray.context import auto_pool
     from kettleray.ops.incdedup import _SketchSigner
     return docs.select_columns([id_col, text_col]).map_batches(
         _SketchSigner, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency or auto_pool(),
         fn_constructor_args=(id_col, text_col, num_perm, shingle_k,
-                             bands))
+                             bands),
+        fn_constructor_kwargs={"with_bands": with_bands})
 
 
 def _verify_sketch_join(pairs, sketches, *, threshold: float,

@@ -161,10 +161,15 @@ class _SketchSigner:
     Jaccard needs."""
 
     def __init__(self, id_col: str, text_col: str, num_perm: int,
-                 shingle_k: int, bands: int, seed: int = 42):
+                 shingle_k: int, bands: int, seed: int = 42,
+                 with_bands: bool = True):
         self.mh = MinHasher(id_col, text_col, num_perm, shingle_k,
                             bands, seed)
         self.id_col, self.text_col, self.k = id_col, text_col, shingle_k
+        # with_bands=False -> sketch-only signing for verify-only
+        # callers (jaccard_verify method='sketch'): the 64-perm
+        # signature matrix + band fold are skipped entirely
+        self.with_bands = with_bands
 
     def _sketches(self, texts) -> tuple[np.ndarray, np.ndarray]:
         """(values, counts): per-doc sorted-distinct u64 gram hashes,
@@ -224,8 +229,6 @@ class _SketchSigner:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = _np_col(t, self.id_col).astype(np.int64)
-        sig = self.mh.signatures(t)
-        bh = self.mh.band_hashes(sig)                   # (n, bands) i64
         sk_vals, sk_counts = self._sketches(t[self.text_col])
         total = int(sk_counts.sum()) * 8
         if total >= (1 << 31):
@@ -242,6 +245,12 @@ class _SketchSigner:
             pa.binary(), len(ids),
             [None, pa.py_buffer(offsets.tobytes()),
              pa.py_buffer(sk_vals.astype("<u8").tobytes())])
+        if not self.with_bands:
+            return pa.table({
+                "doc_id": pa.array(ids, type=pa.int64()), "sh": blob,
+                "n_sh": pa.array(sk_counts, type=pa.int64())})
+        sig = self.mh.signatures(t)
+        bh = self.mh.band_hashes(sig)                   # (n, bands) i64
         bh_col = pa.FixedSizeListArray.from_arrays(
             pa.array(bh.ravel(), type=pa.int64()), self.mh.bands)
         return pa.table({"doc_id": pa.array(ids, type=pa.int64()),

@@ -903,8 +903,10 @@ def bigram_backoff_logprob(docs, id_col: str, text_col: str, *,
 
     def _nlp(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
+            # schema of empty blocks must agree with non-empty ones at
+            # the downstream groupby — use the REAL id type, not int64
             return pa.table({
-                id_col: pa.array([], type=pa.int64()),
+                id_col: pa.array([], type=idt),
                 "k": pa.array([], type=pa.float64()),
                 "knlp": pa.array([], type=pa.float64())})
         k = t["k"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -1015,19 +1017,29 @@ def bm25_scores(docs, query: str, id_col: str, text_col: str, *,
         flat = pc.list_flatten(toks)
         ntok = int(pc.sum(pc.cast(pc.not_equal(flat, ""),
                                   pa.int64())).as_py() or 0)
+        # trimmed != "" <=> the doc has >= 1 non-empty token; avgdl must
+        # average dl over THESE docs only (the oracle's avg(dl) never
+        # sees a zero-token doc — dl rows exist only for tok2 hits)
+        nne = int(pc.sum(pc.cast(pc.not_equal(texts, ""),
+                                 pa.int64())).as_py() or 0)
         return pa.table({"n_docs": pa.array([t.num_rows],
                                             type=pa.int64()),
-                         "n_tokens": pa.array([ntok], type=pa.int64())})
+                         "n_tokens": pa.array([ntok], type=pa.int64()),
+                         "n_nonempty": pa.array([nne],
+                                                type=pa.int64())})
 
     sel = docs.select_columns([id_col, text_col])
+    idt = pa.schema(sel.schema().base_schema).field(id_col).type \
+        if hasattr(sel.schema(), "base_schema") else pa.int64()
     rows = sel.map_batches(_tf_dl, batch_format="pyarrow",
                            zero_copy_batch=True).materialize()
     st = sel.map_batches(_stats, batch_format="pyarrow",
                          zero_copy_batch=True).aggregate(
         Sum("n_docs", alias_name="n"),
-        Sum("n_tokens", alias_name="tok"))
+        Sum("n_tokens", alias_name="tok"),
+        Sum("n_nonempty", alias_name="ne"))
     n_docs = float(st["n"])
-    avgdl = float(st["tok"]) / max(n_docs, 1.0)
+    avgdl = float(st["tok"]) / max(float(st["ne"]), 1.0)
 
     df_rows = rows.groupby("word").aggregate(
         ray.data.aggregate.Count(alias_name="df")).take_all()
@@ -1037,7 +1049,7 @@ def bm25_scores(docs, query: str, id_col: str, text_col: str, *,
 
     def _score(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table({id_col: pa.array([], type=pa.int64()),
+            return pa.table({id_col: pa.array([], type=idt),
                              "part": pa.array([], type=pa.float64())})
         tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
         dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)

@@ -87,3 +87,67 @@ def test_bm25_case_insensitive_and_dedup_terms():
     b = {r["doc_id"]: r["bm25"] for r in textstats.bm25_scores(
         docs, "FOO bar foo", "doc_id", "text").take_all()}
     assert a == b and set(a) == {0, 1}
+
+
+def test_bm25_avgdl_ignores_empty_docs():
+    """avgdl must average dl over docs with >= 1 token only, matching
+    the DuckDB oracle (its dl CTE never emits a row for a zero-token
+    doc). N for idf stays count(ALL docs)."""
+    docs = _ds(["apple banana", "", "   ", "apple"])
+    out = {r["doc_id"]: r["bm25"] for r in textstats.bm25_scores(
+        docs, "apple", "doc_id", "text").take_all()}
+    assert set(out) == {0, 3}
+    n = 4.0                      # idf N counts ALL docs
+    avgdl = (2 + 1) / 2          # dl averaged over NON-EMPTY docs only
+    k1, b = 1.2, 0.75
+
+    def bm25(tf, df, dl):
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1)
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert abs(out[0] - round(bm25(1, 2, 2), 6)) < 1e-9
+    assert abs(out[3] - round(bm25(1, 2, 1), 6)) < 1e-9
+
+
+def test_bm25_matches_duckdb_oracle_with_empty_docs(tmp_path):
+    """End-to-end vs the ORACLES['bm25_scores'] SQL on a corpus that
+    CONTAINS empty/whitespace docs — the exact latent-divergence case
+    from the round-4 advice."""
+    import duckdb
+    import pyarrow.parquet as pq
+    from kettleray.pipelines.training import ORACLES
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "text": ["hash join stream hash", "", "  \t ",
+                 "stream stream", "no match here"]})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    want = {r[0]: float(r[1]) for r in
+            con.execute(ORACLES["bm25_scores"]).fetchall()}
+    got = {r["doc_id"]: r["bm25"] for r in textstats.bm25_scores(
+        ray.data.from_arrow(t), "hash join stream",
+        "doc_id", "text").take_all()}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+
+def test_bm25_string_id_column_empty_partitions():
+    """Non-integer id_col: empty join partitions must emit blocks whose
+    id type matches the real schema (round-4 advice: the empty-batch
+    branch hardcoded int64)."""
+    docs = ray.data.from_arrow(pa.table({
+        "doc": ["d0", "d1"], "text": ["alpha beta", "beta"]}))
+    out = {r["doc"]: r["bm25"] for r in textstats.bm25_scores(
+        docs, "beta", "doc", "text").take_all()}
+    assert set(out) == {"d0", "d1"}
+
+
+def test_bigram_backoff_string_id_column():
+    docs = ray.data.from_arrow(pa.table({
+        "doc": ["a", "b"], "text": ["x y", "x y x"]}))
+    rows = textstats.bigram_backoff_logprob(
+        docs, "doc", "text", num_partitions=2).take_all()
+    assert sorted(r["doc"] for r in rows) == ["a", "b"]

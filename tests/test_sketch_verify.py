@@ -170,3 +170,22 @@ def test_minhash_signatures_unique_gram_path_bit_identical():
 
     for d in (0, 3, 250, 499):
         assert np.array_equal(sig[d], ref(texts[d]))
+
+
+def test_sign_sketches_without_bands_identical_sketches():
+    """with_bands=False (the verify-only fast path) must emit exactly
+    the same sh/n_sh payload as the full signer — minus the bh column
+    and minus the signature-matrix compute it skips."""
+    docs = _corpus()
+    full = pa.concat_tables(ray.get(dedup.sign_sketches(
+        docs, "doc_id", "text", num_perm=32, shingle_k=2,
+        bands=16).to_arrow_refs()))
+    lean = pa.concat_tables(ray.get(dedup.sign_sketches(
+        docs, "doc_id", "text", num_perm=32, shingle_k=2,
+        bands=16, with_bands=False).to_arrow_refs()))
+    assert lean.column_names == ["doc_id", "sh", "n_sh"]
+    fo = full.sort_by("doc_id")
+    lo = lean.sort_by("doc_id")
+    assert fo["doc_id"].to_pylist() == lo["doc_id"].to_pylist()
+    assert fo["sh"].to_pylist() == lo["sh"].to_pylist()
+    assert fo["n_sh"].to_pylist() == lo["n_sh"].to_pylist()

@@ -243,3 +243,35 @@ def test_zorder_codes_envelope_property():
         return tot
 
     assert area(a, b) < area(t["a"].to_numpy(), t["b"].to_numpy()) / 4
+
+
+def test_zorder_codes_many_columns_clamps_bits():
+    """>4 cluster columns must clamp bits to 64 // ncols instead of
+    shifting past bit 63 (numpy shifts >= 64 are undefined and would
+    silently garble the Morton order)."""
+    import numpy as np
+    rng = np.random.RandomState(7)
+    n = 256
+    cols = {f"c{i}": rng.permutation(n).astype("int64") for i in range(5)}
+    t = pa.table(cols)
+    z = sink._zorder_codes(t, list(cols))
+    # 5 cols x 12 bits = 60 used bit positions; codes must stay distinct
+    # enough to order (not collapse to a handful of garbled values)
+    assert len(np.unique(z)) > n // 4
+    # determinism
+    assert np.array_equal(z, sink._zorder_codes(t, list(cols)))
+
+
+def test_zorder_codes_string_column_with_nulls():
+    """A string cluster column containing nulls must rank (nulls
+    lowest), not raise from None < str comparisons."""
+    import numpy as np
+    t = pa.table({
+        "s": pa.array(["b", None, "a", "c", None, "b"]),
+        "x": pa.array([5, 3, 1, 6, 2, 4], type=pa.int64())})
+    z = sink._zorder_codes(t, ["s", "x"])
+    assert len(z) == 6
+    # nulls rank lowest: the two null rows get the smallest s-rank, so
+    # with x=2,3 small too their codes sort before the 'c' row
+    order = np.argsort(z, kind="stable")
+    assert set(order[:2].tolist()) & {1, 4}
