@@ -167,6 +167,95 @@ def q_events_sessionize(sf_dir):
                          num_partitions=8)
 
 
+def q_events_sessions_final(sf_dir):
+    """Event-time SESSION windows with watermark finalization
+    (kettleray.ops.sessions): events arrive as four time-ordered
+    micro-batches; each ingest map-side-combines events into per-block
+    partial sessions, ONE key shuffle interval-merges them with the
+    carried open state, and sessions whose ``end + gap <= watermark``
+    finalize exactly once. Also proves the redelivery fence. Oracle =
+    gaps-and-islands SQL with the same final-watermark HAVING."""
+    import shutil
+    import tempfile
+    from kettleray.ops import sessions as ss
+    root = tempfile.mkdtemp(prefix="kr_esf_")
+    shutil.rmtree(root, ignore_errors=True)
+    ds = _t(sf_dir, "events", ["ts", "user_id", "value"])
+    lohi = ds.aggregate(ray.data.aggregate.Min("ts"),
+                        ray.data.aggregate.Max("ts"))
+    lo = lohi["min(ts)"]
+    hi = lohi["max(ts)"]
+    lo_us = int(pa.scalar(lo, type=pa.timestamp("us")).cast(
+        pa.int64()).as_py())
+    hi_us = int(pa.scalar(hi, type=pa.timestamp("us")).cast(
+        pa.int64()).as_py())
+    edges = [lo_us + (hi_us - lo_us + 1) * i // 4 for i in range(5)]
+    man = None
+    for k in range(4):
+        a, b = edges[k], edges[k + 1]
+        batch = ds.map_batches(
+            lambda t, a=a, b=b: t.filter(pa.compute.and_(
+                pa.compute.greater_equal(
+                    pa.compute.cast(t["ts"], pa.int64()), a),
+                pa.compute.less(
+                    pa.compute.cast(t["ts"], pa.int64()),
+                    b if k < 3 else b + 1))),
+            batch_format="pyarrow", zero_copy_batch=True)
+        man = ss.ingest(root, batch, time_col="ts", gap_s=1800,
+                        lateness_s=60, key_cols=("user_id",),
+                        aggs={"n_events": ("count", None),
+                              "sum_value": ("sum", "value")},
+                        num_partitions=8, batch_id=f"b{k}")
+    again = ss.ingest(root, ds.limit(1), time_col="ts", gap_s=1800,
+                      lateness_s=60, key_cols=("user_id",),
+                      aggs={"n_events": ("count", None),
+                            "sum_value": ("sum", "value")},
+                      num_partitions=8, batch_id="b3")
+    if again != man:
+        raise RuntimeError("session redelivery fence failed")
+    fin = ss.finalized(root)
+
+    def _round(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("sum_value"), "sum_value",
+            pc.round(t["sum_value"], 4))
+
+    return fin.map_batches(_round, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def q_events_interval_join(sf_dir):
+    """Clicks within 6 hours BEFORE each purchase by the same user —
+    the stream-stream interval-join shape (joins.interval_join:
+    time-band both sides, ONE (user, band) hash shuffle, vectorized
+    in-partition range expansion; shuffle volume is rows, never
+    pairs)."""
+    from kettleray.ops.joins import interval_join
+    ev = _t(sf_dir, "events",
+            ["event_id", "ts", "user_id", "event_type"])
+
+    def _only(kind):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"], kind)) \
+                .drop_columns(["event_type"])
+        return fn
+
+    p = ev.map_batches(_only("purchase"), batch_format="pyarrow",
+                       zero_copy_batch=True)
+    c = ev.map_batches(_only("click"), batch_format="pyarrow",
+                       zero_copy_batch=True)
+    j = interval_join(p, c, by=["user_id"], on="ts",
+                      lower=-21_600_000_000, upper=0,
+                      right_cols=["event_id"], num_partitions=16)
+
+    def _name(t: pa.Table) -> pa.Table:
+        return pa.table({"purchase_id": t["event_id"],
+                         "click_id": t["event_id_r"]})
+
+    return j.map_batches(_name, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
 def q_minhash_neardup(sf_dir):
     """MinHash(64 perms) -> 16-band LSH -> exact-Jaccard verify at 0.5.
 
@@ -1153,6 +1242,8 @@ QUERIES = {
     "events_window": q_events_window,
     "events_window_final": q_events_window_final,
     "events_sessionize": q_events_sessionize,
+    "events_sessions_final": q_events_sessions_final,
+    "events_interval_join": q_events_interval_join,
     "minhash_neardup": q_minhash_neardup,
     "dedup_corpus": q_dedup_corpus,
     "dedup_incremental": q_dedup_incremental,
@@ -1295,6 +1386,29 @@ ORACLES = {
         "SELECT event_id, user_id, ts, CAST(SUM(new_sess) OVER "
         "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) "
         "AS BIGINT) AS session_id FROM g"),
+    # finalized = sessions whose end + gap fits under the FINAL
+    # watermark (max ts - 60 s lateness); the four time-ordered
+    # micro-batches guarantee zero late rows, so the all-events
+    # gaps-and-islands recursion equals the incremental result
+    "events_sessions_final": (
+        "WITH s AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts) IS NULL OR ts - lag(ts) "
+        "OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE "
+        "THEN 1 ELSE 0 END AS brk FROM events), "
+        "g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY "
+        "ts ROWS UNBOUNDED PRECEDING) AS sid FROM s) "
+        "SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS "
+        "session_start, CAST(epoch_us(max(ts)) AS BIGINT) AS "
+        "session_end, COUNT(*)::BIGINT AS n_events, "
+        "ROUND(SUM(value), 4) AS sum_value "
+        "FROM g GROUP BY user_id, sid "
+        "HAVING epoch_us(max(ts)) + 1800000000 <= "
+        "(SELECT epoch_us(max(ts)) - 60000000 FROM events)"),
+    "events_interval_join": (
+        "SELECT p.event_id AS purchase_id, c.event_id AS click_id "
+        "FROM events p JOIN events c ON p.user_id = c.user_id "
+        "AND p.event_type = 'purchase' AND c.event_type = 'click' "
+        "AND c.ts BETWEEN p.ts - INTERVAL 6 HOUR AND p.ts"),
     # exhaustive word-3-gram Jaccard >= 0.5 over all doc pairs (shingle
     # inverted join); equals the deterministic LSH+verify result — see
     # q_minhash_neardup docstring for why

@@ -1,0 +1,156 @@
+"""Incremental event-time sessionization (kettleray.ops.sessions):
+cross-batch session bridging, watermark finalization, late routing,
+redelivery fence, min/max aggregates — the micro-batch orderings the
+sf-fixture gate (events_sessions_final, zero-late by construction)
+cannot hit.
+"""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from kettleray.ops import sessions as ss
+
+AGGS = {"n": ("count", None), "sv": ("sum", "v"),
+        "mn": ("min", "v"), "mx": ("max", "v")}
+
+
+def _ds(rows):
+    return ray.data.from_arrow(pa.table({
+        "user": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] * 1_000_000 for r in rows],
+                       type=pa.int64()),
+        "v": pa.array([float(r[2]) for r in rows])}))
+
+
+def _ingest(root, rows, bid, gap_s=10, lateness_s=0):
+    return ss.ingest(root, _ds(rows), time_col="ts", gap_s=gap_s,
+                     lateness_s=lateness_s, key_cols=("user",),
+                     aggs=AGGS, num_partitions=4, batch_id=bid)
+
+
+def test_sessions_bridge_across_batches(tmp_path):
+    """An event in batch 2 within gap of batch 1's open session must
+    EXTEND it (interval merge of the carried open state), and the
+    bridged session finalizes once the watermark passes end+gap."""
+    root = str(tmp_path / "s")
+    _ingest(root, [(1, 0, 1.0), (1, 10, 2.0)], "b0")
+    # t=18 is within gap(10) of the open session's end (10)
+    _ingest(root, [(1, 18, 4.0)], "b1")
+    _ingest(root, [(1, 100, 0.5)], "b2")   # wm=100 -> [0,18] finalizes
+    fin = sorted(ss.finalized(root).take_all(),
+                 key=lambda r: r["session_start"])
+    assert len(fin) == 1
+    s = fin[0]
+    assert (s["session_start"], s["session_end"]) == (0, 18_000_000)
+    assert s["n"] == 3 and s["sv"] == 7.0
+    assert s["mn"] == 1.0 and s["mx"] == 4.0
+    op = ss.open_sessions(root).to_pylist()
+    assert len(op) == 1 and op[0]["session_start"] == 100_000_000
+
+
+def test_sessions_late_events_quarantined(tmp_path):
+    """ts <= watermark is late (it could extend an already-finalized
+    session): routed to the late log, never into state."""
+    root = str(tmp_path / "s")
+    _ingest(root, [(1, 0, 1.0), (1, 100, 1.0)], "b0")   # wm = 100s
+    man = _ingest(root, [(1, 50, 9.0), (1, 200, 2.0)], "b1")
+    assert man["n_late"] == 1
+    late = ss.late_log(root).take_all()
+    assert len(late) == 1 and late[0]["v"] == 9.0
+    # the late event's value never contaminated any session
+    allv = [r["sv"] for r in ss.finalized(root).take_all()]
+    allv += [r["sv"] for r in ss.open_sessions(root).to_pylist()]
+    assert 9.0 not in allv and sum(allv) == 4.0
+
+
+def test_sessions_redelivery_fence_is_noop(tmp_path):
+    root = str(tmp_path / "s")
+    _ingest(root, [(1, 0, 1.0)], "b0")
+    m1 = _ingest(root, [(1, 100, 2.0)], "b1")
+    m2 = _ingest(root, [(1, 100, 2.0)], "b1")   # redelivered
+    assert m1 == m2
+    from kettleray.io.sink import current_version
+    assert current_version(root) == 2
+
+
+def test_sessions_exact_gap_boundary_merges(tmp_path):
+    """Consecutive events exactly gap apart belong to ONE session
+    (inclusive rule, matching the SQL oracle's `> INTERVAL` break)."""
+    root = str(tmp_path / "s")
+    _ingest(root, [(1, 0, 1.0), (1, 10, 1.0), (1, 21, 1.0),
+                   (1, 100, 0.0)], "b0")
+    fin = sorted(ss.finalized(root).take_all(),
+                 key=lambda r: r["session_start"])
+    # 0->10 merges (diff == gap); 10->21 breaks (diff > gap)
+    assert [(r["session_start"], r["session_end"], r["n"])
+            for r in fin] == [(0, 10_000_000, 2), (21_000_000, 21_000_000, 1)]
+
+
+def test_sessions_lateness_holds_finalization(tmp_path):
+    root = str(tmp_path / "s")
+    man = _ingest(root, [(1, 0, 1.0), (1, 100, 1.0)], "b0",
+                  lateness_s=50)
+    assert man["watermark"] == 50_000_000
+    # [0,0]: 0 + 10 <= 50 -> finalized; [100,100] stays open
+    assert man["n_finalized"] == 1 and man["n_open"] == 1
+
+
+def test_sessions_matches_batch_sessionize_oracle(tmp_path):
+    """Randomized parity: incremental ingest over 3 time-ordered
+    batches == one-shot gaps-and-islands clustering, for every session
+    fully under the final watermark."""
+    rng = np.random.RandomState(9)
+    users = rng.randint(0, 12, 300)
+    ts = np.sort(rng.randint(0, 3000, 300))
+    vals = rng.rand(300).round(3)
+    rows = list(zip(users.tolist(), ts.tolist(), vals.tolist()))
+    root = str(tmp_path / "s")
+    gap = 40
+    # lateness > 0: a batch boundary can split two events sharing a
+    # timestamp, and with lateness 0 the second is (correctly) late —
+    # any positive lateness keeps time-ordered splits late-free
+    for k, chunk in enumerate(np.array_split(np.arange(300), 3)):
+        _ingest(root, [rows[i] for i in chunk], f"b{k}", gap_s=gap,
+                lateness_s=5)
+    wm = int(ts.max()) * 1_000_000 - 5_000_000
+    # brute force sessions
+    want = {}
+    for u in np.unique(users):
+        uts = ts[users == u]
+        uv = vals[users == u]
+        cur = [0]
+        sessions = []
+        for i in range(1, len(uts)):
+            if uts[i] - uts[cur[-1]] > gap:
+                sessions.append(cur)
+                cur = [i]
+            else:
+                cur.append(i)
+        sessions.append(cur)
+        for s in sessions:
+            lo, hi = int(uts[s[0]]), int(uts[s[-1]])
+            if hi * 1_000_000 + gap * 1_000_000 <= wm:
+                want[(int(u), lo * 1_000_000)] = (
+                    hi * 1_000_000, len(s), round(float(uv[s].sum()), 6))
+    got = {(r["user"], r["session_start"]):
+           (r["session_end"], r["n"], round(r["sv"], 6))
+           for r in ss.finalized(root).take_all()}
+    assert got == want
+
+
+def test_sessions_spec_drift_rejected(tmp_path):
+    root = str(tmp_path / "s")
+    _ingest(root, [(1, 0, 1.0)], "b0")
+    with pytest.raises(ValueError):
+        _ingest(root, [(1, 5, 1.0)], "b1", gap_s=99)
+
+
+def test_sessions_atomic_no_partial_publish(tmp_path):
+    root = str(tmp_path / "s")
+    _ingest(root, [(1, 0, 1.0)], "b0")
+    # no stage dirs left behind
+    assert not [d for d in os.listdir(root) if d.startswith("_stage")]
