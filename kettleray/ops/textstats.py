@@ -822,10 +822,104 @@ def _doc_bigram_triples(docs, id_col: str, text_col: str):
         _fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _score_broadcast(triples, uni, bi, *, id_col, idt, total, alpha,
+                     round_digits):
+    """Small-model scoring path for :func:`bigram_backoff_logprob`:
+    the unigram/bigram model tables (already reduced by their two
+    count shuffles) are ``ray.put`` once and probed per batch with
+    ``pc.index_in`` inside an actor pool — same arithmetic as the
+    join path's ``_nlp``, same output schema, minus three joins and
+    their solidify stages. Callers gate this on total model rows."""
+    import ray
+    from ray.data.aggregate import Sum
+    from kettleray.context import auto_pool
+
+    def _concat(ds, schema: pa.Schema) -> pa.Table:
+        # Ray's hash shuffle emits schema-LESS empty blocks in the tiny
+        # regime (same repair _solidify_small does for the join path)
+        tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+        if not tabs:
+            return schema.empty_table()
+        return pa.concat_tables([t.cast(schema) for t in tabs]) \
+            .combine_chunks()
+
+    uni_t = _concat(uni, pa.schema(
+        [("w", pa.string()), ("c_w", pa.int64())]))
+    bi_t = _concat(bi.materialize(), pa.schema(
+        [("pw", pa.string()), ("c_pw", pa.int64())]))
+    ref = ray.put((uni_t, bi_t))
+
+    class _Score:
+        def __init__(self):
+            u, b = ray.get(ref)
+            self.uw = u["w"].combine_chunks() \
+                if isinstance(u["w"], pa.ChunkedArray) else u["w"]
+            self.ucw = u["c_w"].to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            self.bpw = b["pw"].combine_chunks() \
+                if isinstance(b["pw"], pa.ChunkedArray) else b["pw"]
+            self.bcp = b["c_pw"].to_numpy(
+                zero_copy_only=False).astype(np.float64)
+
+        @staticmethod
+        def _lookup(keys, dict_arr, vals: "np.ndarray") -> "np.ndarray":
+            idx = pc.index_in(keys, value_set=dict_arr)
+            miss = pc.is_null(idx).to_numpy(zero_copy_only=False)
+            ii = pc.fill_null(idx, 0).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            out = vals[ii]
+            out[miss] = np.nan
+            return out
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({
+                    id_col: pa.array([], type=idt),
+                    "k": pa.array([], type=pa.float64()),
+                    "knlp": pa.array([], type=pa.float64())})
+            k = t["k"].to_numpy(zero_copy_only=False).astype(np.float64)
+            cw = self._lookup(t["w"], self.uw, self.ucw)
+            pw = pc.binary_join_element_wise(t["prev"], t["w"], "\x1f")
+            cpw = self._lookup(pw, self.bpw, self.bcp)
+            cprev = self._lookup(t["prev"], self.uw, self.ucw)
+            first = pc.equal(t["prev"], "").to_numpy(
+                zero_copy_only=False)
+            seen = ~np.isnan(cpw) & ~first
+            nlp = np.empty(len(k), dtype=np.float64)
+            nlp[:] = np.log(total) - np.log(cw)
+            nlp[~first & ~seen] -= np.log(alpha)
+            if seen.any():
+                nlp[seen] = np.log(cprev[seen]) - np.log(cpw[seen])
+            return pa.table({
+                id_col: t[id_col],
+                "k": pa.array(k, type=pa.float64()),
+                "knlp": pa.array(k * nlp, type=pa.float64())})
+
+    parts = triples.map_batches(_Score, batch_format="pyarrow",
+                                zero_copy_batch=True,
+                                concurrency=auto_pool())
+    agg = parts.groupby(id_col).aggregate(
+        Sum("k", alias_name="n_tokens_f"),
+        Sum("knlp", alias_name="sum_nlp"))
+
+    def _fin(t: pa.Table) -> pa.Table:
+        nt = t["n_tokens_f"].to_numpy(zero_copy_only=False)
+        s = t["sum_nlp"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: t[id_col],
+            "n_tokens": pa.array(nt.astype(np.int64)),
+            "avg_neg_logprob": pa.array(
+                np.round(s / nt, round_digits), type=pa.float64())})
+
+    return agg.map_batches(_fin, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def bigram_backoff_logprob(docs, id_col: str, text_col: str, *,
                            alpha: float = 0.4,
                            num_partitions: int = 16,
-                           round_digits: int = 6):
+                           round_digits: int = 6,
+                           broadcast_limit: int = 4_000_000):
     """CCNet/DataComp-style language-model perplexity filter, bigram
     Stupid Backoff (Brants et al. 2007) trained on the corpus itself:
 
@@ -843,9 +937,16 @@ def bigram_backoff_logprob(docs, id_col: str, text_col: str, *,
     tables are built with ONE word-keyed and ONE pair-keyed shuffle of
     combined partials; scoring attaches the three needed counts with
     three hash-partitioned joins (model tables are corpus-vocabulary
-    sized and NEVER broadcast or driver-materialized — only the scalar
-    total T crosses the driver); per-doc reduction is one native
-    doc-keyed aggregate."""
+    sized and NEVER broadcast or driver-materialized above
+    ``broadcast_limit`` rows — only the scalar total T crosses the
+    driver); per-doc reduction is one native doc-keyed aggregate.
+
+    Below ``broadcast_limit`` total model rows (unigrams + distinct
+    transitions) the three scoring joins collapse into one actor-pool
+    lookup pass against ``ray.put`` model tables — the same documented
+    small-side gate as incdedup's 200k-band-row commit bypass (at bench
+    scale the join path is pure per-stage spawn overhead; at lake scale
+    the gate keeps the shuffle-join path in charge)."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -875,6 +976,14 @@ def bigram_backoff_logprob(docs, id_col: str, text_col: str, *,
     idt = pa.schema(triples.schema().base_schema).field(id_col).type \
         if hasattr(triples.schema(), "base_schema") else pa.int64()
     s_str, s_i64 = pa.string(), pa.int64()
+
+    n_transitions = triples.count()
+    uni_rows = uni.count()
+    if uni_rows + n_transitions <= broadcast_limit:
+        return _score_broadcast(triples, uni, bi, id_col=id_col,
+                                idt=idt, total=total, alpha=alpha,
+                                round_digits=round_digits)
+
     uni = _solidify_small(uni, schema=pa.schema(
         [("w", s_str), ("c_w", s_i64)]),
         num_partitions=num_partitions)

@@ -151,3 +151,18 @@ def test_bigram_backoff_string_id_column():
     rows = textstats.bigram_backoff_logprob(
         docs, "doc", "text", num_partitions=2).take_all()
     assert sorted(r["doc"] for r in rows) == ["a", "b"]
+
+
+def test_bigram_backoff_broadcast_and_join_paths_identical():
+    """broadcast_limit=0 forces the shuffle-join scale path; results
+    must be bit-identical to the gated model-broadcast bypass."""
+    texts = ["a b c a b", "b c d", "a a a", "x y", "c b a"] * 4
+    docs = _ds(texts)
+    fast = {r["doc_id"]: (r["n_tokens"], r["avg_neg_logprob"])
+            for r in textstats.bigram_backoff_logprob(
+                docs, "doc_id", "text", num_partitions=2).take_all()}
+    slow = {r["doc_id"]: (r["n_tokens"], r["avg_neg_logprob"])
+            for r in textstats.bigram_backoff_logprob(
+                docs, "doc_id", "text", num_partitions=2,
+                broadcast_limit=0).take_all()}
+    assert fast == slow and len(fast) == len(texts)
