@@ -1157,50 +1157,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # script_values, string_cleanup, top_k_per_group, formula,
 # split_fields, bigram_counts, doc_fingerprint.
 _SNAPSHOT_WINDOW = [
-    # pinned CDC core + lake layer (15)
+    # ROUND-5 ROTATION: 25 pinned (north-star CDC four + lake layer +
+    # training flagships, re-recorded every round) + the 25 queries
+    # never driver-recorded in r01..r04 (incl. the two new round-5
+    # ops) — after this round EVERY query in the registry has at least
+    # one driver-recorded CORRECTNESS row. Everything outside the
+    # window still runs under tools/check_queries.py (full value-hash
+    # gate over all queries).
+    # pinned CDC core + lake layer (11)
     "cdc_diff_snapshots", "cdc_insert_update",
     "cdc_replay_final_state", "cdc_scd2_history", "cdc_sync_roundtrip",
-    "bpe_pair_counts", "cdc_mor_state", "cdc_changefeed",
-    "cdc_catalog_txn", "cdc_incremental_agg", "cdc_streaming_state",
-    "cdc_schema_evolution", "cdc_replication", "cdc_scd3_state",
-    "cdc_join_view", "cdc_key_history", "cdc_rename_column",
-    # (cdc_snapshot_at and cdc_replay_twopass rotate out — both
-    # driver-recorded green in r03 and still gate-checked by
-    # tools/check_queries.py — making room for the session-6
-    # replication and BPE gates)
-    # pinned training flagships (12, incl. the round-4 ops
-    # unigram_logprob, pack_sequences, dsir_score, semantic_dedup —
-    # none driver-recorded before)
+    "cdc_mor_state", "cdc_changefeed", "cdc_catalog_txn",
+    "cdc_incremental_agg", "cdc_streaming_state", "cdc_schema_evolution",
+    # pinned training flagships (14)
     "dedup_corpus", "dedup_incremental", "dedup_probe",
     "ann_incremental", "inverted_incremental", "minhash_neardup",
-    "decontaminate", "decontaminate_bloom", "unigram_logprob",
-    "pack_sequences", "dsir_score", "semantic_dedup",
-    # round-4 features, never driver-recorded (12)
-    "cdc_pruned_scan", "cdc_point_lookup", "cdc_delete_where",
-    "cdc_update_where", "cdc_merge_into", "substring_dup_spans",
-    "substring_dedup_cut", "window_running", "window_rank",
-    "window_moving", "rollup_sales", "cube_sales",
-    # session-5 features, never driver-recorded (3; kmeans_assign,
-    # stratified_sample and cdc_bulk_lookup rotate out to make room —
-    # all still gate-checked by tools/check_queries.py and are
-    # round-5 rotation candidates)
-    "cdc_schema_registry", "cdc_constraints", "events_window_final",
-    # earlier queries never driver-recorded in r01..r03 (6) + the
-    # sketch family (2; exact-oracle MG heavy hitters and the
-    # per-group DDSketch quantiles; source_csv_roundtrip and
-    # text_scrub_normalize rotate out — both pytest-covered and
-    # still gate-checked by tools/check_queries.py)
-    "events_hopping_window", "heavy_hitters",
-    "multimodal_audio_features", "approx_quantiles_by",
-    # (multimodal_video_frames and mixture_sample rotate out for
-    # cdc_key_history + cdc_rename_column — pytest-covered and still
-    # gate-checked by tools/check_queries.py)
-    # session-7 ops, never driver-recorded (2; quality_gate and
-    # winnowing_fingerprints rotate out — the former overlaps the
-    # recorded repetition_stats/text_quality pair, the latter is a
-    # subset of the r03-recorded winnowing_neardup; both stay
-    # gate-checked by tools/check_queries.py)
-    "lm_perplexity", "bm25_scores",
+    "decontaminate", "pack_sequences", "dsir_score", "semantic_dedup",
+    "lm_perplexity", "bm25_scores", "substring_dedup_cut",
+    "events_window_final",
+    # new round-5 ops, never driver-recorded (2)
+    "events_sessions_final", "events_interval_join",
+    # never driver-recorded in r01..r04 (23) — the complete remainder
+    "cdc_zorder_scan", "cdc_bulk_lookup", "temperature_mix",
+    "quality_gate", "mixture_sample", "kmeans_assign",
+    "stratified_sample", "text_scrub_normalize",
+    "winnowing_fingerprints", "doc_fingerprint", "bigram_counts",
+    "multimodal_video_frames", "approx_distinct", "approx_distinct_by",
+    "approx_quantiles", "source_csv_roundtrip", "source_jsonl_roundtrip",
+    "multiway_merge_join", "script_values", "string_cleanup",
+    "top_k_per_group", "formula", "split_fields",
 ]
 
 

@@ -446,6 +446,84 @@ def run_bpe() -> tuple[float, float, dict]:
     return learn_sec, encode_sec, rep
 
 
+def run_sessions() -> tuple[float, int, dict]:
+    """Incremental event-time sessionization (ops.sessions): 2M events
+    as 4 in-order micro-batches — per-block partial sessions map-side,
+    ONE key shuffle of partials per batch, watermark finalization.
+    Returns (sec, n_events, counts)."""
+    import shutil
+    import pyarrow.compute as pc
+    from kettleray.gen.synthetic import EventGenConfig, generate_events
+    from kettleray.ops import sessions as ss
+    root = "/tmp/kettleray_bench/sessions"
+    shutil.rmtree(root, ignore_errors=True)
+    n = max(1_000_000, N_SYNTH // 4)
+    cfg = EventGenConfig(n_events=n, n_repos=500,
+                         n_paths_per_repo=2000, p_delete=0.05,
+                         p_redeliver=0.01, seed=45)
+    ev = generate_events(cfg, override_num_blocks=BLOCKS).map_batches(
+        lambda t: t.append_column(
+            "ev_us", pc.multiply(t["commit_seq"], 1_000_000)),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    t0 = time.time()
+    step = n // 4 + 1
+    for k in range(4):
+        lo, hi = k * step, (k + 1) * step
+        b = ev.map_batches(
+            lambda t, lo=lo, hi=hi: t.filter(pc.and_(
+                pc.greater_equal(t["commit_seq"], lo),
+                pc.less(t["commit_seq"], hi))),
+            batch_format="pyarrow", zero_copy_batch=True)
+        ss.ingest(root, b, time_col="ev_us",
+                  gap_s=n // 2048, lateness_s=n // 512,
+                  key_cols=("repo",),
+                  aggs={"n": ("count", None),
+                        "max_seq": ("max", "commit_seq")},
+                  num_partitions=_num_partitions(), batch_id=f"b{k}")
+    sec = time.time() - t0
+    fin = ss.finalized(root)
+    op = ss.open_sessions(root)
+    return sec, n, {
+        "finalized_sessions": fin.count() if fin else 0,
+        "open_sessions": op.num_rows if op is not None else 0}
+
+
+def run_interval_join() -> tuple[float, dict]:
+    """Stream-stream interval join over synthetic events: correlate
+    each delete with the updates to the SAME repo in the preceding
+    commit-time window — banded (key, band) shuffle of rows, in-
+    partition pair expansion. Returns (sec, counts)."""
+    import pyarrow.compute as pc
+    from kettleray.gen.synthetic import EventGenConfig, generate_events
+    from kettleray.ops.joins import interval_join
+    n = max(1_000_000, N_SYNTH // 4)
+    cfg = EventGenConfig(n_events=n, n_repos=2000,
+                         n_paths_per_repo=2000, p_delete=0.02, seed=46)
+    ev = generate_events(cfg, override_num_blocks=BLOCKS).map_batches(
+        lambda t: t.append_column(
+            "ev_us", pc.multiply(t["commit_seq"], 1_000_000)),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def _side(op_eq):
+        def fn(t, op_eq=op_eq):
+            m = pc.equal(t["op"], op_eq)
+            return t.filter(m).select(["repo", "ev_us", "commit_seq"])
+        return fn
+
+    dels = ev.map_batches(_side("delete"), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    ups = ev.map_batches(_side("update"), batch_format="pyarrow",
+                         zero_copy_batch=True)
+    t0 = time.time()
+    j = interval_join(dels, ups, by=["repo"], on="ev_us",
+                      lower=-((n // 4096) * 1_000_000), upper=0,
+                      right_cols=["commit_seq"],
+                      num_partitions=_num_partitions())
+    pairs = j.count()
+    sec = time.time() - t0
+    return sec, {"n_events": n, "pairs": pairs}
+
+
 def run_join_view() -> tuple[float, float]:
     """Incrementally maintained join view: bootstrap A⋈B, then 8 tiny
     repo-local commits to A each followed by a sync — per-sync cost must
@@ -1098,6 +1176,10 @@ def main() -> None:
     queries["eventtime_windows"] = round(et_sec, 2)
     ct_sec, ct_counts = run_constrained_apply()
     queries["constrained_apply"] = round(ct_sec, 2)
+    sess_sec, sess_n, sess_counts = run_sessions()
+    queries["sessions_ingest4"] = round(sess_sec, 2)
+    ij_sec, ij_counts = run_interval_join()
+    queries["interval_join_events"] = round(ij_sec, 2)
     queries["scd2_history"] = round(run_scd2(), 2)
     queries["incremental_apply"] = round(run_incremental(), 2)
     queries["skew_hotkey_salted"] = round(run_skew(salted=True), 2)
@@ -1179,6 +1261,8 @@ def main() -> None:
         "substring_dedup": sub_counts,
         "sketches": sk_counts,
         "eventtime": {**et_counts, "n_events": et_n},
+        "sessions": {**sess_counts, "n_events": sess_n},
+        "interval_join": ij_counts,
         "constrained_apply": ct_counts,
     }))
     ray.shutdown()

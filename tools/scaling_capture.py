@@ -146,9 +146,21 @@ def job_replay() -> tuple[float, int]:
     return bench.run_synthetic_replay()
 
 
+def job_sessions() -> tuple[float, int]:
+    """Round-5 op under the same two-level protocol: 4 micro-batch
+    session ingests (per-block partial sessions + one key shuffle of
+    partials + distributed state writes per batch)."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+    sec, n, _counts = bench.run_sessions()
+    return sec, n
+
+
 JOBS = {"dedup_corpus": job_dedup_corpus,
         "decontaminate": job_decontaminate,
-        "replay": job_replay}
+        "replay": job_replay,
+        "sessions": job_sessions}
 
 
 def _run_worker(name: str, cpus: int) -> None:
