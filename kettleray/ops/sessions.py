@@ -248,6 +248,64 @@ def _seed(t: pa.Table, key_cols: Sequence[str], time_col: str,
     return pa.table(cols)
 
 
+def sync_from_feed(src_root: str, sessions_root: str, *,
+                   gap_s: int, lateness_s: int = 0,
+                   key_cols: Sequence[str] = ("repo",),
+                   num_partitions: int = 8) -> dict:
+    """Activity sessionization over a CDC sink's change stream (the
+    lake → session-analytics leg, same composition discipline as
+    sync_lsh_from_feed / sync_ann_from_feed): every key change between
+    the applied and current sink version is one activity event at
+    event-time ``last_commit_seq`` (treated as seconds); per-``key_cols``
+    sessions of modification activity are maintained by :func:`ingest`.
+    The first call bootstraps from the sink's full state.
+
+    Exactly-once: the ingest ``batch_id`` is the feed window
+    (``vA->vB``) — a crashed-and-retried window is a manifest no-op at
+    the ingest layer — and the durable ``FEED_CURSOR`` advances only
+    AFTER the ingest commit (the post-commit cursor contract)."""
+    from kettleray.io import sink
+
+    src_v = sink.current_version(src_root)
+    if src_v is None:
+        raise FileNotFoundError(f"no committed state under {src_root}")
+    cursor = os.path.join(sessions_root, "FEED_CURSOR.json")
+    applied = None
+    if os.path.exists(cursor):
+        with open(cursor) as f:
+            applied = json.load(f)["src_version"]
+    if applied == src_v:
+        return read_manifest(sessions_root)
+    if applied is not None and applied > src_v:
+        raise ValueError(
+            f"cursor at {applied} ahead of upstream {src_v}")
+
+    feed = sink.read_state(src_root, src_v) if applied is None else \
+        sink.read_changes(src_root, applied, src_v,
+                          num_partitions=num_partitions)
+    kc = list(key_cols)
+
+    def _ev(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [(c, pa.string()) for c in kc]
+                + [("ev_us", pa.int64())]).empty_table()
+        cols = {c: t[c] for c in kc}
+        cols["ev_us"] = pc.multiply(
+            pc.cast(t["last_commit_seq"], pa.int64()), 1_000_000)
+        return pa.table(cols)
+
+    events = feed.map_batches(_ev, batch_format="pyarrow",
+                              batch_size=None, zero_copy_batch=True)
+    man = ingest(sessions_root, events, time_col="ev_us", gap_s=gap_s,
+                 lateness_s=lateness_s, key_cols=kc,
+                 aggs={"n_changes": ("count", None)},
+                 num_partitions=num_partitions,
+                 batch_id=f"v{applied}->v{src_v}")
+    atomic_write_json(cursor, {"src_version": src_v})
+    return man
+
+
 def ingest(root: str, events: "ray.data.Dataset", *,
            time_col: str = "ts",
            gap_s: int,
@@ -289,21 +347,30 @@ def ingest(root: str, events: "ray.data.Dataset", *,
     stage = os.path.join(root, f"_stage_v{v:04d}.{uuid.uuid4().hex[:8]}")
     os.makedirs(stage)
     try:
-        late_ds = routed.map_batches(
-            lambda b: b.filter(b["_late"]).drop_columns(["_late"]),
-            batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-        n_late = late_ds.count()
-        if n_late:
-            late_ds.write_parquet(os.path.join(stage, "late"))
+        # ONE stats pass: late count + max event time (scalar partials
+        # per block — the naive late_ds.count() + hi.take_all() pair
+        # was two driver jobs per micro-batch of pure fixed latency)
+        def _stats(b: pa.Table) -> pa.Table:
+            nl = int(pc.sum(pc.cast(b["_late"], pa.int64())).as_py()
+                     or 0) if b.num_rows else 0
+            mx = pc.max(_time_us(b[time_col])).as_py() \
+                if b.num_rows else None
+            return pa.table({"nl": pa.array([nl], type=pa.int64()),
+                             "m": pa.array([mx], type=pa.int64())})
 
-        # watermark: monotone max-event-time − lateness (scalar partials)
-        hi = routed.map_batches(
-            lambda b: pa.table({"m": [pc.max(_time_us(b[time_col])).as_py()
-                                      if b.num_rows else None]}),
-            batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-        hs = [r["m"] for r in hi.take_all() if r["m"] is not None]
+        st = routed.map_batches(_stats, batch_format="pyarrow",
+                                batch_size=None,
+                                zero_copy_batch=True).take_all()
+        n_late = sum(r["nl"] for r in st)
+        hs = [r["m"] for r in st if r["m"] is not None]
         new_wm = max([prev_wm if prev_wm is not None else -(1 << 62)]
                      + [h - l_us for h in hs])
+        if n_late:
+            routed.map_batches(
+                lambda b: b.filter(b["_late"]).drop_columns(["_late"]),
+                batch_format="pyarrow", batch_size=None,
+                zero_copy_batch=True).write_parquet(
+                os.path.join(stage, "late"))
 
         # per-block partial sessions (map-side combine: events never
         # leave their block unclustered)
@@ -322,32 +389,49 @@ def ingest(root: str, events: "ray.data.Dataset", *,
                     for f in os.listdir(prev_open_dir)):
             partials = partials.union(ray.data.read_parquet(prev_open_dir))
 
-        # ONE hash shuffle of partial sessions on the key, then the
-        # same interval-merge kernel per partition
+        # ONE hash shuffle of partial sessions on the key, the same
+        # interval-merge kernel per partition, the ripe flag stamped in
+        # the same pass, and ONE hive-partitioned write — finalized and
+        # open state split by the writer, not by two extra filter jobs
         if key_cols:
             partials = partials.repartition(num_partitions,
                                             keys=list(key_cols))
         else:
             partials = partials.repartition(1)
-        merged = partials.map_batches(
-            lambda b: _cluster(b, key_cols, gap_us, aggs),
-            batch_format="pyarrow", batch_size=None,
-            zero_copy_batch=True).materialize()
 
-        fin_ds = merged.map_batches(
-            lambda b: b.filter(pc.less_equal(
-                pc.add(b["session_end"], gap_us), new_wm)),
-            batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-        open_ds = merged.map_batches(
-            lambda b: b.filter(pc.greater(
-                pc.add(b["session_end"], gap_us), new_wm)),
-            batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-        n_fin = fin_ds.count()
-        n_open = open_ds.count()
-        if n_fin:
-            fin_ds.write_parquet(os.path.join(stage, "finalized"))
-        if n_open:
-            open_ds.write_parquet(os.path.join(stage, "open"))
+        def _merge(b: pa.Table) -> pa.Table:
+            out = _cluster(b, key_cols, gap_us, aggs)
+            ripe = pc.less_equal(pc.add(out["session_end"], gap_us),
+                                 new_wm)
+            return out.append_column("_ripe", pc.cast(ripe, pa.bool_()))
+
+        tmp = os.path.join(stage, "_merged")
+        partials.map_batches(_merge, batch_format="pyarrow",
+                             batch_size=None,
+                             zero_copy_batch=True).write_parquet(
+            tmp, partition_cols=["_ripe"])
+        n_fin = n_open = 0
+        for part, dst in (("_ripe=true", "finalized"),
+                          ("_ripe=false", "open")):
+            src = os.path.join(tmp, part)
+            if not os.path.isdir(src):
+                continue
+            rows = 0
+            dd = os.path.join(stage, dst)
+            os.makedirs(dd, exist_ok=True)
+            for f in sorted(os.listdir(src)):
+                if not f.endswith(".parquet"):
+                    continue
+                fp = os.path.join(src, f)
+                rows += pq.read_metadata(fp).num_rows
+                os.rename(fp, os.path.join(dd, f))
+            if rows == 0:
+                os.rmdir(dd)
+            if dst == "finalized":
+                n_fin = rows
+            else:
+                n_open = rows
+        shutil.rmtree(tmp, ignore_errors=True)
         man2 = {"version": v, "watermark": int(new_wm),
                 "batch_id": batch_id, "n_open": int(n_open),
                 "n_finalized": int(n_fin), "n_late": int(n_late)}

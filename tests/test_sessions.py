@@ -154,3 +154,51 @@ def test_sessions_atomic_no_partial_publish(tmp_path):
     _ingest(root, [(1, 0, 1.0)], "b0")
     # no stage dirs left behind
     assert not [d for d in os.listdir(root) if d.startswith("_stage")]
+
+
+def _sink_events(rows):
+    import pyarrow as pa
+    import ray.data
+    return ray.data.from_arrow(pa.table({
+        "repo": [r[0] for r in rows], "path": [r[1] for r in rows],
+        "commit": [f"c{r[2]}" for r in rows],
+        "lang": ["py"] * len(rows),
+        "content": [r[3] for r in rows], "op": [r[4] for r in rows],
+        "commit_seq": pa.array([r[2] for r in rows], type=pa.int64())}))
+
+
+def test_sessions_sync_from_feed(tmp_path):
+    """Lake -> session-analytics composition: activity sessions over a
+    CDC sink's change feed — bootstrap from state, then per-commit
+    deltas; the durable cursor makes a re-sync of an unchanged sink a
+    no-op."""
+    from kettleray.io import sink
+    src = str(tmp_path / "lake")
+    sr = str(tmp_path / "sess")
+    kw = dict(num_buckets=4, num_partitions=2)
+    # commit 1: two repos active at seqs 1,2
+    sink.apply_incremental_bucketed(src, _sink_events(
+        [("r1", "a", 1, "x", "insert"), ("r2", "b", 2, "y", "insert")]),
+        **kw)
+    m1 = ss.sync_from_feed(src, sr, gap_s=5, key_cols=("repo",),
+                           num_partitions=2)
+    assert m1["n_late"] == 0
+    # commit 2: r1 active again at seq 3 (within gap of 1) and at 20
+    sink.apply_incremental_bucketed(src, _sink_events(
+        [("r1", "a", 3, "x2", "update"), ("r1", "c", 20, "z", "insert")]),
+        **kw)
+    m2 = ss.sync_from_feed(src, sr, gap_s=5, key_cols=("repo",),
+                           num_partitions=2)
+    # watermark 20s: r1 [1,3] finalizes (3+5 <= 20); r2 [2,2] finalizes
+    fin = {(r["repo"], r["session_start"]): r
+           for r in ss.finalized(sr).take_all()}
+    assert (("r1", 1_000_000) in fin) and (("r2", 2_000_000) in fin)
+    assert fin[("r1", 1_000_000)]["session_end"] == 3_000_000
+    assert fin[("r1", 1_000_000)]["n_changes"] == 2
+    op = ss.open_sessions(sr).to_pylist()
+    assert [(o["repo"], o["session_start"]) for o in op] == \
+        [("r1", 20_000_000)]
+    # unchanged sink: cursor short-circuits (manifest returned as-is)
+    m3 = ss.sync_from_feed(src, sr, gap_s=5, key_cols=("repo",),
+                           num_partitions=2)
+    assert m3 == m2

@@ -157,10 +157,22 @@ def job_sessions() -> tuple[float, int]:
     return sec, n
 
 
+def job_interval_join() -> tuple[float, int]:
+    """Round-5 op: one banded (key, band) exchange + in-partition pair
+    expansion — the single-shuffle shape, expected to scale like the
+    replay."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+    sec, counts = bench.run_interval_join()
+    return sec, counts["n_events"]
+
+
 JOBS = {"dedup_corpus": job_dedup_corpus,
         "decontaminate": job_decontaminate,
         "replay": job_replay,
-        "sessions": job_sessions}
+        "sessions": job_sessions,
+        "interval_join": job_interval_join}
 
 
 def _run_worker(name: str, cpus: int) -> None:
