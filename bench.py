@@ -446,7 +446,8 @@ def run_bpe() -> tuple[float, float, dict]:
     return learn_sec, encode_sec, rep
 
 
-def run_sessions() -> tuple[float, int, dict]:
+def run_sessions(num_partitions: int | None = None
+                 ) -> tuple[float, int, dict]:
     """Incremental event-time sessionization (ops.sessions): 2M events
     as 4 in-order micro-batches — per-block partial sessions map-side,
     ONE key shuffle of partials per batch, watermark finalization.
@@ -479,7 +480,8 @@ def run_sessions() -> tuple[float, int, dict]:
                   key_cols=("repo",),
                   aggs={"n": ("count", None),
                         "max_seq": ("max", "commit_seq")},
-                  num_partitions=_num_partitions(), batch_id=f"b{k}")
+                  num_partitions=num_partitions or _num_partitions(),
+                  batch_id=f"b{k}")
     sec = time.time() - t0
     fin = ss.finalized(root)
     op = ss.open_sessions(root)
@@ -488,7 +490,8 @@ def run_sessions() -> tuple[float, int, dict]:
         "open_sessions": op.num_rows if op is not None else 0}
 
 
-def run_interval_join() -> tuple[float, dict]:
+def run_interval_join(num_partitions: int | None = None
+                      ) -> tuple[float, dict]:
     """Stream-stream interval join over synthetic events: correlate
     each delete with the updates to the SAME repo in the preceding
     commit-time window — banded (key, band) shuffle of rows, in-
@@ -518,7 +521,7 @@ def run_interval_join() -> tuple[float, dict]:
     j = interval_join(dels, ups, by=["repo"], on="ev_us",
                       lower=-((n // 4096) * 1_000_000), upper=0,
                       right_cols=["commit_seq"],
-                      num_partitions=_num_partitions())
+                      num_partitions=num_partitions or _num_partitions())
     pairs = j.count()
     sec = time.time() - t0
     return sec, {"n_events": n, "pairs": pairs}

@@ -202,3 +202,43 @@ def test_sessions_sync_from_feed(tmp_path):
     m3 = ss.sync_from_feed(src, sr, gap_s=5, key_cols=("repo",),
                            num_partitions=2)
     assert m3 == m2
+
+
+def test_cluster_kernel_overflow_fallback_matches_biased_path():
+    """nseg * span past the int64 bias budget must take the per-key
+    fallback and produce the SAME clustering as the biased path does on
+    the scaled-down equivalent."""
+    from kettleray.ops.sessions import _cluster, _validate_aggs
+    aggs = _validate_aggs({"n": ("count", None)})
+    big = 3_000_000_000_000_000_000        # 3e18: 2 segs -> 6e18 > 2^62
+    t_big = pa.table({
+        "user": pa.array([1, 1, 2, 2], type=pa.int64()),
+        "session_start": pa.array([0, big - 5, 0, big], type=pa.int64()),
+        "session_end": pa.array([0, big - 5, 0, big], type=pa.int64()),
+        "n": pa.array([1, 1, 1, 1], type=pa.int64())})
+    out = _cluster(t_big, ["user"], 10, aggs).sort_by(
+        [("user", "ascending"), ("session_start", "ascending")])
+    # same shape, small values: biased path
+    t_small = pa.table({
+        "user": pa.array([1, 1, 2, 2], type=pa.int64()),
+        "session_start": pa.array([0, 95, 0, 100], type=pa.int64()),
+        "session_end": pa.array([0, 95, 0, 100], type=pa.int64()),
+        "n": pa.array([1, 1, 1, 1], type=pa.int64())})
+    out_s = _cluster(t_small, ["user"], 10, aggs).sort_by(
+        [("user", "ascending"), ("session_start", "ascending")])
+    # both: every interval far apart -> 4 singleton sessions
+    assert out.num_rows == 4 == out_s.num_rows
+    assert out["n"].to_pylist() == out_s["n"].to_pylist()
+    assert out["session_end"].to_pylist() == \
+        [0, big - 5, 0, big]
+    # and a bridging case under the fallback: user 2's huge span forces
+    # the per-key path, user 1's within-gap pair must still merge
+    t_bridge = pa.table({
+        "user": pa.array([1, 1, 2, 2], type=pa.int64()),
+        "session_start": pa.array([big, big + 7, 0, big],
+                                  type=pa.int64()),
+        "session_end": pa.array([big, big + 7, 0, big],
+                                type=pa.int64()),
+        "n": pa.array([1, 1, 1, 1], type=pa.int64())})
+    ob = _cluster(t_bridge, ["user"], 10, aggs)
+    assert sorted(ob["n"].to_pylist()) == [1, 1, 2]

@@ -153,7 +153,8 @@ def job_sessions() -> tuple[float, int]:
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     import bench
-    sec, n, _counts = bench.run_sessions()
+    sec, n, _counts = bench.run_sessions(
+        num_partitions=_cluster_partitions())
     return sec, n
 
 
@@ -164,7 +165,8 @@ def job_interval_join() -> tuple[float, int]:
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     import bench
-    sec, counts = bench.run_interval_join()
+    sec, counts = bench.run_interval_join(
+        num_partitions=_cluster_partitions())
     return sec, counts["n_events"]
 
 
