@@ -1173,10 +1173,12 @@ _SNAPSHOT_WINDOW = [
     "dedup_corpus", "dedup_incremental", "dedup_probe",
     "ann_incremental", "inverted_incremental", "minhash_neardup",
     "decontaminate", "pack_sequences", "dsir_score", "semantic_dedup",
-    "lm_perplexity", "bm25_scores", "substring_dedup_cut",
+    "lm_perplexity", "substring_dedup_cut",
     "events_window_final",
-    # new round-5 ops, never driver-recorded (2)
+    # new round-5 ops, never driver-recorded (3; bm25_scores rotates
+    # out — driver-recorded green in r04, still gate-checked)
     "events_sessions_final", "events_interval_join",
+    "events_interval_join_left",
     # never driver-recorded in r01..r04 (23) — the complete remainder
     "cdc_zorder_scan", "cdc_bulk_lookup", "temperature_mix",
     "quality_gate", "mixture_sample", "kmeans_assign",

@@ -648,8 +648,9 @@ def range_join(left, bands, *, value_col: str,
 def interval_join(left, right, *, by: Sequence[str], on: str,
                   lower: int, upper: int,
                   right_cols: Sequence[str],
-                  num_partitions: int = 32, suffix: str = "_r"):
-    """Stream-stream interval join (inner): every (left, right) pair
+                  num_partitions: int = 32, suffix: str = "_r",
+                  how: str = "inner"):
+    """Stream-stream interval join: every (left, right) pair
     with equal ``by`` keys and ``right.on`` in the closed interval
     ``[left.on + lower, left.on + upper]``. The canonical event-
     correlation operator (clicks within 5 minutes before each
@@ -676,13 +677,25 @@ def interval_join(left, right, *, by: Sequence[str], on: str,
     for ``timestamp[us]`` give ``lower``/``upper`` in microseconds).
     ``lower <= upper``; both may be negative (a purely-backward
     window is ``lower=-delta, upper=0``). Tie semantics: interval
-    bounds are INCLUSIVE on both ends."""
+    bounds are INCLUSIVE on both ends.
+
+    ``how='left'`` keeps unmatched left rows with null right columns
+    (the asof/range-join convention). Because a left row's window can
+    straddle TWO bands, "unmatched" is only decidable across both of
+    its partitions: left rows carry a synthetic id, each partition
+    emits its zero-local-match CANONICAL copies as candidates, and one
+    id-keyed ``left_anti`` join removes candidates that matched in
+    their other band — one extra bounded exchange (ids + candidate
+    rows, never pairs) that the inner path does not pay."""
     import numpy as np
     import pyarrow.compute as pc
     from kettleray.ops.cdc import _composite_key_codes
 
     if lower > upper:
         raise ValueError(f"interval_join: lower={lower} > upper={upper}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"interval_join: how must be 'inner' or "
+                         f"'left', got {how!r}")
     by = list(by)
     right_cols = [c for c in right_cols if c not in by]
     w = max(int(upper) - int(lower), 1)
@@ -712,14 +725,30 @@ def interval_join(left, right, *, by: Sequence[str], on: str,
         t = t.append_column("__on", pa.array(onv, type=pa.int64()))
         t = t.append_column("__src",
                             pa.array(np.ones(t.num_rows, np.int8)))
+        if how == "left":
+            # synthetic per-row id, unique across blocks w.o.p.: random
+            # 64-bit block base + row offset (collision needs two block
+            # bases within block-size of each other: ~n_blocks^2 *
+            # rows / 2^63)
+            import uuid as _uuid
+            base_id = np.int64(_uuid.uuid4().int & ((1 << 63) - 1))
+            t = t.append_column("__lid", pa.array(
+                base_id + np.arange(t.num_rows, dtype=np.int64),
+                type=pa.int64()))
         b0 = np.floor_divide(onv + int(lower), w)
         b1 = np.floor_divide(onv + int(upper), w)
         base = t.append_column("__band", pa.array(b0, type=pa.int64()))
+        if how == "left":
+            base = base.append_column(
+                "__canon", pa.array(np.ones(t.num_rows, bool)))
         dup_mask = b1 != b0
         if not dup_mask.any():
             return base
         dup = t.filter(pa.array(dup_mask)).append_column(
             "__band", pa.array(b1[dup_mask], type=pa.int64()))
+        if how == "left":
+            dup = dup.append_column(
+                "__canon", pa.array(np.zeros(dup.num_rows, bool)))
         return pa.concat_tables([base, dup])
 
     def _tag_right(t: pa.Table) -> pa.Table:
@@ -739,8 +768,15 @@ def interval_join(left, right, *, by: Sequence[str], on: str,
         res = res.append_column("__on", pa.array(onv, type=pa.int64()))
         res = res.append_column(
             "__src", pa.array(np.zeros(t.num_rows, np.int8)))
-        return res.append_column(
+        if how == "left":
+            res = res.append_column(
+                "__lid", pa.nulls(t.num_rows, pa.int64()))
+        res = res.append_column(
             "__band", pa.array(np.floor_divide(onv, w), type=pa.int64()))
+        if how == "left":
+            res = res.append_column(
+                "__canon", pa.array(np.zeros(t.num_rows, bool)))
+        return res
 
     u = left.map_batches(_tag_left, batch_format="pyarrow",
                          zero_copy_batch=True).union(
@@ -753,7 +789,35 @@ def interval_join(left, right, *, by: Sequence[str], on: str,
                 for c in left_names}
         for c, oname in out_right:
             cols[oname] = pa.array([], type=right_schema.field(c).type)
+        if how == "left":
+            cols["__lid"] = pa.array([], type=pa.int64())
+            cols["__matched"] = pa.array([], type=pa.bool_())
         return pa.table(cols)
+
+    def _emit_left(t: pa.Table, lt: pa.Table, rt: "pa.Table | None",
+                   cand: "pa.Table | None") -> pa.Table:
+        """Assemble the left-mode marker table: matched pairs (lt x rt
+        rows, __matched=True) + zero-local-match canonical candidates
+        (null right cols, __matched=False)."""
+        parts = []
+        if lt is not None and lt.num_rows:
+            out = {c: lt[c] for c in left_names}
+            for c, oname in out_right:
+                out[oname] = rt["__r_" + c]
+            out["__lid"] = lt["__lid"]
+            out["__matched"] = pa.array(
+                np.ones(lt.num_rows, bool))
+            parts.append(pa.table(out))
+        if cand is not None and cand.num_rows:
+            out = {c: cand[c] for c in left_names}
+            for c, oname in out_right:
+                out[oname] = pa.nulls(
+                    cand.num_rows, type=right_schema.field(c).type)
+            out["__lid"] = cand["__lid"]
+            out["__matched"] = pa.array(
+                np.zeros(cand.num_rows, bool))
+            parts.append(pa.table(out))
+        return pa.concat_tables(parts) if parts else _empty()
 
     def _pairs(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -765,6 +829,10 @@ def interval_join(left, right, *, by: Sequence[str], on: str,
         r_mask = src == 0
         l_mask = ~r_mask
         if not r_mask.any() or not l_mask.any():
+            if how == "left" and l_mask.any():
+                canon = t.filter(pa.array(l_mask & t["__canon"]
+                                 .to_numpy(zero_copy_only=False)))
+                return _emit_left(t, None, None, canon)
             return _empty()
         r_idx = np.nonzero(r_mask)[0]
         l_idx = np.nonzero(l_mask)[0]
@@ -809,7 +877,14 @@ def interval_join(left, right, *, by: Sequence[str], on: str,
             hi_idx[hs] = np.searchsorted(g, qhi, side="right")
         counts = np.maximum(hi_idx - lo_idx, 0)
         total = int(counts.sum())
+        if how == "left":
+            canon_np = t["__canon"].to_numpy(zero_copy_only=False)
+            cand_rows = l_idx[(counts == 0) & canon_np[l_idx]]
+            cand = t.take(pa.array(cand_rows, type=pa.int64())) \
+                if len(cand_rows) else None
         if total == 0:
+            if how == "left":
+                return _emit_left(t, None, None, cand)
             return _empty()
         l_emit = np.repeat(np.arange(len(l_idx)), counts)
         cum = np.cumsum(counts) - counts
@@ -818,10 +893,59 @@ def interval_join(left, right, *, by: Sequence[str], on: str,
                   + np.repeat(lo_idx, counts))
         lt = t.take(pa.array(l_idx[l_emit], type=pa.int64()))
         rt = t.take(pa.array(r_idx[r_emit], type=pa.int64()))
+        if how == "left":
+            return _emit_left(t, lt, rt, cand)
         out = {c: lt[c] for c in left_names}
         for c, oname in out_right:
             out[oname] = rt["__r_" + c]
         return pa.table(out)
 
-    return shuffled.map_batches(_pairs, batch_format="pyarrow",
-                                batch_size=None, zero_copy_batch=True)
+    marked = shuffled.map_batches(_pairs, batch_format="pyarrow",
+                                  batch_size=None, zero_copy_batch=True)
+    if how == "inner":
+        return marked
+
+    # left-outer finish: candidates that matched in their OTHER band
+    # are dropped by ONE id-keyed anti join (ids + candidate rows move,
+    # never pairs); matched pairs pass through untouched. The marked
+    # stream MUST be pinned once: its three consumers below would
+    # otherwise re-execute the tag stage and mint fresh synthetic ids
+    # per consumer (the anti join would never match). The pinned bytes
+    # are the join output + candidate rows — what the caller is about
+    # to consume anyway; the object store spills them like any result.
+    marked = marked.materialize()
+    matched = marked.map_batches(
+        lambda b: b.filter(b["__matched"]).drop_columns(["__matched"]),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    cands = marked.map_batches(
+        lambda b: b.filter(pc.invert(b["__matched"]))
+        .drop_columns(["__matched"]),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    lids = matched.map_batches(
+        lambda b: b.select(["__lid"]),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    # tiny-regime repair ahead of the acero join (schema-less empty
+    # shuffle blocks — see incdedup._solidify_small)
+    from kettleray.ops.incdedup import _solidify_small
+    mark_schema = pa.schema(
+        [left_schema.field(c) for c in left_names]
+        + [pa.field(oname, right_schema.field(c).type)
+           for c, oname in out_right]
+        + [pa.field("__lid", pa.int64())])
+    cands = _solidify_small(cands, schema=mark_schema,
+                            num_partitions=num_partitions)
+    lids = _solidify_small(lids, schema=pa.schema(
+        [pa.field("__lid", pa.int64())]),
+        num_partitions=num_partitions)
+    unmatched = cands.join(lids, join_type="left_anti", on=("__lid",),
+                           num_partitions=num_partitions)
+    out_names = left_names + [oname for _, oname in out_right]
+
+    def _strip(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return _empty().drop_columns(["__lid", "__matched"])
+        return b.select(out_names)
+
+    return matched.union(unmatched).map_batches(
+        _strip, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True)

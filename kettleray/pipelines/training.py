@@ -256,6 +256,38 @@ def q_events_interval_join(sf_dir):
                          zero_copy_batch=True)
 
 
+def q_events_interval_join_left(sf_dir):
+    """Left-outer variant: EVERY purchase appears — with its preceding
+    clicks, or once with a null click_id (the asof/range-join null
+    convention; cross-band match resolution via the synthetic-id anti
+    join)."""
+    from kettleray.ops.joins import interval_join
+    ev = _t(sf_dir, "events",
+            ["event_id", "ts", "user_id", "event_type"])
+
+    def _only(kind):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"], kind)) \
+                .drop_columns(["event_type"])
+        return fn
+
+    p = ev.map_batches(_only("purchase"), batch_format="pyarrow",
+                       zero_copy_batch=True)
+    c = ev.map_batches(_only("click"), batch_format="pyarrow",
+                       zero_copy_batch=True)
+    j = interval_join(p, c, by=["user_id"], on="ts",
+                      lower=-21_600_000_000, upper=0,
+                      right_cols=["event_id"], num_partitions=16,
+                      how="left")
+
+    def _name(t: pa.Table) -> pa.Table:
+        return pa.table({"purchase_id": t["event_id"],
+                         "click_id": t["event_id_r"]})
+
+    return j.map_batches(_name, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
 def q_minhash_neardup(sf_dir):
     """MinHash(64 perms) -> 16-band LSH -> exact-Jaccard verify at 0.5.
 
@@ -1244,6 +1276,7 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_sessions_final": q_events_sessions_final,
     "events_interval_join": q_events_interval_join,
+    "events_interval_join_left": q_events_interval_join_left,
     "minhash_neardup": q_minhash_neardup,
     "dedup_corpus": q_dedup_corpus,
     "dedup_incremental": q_dedup_incremental,
@@ -1409,6 +1442,12 @@ ORACLES = {
         "FROM events p JOIN events c ON p.user_id = c.user_id "
         "AND p.event_type = 'purchase' AND c.event_type = 'click' "
         "AND c.ts BETWEEN p.ts - INTERVAL 6 HOUR AND p.ts"),
+    "events_interval_join_left": (
+        "SELECT p.event_id AS purchase_id, c.event_id AS click_id "
+        "FROM events p LEFT JOIN events c ON p.user_id = c.user_id "
+        "AND c.event_type = 'click' "
+        "AND c.ts BETWEEN p.ts - INTERVAL 6 HOUR AND p.ts "
+        "WHERE p.event_type = 'purchase'"),
     # exhaustive word-3-gram Jaccard >= 0.5 over all doc pairs (shingle
     # inverted join); equals the deterministic LSH+verify result — see
     # q_minhash_neardup docstring for why

@@ -124,3 +124,72 @@ def test_interval_join_lower_gt_upper_raises():
     with pytest.raises(ValueError):
         interval_join(lt, lt, by=["k"], on="ts", lower=5, upper=-5,
                       right_cols=[])
+
+
+def test_interval_join_left_outer_nulls_and_no_dups():
+    lt = pa.table({"k": pa.array([1, 1, 2], type=pa.int64()),
+                   "ts": pa.array([100, 500, 100], type=pa.int64()),
+                   "lid": pa.array([0, 1, 2], type=pa.int64())})
+    rt = pa.table({"k": pa.array([1], type=pa.int64()),
+                   "ts": pa.array([95], type=pa.int64()),
+                   "rid": pa.array([7], type=pa.int64())})
+    out = interval_join(
+        ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+        by=["k"], on="ts", lower=-10, upper=0,
+        right_cols=["rid"], num_partitions=4, how="left").take_all()
+    got = sorted((r["lid"], r["rid"]) for r in out)
+    # lid 0 matched; lids 1 (window miss) and 2 (no rights for key)
+    # survive exactly once with null rid
+    assert got == [(0, 7), (1, None), (2, None)]
+
+
+def test_interval_join_left_cross_band_match_not_duplicated():
+    """A left row whose window straddles two bands and matches ONLY in
+    its second band must NOT also emit a null candidate row (the
+    anti-join must see the cross-band match)."""
+    # span 100 -> band width 100. left ts=150, window [100, 250]:
+    # bands 1 and 2. right at 201 sits in band 2 (the dup copy's band).
+    lt = pa.table({"k": pa.array([7], type=pa.int64()),
+                   "ts": pa.array([150], type=pa.int64()),
+                   "lid": pa.array([0], type=pa.int64())})
+    rt = pa.table({"k": pa.array([7], type=pa.int64()),
+                   "ts": pa.array([201], type=pa.int64()),
+                   "rid": pa.array([3], type=pa.int64())})
+    out = interval_join(
+        ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+        by=["k"], on="ts", lower=-50, upper=100,
+        right_cols=["rid"], num_partitions=4, how="left").take_all()
+    assert sorted((r["lid"], r["rid"]) for r in out) == [(0, 3)]
+
+
+def test_interval_join_left_randomized_vs_brute():
+    rng = np.random.RandomState(21)
+    lt = pa.table({"k": rng.randint(0, 8, 200).astype("int64"),
+                   "ts": rng.randint(0, 1500, 200).astype("int64"),
+                   "lid": np.arange(200, dtype="int64")})
+    rt = pa.table({"k": rng.randint(0, 8, 250).astype("int64"),
+                   "ts": rng.randint(0, 1500, 250).astype("int64"),
+                   "rid": np.arange(250, dtype="int64")})
+    for lower, upper in [(-40, 0), (-25, 25), (30, 90)]:
+        out = interval_join(
+            ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+            by=["k"], on="ts", lower=lower, upper=upper,
+            right_cols=["rid"], num_partitions=4, how="left").take_all()
+        got = sorted([(r["lid"], r["rid"]) for r in out],
+                     key=lambda p: (p[0], -1 if p[1] is None else p[1]))
+        want = _brute(lt, rt, lower, upper)
+        matched_lids = {p[0] for p in want}
+        want += [(i, None) for i in range(200) if i not in matched_lids]
+        want = sorted(want,
+                      key=lambda p: (p[0], -1 if p[1] is None else p[1]))
+        assert got == want, (lower, upper)
+
+
+def test_interval_join_bad_how_raises():
+    import pytest
+    lt = ray.data.from_arrow(pa.table(
+        {"k": pa.array([1], type=pa.int64()),
+         "ts": pa.array([1], type=pa.int64())}))
+    with pytest.raises(ValueError):
+        interval_join(lt, lt, by=["k"], on="ts", lower=0, upper=1,
+                      right_cols=[], how="full")
