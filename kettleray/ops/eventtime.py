@@ -263,6 +263,39 @@ def _finalize_sketches(fin: pa.Table, aggs: "dict[str, list]") -> pa.Table:
     return fin
 
 
+def gc(root: str, *, keep_last: int = 2) -> dict:
+    """Reclaim superseded OPEN-state snapshots: every version rewrites
+    ``open.parquet`` in full, so a long-running store accumulates one
+    copy per micro-batch. GC deletes ``open.parquet`` from versions
+    older than the newest ``keep_last`` — ``finalized.parquet`` and
+    ``late/`` are APPEND-ONLY logs read across all versions and are
+    never touched; manifests stay for audit. Crash-orphaned
+    ``_stage_*`` dirs are swept."""
+    v = current_version(root)
+    if v is None:
+        return {"removed_open_files": 0, "bytes_reclaimed": 0,
+                "stage_dirs_swept": 0}
+    cutoff = v - max(int(keep_last), 1) + 1
+    removed = swept = freed = 0
+    for name in sorted(os.listdir(root)):
+        p = os.path.join(root, name)
+        if name.startswith("_stage_") and os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+            swept += 1
+            continue
+        if not (name.startswith("v") and name[1:].isdigit()):
+            continue
+        if int(name[1:]) >= cutoff:
+            continue
+        of = os.path.join(p, "open.parquet")
+        if os.path.exists(of):
+            freed += os.path.getsize(of)
+            os.remove(of)
+            removed += 1
+    return {"removed_open_files": removed, "bytes_reclaimed": freed,
+            "stage_dirs_swept": swept}
+
+
 def ingest(root: str, events: "ray.data.Dataset", *,
            time_col: str = "ts",
            window_s: int,

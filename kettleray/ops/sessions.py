@@ -248,6 +248,40 @@ def _seed(t: pa.Table, key_cols: Sequence[str], time_col: str,
     return pa.table(cols)
 
 
+def gc(root: str, *, keep_last: int = 2) -> dict:
+    """Reclaim superseded OPEN-state copies: every version rewrites the
+    full open-session state, so a long-running store accumulates one
+    copy per micro-batch. GC deletes ``open/`` from versions older than
+    the newest ``keep_last`` — finalized/ and late/ are APPEND-ONLY
+    logs read across all versions and are never touched, manifests stay
+    for audit/time-travel of counts. Crash-orphaned ``_stage_*`` dirs
+    (no manifest published, never readable) are swept too."""
+    v = current_version(root)
+    if v is None:
+        return {"removed_open_dirs": 0, "bytes_reclaimed": 0,
+                "stage_dirs_swept": 0}
+    cutoff = v - max(int(keep_last), 1) + 1
+    removed = swept = freed = 0
+    for name in sorted(os.listdir(root)):
+        p = os.path.join(root, name)
+        if name.startswith("_stage_") and os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+            swept += 1
+            continue
+        if not (name.startswith("v") and name[1:].isdigit()):
+            continue
+        if int(name[1:]) >= cutoff:
+            continue
+        od = os.path.join(p, "open")
+        if os.path.isdir(od):
+            freed += sum(os.path.getsize(os.path.join(od, f))
+                         for f in os.listdir(od))
+            shutil.rmtree(od, ignore_errors=True)
+            removed += 1
+    return {"removed_open_dirs": removed, "bytes_reclaimed": freed,
+            "stage_dirs_swept": swept}
+
+
 def sync_from_feed(src_root: str, sessions_root: str, *,
                    gap_s: int, lateness_s: int = 0,
                    key_cols: Sequence[str] = ("repo",),

@@ -172,3 +172,22 @@ class TestApproxDistinct:
         r = et.finalized(root).take_all()
         est = {x["k"]: x["users"] for x in r}["a"]
         assert abs(est - 1000) / 1000 < 0.05
+
+
+def test_eventtime_gc_reclaims_open_keeps_finalized(tmp_path):
+    from kettleray.ops import eventtime as et
+    root = str(tmp_path / "w")
+    for k in range(4):
+        ev = ray.data.from_arrow(pa.table({
+            "g": ["a", "b"],
+            "ts": pa.array([k * 1000 * 1_000_000,
+                            (k * 1000 + 1) * 1_000_000],
+                           type=pa.int64())}))
+        et.ingest(root, ev, time_col="ts", window_s=10, lateness_s=0,
+                  group_cols=("g",), aggs={"n": ("count", None)},
+                  batch_id=f"b{k}")
+    fin_before = et.finalized(root).count()
+    rep = et.gc(root, keep_last=2)
+    assert rep["removed_open_files"] == 2 and rep["bytes_reclaimed"] > 0
+    assert et.finalized(root).count() == fin_before
+    assert et.open_windows(root) is not None

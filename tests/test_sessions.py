@@ -242,3 +242,22 @@ def test_cluster_kernel_overflow_fallback_matches_biased_path():
         "n": pa.array([1, 1, 1, 1], type=pa.int64())})
     ob = _cluster(t_bridge, ["user"], 10, aggs)
     assert sorted(ob["n"].to_pylist()) == [1, 1, 2]
+
+
+def test_sessions_gc_reclaims_open_copies_keeps_logs(tmp_path):
+    root = str(tmp_path / "s")
+    for k in range(5):
+        _ingest(root, [(1, k * 100, 1.0), (2, k * 100 + 3, 1.0)],
+                f"b{k}")
+    fin_before = sorted(map(dict, ss.finalized(root).take_all()),
+                        key=lambda r: (r["user"], r["session_start"]))
+    rep = ss.gc(root, keep_last=2)
+    assert rep["removed_open_dirs"] == 3 and rep["bytes_reclaimed"] > 0
+    # finalized log and current open state untouched
+    fin_after = sorted(map(dict, ss.finalized(root).take_all()),
+                       key=lambda r: (r["user"], r["session_start"]))
+    assert fin_after == fin_before
+    assert ss.open_sessions(root).num_rows == 2
+    # next ingest still works (it only reads the PREVIOUS version's open)
+    _ingest(root, [(1, 1000, 1.0)], "b5")
+    assert ss.open_sessions(root).num_rows == 1
