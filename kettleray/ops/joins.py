@@ -753,11 +753,6 @@ def interval_join(left, right, *, by: Sequence[str], on: str,
 
     def _tag_right(t: pa.Table) -> pa.Table:
         onv = _on_i64(t)
-        cols = {c: t[c] for c in by}
-        out = pa.table(cols) if by else \
-            pa.table({"__dummy": pa.nulls(t.num_rows, pa.int8())})
-        if not by:
-            out = out.drop_columns(["__dummy"])
         o = {}
         for c in left_names:
             o[c] = t[c] if c in by else pa.nulls(
