@@ -261,3 +261,30 @@ def test_sessions_gc_reclaims_open_copies_keeps_logs(tmp_path):
     # next ingest still works (it only reads the PREVIOUS version's open)
     _ingest(root, [(1, 1000, 1.0)], "b5")
     assert ss.open_sessions(root).num_rows == 1
+
+
+def test_sessions_crash_mid_stage_publishes_nothing(tmp_path, monkeypatch):
+    """A failure after routing but before the rename must leave no
+    version, no stage dir, and an untouched CURRENT; the retry with the
+    same batch applies cleanly."""
+    root = str(tmp_path / "s")
+    _ingest(root, [(1, 0, 1.0)], "b0")
+    from kettleray.io.sink import current_version
+    assert current_version(root) == 1
+    # inject at a DRIVER-side step (worker-side fns can't be patched
+    # from the driver): the manifest write, after all data is staged
+    # but before the atomic rename
+    orig_dump = ss.json.dump
+
+    def _boom(*a, **kw):
+        raise RuntimeError("injected manifest-write failure")
+
+    monkeypatch.setattr(ss.json, "dump", _boom)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="injected"):
+        _ingest(root, [(1, 100, 2.0)], "b1")
+    monkeypatch.setattr(ss.json, "dump", orig_dump)
+    assert current_version(root) == 1          # nothing published
+    assert not [d for d in os.listdir(root) if d.startswith("_stage")]
+    m = _ingest(root, [(1, 100, 2.0)], "b1")   # retry applies
+    assert m["version"] == 2 and current_version(root) == 2
