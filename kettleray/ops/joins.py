@@ -649,7 +649,7 @@ def interval_join(left, right, *, by: Sequence[str], on: str,
                   lower: int, upper: int,
                   right_cols: Sequence[str],
                   num_partitions: int = 32, suffix: str = "_r",
-                  how: str = "inner"):
+                  how: str = "inner", salt: int = 1):
     """Stream-stream interval join: every (left, right) pair
     with equal ``by`` keys and ``right.on`` in the closed interval
     ``[left.on + lower, left.on + upper]``. The canonical event-
@@ -686,7 +686,16 @@ def interval_join(left, right, *, by: Sequence[str], on: str,
     emits its zero-local-match CANONICAL copies as candidates, and one
     id-keyed ``left_anti`` join removes candidates that matched in
     their other band — one extra bounded exchange (ids + candidate
-    rows, never pairs) that the inner path does not pay."""
+    rows, never pairs) that the inner path does not pay.
+
+    ``salt > 1`` splits every (key, band)'s RIGHT rows across ``salt``
+    sub-partitions and replicates left rows to all of them (the
+    skew.py hot-key discipline applied to the pair expansion): a
+    celebrity key's L x R output is produced by ``salt`` tasks instead
+    of one, at the cost of ``salt``x left replication. Output is
+    identical for any salt (sub-groups partition the rights; only the
+    salt-0 copy stays canonical, so left-outer null rows never
+    duplicate)."""
     import numpy as np
     import pyarrow.compute as pc
     from kettleray.ops.cdc import _composite_key_codes
@@ -742,14 +751,31 @@ def interval_join(left, right, *, by: Sequence[str], on: str,
             base = base.append_column(
                 "__canon", pa.array(np.ones(t.num_rows, bool)))
         dup_mask = b1 != b0
-        if not dup_mask.any():
-            return base
-        dup = t.filter(pa.array(dup_mask)).append_column(
-            "__band", pa.array(b1[dup_mask], type=pa.int64()))
-        if how == "left":
-            dup = dup.append_column(
-                "__canon", pa.array(np.zeros(dup.num_rows, bool)))
-        return pa.concat_tables([base, dup])
+        copies = [base]
+        if dup_mask.any():
+            dup = t.filter(pa.array(dup_mask)).append_column(
+                "__band", pa.array(b1[dup_mask], type=pa.int64()))
+            if how == "left":
+                dup = dup.append_column(
+                    "__canon", pa.array(np.zeros(dup.num_rows, bool)))
+            copies.append(dup)
+        if salt <= 1:
+            return pa.concat_tables(copies) if len(copies) > 1 \
+                else copies[0]
+        # hot-key salting: every copy visits ALL right sub-groups;
+        # only the salt-0 base copy stays canonical
+        salted = []
+        for ci, cp in enumerate(copies):
+            for s in range(salt):
+                c2 = cp
+                if how == "left" and s > 0 and ci == 0:
+                    c2 = c2.set_column(
+                        c2.schema.get_field_index("__canon"), "__canon",
+                        pa.array(np.zeros(c2.num_rows, bool)))
+                salted.append(c2.append_column(
+                    "__salt", pa.array(
+                        np.full(c2.num_rows, s, np.int64))))
+        return pa.concat_tables(salted)
 
     def _tag_right(t: pa.Table) -> pa.Table:
         onv = _on_i64(t)
@@ -771,13 +797,17 @@ def interval_join(left, right, *, by: Sequence[str], on: str,
         if how == "left":
             res = res.append_column(
                 "__canon", pa.array(np.zeros(t.num_rows, bool)))
+        if salt > 1:
+            res = res.append_column("__salt", pa.array(
+                np.arange(t.num_rows, dtype=np.int64) % salt))
         return res
 
     u = left.map_batches(_tag_left, batch_format="pyarrow",
                          zero_copy_batch=True).union(
         right.map_batches(_tag_right, batch_format="pyarrow",
                           zero_copy_batch=True))
-    shuffled = u.repartition(num_partitions, keys=by + ["__band"])
+    shuffle_keys = by + ["__band"] + (["__salt"] if salt > 1 else [])
+    shuffled = u.repartition(num_partitions, keys=shuffle_keys)
 
     def _empty() -> pa.Table:
         cols = {c: pa.array([], type=left_schema.field(c).type)
@@ -818,7 +848,7 @@ def interval_join(left, right, *, by: Sequence[str], on: str,
         n = t.num_rows
         if n == 0:
             return _empty()
-        codes = _composite_key_codes(t, by + ["__band"])
+        codes = _composite_key_codes(t, shuffle_keys)
         onv = t["__on"].to_numpy(zero_copy_only=False)
         src = t["__src"].to_numpy(zero_copy_only=False)
         r_mask = src == 0

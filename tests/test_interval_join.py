@@ -193,3 +193,33 @@ def test_interval_join_bad_how_raises():
     with pytest.raises(ValueError):
         interval_join(lt, lt, by=["k"], on="ts", lower=0, upper=1,
                       right_cols=[], how="full")
+
+
+def test_interval_join_salted_identical_output():
+    """salt>1 splits each (key, band)'s rights across sub-partitions
+    and replicates lefts — output must be IDENTICAL to unsalted, for
+    both inner and left-outer (no duplicate pairs, no duplicate null
+    rows)."""
+    rng = np.random.RandomState(33)
+    # one celebrity key (0) holding most rows — the salting target
+    lk = np.where(rng.rand(200) < 0.7, 0, rng.randint(1, 5, 200))
+    rk = np.where(rng.rand(300) < 0.7, 0, rng.randint(1, 5, 300))
+    lt = pa.table({"k": lk.astype("int64"),
+                   "ts": rng.randint(0, 800, 200).astype("int64"),
+                   "lid": np.arange(200, dtype="int64")})
+    rt = pa.table({"k": rk.astype("int64"),
+                   "ts": rng.randint(0, 800, 300).astype("int64"),
+                   "rid": np.arange(300, dtype="int64")})
+    for how in ("inner", "left"):
+        plain = interval_join(
+            ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+            by=["k"], on="ts", lower=-30, upper=10,
+            right_cols=["rid"], num_partitions=4, how=how).take_all()
+        salted = interval_join(
+            ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+            by=["k"], on="ts", lower=-30, upper=10,
+            right_cols=["rid"], num_partitions=4, how=how,
+            salt=4).take_all()
+        key = lambda p: (p[0], -1 if p[1] is None else p[1])
+        assert sorted([(r["lid"], r["rid"]) for r in plain], key=key) \
+            == sorted([(r["lid"], r["rid"]) for r in salted], key=key), how
