@@ -66,7 +66,7 @@ from kettleray.io.sink import atomic_write_json, current_version
 from kettleray.ops.eventtime import (_next_version, _time_us, _vdir,
                                      read_manifest)
 
-_FNS = ("count", "sum", "min", "max")
+_FNS = ("count", "sum", "min", "max", "approx_distinct")
 
 
 def _validate_aggs(aggs: Mapping[str, tuple]) -> "dict[str, list]":
@@ -75,7 +75,8 @@ def _validate_aggs(aggs: Mapping[str, tuple]) -> "dict[str, list]":
         if fn not in _FNS:
             raise ValueError(
                 f"session agg fn {fn!r} not in {_FNS} (mergeable fns "
-                f"only — partial sessions must merge associatively)")
+                f"only — partial sessions must merge associatively; "
+                f"approx_distinct rides mergeable HLL registers)")
         if fn != "count" and col is None:
             raise ValueError(f"agg {name!r}: {fn} needs a column")
         if name in ("session_start", "session_end"):
@@ -127,8 +128,12 @@ def open_sessions(root: str) -> "pa.Table | None":
     return _read_dir(os.path.join(_vdir(root, v), "open"))
 
 
-def finalized(root: str) -> "ray.data.Dataset | None":
-    """Append-only finalized-session log across ALL versions."""
+def finalized(root: str, *,
+              estimate: bool = True) -> "ray.data.Dataset | None":
+    """Append-only finalized-session log across ALL versions. State
+    files keep approx_distinct aggs as raw HLL REGISTERS (so partials
+    stay mergeable end to end); by default the reader converts them to
+    int64 estimates — pass ``estimate=False`` for the raw registers."""
     v = current_version(root)
     if v is None:
         return None
@@ -138,7 +143,28 @@ def finalized(root: str) -> "ray.data.Dataset | None":
              for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
     if not files:
         return None
-    return ray.data.read_parquet(files)
+    ds = ray.data.read_parquet(files)
+    spec = _load_spec(root) or {}
+    sketch_cols = [name for name, (fn, _) in
+                   (spec.get("aggs") or {}).items()
+                   if fn == "approx_distinct"]
+    if not estimate or not sketch_cols:
+        return ds
+
+    def _est(t: pa.Table) -> pa.Table:
+        from kettleray.ops.sketches import HLL
+        for c in sketch_cols:
+            col = t[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            vals = [int(round(HLL.from_bytes(b.as_py()).estimate()))
+                    for b in col]
+            t = t.set_column(t.schema.get_field_index(c), c,
+                             pa.array(vals, type=pa.int64()))
+        return t
+
+    return ds.map_batches(_est, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def late_log(root: str) -> "ray.data.Dataset | None":
@@ -160,12 +186,15 @@ def _session_schema(key_fields: "list[pa.Field]",
                pa.field("session_end", pa.int64())]
     for name, (fn, _) in aggs.items():
         fields.append(pa.field(
-            name, pa.int64() if fn == "count" else pa.float64()))
+            name, pa.int64() if fn == "count"
+            else pa.binary() if fn == "approx_distinct"
+            else pa.float64()))
     return pa.schema(fields)
 
 
 def _cluster(t: pa.Table, key_cols: Sequence[str], gap_us: int,
-             aggs: "dict[str, list]") -> pa.Table:
+             aggs: "dict[str, list]", *, sketch_mode: str = "bytes",
+             hll_p: int = 12) -> pa.Table:
     """Vectorized per-key interval clustering: rows are partial
     sessions (session_start/session_end + mergeable agg partials);
     output is the gap-merged partial sessions. Lexsort by (key, start),
@@ -215,6 +244,30 @@ def _cluster(t: pa.Table, key_cols: Sequence[str], gap_us: int,
     cols["session_start"] = pa.array(out_start, type=pa.int64())
     cols["session_end"] = pa.array(out_end, type=pa.int64())
     for name, (fn, _) in aggs.items():
+        if fn == "approx_distinct":
+            # HLL registers per chain: raw mode sketches member values
+            # (vectorized hash kernel per chain), bytes mode register-
+            # maxes the members' already-built sketches. One Python
+            # iteration per CHAIN — partial-session bounded, the same
+            # pattern as eventtime._group_sketches.
+            from kettleray.ops.sketches import HLL
+            col = t[name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            sc = col.take(pa.array(order, type=pa.int64()))
+            bounds = np.append(idx, n)
+            out = []
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                h = HLL(hll_p)
+                sl = sc.slice(a, b - a)
+                if sketch_mode == "raw":
+                    h.update_column(sl)
+                else:
+                    for bb in sl:
+                        h.merge(HLL.from_bytes(bb.as_py()))
+                out.append(h.to_bytes())
+            cols[name] = pa.array(out, type=pa.binary())
+            continue
         v = t[name].to_numpy(zero_copy_only=False)[order]
         if fn in ("count", "sum"):
             if fn == "sum":
@@ -243,6 +296,9 @@ def _seed(t: pa.Table, key_cols: Sequence[str], time_col: str,
     for name, (fn, col) in aggs.items():
         if fn == "count":
             cols[name] = pa.array(np.ones(t.num_rows, np.int64))
+        elif fn == "approx_distinct":
+            cols[name] = t[col]          # raw values; the seed-side
+            # _cluster (sketch_mode='raw') turns each chain into registers
         else:
             cols[name] = pc.cast(t[col], pa.float64())
     return pa.table(cols)
@@ -347,6 +403,7 @@ def ingest(root: str, events: "ray.data.Dataset", *,
            key_cols: Sequence[str] = (),
            aggs: Mapping[str, tuple],
            num_partitions: int = 16,
+           hll_p: int = 12,
            batch_id: "str | None" = None) -> dict:
     """Apply one micro-batch of events and return the new manifest.
 
@@ -360,7 +417,7 @@ def ingest(root: str, events: "ray.data.Dataset", *,
     aggs = _validate_aggs(aggs)
     spec = {"gap_us": gap_us, "lateness_us": l_us,
             "key_cols": list(key_cols), "aggs": aggs,
-            "time_col": time_col}
+            "time_col": time_col, "hll_p": int(hll_p)}
     _check_spec(root, spec)
     man = read_manifest(root)
     if man and batch_id is not None and man.get("batch_id") == batch_id:
@@ -411,7 +468,8 @@ def ingest(root: str, events: "ray.data.Dataset", *,
         def _block(b: pa.Table) -> pa.Table:
             good = b.filter(pc.invert(b["_late"]))
             return _cluster(_seed(good, key_cols, time_col, aggs),
-                            key_cols, gap_us, aggs)
+                            key_cols, gap_us, aggs,
+                            sketch_mode="raw", hll_p=hll_p)
 
         partials = routed.map_batches(_block, batch_format="pyarrow",
                                       batch_size=None,
@@ -434,7 +492,8 @@ def ingest(root: str, events: "ray.data.Dataset", *,
             partials = partials.repartition(1)
 
         def _merge(b: pa.Table) -> pa.Table:
-            out = _cluster(b, key_cols, gap_us, aggs)
+            out = _cluster(b, key_cols, gap_us, aggs,
+                           sketch_mode="bytes", hll_p=hll_p)
             ripe = pc.less_equal(pc.add(out["session_end"], gap_us),
                                  new_wm)
             return out.append_column("_ripe", pc.cast(ripe, pa.bool_()))

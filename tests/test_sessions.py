@@ -288,3 +288,57 @@ def test_sessions_crash_mid_stage_publishes_nothing(tmp_path, monkeypatch):
     assert not [d for d in os.listdir(root) if d.startswith("_stage")]
     m = _ingest(root, [(1, 100, 2.0)], "b1")   # retry applies
     assert m["version"] == 2 and current_version(root) == 2
+
+
+def test_sessions_approx_distinct_accuracy_and_merge():
+    """approx_distinct sessions: registers built per block, register-
+    maxed across blocks and the carried open state; the finalized
+    estimate must track the exact per-session distinct count, and must
+    be INVARIANT to how the events are split into micro-batches."""
+    import tempfile, shutil as _sh
+    rng = np.random.RandomState(4)
+    # one user, one long session (ts 0..999 all within gap 10), with
+    # values drawn from 200 distinct ids
+    ts = np.arange(1000)
+    vals = rng.randint(0, 200, 1000)
+    rows = [(1, int(t), int(v)) for t, v in zip(ts, vals)]
+    rows.append((1, 5000, 0))   # closer event -> finalizes the session
+
+    def _ingest_hll(root, chunk_bounds):
+        for k, (a, b) in enumerate(chunk_bounds):
+            ds = ray.data.from_arrow(pa.table({
+                "user": pa.array([r[0] for r in rows[a:b]],
+                                 type=pa.int64()),
+                "ts": pa.array([r[1] * 1_000_000 for r in rows[a:b]],
+                               type=pa.int64()),
+                "uid": pa.array([r[2] for r in rows[a:b]],
+                                type=pa.int64())}))
+            ss.ingest(root, ds, time_col="ts", gap_s=10, lateness_s=0,
+                      key_cols=("user",),
+                      aggs={"n": ("count", None),
+                            "nd": ("approx_distinct", "uid")},
+                      num_partitions=2, hll_p=12, batch_id=f"b{k}")
+        fin = ss.finalized(root).take_all()
+        return {r["session_start"]: (r["n"], r["nd"]) for r in fin}
+
+    exact = len(set(vals.tolist()))
+    r1 = tempfile.mkdtemp(prefix="kr_hll1_")
+    r2 = tempfile.mkdtemp(prefix="kr_hll2_")
+    try:
+        one = _ingest_hll(r1, [(0, 1001)])
+        many = _ingest_hll(r2, [(0, 300), (300, 700), (700, 1001)])
+        assert set(one) == set(many)
+        k = 0
+        n1, nd1 = one[k]
+        n2, nd2 = many[k]
+        assert n1 == n2 == 1000
+        # register-max merging is exact algebra: identical estimates
+        # regardless of batching
+        assert nd1 == nd2
+        assert abs(nd1 - exact) / exact < 0.05, (nd1, exact)
+        # raw registers still available for downstream merging
+        raw = ss.finalized(r1, estimate=False).take_all()
+        assert isinstance(raw[0]["nd"], bytes)
+    finally:
+        _sh.rmtree(r1, ignore_errors=True)
+        _sh.rmtree(r2, ignore_errors=True)
